@@ -1,0 +1,467 @@
+package graft
+
+/** DuckDB-runnable ANSI SQL oracles, one per SQL-expressible query in
+  * SparkEntry.queries. Column names/aliases must match the Spark side
+  * exactly (the driver's compare sorts columns by name before hashing).
+  *
+  * Float determinism: money sums go through DECIMAL(18,2) (exact,
+  * order-independent) and are emitted as DOUBLE; averages are written
+  * as castDouble(sum)/count on both sides; similarity values are
+  * computed in DOUBLE and rounded to 6 dp on both sides.
+  */
+object Oracles {
+
+  /** Exact integer-cents sum emitted as double — bit-deterministic on
+    * both engines (double→decimal tie-rounding is NOT: Spark HALF_UP
+    * vs DuckDB half-to-even). Mirrors Relational.moneySum.
+    */
+  private def msum(expr: String): String =
+    s"SUM(CAST(FLOOR(($expr) * 100 + 0.5) AS BIGINT)) / 100.0"
+
+  val relational: Map[String, String] = Map(
+    "q1_pricing" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        ${msum("l_quantity")} AS sum_qty,
+        ${msum("l_extendedprice")} AS sum_base_price,
+        ${msum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+        ${msum("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+        ${msum("l_quantity")} / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_topn" -> s"""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        ${msum("l_extendedprice*(1-l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15'
+        AND l_shipdate > TIMESTAMP '1998-03-15'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey ASC
+      LIMIT 10""",
+
+    "q5_multijoin" -> s"""
+      SELECT n_name,
+        ${msum("l_extendedprice*(1-l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name ASC""",
+
+    "q10_returned" -> s"""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+        ${msum("l_extendedprice*(1-l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-10-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey ASC
+      LIMIT 20""",
+
+    "q_semijoin" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        ${msum("o_totalprice")} AS sum_total
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "q_antijoin" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_customers
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q_window_topk" -> """
+      SELECT p_brand, CAST(rk AS BIGINT) AS rk, p_partkey, price FROM (
+        SELECT p_brand, p_partkey,
+          CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) / 100.0 AS price,
+          ROW_NUMBER() OVER (PARTITION BY p_brand
+                             ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+        FROM part) t
+      WHERE rk <= 3
+      ORDER BY p_brand, rk""",
+
+    "q_running_sum" -> """
+      WITH daily AS (
+        SELECT l_suppkey, strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+          SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS day_cents
+        FROM lineitem WHERE l_suppkey <= 5
+        GROUP BY l_suppkey, ship_day)
+      SELECT l_suppkey, ship_day, day_cents / 100.0 AS day_rev,
+        SUM(day_cents) OVER (PARTITION BY l_suppkey ORDER BY ship_day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_rev
+      FROM daily
+      ORDER BY l_suppkey, ship_day""",
+
+    "q_events_hourly" -> s"""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        event_type, COUNT(*) AS n,
+        ${msum("value")} / COUNT(*) AS avg_value
+      FROM events
+      GROUP BY hour, event_type
+      ORDER BY hour, event_type""",
+
+    "q_sessionize" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_ms,
+          CASE WHEN lag(ts_ms) OVER w IS NULL
+                 OR ts_ms - lag(ts_ms) OVER w > 30*60*1000
+               THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      sess AS (
+        SELECT user_id, ts_ms,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        CAST(FLOOR((MAX(ts_ms) - MIN(ts_ms)) / 1000.0) AS BIGINT) AS duration_s
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
+
+    "q_distinct" -> """
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    "q_rollup" -> s"""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n,
+        ${msum("o_totalprice")} AS total
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""
+  )
+
+  // ---- shared SQL fragments (generated from the same constants the
+  // Scala operators use, so the two sides cannot drift) ----------------
+
+  import graft.functions.{HashFns => H}
+
+  /** VALUES table of the MinHash permutation constants. */
+  private val permValues: String =
+    (0 until H.numPerms)
+      .map(i => s"(${i}, ${H.minhashA(i)}, ${H.minhashB(i)})")
+      .mkString(", ")
+
+  /** doc_id, shingle-hash h∈[0,P31) for every 5-char shingle. */
+  private val shinglesCte: String = s"""
+      p AS (SELECT doc_id, text, unnest(generate_series(1, length(text)-4)) AS i
+            FROM documents WHERE length(text) >= 5),
+      sh AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 15)) AS BIGINT)
+                 % ${H.P31} AS h
+             FROM p)"""
+
+  /** doc_id, non-empty whitespace token (with duplicates). */
+  private val tokensCte: String = """
+      tk AS (SELECT doc_id, tok FROM (
+               SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+               FROM documents) u
+             WHERE tok <> '')"""
+
+  /** doc_id, perm_id, mh — the full MinHash signature, long format. */
+  private val minhashCte: String = s"""$shinglesCte,
+      perm AS (SELECT * FROM (VALUES $permValues) AS t(perm_id, a, b)),
+      mh AS (SELECT doc_id, CAST(perm_id AS BIGINT) AS perm_id,
+               MIN((a * h + b) % ${H.P31}) AS mh
+             FROM sh CROSS JOIN perm GROUP BY doc_id, perm_id)"""
+
+  /** MinHash LSH bands (4 bands × 4 rows) + candidate pairs. */
+  private val bandPairsCte: String = s"""$minhashCte,
+      band AS (SELECT doc_id, perm_id // 4 AS band_id,
+                 md5(string_agg(mh::VARCHAR, ',' ORDER BY perm_id)) AS band_key
+               FROM mh GROUP BY doc_id, perm_id // 4),
+      pairs AS (SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+                FROM band l JOIN band r
+                  ON l.band_id = r.band_id AND l.band_key = r.band_key
+                 AND l.doc_id < r.doc_id)"""
+
+  /** Embedding corpus with double vectors + norms. */
+  private val normsCte: String = """
+      e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)"""
+
+  /** Random-hyperplane LSH band keys per vector (exact integer sign
+    * sums over round(1000·x) quantized components — mirrors
+    * VectorFns.quantize + HashFns.hyperplaneSign).
+    */
+  private val lshBandsCte: String = s"""$normsCte,
+      dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+      js AS (SELECT unnest(generate_series(0, 7)) AS j),
+      dots AS (SELECT vec_id, j,
+                 SUM((CASE WHEN strpos('0123456789abcdef',
+                        substr(md5('hp_' || j || '_' || d), 1, 1)) <= 8
+                      THEN 1 ELSE -1 END)
+                     * CAST(ROUND(v[d] * 1000, 0) AS BIGINT)) AS dot
+               FROM e CROSS JOIN dims CROSS JOIN js
+               GROUP BY vec_id, j),
+      bits AS (SELECT vec_id, j, CASE WHEN dot > 0 THEN 1 ELSE 0 END AS bit FROM dots),
+      bands AS (SELECT vec_id,
+                  SUM(CASE WHEN j < 4 THEN bit << j ELSE 0 END) AS band0,
+                  SUM(CASE WHEN j >= 4 THEN bit << (j - 4) ELSE 0 END) AS band1
+                FROM bits GROUP BY vec_id)"""
+
+  /** Exact cosine top-5 for queries vec_id<10 (rnk ≤ 5). */
+  private val knnCte: String = s"""$normsCte,
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+      s AS (SELECT query_id, vec_id AS neighbor_id,
+              ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+            FROM n CROSS JOIN q WHERE vec_id <> query_id),
+      r AS (SELECT query_id, neighbor_id, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM s),
+      top5 AS (SELECT * FROM r WHERE rnk <= 5)"""
+
+  val vector: Map[String, String] = Map(
+    "v_norm" -> """
+      SELECT vec_id, label,
+        ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS nrm,
+        CAST(len(embedding) AS BIGINT) AS dim
+      FROM embeddings ORDER BY vec_id""",
+
+    "v_knn_exact" -> s"""
+      WITH $knnCte
+      SELECT query_id, rnk, neighbor_id, sim FROM top5 ORDER BY query_id, rnk""",
+
+    "v_knn_meta" -> s"""
+      WITH $knnCte,
+      m AS (SELECT e2.vec_id AS mid, e2.label, d.lang, d.source
+            FROM embeddings e2 LEFT JOIN documents d ON e2.vec_id = d.doc_id)
+      SELECT query_id, rnk, neighbor_id, sim, label, lang, source
+      FROM top5 JOIN m ON neighbor_id = mid
+      ORDER BY query_id, rnk""",
+
+    "v_knn_classify" -> s"""
+      WITH $knnCte
+      SELECT query_id, pred_label, votes FROM (
+        SELECT query_id, em.label AS pred_label, COUNT(*) AS votes,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY COUNT(*) DESC, em.label ASC) AS rn
+        FROM top5 JOIN embeddings em ON em.vec_id = neighbor_id
+        GROUP BY query_id, em.label) t
+      WHERE rn = 1 ORDER BY query_id""",
+
+    "v_pairs_near" -> s"""
+      WITH $normsCte
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+        ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      ORDER BY sim DESC, id1 ASC, id2 ASC LIMIT 100""",
+
+    "v_ann_lsh" -> s"""
+      WITH $lshBandsCte,
+      q AS (SELECT b.vec_id AS query_id, b.band0 AS qb0, b.band1 AS qb1,
+              n.v AS qv, n.nrm AS qn
+            FROM bands b JOIN n ON n.vec_id = b.vec_id WHERE b.vec_id < 10),
+      cand AS (SELECT query_id, qv, qn, b.vec_id AS neighbor_id
+               FROM q JOIN bands b
+                 ON b.vec_id <> query_id AND (b.band0 = qb0 OR b.band1 = qb1)),
+      s AS (SELECT query_id, neighbor_id,
+              ROUND(list_dot_product(qv, y.v) / (qn * y.nrm), 6) AS sim
+            FROM cand JOIN n y ON y.vec_id = neighbor_id),
+      r AS (SELECT query_id, neighbor_id, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM s)
+      SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 3
+      ORDER BY query_id, rnk""",
+
+    "v_centroid_label" -> """
+      WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+      expl AS (SELECT label, d, CAST(ROUND(v[d] * 1000, 0) AS BIGINT) AS qv
+               FROM e CROSS JOIN dims),
+      sums AS (SELECT label, d, SUM(qv) AS s, COUNT(*) AS n FROM expl GROUP BY label, d),
+      cent AS (SELECT label, d, s / (1000.0 * n) AS c, n FROM sums)
+      SELECT label, MAX(n) AS n_vectors, ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm
+      FROM cent GROUP BY label ORDER BY label"""
+  )
+
+  val dedup: Map[String, String] = Map(
+    "d_exact" -> """
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+      FROM documents GROUP BY fp ORDER BY keep_doc_id""",
+
+    "d_minhash" -> s"""
+      WITH $minhashCte
+      SELECT doc_id, perm_id, mh FROM mh ORDER BY doc_id, perm_id""",
+
+    "d_minhash_pairs" -> s"""
+      WITH $bandPairsCte
+      SELECT doc1, doc2,
+        SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) / 16.0 AS jacc_est
+      FROM pairs
+      JOIN mh m1 ON m1.doc_id = doc1
+      JOIN mh m2 ON m2.doc_id = doc2 AND m2.perm_id = m1.perm_id
+      GROUP BY doc1, doc2 ORDER BY doc1, doc2""",
+
+    "d_simhash" -> """
+      WITH tk0 AS (SELECT DISTINCT doc_id, tok FROM (
+               SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+               FROM documents) u
+             WHERE tok <> ''),
+      th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tk0),
+      js AS (SELECT unnest(generate_series(0, 31)) AS j),
+      bits AS (SELECT doc_id, j,
+                 CASE WHEN SUM(2 * ((h >> j) & 1) - 1) > 0 THEN 1 ELSE 0 END AS b
+               FROM th CROSS JOIN js GROUP BY doc_id, j)
+      SELECT doc_id, CAST(SUM(b * (1::BIGINT << j)) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "d_jaccard" -> s"""
+      WITH $bandPairsCte,
+      $tokensCte,
+      tkd AS (SELECT DISTINCT doc_id, tok FROM tk),
+      fallback AS (SELECT doc_id AS doc1, doc_id + 1 AS doc2 FROM documents
+                   WHERE doc_id % 10 = 0),
+      cands AS (SELECT doc1, doc2 FROM pairs UNION SELECT doc1, doc2 FROM fallback),
+      tc AS (SELECT doc_id, COUNT(*) AS c FROM tkd GROUP BY doc_id),
+      inter AS (SELECT c.doc1, c.doc2, COUNT(*) AS i
+                FROM cands c
+                JOIN tkd t1 ON t1.doc_id = c.doc1
+                JOIN tkd t2 ON t2.doc_id = c.doc2 AND t2.tok = t1.tok
+                GROUP BY c.doc1, c.doc2)
+      SELECT c.doc1, c.doc2,
+        COALESCE(i.i, 0) AS inter,
+        a.c + b.c - COALESCE(i.i, 0) AS uni,
+        COALESCE(i.i, 0) / (a.c + b.c - COALESCE(i.i, 0)) AS jaccard
+      FROM cands c
+      JOIN tc a ON a.doc_id = c.doc1
+      JOIN tc b ON b.doc_id = c.doc2
+      LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
+      ORDER BY c.doc1, c.doc2""",
+
+    "d_embed_near" -> s"""
+      WITH $lshBandsCte,
+      cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+               FROM bands a JOIN bands b
+                 ON a.vec_id < b.vec_id
+                AND (a.band0 = b.band0 OR a.band1 = b.band1))
+      SELECT id1, id2,
+        ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS sim
+      FROM cand JOIN n x ON x.vec_id = id1 JOIN n y ON y.vec_id = id2
+      ORDER BY sim DESC, id1 ASC, id2 ASC LIMIT 50"""
+  )
+
+  val text: Map[String, String] = Map(
+    "t_tokens" -> s"""
+      WITH $tokensCte
+      SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct,
+        SUM(length(tok)) / COUNT(*) AS avg_token_len
+      FROM tk GROUP BY doc_id ORDER BY doc_id""",
+
+    "t_quality" -> """
+      WITH f AS (SELECT doc_id, text, length(text) AS n_chars_t,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t <> '') AS toks
+             FROM documents),
+      g AS (SELECT doc_id, n_chars_t,
+              len(toks) AS n_toks,
+              n_chars_t - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+              n_chars_t - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+              len(list_filter(toks,
+                t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS stop_hits
+            FROM f)
+      SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        stop_hits / n_toks AS stop_ratio,
+        punct / n_chars_t AS punct_ratio,
+        digits / n_chars_t AS digit_ratio,
+        ROUND(LEAST(n_chars_t, 500) / 500.0 * 0.4
+          + (stop_hits / n_toks) * 0.4
+          + (1.0 - punct / n_chars_t) * 0.2, 6) AS quality
+      FROM g ORDER BY doc_id""",
+
+    "t_langid" -> {
+      val vals = graft.operators.TextAnalysis.stopwords.toSeq.sortBy(_._1)
+        .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
+      s"""
+      WITH $tokensCte,
+      st AS (SELECT * FROM (VALUES $vals) AS s(cand_lang, word)),
+      hits AS (SELECT doc_id, cand_lang, COUNT(*) AS hits
+               FROM tk JOIN st ON tok = word GROUP BY doc_id, cand_lang),
+      best AS (SELECT doc_id AS hd, cand_lang, hits,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY hits DESC, cand_lang ASC) AS rn
+               FROM hits)
+      SELECT d.doc_id, d.lang, COALESCE(b.cand_lang, 'und') AS pred_lang,
+        COALESCE(b.hits, 0) AS hits
+      FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        ON d.doc_id = b.hd
+      ORDER BY d.doc_id"""
+    },
+
+    "t_fingerprint" -> s"""
+      WITH $shinglesCte,
+      shd AS (SELECT DISTINCT doc_id, h FROM sh),
+      r AS (SELECT doc_id, h,
+              CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h ASC) AS BIGINT) AS pos
+            FROM shd)
+      SELECT doc_id, pos, h FROM r WHERE pos <= 4 ORDER BY doc_id, pos"""
+  )
+
+  val multimodal: Map[String, String] = Map(
+    "m_bbox" -> """
+      WITH c AS (SELECT doc_id,
+               (doc_id % 97 + 1) / 100.0 AS xc, (doc_id % 89 + 1) / 100.0 AS yc,
+               (doc_id % 23 + 1) / 100.0 AS w, (doc_id % 19 + 1) / 100.0 AS h
+             FROM documents),
+      a AS (SELECT doc_id, xc, yc,
+              CAST(trunc(w * 640) AS BIGINT) AS w_abs,
+              CAST(trunc(h * 480) AS BIGINT) AS h_abs
+            FROM c)
+      SELECT doc_id,
+        CAST(trunc(xc * 640 - w_abs / 2.0) AS BIGINT) AS x1,
+        CAST(trunc(yc * 480 - h_abs / 2.0) AS BIGINT) AS y1,
+        CAST(trunc(xc * 640 - w_abs / 2.0) AS BIGINT) + w_abs AS x2,
+        CAST(trunc(yc * 480 - h_abs / 2.0) AS BIGINT) + h_abs AS y2,
+        w_abs, h_abs
+      FROM a ORDER BY doc_id""",
+
+    "m_fake_embed" -> """
+      WITH dd AS (SELECT unnest(generate_series(1, 8)) AS d)
+      SELECT doc_id, CAST(d AS BIGINT) AS d,
+        ROUND(CAST(('0x' || substr(md5(text || '_' || d), 1, 8)) AS BIGINT)
+          / 4294967296.0, 6) AS f
+      FROM documents CROSS JOIN dd WHERE doc_id < 10 ORDER BY doc_id, d"""
+  )
+
+  val streaming: Map[String, String] = Map(
+    "s_window_agg" -> s"""
+      SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M') AS win_start,
+        event_type, COUNT(*) AS n,
+        ${msum("value")} AS sum_value
+      FROM events GROUP BY win_start, event_type
+      ORDER BY win_start, event_type"""
+  )
+
+  def all: Map[String, String] =
+    relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming
+}

@@ -1,13 +1,65 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * k-NN + metadata join — the reference's core flow
+    * (app.py:138-160: IndexFlatIP top-5 + metadata_list lookup).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("v_knn_meta")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. relational / OLAP core
+    "q1_pricing"      -> (Relational.q1Pricing _),
+    "q3_topn"         -> (Relational.q3TopN _),
+    "q5_multijoin"    -> (Relational.q5MultiJoin _),
+    "q10_returned"    -> (Relational.q10Returned _),
+    "q_semijoin"      -> (Relational.qSemiJoin _),
+    "q_antijoin"      -> (Relational.qAntiJoin _),
+    "q_window_topk"   -> (Relational.qWindowTopK _),
+    "q_running_sum"   -> (Relational.qRunningSum _),
+    "q_events_hourly" -> (Relational.qEventsHourly _),
+    "q_sessionize"    -> (Relational.qSessionize _),
+    "q_distinct"      -> (Relational.qDistinct _),
+    "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    "q_rollup"        -> (Relational.qRollup _),
+    // B. vector search
+    "v_norm"          -> (Knn.vNorm _),
+    "v_knn_exact"     -> (Knn.vKnnExact _),
+    "v_knn_meta"      -> (Knn.vKnnMeta _),
+    "v_knn_classify"  -> (Knn.vKnnClassify _),
+    "v_pairs_near"    -> (Knn.vPairsNear _),
+    "v_ann_lsh"       -> (Knn.vAnnLsh _),
+    "v_ivf"           -> (Knn.vIvf _),
+    "v_centroid_label" -> (Knn.vCentroidLabel _),
+    // C. dedup
+    "d_exact"         -> (Dedup.dExact _),
+    "d_minhash"       -> (Dedup.dMinhash _),
+    "d_minhash_pairs" -> (Dedup.dMinhashPairs _),
+    "d_simhash"       -> (Dedup.dSimhash _),
+    "d_jaccard"       -> (Dedup.dJaccard _),
+    "d_embed_near"    -> (Dedup.dEmbedNear _),
+    // D. text analysis
+    "t_tokens"        -> (TextAnalysis.tTokens _),
+    "t_quality"       -> (TextAnalysis.tQuality _),
+    "t_langid"        -> (TextAnalysis.tLangid _),
+    "t_fingerprint"   -> (TextAnalysis.tFingerprint _),
+    // E. multimodal (stubs per SURVEY §2.E — no image libs in env)
+    "m_bbox"          -> (ImagePipeline.mBbox _),
+    "m_fake_embed"    -> (ImagePipeline.mFakeEmbed _),
+    // F. streaming (batch-equivalent of the streaming window agg)
+    "s_window_agg"    -> (graft.streaming.EventStreams.sWindowAggBatch _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (kmeans-iterative or
+    * HLL-approximate ops) get the driver's weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Oracles.all
 }

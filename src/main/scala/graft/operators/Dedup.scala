@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{HashFns => H, VectorFns => V}
+
+/** Deduplication suite for training-data pipelines.
+  *
+  * Scale shape: every operator is a hash-partitioned group-by or an
+  * equi-join on a blocking key (MinHash band, SimHash chunk, LSH
+  * bucket) — the O(n²) pair space is never materialized. Signatures are
+  * computed in ONE map-side projection per document (sequence/transform
+  * higher-order expressions, md5 evaluated once per shingle/token), so
+  * the only shuffles are the final group-bys/joins on keys.
+  *
+  * All hashes are md5-derived arithmetic (HashFns) so each step has an
+  * exact DuckDB oracle (SURVEY.md §4/§6).
+  */
+object Dedup {
+
+  val ShingleK = 5
+  val Bands = 4
+  val RowsPerBand: Int = H.numPerms / Bands // 16 perms → 4 bands × 4
+
+  /** Normalized text used for exact dedup: lowercase, whitespace runs
+    * collapsed, trimmed.
+    */
+  private def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Non-empty whitespace tokens. */
+  private[operators] def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  /** d_exact: exact-duplicate groups via md5(normalized text). */
+  def dExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy("keep_doc_id")
+
+  /** Per-doc array of 16 MinHash values, one map-side projection:
+    * shingle hashes are materialized once into `sh`, then each
+    * permutation is an array_min(transform(...)) over it.
+    */
+  private def withSignature(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= ShingleK)
+      .withColumn("sh", H.shingleHashes(col("text"), ShingleK))
+      .withColumn("sig", array(
+        (0 until H.numPerms).map(i =>
+          array_min(transform(col("sh"), h => H.minhashPerm(h, i)))): _*))
+      .drop("sh")
+
+  /** d_minhash: long-format signatures (doc_id, perm_id, mh). */
+  def dMinhash(spark: SparkSession, dir: String): DataFrame =
+    withSignature(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("perm_id0", "mh")))
+      .select(col("doc_id"), col("perm_id0").cast("long").as("perm_id"), col("mh"))
+      .orderBy("doc_id", "perm_id")
+
+  /** Band key: md5 over the band's minhash values joined with ','. */
+  private def bandKey(sig: Column, b: Int): Column =
+    md5(array_join(
+      transform(slice(sig, b * RowsPerBand + 1, RowsPerBand), m => m.cast("string")),
+      ","))
+
+  /** d_minhash_pairs: LSH band blocking → candidate pairs + estimated
+    * jaccard (fraction of the 16 permutations that agree). The pair
+    * space is generated only inside band buckets (equi-join on the band
+    * hash), never as a cross product.
+    */
+  def dMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = withSignature(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))).cache()
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until Bands).map(b => bandKey(col("sig"), b)): _*))
+        .as(Seq("band_id", "band_key")))
+    val l = bands.select(col("doc_id").as("doc1"), col("sig").as("sig1"),
+      col("band_id"), col("band_key"))
+    val r = bands.select(col("doc_id").as("doc2"), col("sig").as("sig2"),
+      col("band_id").as("band_id2"), col("band_key").as("band_key2"))
+    val pairs = l.join(r,
+        col("band_id") === col("band_id2") && col("band_key") === col("band_key2") &&
+        col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"), col("sig1"), col("sig2"))
+      .distinct()
+    pairs.select(col("doc1"), col("doc2"),
+        (aggregate(zip_with(col("sig1"), col("sig2"),
+          (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          / lit(16.0)).as("jacc_est"))
+      .orderBy("doc1", "doc2")
+  }
+
+  /** d_simhash: 32-bit SimHash per document from distinct-token md5
+    * bits; one map-side projection (token hashes materialized once,
+    * 32 integer folds over the array).
+    */
+  def dSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val th = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        transform(array_distinct(tokens(col("text"))), t => H.tokenHash32(t)).as("th"))
+    def bitSum(j: Int): Column =
+      aggregate(col("th"), lit(0L),
+        (acc, h) => acc + lit(2L) * shiftright(h, j).bitwiseAND(lit(1L)) - lit(1L))
+    val sim = (0 until 32)
+      .map(j => when(bitSum(j) > 0, lit(1L) * (1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    th.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+  }
+
+  /** Candidate pairs from MinHash bands (shared blocking for the exact
+    * jaccard pass).
+    */
+  private def bandCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = withSignature(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => bandKey(col("sig"), b)): _*))
+        .as(Seq("band_id", "band_key")))
+    val l = bands.select(col("doc_id").as("doc1"), col("band_id"), col("band_key"))
+    val r = bands.select(col("doc_id").as("doc2"), col("band_id").as("band_id2"),
+      col("band_key").as("band_key2"))
+    l.join(r,
+        col("band_id") === col("band_id2") && col("band_key") === col("band_key2") &&
+        col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+  }
+
+  /** d_jaccard: exact token-set jaccard, computed only on blocked
+    * candidate pairs (plus a deterministic fallback sample of adjacent
+    * doc ids so the operator always has output to verify).
+    */
+  def dJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val cands = bandCandidates(spark, dir)
+      .union(
+        Tables.documents(spark, dir).select(col("doc_id").as("doc1"))
+          .filter(col("doc1") % 10 === 0)
+          .withColumn("doc2", col("doc1") + 1))
+      .distinct()
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val t1 = toks.select(col("doc_id").as("doc1"), col("toks").as("toks1"))
+    val t2 = toks.select(col("doc_id").as("doc2"), col("toks").as("toks2"))
+    cands.join(t1, "doc1").join(t2, "doc2")
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("toks1"), col("toks2"))).cast("long").as("inter"),
+        size(array_union(col("toks1"), col("toks2"))).cast("long").as("uni"))
+      .select(col("doc1"), col("doc2"), col("inter"), col("uni"),
+        (col("inter") / col("uni")).as("jaccard"))
+      .orderBy("doc1", "doc2")
+  }
+
+  /** d_embed_near: embedding near-dup candidates via deterministic
+    * random-hyperplane LSH bands (exact integer sign sums → both
+    * engines derive identical buckets), exact cosine on candidates,
+    * top-50. Blocking keys make this an equi-join at any scale.
+    */
+  def dEmbedNear(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val signs = Array.tabulate(Knn.LshBits)(j =>
+      Array.tabulate(dim)(d => H.hyperplaneSign(j, d + 1)))
+    def bit(j: Int): Column = when(V.signedIntDot(col("vq"), signs(j)) > 0, 1).otherwise(0)
+    def band(b: Int): Column =
+      (0 until Knn.LshBandBits).map(r => bit(b * Knn.LshBandBits + r) * lit(1 << r)).reduce(_ + _)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", V.norm2(col("v")))
+      .withColumn("vq", V.quantize(col("v")))
+      .withColumn("band0", band(0)).withColumn("band1", band(1))
+      .drop("vq")
+    val l = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"),
+      col("band0").as("a0"), col("band1").as("a1"))
+    val r = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"),
+      col("band0").as("b0"), col("band1").as("b1"))
+    l.join(r, col("id1") < col("id2") &&
+        (col("a0") === col("b0") || col("a1") === col("b1")))
+      .select(col("id1"), col("id2"),
+        round(V.cosinePre(V.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id1").asc, col("id2").asc)
+      .limit(50)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.{HashFns => H}
+
+/** Multimodal ingest pipeline — the Spark re-expression of the
+  * reference's index-build stage (/root/reference/build_faiss_db.py):
+  * image → preprocess (gamma LUT + blur, :40-107) → YOLO-label bbox
+  * crop (:168-180) → CNN feature vector (:110-135) → metadata row
+  * (:196-201).
+  *
+  * This environment has no image/torch libraries, so the pixel-level
+  * steps are STUBS (deterministic md5-derived fakes) behind the typed
+  * API below — the Spark-side plumbing (binary payload column, typed
+  * metadata struct, one map-side projection per stage, no shuffles
+  * until an aggregation is asked for) is real and is what carries over
+  * to a cluster with a real decoder plugged in.
+  */
+object ImagePipeline {
+
+  /** Typed metadata carried alongside each binary payload. */
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Attach payload + metadata columns to any frame: `payload` is an
+    * opaque binary column; metadata is a typed struct. With a real
+    * decoder this is where EXIF/probe data lands.
+    */
+  def withImageColumns(df: DataFrame, payload: Column, width: Column,
+                       height: Column, format: Column): DataFrame =
+    df.withColumn("payload", payload)
+      .withColumn("img_meta", struct(
+        width.cast("int").as("width"), height.cast("int").as("height"),
+        format.as("format")))
+
+  /** STUB decode: a real implementation decodes `payload` to pixels.
+    * The stub derives a deterministic per-image digest (so downstream
+    * stages have a stable value to transform) — md5 of the payload.
+    */
+  def decodeStub(payload: Column): Column = md5(payload)
+
+  /** Gamma-correction lookup table, γ=1.5 — the reference's exact
+    * preprocessing table (build_faiss_db.py:53-54:
+    * ((i/255)^(1/γ))·255 as uint8). Computed once, broadcast as a
+    * literal array; a real pixel pipeline maps it over bytes.
+    */
+  def gammaLut(gamma: Double = 1.5): Array[Int] =
+    Array.tabulate(256)(i => (math.pow(i / 255.0, 1.0 / gamma) * 255).toInt)
+
+  /** STUB preprocess: marks the digest as gamma+blur processed. */
+  def preprocessStub(decoded: Column): Column =
+    md5(concat(lit("gamma1.5_blur3x3_"), decoded))
+
+  /** YOLO-label normalized coords → absolute pixel bbox — the exact
+    * integer math of build_faiss_db.py:173-177 (python int() truncates
+    * toward zero, hence the cast-to-long on doubles).
+    */
+  def yoloBbox(xc: Column, yc: Column, w: Column, h: Column,
+               imgW: Column, imgH: Column): Column = {
+    val wAbs = (w * imgW).cast("long")
+    val hAbs = (h * imgH).cast("long")
+    val x1 = (xc * imgW - wAbs / lit(2.0)).cast("long")
+    val y1 = (yc * imgH - hAbs / lit(2.0)).cast("long")
+    struct(x1.as("x1"), y1.as("y1"), (x1 + wAbs).as("x2"), (y1 + hAbs).as("y2"),
+      wAbs.as("w_abs"), hAbs.as("h_abs"))
+  }
+
+  /** STUB feature extraction (ResNet-18 stand-in): deterministic
+    * `dim`-dimensional vector in [0,1) from md5 of (payload, dim index).
+    * Real impl: mapInPandas/JNI batch inference over the binary column.
+    */
+  def fakeEmbedding(payload: Column, dim: Int): Column =
+    array((1 to dim).map(d =>
+      round(H.md5Long(concat(payload, lit("_" + d)), 8) / lit(4294967296.0), 6)): _*)
+
+  // ---- driver-checkable queries (documents as the payload carrier) --
+
+  /** m_bbox: the reference's label→bbox math over synthetic-but-
+    * deterministic normalized coords derived from doc_id. Image dims
+    * fixed 640×480 like a YOLO input.
+    */
+  def mBbox(spark: SparkSession, dir: String): DataFrame = {
+    val xc = (col("doc_id") % 97 + 1) / lit(100.0)
+    val yc = (col("doc_id") % 89 + 1) / lit(100.0)
+    val w = (col("doc_id") % 23 + 1) / lit(100.0)
+    val h = (col("doc_id") % 19 + 1) / lit(100.0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        yoloBbox(xc, yc, w, h, lit(640), lit(480)).as("bb"))
+      .select(col("doc_id"), col("bb.x1").as("x1"), col("bb.y1").as("y1"),
+        col("bb.x2").as("x2"), col("bb.y2").as("y2"),
+        col("bb.w_abs").as("w_abs"), col("bb.h_abs").as("h_abs"))
+      .orderBy("doc_id")
+  }
+
+  /** m_fake_embed: stub featurizer over the documents payload, long
+    * format (doc_id, d, f) — the embedding column a real decoder would
+    * produce, restricted to 10 docs × 8 dims for the correctness dump.
+    */
+  def mFakeEmbed(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"),
+        posexplode(fakeEmbedding(col("text"), 8)).as(Seq("d0", "f")))
+      .select(col("doc_id"), (col("d0") + 1).cast("long").as("d"), col("f"))
+      .orderBy("doc_id", "d")
+}

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{HashFns, VectorFns => V}
+
+/** Vector search — the reference's core capability re-expressed
+  * Spark-first.
+  *
+  * Reference semantics: L2-normalize + FAISS IndexFlatIP = exact cosine
+  * top-k (/root/reference/build_faiss_db.py:214-216, app.py:138-144),
+  * results joined to a metadata side table (app.py:148-160).
+  *
+  * Spark shape: the query set is small and broadcast; the corpus is the
+  * big side and is never shuffled for exact search — per-query top-k is
+  * a windowed row_number that prunes before any global movement. ANN
+  * scale paths (LSH buckets, IVF) turn the cross product into an
+  * equi-join on bucket/centroid keys, which is what survives 100 TB.
+  */
+object Knn {
+
+  val DefaultK = 5
+  val NumQueries = 10 // query set = vec_id < 10, standing in for app.py's uploaded image
+
+  /** Corpus with vector cast to double + precomputed norm (computed once
+    * per row, before any join fan-out).
+    */
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), V.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", V.norm2(col("v")))
+
+  /** v_norm: per-vector L2 norm (faiss.normalize_L2's denominator). */
+  def vNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        round(V.norm2(V.toDouble(col("embedding"))), 6).as("nrm"),
+        size(col("embedding")).cast("long").as("dim"))
+      .orderBy("vec_id")
+
+  /** Exact top-k neighbors for each query vector: broadcast nested-loop
+    * against the corpus + windowed top-k (IndexFlatIP.search semantics).
+    */
+  private def knnBase(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
+  def vKnnExact(spark: SparkSession, dir: String): DataFrame =
+    knnBase(spark, dir, DefaultK)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+      .orderBy("query_id", "rnk")
+
+  /** k-NN + metadata join (app.py:148-160: metadata_list[idx] lookup →
+    * class name / paths). The k-NN result is tiny; the metadata join is
+    * a broadcast of the result side against the metadata table.
+    */
+  def vKnnMeta(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("source")),
+        col("vec_id") === col("doc_id"), "left")
+    val knn = knnBase(spark, dir, DefaultK)
+    knn.join(meta, knn("neighbor_id") === meta("vec_id"))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"),
+        col("label"), col("lang"), col("source"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Majority label vote over the top-k neighbors (the reference shows
+    * the neighbor class names — this is the classify-from-neighbors op).
+    * Ties break to the smallest label.
+    */
+  def vKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnBase(spark, dir, DefaultK)
+    val labeled = knn.join(
+      broadcast(Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))),
+      col("neighbor_id") === col("vec_id"))
+    val votes = labeled.groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy("query_id")
+  }
+
+  /** Top-100 most similar pairs, exact (brute-force all-pairs — the
+    * FAISS-flat-equivalent baseline; the LSH/IVF paths below are what
+    * run at scale).
+    */
+  def vPairsNear(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(V.cosinePre(V.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id1").asc, col("id2").asc)
+      .limit(100)
+  }
+
+  // ---- LSH (random hyperplane) -------------------------------------
+
+  val LshBits = 8
+  val LshBandBits = 4 // 2 bands of 4 bits → candidates share a half-signature
+
+  /** Hyperplane sign matrix, derived from md5 so the SQL oracle can
+    * rebuild it (HashFns.hyperplaneSign). dims are 1-based.
+    */
+  private def signs(dim: Int): Array[Array[Int]] =
+    Array.tabulate(LshBits)(j => Array.tabulate(dim)(d => HashFns.hyperplaneSign(j, d + 1)))
+
+  /** Adds integer LSH band keys band0/band1 to a frame with quantized
+    * vector column `vq`. Bits come from exact integer dots (associative
+    * → identical across engines, unlike float sign tests).
+    */
+  private def withBands(df: DataFrame, dim: Int): DataFrame = {
+    val s = signs(dim)
+    def bit(j: Int): Column = when(V.signedIntDot(col("vq"), s(j)) > 0, 1).otherwise(0)
+    def band(b: Int): Column =
+      (0 until LshBandBits).map(r => bit(b * LshBandBits + r) * lit(1 << r)).reduce(_ + _)
+    df.withColumn("band0", band(0)).withColumn("band1", band(1))
+  }
+
+  /** v_ann_lsh: approximate top-3 — candidates must share an LSH band
+    * with the query (equi-join on band key prunes the cross product; at
+    * scale this is the shuffle-on-bucket path, no broadcast of the
+    * corpus ever needed).
+    */
+  def vAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val e = withBands(
+      corpus(spark, dir).withColumn("vq", V.quantize(col("v"))), dim)
+      .select("vec_id", "v", "nrm", "band0", "band1")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("band0").as("qb0"), col("band1").as("qb1"))
+    val cands = e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") &&
+        (col("band0") === col("qb0") || col("band1") === col("qb1")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 3)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+      .orderBy("query_id", "rnk")
+  }
+
+  // ---- IVF (k-means coarse quantizer) ------------------------------
+
+  val IvfClusters = 8
+  val IvfIters = 3
+  val IvfNprobe = 2
+
+  /** v_ivf: IVF-flat ANN — k-means centroids (deterministic init from
+    * the first k vectors, fixed Lloyd iterations), corpus partitioned
+    * by nearest centroid, queries probe the `nprobe` nearest lists.
+    *
+    * The centroid set is tiny (k×dim) — collecting and re-broadcasting
+    * it per iteration is the MLlib k-means pattern and is
+    * cluster-correct; the corpus itself never moves except the final
+    * equi-join on cluster id. No SQL oracle (iterative k-means), driver
+    * does the rows-only check.
+    */
+  def vIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm")).cache()
+
+    var centroids: Array[(Int, Array[Double])] =
+      e.filter(col("vec_id") < IvfClusters)
+        .orderBy("vec_id")
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+
+    def centroidDf(spark: SparkSession) = {
+      import spark.implicits._
+      centroids.toSeq.toDF("cid", "cv")
+        .withColumn("cn", V.norm2(col("cv")))
+    }
+
+    def assigned = {
+      val c = broadcast(centroidDf(spark))
+      val w = Window.partitionBy("vec_id").orderBy(
+        V.cosinePre(V.dot(col("v"), col("cv")), col("nrm"), col("cn")).desc, col("cid").asc)
+      e.join(c, lit(true))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    }
+
+    for (_ <- 1 to IvfIters) {
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cid", "d").agg(avg(col("x")).as("m"))
+        .groupBy("cid").agg(
+          transform(array_sort(collect_list(struct(col("d"), col("m")))),
+            s => s.getField("m")).as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      if (means.nonEmpty) centroids = means
+    }
+
+    val inv = assigned.cache()
+    val c = broadcast(centroidDf(spark))
+    val qProbe = {
+      val w = Window.partitionBy("query_id").orderBy(
+        col("csim").desc, col("cid").asc)
+      inv.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .join(c, lit(true))
+        .withColumn("csim", V.cosinePre(V.dot(col("qv"), col("cv")), col("qn"), col("cn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= IvfNprobe)
+        .select(col("query_id"), col("qv"), col("qn"), col("cid").as("pcid"))
+    }
+    val cands = inv.join(broadcast(qProbe),
+        col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_centroid_label: per-label centroid statistics via exact integer
+    * sums of quantized components (order-independent → oracle-safe).
+    */
+  def vCentroidLabel(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(V.quantize(V.toDouble(col("embedding")))).as(Seq("d", "qv")))
+      .groupBy("label", "d")
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), (col("s") / (lit(1000.0) * col("n"))).as("c"), col("n"))
+      .groupBy("label")
+      .agg(max(col("n")).as("n_vectors"),
+        round(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"))
+      .orderBy("label")
+}

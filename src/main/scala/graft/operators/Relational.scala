@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational / OLAP core over the TPC-H-ish tables.
+  *
+  * Oracle-parity conventions (see SURVEY.md §6):
+  *  - money aggregates go through decimal(18,2) casts (order-independent
+  *    exact sums) and are emitted as doubles;
+  *  - averages are written explicitly as castDouble(sum)/count so Spark
+  *    and DuckDB use the same double division;
+  *  - time buckets are emitted as formatted strings (no parquet
+  *    timestamp encoding concerns);
+  *  - every top-k breaks ties on a key column.
+  *
+  * Scale notes: all aggregations are declarative (map-side partial agg
+  * free); dimension sides of joins are broadcast; filters sit directly
+  * on the scans so parquet pushdown applies.
+  */
+object Relational {
+
+  /** Money values are summed as exact integer cents: floor(x·100+0.5)
+    * is bit-deterministic on any engine (unlike double→decimal casts,
+    * whose tie-rounding differs between Spark's HALF_UP and DuckDB's
+    * half-to-even), and long sums are order-independent.
+    */
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+  private def moneySum(c: Column): Column = sum(cents(c)) / lit(100.0)
+
+  /** Pricing summary report (TPC-H Q1 shape). */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Shipping-priority top-10 (TPC-H Q3 shape): join big fact with
+    * filtered dims; the dim side (customer) is broadcast.
+    */
+  def q3TopN(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+        li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .withColumn("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Regional supplier volume (TPC-H Q5 shape): 6-way join where every
+    * dimension chain is broadcast; only lineitem⋈orders shuffles.
+    */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp),
+        li("l_suppkey") === supp("s_suppkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("n_name")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Returned-item customer ranking (TPC-H Q10 shape), top-20. */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** Orders having at least one high-value lineitem — left-semi join
+    * (EXISTS): never materializes the probe side twice.
+    */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val big = Tables.lineitem(spark, dir)
+      .filter(col("l_extendedprice") > 90000)
+      .select(col("l_orderkey"))
+    ord.join(big, ord("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           moneySum(col("o_totalprice")).as("sum_total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Customers with no recent orders — left-anti join (NOT EXISTS). */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Top-3 parts per brand by retail price — windowed top-k: the
+    * row_number prunes inside each partition before any global sort.
+    */
+  def qWindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    Tables.part(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("rk"), col("p_partkey"),
+              (cents(col("p_retailprice")) / lit(100.0)).as("price"))
+      .orderBy("p_brand", "rk")
+  }
+
+  /** Running revenue per supplier over ship dates — window frame agg.
+    * Emitted per (supplier, ship-date) after an exact daily pre-agg so
+    * the running sum is deterministic (no intra-day ordering ambiguity).
+    */
+  def qRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 5)
+      .groupBy(col("l_suppkey"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
+    val w = Window.partitionBy("l_suppkey").orderBy("ship_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("running_rev", sum(col("day_cents")).over(w) / lit(100.0))
+      .select(col("l_suppkey"), col("ship_day"),
+              (col("day_cents") / lit(100.0)).as("day_rev"), col("running_rev"))
+      .orderBy("l_suppkey", "ship_day")
+  }
+
+  /** Events per hour per type with average value — time bucketing. */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           (moneySum(col("value")) / count(lit(1))).as("avg_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30 min) via lag + cumulative flag —
+    * the classic two-window pattern; one shuffle on user_id.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+    ev.withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 30L * 60 * 1000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           floor((max(col("ts_ms")) - min(col("ts_ms"))) / 1000).cast("long").as("duration_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Exact distinct users per event type (shuffle-dedup then agg). */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Approximate distinct via HyperLogLog++ — the 100 TB path where an
+    * exact distinct shuffle is not affordable. No SQL oracle (HLL
+    * estimates are implementation-specific); rows-only check.
+    */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+
+  /** Rollup aggregation: status × priority with subtotals + grand total. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n"), col("total"))
+      .orderBy("status", "priority")
+}

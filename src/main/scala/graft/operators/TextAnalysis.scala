@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{HashFns => H}
+
+/** Text-analysis operators for training-data pipelines: token stats,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * All features are single-projection expressions over the text column
+  * (no UDFs); the only shuffles are final per-doc group-bys where a
+  * join against a broadcast stopword table is involved.
+  */
+object TextAnalysis {
+
+  /** Stopword lists per language (tiny → broadcast side of any join). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un"),
+    "zh" -> Seq("de", "shi", "bu", "le"))
+
+  private def toks(c: Column): Column = Dedup.tokens(c)
+
+  /** t_tokens: token count / distinct count / average token length. */
+  def tTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        (aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
+          / size(col("toks"))).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** t_quality: heuristic quality score from length / punctuation /
+    * digit / stopword-ratio features. The arithmetic expression tree is
+    * written identically in the oracle so doubles match bit-for-bit.
+    */
+  def tQuality(spark: SparkSession, dir: String): DataFrame = {
+    val en = stopwords("en")
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks(col("text")))
+      .withColumn("n_chars_t", length(col("text")))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("punct",
+        col("n_chars_t") - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+      .withColumn("digits",
+        col("n_chars_t") - length(regexp_replace(col("text"), "[0-9]", "")))
+      .withColumn("stop_hits",
+        size(filter(col("toks"), t => t.isin(en: _*))))
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+        (col("stop_hits") / col("n_toks")).as("stop_ratio"),
+        (col("punct") / col("n_chars_t")).as("punct_ratio"),
+        (col("digits") / col("n_chars_t")).as("digit_ratio"),
+        round(
+          least(col("n_chars_t"), lit(500)) / lit(500.0) * lit(0.4)
+            + (col("stop_hits") / col("n_toks")) * lit(0.4)
+            + (lit(1.0) - col("punct") / col("n_chars_t")) * lit(0.2),
+          6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** t_langid: stopword-hit language scoring; prediction = argmax hits
+    * (ties → lexicographically smallest language; zero hits → 'und').
+    * The stopword table is broadcast; one shuffle to count per (doc,
+    * lang).
+    */
+  def tLangid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stops = stopwords.toSeq
+      .flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("cand_lang", "word")
+    val docToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+    val hits = docToks.join(broadcast(stops), col("tok") === col("word"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("cand_lang").asc)
+    val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id").as("hd"), col("cand_lang"), col("hits"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(best, col("doc_id") === col("hd"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** t_fingerprint: winnowing-style fingerprint — the 4 smallest
+    * distinct 5-gram hashes per document (long format).
+    */
+  def tFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("h").asc)
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= Dedup.ShingleK)
+      .select(col("doc_id"),
+        explode(array_distinct(H.shingleHashes(col("text"), Dedup.ShingleK))).as("h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= 4)
+      .select("doc_id", "pos", "h")
+      .orderBy("doc_id", "pos")
+  }
+}
