@@ -30,7 +30,7 @@ object Dedup {
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
   /** Non-empty whitespace tokens. */
-  private[operators] def tokens(c: Column): Column =
+  def tokens(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => t =!= "")
 
   /** d_exact: exact-duplicate groups via md5(normalized text). */
@@ -41,18 +41,15 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
       .orderBy("keep_doc_id")
 
-  /** Per-doc array of 16 MinHash values, one map-side projection:
-    * shingle hashes are materialized once into `sh`, then each
-    * permutation is an array_min(transform(...)) over it.
+  /** Per-doc array of 16 MinHash values in ONE map-side scalar call
+    * (expressions.MinHashSigExpr — the composed transform/array_min
+    * form evaluates interpreted and cost ~20ms/doc at 500 shingles).
     */
   private def withSignature(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) >= ShingleK)
-      .withColumn("sh", H.shingleHashes(col("text"), ShingleK))
-      .withColumn("sig", array(
-        (0 until H.numPerms).map(i =>
-          array_min(transform(col("sh"), h => H.minhashPerm(h, i)))): _*))
-      .drop("sh")
+      .withColumn("sig",
+        graft.expressions.TextHashExprs.minhashSig(col("text"), ShingleK))
 
   /** d_minhash: long-format signatures (doc_id, perm_id, mh). */
   def dMinhash(spark: SparkSession, dir: String): DataFrame =
@@ -175,8 +172,13 @@ object Dedup {
       col("band0").as("a0"), col("band1").as("a1"))
     val r = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"),
       col("band0").as("b0"), col("band1").as("b1"))
-    l.join(r, col("id1") < col("id2") &&
-        (col("a0") === col("b0") || col("a1") === col("b1")))
+    // union of two shuffle equi-joins on band keys instead of an
+    // OR-condition nested loop: hash-joinable, so it scales out on the
+    // bucket key (second join excludes band0 matches → disjoint union)
+    val pairs0 = l.join(r, col("a0") === col("b0") && col("id1") < col("id2"))
+    val pairs1 = l.join(r, col("a1") === col("b1") && col("id1") < col("id2") &&
+      col("a0") =!= col("b0"))
+    pairs0.union(pairs1)
       .select(col("id1"), col("id2"),
         round(V.cosinePre(V.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6).as("sim"))
       .orderBy(col("sim").desc, col("id1").asc, col("id2").asc)

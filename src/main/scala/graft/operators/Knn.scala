@@ -96,7 +96,11 @@ object Knn {
     */
   def vPairsNear(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
+    // the corpus parquet is one small file → one input partition; spread
+    // the O(n²/2) pair evaluation across the cluster before the
+    // nested-loop join (at scale the stream side is partitioned anyway)
     val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+      .repartition(col("id1"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
@@ -141,9 +145,14 @@ object Knn {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("band0").as("qb0"), col("band1").as("qb1"))
-    val cands = e.join(broadcast(q),
-        col("vec_id") =!= col("query_id") &&
-        (col("band0") === col("qb0") || col("band1") === col("qb1")))
+    // OR-of-bands is not hash-joinable; a union of two equi-joins is
+    // (the second excludes band0 matches so the union stays disjoint)
+    val cands0 = e.join(broadcast(q),
+      col("vec_id") =!= col("query_id") && col("band0") === col("qb0"))
+    val cands1 = e.join(broadcast(q),
+      col("vec_id") =!= col("query_id") && col("band1") === col("qb1") &&
+      col("band0") =!= col("qb0"))
+    val cands = cands0.union(cands1)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)

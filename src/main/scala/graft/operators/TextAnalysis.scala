@@ -92,15 +92,16 @@ object TextAnalysis {
   /** t_fingerprint: winnowing-style fingerprint — the 4 smallest
     * distinct 5-gram hashes per document (long format).
     */
-  def tFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy(col("h").asc)
+  def tFingerprint(spark: SparkSession, dir: String): DataFrame =
+    // bottom-4 per doc computed inside one array expression (sort the
+    // distinct hashes, slice 4) — no explode + window shuffle at all
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= Dedup.ShingleK)
       .select(col("doc_id"),
-        explode(array_distinct(H.shingleHashes(col("text"), Dedup.ShingleK))).as("h"))
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .filter(col("pos") <= 4)
-      .select("doc_id", "pos", "h")
+        posexplode(slice(
+          array_sort(array_distinct(
+            graft.expressions.TextHashExprs.shingleHashes(col("text"), Dedup.ShingleK))),
+          1, 4)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
       .orderBy("doc_id", "pos")
-  }
 }
