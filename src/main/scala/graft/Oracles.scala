@@ -148,6 +148,29 @@ object Oracles {
       GROUP BY event_type
       ORDER BY event_type""",
 
+    "q_cube" -> s"""
+      SELECT COALESCE(n_name, 'ALL') AS nation,
+        COALESCE(c_mktsegment, 'ALL') AS segment,
+        COUNT(*) AS n,
+        ${msum("c_acctbal")} AS acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY CUBE (n_name, c_mktsegment)
+      ORDER BY nation, segment""",
+
+    "q_events_funnel" -> """
+      WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      pu AS (SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts_ms END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts_ms END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts_ms END) AS t_purchase
+             FROM ev GROUP BY user_id)
+      SELECT COUNT(*) AS n_users,
+        COUNT(t_view) AS n_view,
+        COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+        COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+          AS n_view_click_purchase
+      FROM pu""",
+
     "q_rollup" -> s"""
       SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         COALESCE(o_orderpriority, 'ALL') AS priority,
@@ -293,6 +316,30 @@ object Oracles {
       SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 3
       ORDER BY query_id, rnk""",
 
+    "v_range_search" -> s"""
+      WITH $normsCte,
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10)
+      SELECT query_id, vec_id AS neighbor_id,
+        ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+      FROM n CROSS JOIN q
+      WHERE vec_id <> query_id
+        AND ROUND(list_dot_product(qv, v) / (qn * nrm), 6) >= 0.2
+      ORDER BY query_id, sim DESC, neighbor_id""",
+
+    "v_knn_l2" -> s"""
+      WITH $normsCte,
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+      s AS (SELECT query_id, vec_id AS neighbor_id,
+              ROUND(sqrt(GREATEST(
+                qn * qn + nrm * nrm - 2.0 * list_dot_product(qv, v), 0.0)), 6) AS dist
+            FROM n CROSS JOIN q WHERE vec_id <> query_id),
+      r AS (SELECT query_id, neighbor_id, dist,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dist ASC, neighbor_id) AS BIGINT) AS rnk
+            FROM s)
+      SELECT query_id, rnk, neighbor_id, dist FROM r WHERE rnk <= 5
+      ORDER BY query_id, rnk""",
+
     "v_centroid_label" -> """
       WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
       dims AS (SELECT unnest(generate_series(1, 64)) AS d),
@@ -335,6 +382,30 @@ object Oracles {
                FROM th CROSS JOIN js GROUP BY doc_id, j)
       SELECT doc_id, CAST(SUM(b * (1::BIGINT << j)) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "d_simhash_pairs" -> """
+      WITH tk0 AS (SELECT DISTINCT doc_id, tok FROM (
+               SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+               FROM documents) u
+             WHERE tok <> ''),
+      th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tk0),
+      js AS (SELECT unnest(generate_series(0, 31)) AS j),
+      bits AS (SELECT doc_id, j,
+                 CASE WHEN SUM(2 * ((h >> j) & 1) - 1) > 0 THEN 1 ELSE 0 END AS b
+               FROM th CROSS JOIN js GROUP BY doc_id, j),
+      sh AS (SELECT doc_id, CAST(SUM(b * (1::BIGINT << j)) AS BIGINT) AS simhash
+             FROM bits GROUP BY doc_id),
+      ch AS (SELECT doc_id, simhash,
+               (simhash >> 0) & 255 AS c0, (simhash >> 8) & 255 AS c1,
+               (simhash >> 16) & 255 AS c2, (simhash >> 24) & 255 AS c3
+             FROM sh),
+      cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                 a.simhash AS s1, b.simhash AS s2
+               FROM ch a JOIN ch b ON a.doc_id < b.doc_id
+                AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3))
+      SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(s1, s2)) <= 8
+      ORDER BY hamming ASC, doc1 ASC, doc2 ASC LIMIT 200""",
 
     "d_jaccard" -> s"""
       WITH $bandPairsCte,
@@ -418,6 +489,17 @@ object Oracles {
       ORDER BY d.doc_id"""
     },
 
+    "t_ngrams" -> """
+      WITH tk2 AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t <> '') AS toks
+             FROM documents),
+      bg AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+             FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                   FROM tk2) u)
+      SELECT bigram, COUNT(*) AS n FROM bg
+      GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
+
     "t_fingerprint" -> s"""
       WITH $shinglesCte,
       shd AS (SELECT DISTINCT doc_id, h FROM sh),
@@ -444,6 +526,12 @@ object Oracles {
         CAST(trunc(yc * 480 - h_abs / 2.0) AS BIGINT) + h_abs AS y2,
         w_abs, h_abs
       FROM a ORDER BY doc_id""",
+
+    "m_gamma_lut" -> """
+      SELECT intensity,
+        CAST(trunc(pow(intensity / 255.0, 1.0 / 1.5) * 255) AS BIGINT) AS lut
+      FROM (SELECT DISTINCT doc_id % 256 AS intensity FROM documents)
+      ORDER BY intensity""",
 
     "m_fake_embed" -> """
       WITH dd AS (SELECT unnest(generate_series(1, 8)) AS d)

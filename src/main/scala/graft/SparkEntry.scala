@@ -29,6 +29,8 @@ object SparkEntry {
     "q_distinct"      -> (Relational.qDistinct _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     "q_rollup"        -> (Relational.qRollup _),
+    "q_cube"          -> (Relational.qCube _),
+    "q_events_funnel" -> (Relational.qEventsFunnel _),
     // B. vector search
     "v_norm"          -> (Knn.vNorm _),
     "v_knn_exact"     -> (Knn.vKnnExact _),
@@ -38,11 +40,14 @@ object SparkEntry {
     "v_ann_lsh"       -> (Knn.vAnnLsh _),
     "v_ivf"           -> (Knn.vIvf _),
     "v_centroid_label" -> (Knn.vCentroidLabel _),
+    "v_range_search"  -> (Knn.vRangeSearch _),
+    "v_knn_l2"        -> (Knn.vKnnL2 _),
     // C. dedup
     "d_exact"         -> (Dedup.dExact _),
     "d_minhash"       -> (Dedup.dMinhash _),
     "d_minhash_pairs" -> (Dedup.dMinhashPairs _),
     "d_simhash"       -> (Dedup.dSimhash _),
+    "d_simhash_pairs" -> (Dedup.dSimhashPairs _),
     "d_jaccard"       -> (Dedup.dJaccard _),
     "d_embed_near"    -> (Dedup.dEmbedNear _),
     // D. text analysis
@@ -50,9 +55,11 @@ object SparkEntry {
     "t_quality"       -> (TextAnalysis.tQuality _),
     "t_langid"        -> (TextAnalysis.tLangid _),
     "t_fingerprint"   -> (TextAnalysis.tFingerprint _),
+    "t_ngrams"        -> (TextAnalysis.tNgrams _),
     // E. multimodal (stubs per SURVEY §2.E — no image libs in env)
     "m_bbox"          -> (ImagePipeline.mBbox _),
     "m_fake_embed"    -> (ImagePipeline.mFakeEmbed _),
+    "m_gamma_lut"     -> (ImagePipeline.mGammaLut _),
     // F. streaming (batch-equivalent of the streaming window agg)
     "s_window_agg"    -> (graft.streaming.EventStreams.sWindowAggBatch _)
   )

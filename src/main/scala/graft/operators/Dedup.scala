@@ -95,7 +95,7 @@ object Dedup {
     * bits; one map-side projection (token hashes materialized once,
     * 32 integer folds over the array).
     */
-  def dSimhash(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
     val th = Tables.documents(spark, dir)
       .select(col("doc_id"),
         transform(array_distinct(tokens(col("text"))), t => H.tokenHash32(t)).as("th"))
@@ -105,7 +105,38 @@ object Dedup {
     val sim = (0 until 32)
       .map(j => when(bitSum(j) > 0, lit(1L) * (1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    th.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+    th.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  def dSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashDf(spark, dir).orderBy("doc_id")
+
+  /** d_simhash_pairs: near-dup pairs by SimHash hamming distance. A
+    * pair within hamming ≤ 8 of a 32-bit signature must agree on at
+    * least one of the four 8-bit chunks (pigeonhole), so candidates
+    * come from four disjoint equi-joins on chunk values — never a
+    * cross product. Output: 200 closest pairs.
+    */
+  def dSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    def chunks(df: DataFrame, suffix: String): DataFrame =
+      (0 until 4).foldLeft(df)((d, c) =>
+        d.withColumn(s"c$c$suffix", shiftright(col(s"simhash$suffix"), 8 * c).bitwiseAND(lit(255L))))
+    val s = simhashDf(spark, dir)
+    val l = chunks(s.select(col("doc_id").as("doc1"), col("simhash").as("simhash1")), "1")
+    val r = chunks(s.select(col("doc_id").as("doc2"), col("simhash").as("simhash2")), "2")
+    val joins = (0 until 4).map { c =>
+      // exclude matches already found by earlier chunks → disjoint union
+      val cond = (0 until c).foldLeft(
+        col(s"c${c}1") === col(s"c${c}2") && col("doc1") < col("doc2"))(
+        (acc, p) => acc && col(s"c${p}1") =!= col(s"c${p}2"))
+      l.join(r, cond)
+    }
+    joins.reduce(_ union _)
+      .select(col("doc1"), col("doc2"),
+        expr("CAST(bit_count(simhash1 ^ simhash2) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 8)
+      .orderBy(col("hamming").asc, col("doc1").asc, col("doc2").asc)
+      .limit(200)
   }
 
   /** Candidate pairs from MinHash bands (shared blocking for the exact

@@ -98,6 +98,19 @@ object ImagePipeline {
       .orderBy("doc_id")
   }
 
+  /** m_gamma_lut: the reference's gamma-correction lookup table (γ=1.5,
+    * build_faiss_db.py:53-54) computed as an engine query —
+    * ((i/255)^(1/γ))·255 truncated toward zero, for each intensity
+    * present in the data (doc_id mod 256 covers all 256).
+    */
+  def mGammaLut(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select((col("doc_id") % 256).as("intensity"))
+      .distinct()
+      .withColumn("lut",
+        (pow(col("intensity") / lit(255.0), lit(1.0) / lit(1.5)) * 255).cast("long"))
+      .orderBy("intensity")
+
   /** m_fake_embed: stub featurizer over the documents payload, long
     * format (doc_id, d, f) — the embedding column a real decoder would
     * produce, restricted to 10 docs × 8 dims for the correctness dump.

@@ -109,6 +109,42 @@ object Knn {
       .limit(100)
   }
 
+  /** v_range_search: all neighbors within a similarity radius
+    * (faiss IndexFlatIP.range_search semantics) — same broadcast
+    * nested-loop shape as exact k-NN, but threshold-filtered instead
+    * of rank-limited, so output size is data-dependent.
+    */
+  def vRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+      .filter(col("sim") >= 0.2)
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  /** v_knn_l2: exact top-5 by euclidean distance (faiss IndexFlatL2).
+    * dist² = |a|²+|b|²−2a·b reuses the precomputed norms + codegen dot
+    * (clamped at 0 against FP negativity for near-identical vectors).
+    */
+  def vKnnL2(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val dists = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(sqrt(greatest(
+          col("qn") * col("qn") + col("nrm") * col("nrm")
+            - lit(2.0) * V.dot(col("qv"), col("v")),
+          lit(0.0))), 6).as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id").asc)
+    dists.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
+      .select("query_id", "rnk", "neighbor_id", "dist")
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- LSH (random hyperplane) -------------------------------------
 
   val LshBits = 8

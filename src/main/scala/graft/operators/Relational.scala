@@ -201,6 +201,47 @@ object Relational {
            count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Cube aggregation over nation × market segment (all 4 grouping
+    * sets) — dimension join broadcast, one shuffle for the cube agg.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    // Dataset.cube/rollup over a join's output trips Spark 4.1's
+    // self-join ambiguity detector (false positive — the grouping
+    // attrs carry dataset lineage tags from both join inputs), so this
+    // operator goes through the SQL surface, which carries no tags.
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment"), col("c_acctbal"))
+      .createOrReplaceTempView("graft_qcube_base")
+    spark.sql("""
+      SELECT COALESCE(n_name, 'ALL') AS nation,
+        COALESCE(c_mktsegment, 'ALL') AS segment,
+        COUNT(*) AS n,
+        SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0D AS acctbal
+      FROM graft_qcube_base
+      GROUP BY CUBE (n_name, c_mktsegment)
+      ORDER BY nation, segment""")
+  }
+
+  /** Conversion funnel view→click→purchase by first-occurrence order
+    * per user: one shuffle on user_id, then a global roll-up.
+    */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+    val perUser = ev.groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("ts_ms"))).as("t_view"),
+      min(when(col("event_type") === "click", col("ts_ms"))).as("t_click"),
+      min(when(col("event_type") === "purchase", col("ts_ms"))).as("t_purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t_view")).as("n_view"),
+      count(when(col("t_click") > col("t_view"), lit(1))).as("n_view_click"),
+      count(when(col("t_click") > col("t_view") &&
+                 col("t_purchase") > col("t_click"), lit(1))).as("n_view_click_purchase"))
+  }
+
   /** Approximate distinct via HyperLogLog++ — the 100 TB path where an
     * exact distinct shuffle is not affordable. No SQL oracle (HLL
     * estimates are implementation-specific); rows-only check.

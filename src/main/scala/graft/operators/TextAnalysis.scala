@@ -89,6 +89,22 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t_ngrams: global top-20 token bigrams — bigram generation is one
+    * map-side array expression (zip of the token array with its own
+    * tail), so the only shuffle is the count group-by.
+    */
+  def tNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks(col("text")))
+      .select(explode(when(size(col("toks")) < 2, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b)))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+
   /** t_fingerprint: winnowing-style fingerprint — the 4 smallest
     * distinct 5-gram hashes per document (long format).
     */

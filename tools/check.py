@@ -37,8 +37,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     results = {}
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    # union of dumped dirs and oracle keys — a query that failed in
+    # Spark (no dump dir) must show as a FAIL, not vanish
+    names = sorted(set(d for d in os.listdir(out_dir)
+                       if os.path.isdir(os.path.join(out_dir, d))) | set(oracles))
     for name in names:
         if only and name not in only:
             continue
