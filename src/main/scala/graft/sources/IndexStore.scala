@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{HashFns => H, VectorFns => V}
+
+/** Persistent vector index — the Spark-native re-expression of the
+  * reference's index lifecycle (faiss.write_index / read_index +
+  * metadata.pkl sidecar: /root/reference/build_faiss_db.py:218-226,
+  * app.py:52-58).
+  *
+  * Layout: one parquet dataset holding (id, vector-as-double, norm,
+  * LSH band keys), PARTITIONED BY band0 — so an ANN search against a
+  * loaded index prunes to the query's bucket partitions at the file
+  * level (partition pruning happens in the scan, which is the property
+  * that matters at 100 TB: a probe reads 1/2^bits of the corpus, not
+  * all of it). Metadata travels as a second parquet dataset keyed by
+  * the same id, joined at result time exactly like the reference's
+  * metadata_list[idx] lookup.
+  */
+object IndexStore {
+
+  val LshBits = 8
+  val BandBits = 4
+
+  private def signs(dim: Int): Array[Array[Int]] =
+    Array.tabulate(LshBits)(j => Array.tabulate(dim)(d => H.hyperplaneSign(j, d + 1)))
+
+  private def withBands(df: DataFrame, dim: Int): DataFrame = {
+    val s = signs(dim)
+    def bit(j: Int): Column = when(V.signedIntDot(col("vq"), s(j)) > 0, 1).otherwise(0)
+    def band(b: Int): Column =
+      (0 until BandBits).map(r => bit(b * BandBits + r) * lit(1 << r)).reduce(_ + _)
+    df.withColumn("vq", V.quantize(col("v")))
+      .withColumn("band0", band(0)).withColumn("band1", band(1))
+      .drop("vq")
+  }
+
+  /** Build + persist the index from any frame with an id and a vector
+    * column (array<float> or array<double>).
+    */
+  def write(df: DataFrame, idCol: String, vecCol: String, path: String, dim: Int): Unit =
+    withBands(
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("nrm", V.norm2(col("v"))), dim)
+      .write.mode("overwrite").partitionBy("band0").parquet(path)
+
+  /** Metadata sidecar (the metadata.pkl analog) — a sibling dataset:
+    * nesting it under the index path would collide with parquet
+    * partition discovery over the band0= directories.
+    */
+  def writeMetadata(meta: DataFrame, path: String): Unit =
+    meta.write.mode("overwrite").parquet(s"$path.meta")
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readMetadata(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path.meta")
+
+  /** Exact top-k against a loaded index: broadcast queries, windowed
+    * rank — IndexFlatIP.search over the persisted corpus.
+    */
+  def search(index: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+        .withColumn("qn", V.norm2(col("qv"))))
+    val sims = index.join(q, col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+  }
+
+  /** ANN top-k: queries are banded with the same hyperplanes, then the
+    * scan is filtered to the probed band0 partitions (file-level
+    * pruning) before exact rescoring inside the bucket.
+    */
+  def searchAnn(index: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, dim: Int): DataFrame = {
+    val q = broadcast(
+      withBands(
+        queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("v"))
+          .withColumn("nrm", V.norm2(col("v"))), dim)
+        .select(col("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+          col("band0").as("qb0")))
+    val cands = index.join(q, col("band0") === col("qb0") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+  }
+}

@@ -1,10 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 import graft.Tables
+
+/** Event row for the stateful sessionizer (ts in epoch millis). */
+case class SessionEvent(user_id: Long, event_id: Long, ts_ms: Long)
+
+/** Open-session state carried across micro-batches per user. */
+case class SessionState(sessionId: Long, startMs: Long, lastMs: Long, n: Long)
+
+/** Closed session emitted by the sessionizer. */
+case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_s: Long)
 
 /** Structured Streaming over the events table: the same windowed
   * aggregation expressed as a stream (readStream → watermark → window)
@@ -50,6 +59,52 @@ object EventStreams {
       .start()
     q.processAllAvailable()
     q
+  }
+
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Stateful streaming sessionization — the custom-state path
+    * (flatMapGroupsWithState) for the same 30-minute-gap semantics as
+    * the batch q_sessionize. Sessions are emitted when CLOSED by a
+    * later event's gap; each user's trailing open session stays in
+    * state for the next micro-batch (so for a finite replay the
+    * streamed output is the batch output minus the last session per
+    * user — asserted in StreamingSpec).
+    *
+    * At scale: state is per-user (key-partitioned), RocksDB-backed,
+    * and an event-time timeout would close idle sessions; events
+    * within a micro-batch are sorted per group before folding.
+    */
+  def sessionizeStream(spark: SparkSession, dir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ts_ms"))
+      .as[SessionEvent]
+
+    def fold(user: Long, events: Iterator[SessionEvent],
+             state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = events.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        if (st == null) {
+          st = SessionState(1L, e.ts_ms, e.ts_ms, 1L)
+        } else if (e.ts_ms - st.lastMs > SessionGapMs) {
+          out += SessionOut(user, st.sessionId, st.n, (st.lastMs - st.startMs) / 1000)
+          st = SessionState(st.sessionId + 1, e.ts_ms, e.ts_ms, 1L)
+        } else {
+          st = st.copy(lastMs = e.ts_ms, n = st.n + 1)
+        }
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
   }
 
   /** s_window_agg: batch twin of windowAggStream — identical window

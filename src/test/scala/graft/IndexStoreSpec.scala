@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.IndexStore
+
+class IndexStoreSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft_index").toString
+
+  test("write → read → exact search round-trips and matches direct k-NN") {
+    val emb = Tables.embeddings(spark, sf)
+    IndexStore.write(emb, "vec_id", "embedding", s"$tmp/idx", dim = 64)
+    IndexStore.writeMetadata(
+      emb.select(col("vec_id"), col("label")), s"$tmp/idx")
+
+    val index = IndexStore.read(spark, s"$tmp/idx")
+    assert(index.columns.toSet == Set("id", "v", "nrm", "band0", "band1"))
+
+    val queries = emb.filter(col("vec_id") < 10)
+    val viaIndex = IndexStore.search(index, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = SparkEntry.queries("v_knn_exact")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSet
+    assert(viaIndex == direct,
+      "search over the persisted index must equal the in-memory exact k-NN")
+
+    val meta = IndexStore.readMetadata(spark, s"$tmp/idx")
+    val joined = IndexStore.search(index, queries, "vec_id", "embedding", 5)
+      .join(meta, col("neighbor_id") === col("vec_id"))
+    assert(joined.filter(col("label").isNull).count() == 0)
+  }
+
+  test("ANN search prunes to band partitions and finds bucket-local neighbors") {
+    val emb = Tables.embeddings(spark, sf)
+    val index = IndexStore.read(spark, s"$tmp/idx")
+    val queries = emb.filter(col("vec_id") < 10)
+    val ann = IndexStore.searchAnn(index, queries, "vec_id", "embedding", 3, dim = 64)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    // every ANN hit must also be in the same band0 bucket as its query
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(plan.contains("band0"), "band filter should reach the scan")
+  }
+}

@@ -22,4 +22,25 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("stateful sessionization: streamed closed sessions == batch minus trailing open") {
+    val q = EventStreams.sessionizeStream(spark, sf)
+      .writeStream.outputMode("append").format("memory").queryName("sess_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("duration_s"))).toSet
+      val batch = SparkEntry.queries("q_sessionize")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("duration_s")))
+      // the stream emits sessions when closed; each user's last session
+      // is still open in state at end of input
+      val lastPerUser = batch.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+      val expected = batch.toSet -- lastPerUser
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
