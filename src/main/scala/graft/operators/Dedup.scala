@@ -121,7 +121,8 @@ object Dedup {
     def chunks(df: DataFrame, suffix: String): DataFrame =
       (0 until 4).foldLeft(df)((d, c) =>
         d.withColumn(s"c$c$suffix", shiftright(col(s"simhash$suffix"), 8 * c).bitwiseAND(lit(255L))))
-    val s = simhashDf(spark, dir)
+    // the signature table feeds 4 joins × 2 sides — compute it once
+    val s = simhashDf(spark, dir).cache()
     val l = chunks(s.select(col("doc_id").as("doc1"), col("simhash").as("simhash1")), "1")
     val r = chunks(s.select(col("doc_id").as("doc2"), col("simhash").as("simhash2")), "2")
     val joins = (0 until 4).map { c =>
@@ -143,8 +144,9 @@ object Dedup {
     * jaccard pass).
     */
   private def bandCandidates(spark: SparkSession, dir: String): DataFrame = {
+    // signatures feed both sides of the band join — compute once
     val sigs = withSignature(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))).cache()
     val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => bandKey(col("sig"), b)): _*))
         .as(Seq("band_id", "band_key")))
@@ -199,6 +201,7 @@ object Dedup {
       .withColumn("vq", V.quantize(col("v")))
       .withColumn("band0", band(0)).withColumn("band1", band(1))
       .drop("vq")
+      .cache() // feeds both sides of both band joins
     val l = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"),
       col("band0").as("a0"), col("band1").as("a1"))
     val r = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"),
