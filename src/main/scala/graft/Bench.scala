@@ -10,17 +10,18 @@ import org.apache.spark.sql.SparkSession
   * query would "run" without hashing anything), which would make the
   * numbers fiction.
   *
-  * Before the timed pass, every query runs once untimed at sf0.001 so
-  * JVM JIT, whole-stage-codegen compilation, and classloading are paid
-  * up front — the timed numbers then measure the queries, not the cold
-  * start. (A real cluster amortizes those costs across the app's
+  * Before the timed pass, every query runs once untimed at the same SF
+  * so JVM JIT, whole-stage-codegen compilation, and classloading are
+  * paid up front — the timed numbers then measure the queries, not the
+  * cold start. (A real cluster amortizes those costs across the app's
   * lifetime; folding them into the first few alphabetical queries made
   * the per-query numbers fiction.)
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = GraftSession.builder(master = s"local[$cpus]",
         shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,17 +31,24 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, dir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          val pass = if (timed) "timed" else "warm-up"
+          System.err.println(s"[bench] $name failed ($pass): ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        // operators cache shared subplans (signature tables, band keys);
+        // drop them so per-query timings stay order-independent and
+        // cached blocks don't accumulate memory pressure across queries
+        spark.sharedState.cacheManager.clearCache()
+        name -> secs
       }
 
-    // warm-up (untimed, smallest SF): JIT + codegen + parquet footer caches
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      runAll(warmDir, timed = false)
-      spark.sharedState.cacheManager.clearCache()
-    }
+    // Untimed warm-up at the SAME scale factor: whole-stage-codegen
+    // compilation (janino) and JIT of the generated classes are
+    // per-plan-shape, and AQE picks different physical plans at
+    // different SFs — so warming at a smaller SF leaves the timed pass
+    // paying 10-40s of cold compile on the biggest plans. Steady-state
+    // per-query times are what a long-lived cluster app sees.
+    runAll(sfDir, timed = false)
 
     val results = runAll(sfDir, timed = true)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

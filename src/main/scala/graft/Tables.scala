@@ -56,5 +56,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // default 100 entries evicts the big dedup plans' generated
+      // classes while 40+ other queries run, forcing a 10-20s janino
+      // recompile when they're hit again (static conf — set pre-start)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 }

@@ -215,6 +215,7 @@ object Knn {
     */
   def vIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm")).cache()
+    e.count() // force the cache before the iterative passes reuse it
 
     var centroids: Array[(Int, Array[Double])] =
       e.filter(col("vec_id") < IvfClusters)
@@ -223,23 +224,24 @@ object Knn {
         .zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
 
-    def centroidDf(spark: SparkSession) = {
-      import spark.implicits._
-      centroids.toSeq.toDF("cid", "cv")
-        .withColumn("cn", V.norm2(col("cv")))
-    }
-
-    def assigned = {
-      val c = broadcast(centroidDf(spark))
-      val w = Window.partitionBy("vec_id").orderBy(
-        V.cosinePre(V.dot(col("v"), col("cv")), col("nrm"), col("cn")).desc, col("cid").asc)
-      e.join(c, lit(true))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    /** Nearest-centroid id as ONE map-side projection: the centroid set
+      * is tiny and driver-resident each Lloyd iteration (the MLlib
+      * k-means pattern), so it is inlined as literals — argmax over an
+      * array of (sim, -cid) structs. No join, no explode, no window
+      * shuffle; the corpus never moves during assignment.
+      */
+    def withCid(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val cands = array(centroids.map { case (cid, cv) =>
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        struct(
+          V.cosinePre(V.dot(col("v"), typedLit(cv.toSeq)), col("nrm"), lit(cn)).as("sim"),
+          lit(-cid).as("ncid"))
+      }: _*)
+      df.withColumn("cid", -array_max(cands).getField("ncid"))
     }
 
     for (_ <- 1 to IvfIters) {
-      val means = assigned
+      val means = withCid(e)
         .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("cid", "d").agg(avg(col("x")).as("m"))
         .groupBy("cid").agg(
@@ -250,17 +252,22 @@ object Knn {
       if (means.nonEmpty) centroids = means
     }
 
-    val inv = assigned.cache()
-    val c = broadcast(centroidDf(spark))
+    val inv = withCid(e).cache()
+    inv.count() // feeds both the probe side and the search join
     val qProbe = {
-      val w = Window.partitionBy("query_id").orderBy(
-        col("csim").desc, col("cid").asc)
+      // nprobe nearest centroid lists per query, again via the literal
+      // centroid array: sort (desc sim, asc cid) structs, take nprobe
+      val cands = array_sort(array(centroids.map { case (cid, cv) =>
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        struct(
+          (-V.cosinePre(V.dot(col("v"), typedLit(cv.toSeq)), col("nrm"), lit(cn))).as("nsim"),
+          lit(cid).as("cid"))
+      }: _*))
       inv.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-        .join(c, lit(true))
-        .withColumn("csim", V.cosinePre(V.dot(col("qv"), col("cv")), col("qn"), col("cn")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= IvfNprobe)
-        .select(col("query_id"), col("qv"), col("qn"), col("cid").as("pcid"))
+        .withColumn("pcid", explode(transform(
+          slice(cands, 1, IvfNprobe), s => s.getField("cid"))))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("pcid"))
     }
     val cands = inv.join(broadcast(qProbe),
         col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.{GraftSession, SparkEntry}
+
+/** Dev profiler: run the named queries N times each against
+  * SPARK_GRAFT_SF_DIR, report min/median seconds. Min-of-N is robust
+  * against host CPU-steal spikes that make single full-bench runs
+  * vary 3× on this box. Usage: ProfileQ q1 q2 ... (default: all).
+  */
+object ProfileQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        spark.sharedState.cacheManager.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-20s " + times.map(t => f"$t%6.2f").mkString(" "))
+    }
+    spark.stop()
+  }
+}
