@@ -550,6 +550,133 @@ object Oracles {
       ORDER BY win_start, event_type"""
   )
 
+  /** Round-2 additions: as-of / range joins, pivot, percentiles,
+    * salting, grouping sets, n-gram jaccard, BPE pre-tokenization,
+    * frame sampling, format round-trips.
+    */
+  val round2: Map[String, String] = Map(
+    "q_asof_join" -> """
+      WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tag
+                  FROM events WHERE event_type IN ('view', 'purchase')),
+      m AS (SELECT user_id, event_id, ts_ms, tag,
+              LAST_VALUE(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts_ms, tag, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
+              LAST_VALUE(CASE WHEN tag = 0 THEN ts_ms END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts_ms, tag, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ms
+            FROM ev)
+      SELECT event_id, user_id, ts_ms,
+        COALESCE(view_id, -1) AS view_id,
+        COALESCE(ts_ms - view_ms, -1) AS gap_ms
+      FROM m WHERE tag = 1 ORDER BY event_id""",
+
+    "q_range_join" -> """
+      WITH iv AS (SELECT i AS interval_id,
+                    1704067200000 + i * 129600000 AS start_ms
+                  FROM (SELECT unnest(generate_series(0, 19)) AS i))
+      SELECT interval_id, COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events JOIN iv
+        ON epoch_ms(ts) >= start_ms AND epoch_ms(ts) < start_ms + 21600000
+      GROUP BY interval_id ORDER BY interval_id""",
+
+    "q_pivot" -> """
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+        COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY day ORDER BY day""",
+
+    "q_percentiles" -> """
+      SELECT l_returnflag,
+        ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+        ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_salted_agg" -> s"""
+      SELECT event_type, COUNT(*) AS n_events,
+        ${msum("value")} AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_grouping_sets" -> s"""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n,
+        ${msum("o_totalprice")} AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""",
+
+    "d_ngram_jacc" -> s"""
+      WITH p3 AS (SELECT doc_id, text,
+                    unnest(generate_series(1, length(text) - 2)) AS i
+                  FROM documents WHERE length(text) >= 3),
+      g3 AS (SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(substr(text, i, 3)), 1, 15)) AS BIGINT)
+                 % ${H.P31} AS h
+             FROM p3),
+      gc AS (SELECT doc_id, COUNT(*) AS c FROM g3 GROUP BY doc_id),
+      pr AS (SELECT doc_id AS doc1, doc_id + 3 AS doc2 FROM documents
+             WHERE doc_id % 7 = 0),
+      inter AS (SELECT pr.doc1, pr.doc2, COUNT(*) AS i
+                FROM pr JOIN g3 a ON a.doc_id = pr.doc1
+                JOIN g3 b ON b.doc_id = pr.doc2 AND b.h = a.h
+                GROUP BY pr.doc1, pr.doc2)
+      SELECT pr.doc1, pr.doc2, COALESCE(i.i, 0) AS inter,
+        a.c + b.c - COALESCE(i.i, 0) AS uni,
+        COALESCE(i.i, 0) / (a.c + b.c - COALESCE(i.i, 0)) AS jaccard
+      FROM pr JOIN gc a ON a.doc_id = pr.doc1
+      JOIN gc b ON b.doc_id = pr.doc2
+      LEFT JOIN inter i ON i.doc1 = pr.doc1 AND i.doc2 = pr.doc2
+      ORDER BY pr.doc1, pr.doc2""",
+
+    "t_bpe_tokens" -> """
+      WITH pc AS (SELECT doc_id,
+                    regexp_extract_all(lower(text),
+                      '[a-z]+|[0-9]+|[^a-z0-9\s]') AS pieces
+                  FROM documents)
+      SELECT doc_id,
+        CAST(len(pieces) AS BIGINT) AS n_pieces,
+        CAST(len(list_filter(pieces, p -> regexp_matches(p, '^[a-z]')))
+          AS BIGINT) AS n_alpha,
+        CAST(len(list_filter(pieces, p -> regexp_matches(p, '^[0-9]')))
+          AS BIGINT) AS n_num,
+        CAST(list_sum(list_transform(pieces, p -> length(p))) AS BIGINT)
+          / len(pieces) AS avg_piece_len
+      FROM pc ORDER BY doc_id""",
+
+    "m_frame_sample" -> """
+      WITH f AS (SELECT doc_id, doc_id % 240 + 30 AS n_frames
+                 FROM documents WHERE doc_id < 50),
+      s AS (SELECT doc_id, n_frames,
+              GREATEST(1, CAST(FLOOR(n_frames / 8) AS BIGINT)) AS step FROM f),
+      x AS (SELECT doc_id, n_frames,
+              unnest(generate_series(0, n_frames - 1, step)) AS frame_idx
+            FROM s)
+      SELECT doc_id, n_frames, frame_idx,
+        (frame_idx * 1000) // 30 AS sample_ms
+      FROM x ORDER BY doc_id, frame_idx""",
+
+    "src_csv" -> formatsOracle,
+    "src_json" -> formatsOracle,
+    "src_orc" -> formatsOracle
+  )
+
+  /** All three format round-trips share one oracle: the same fidelity
+    * aggregate computed on the original parquet table.
+    */
+  private def formatsOracle: String = s"""
+      SELECT c_mktsegment, COUNT(*) AS n,
+        ${msum("c_acctbal")} AS sum_bal,
+        MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   def all: Map[String, String] =
-    relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming
+    relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming ++ round2
 }

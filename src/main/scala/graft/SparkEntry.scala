@@ -31,6 +31,12 @@ object SparkEntry {
     "q_rollup"        -> (Relational.qRollup _),
     "q_cube"          -> (Relational.qCube _),
     "q_events_funnel" -> (Relational.qEventsFunnel _),
+    "q_asof_join"     -> (OlapExtras.qAsofJoin _),
+    "q_range_join"    -> (OlapExtras.qRangeJoin _),
+    "q_pivot"         -> (OlapExtras.qPivot _),
+    "q_percentiles"   -> (OlapExtras.qPercentiles _),
+    "q_salted_agg"    -> (OlapExtras.qSaltedAgg _),
+    "q_grouping_sets" -> (OlapExtras.qGroupingSets _),
     // B. vector search
     "v_norm"          -> (Knn.vNorm _),
     "v_knn_exact"     -> (Knn.vKnnExact _),
@@ -50,18 +56,25 @@ object SparkEntry {
     "d_simhash_pairs" -> (Dedup.dSimhashPairs _),
     "d_jaccard"       -> (Dedup.dJaccard _),
     "d_embed_near"    -> (Dedup.dEmbedNear _),
+    "d_ngram_jacc"    -> (Dedup.dNgramJacc _),
     // D. text analysis
     "t_tokens"        -> (TextAnalysis.tTokens _),
     "t_quality"       -> (TextAnalysis.tQuality _),
     "t_langid"        -> (TextAnalysis.tLangid _),
     "t_fingerprint"   -> (TextAnalysis.tFingerprint _),
     "t_ngrams"        -> (TextAnalysis.tNgrams _),
+    "t_bpe_tokens"    -> (TextAnalysis.tBpeTokens _),
     // E. multimodal (stubs per SURVEY §2.E — no image libs in env)
     "m_bbox"          -> (ImagePipeline.mBbox _),
     "m_fake_embed"    -> (ImagePipeline.mFakeEmbed _),
     "m_gamma_lut"     -> (ImagePipeline.mGammaLut _),
+    "m_frame_sample"  -> (ImagePipeline.mFrameSample _),
     // F. streaming (batch-equivalent of the streaming window agg)
-    "s_window_agg"    -> (graft.streaming.EventStreams.sWindowAggBatch _)
+    "s_window_agg"    -> (graft.streaming.EventStreams.sWindowAggBatch _),
+    // G. source/sink formats (round-trip fidelity, oracle vs parquet)
+    "src_csv"         -> (graft.sources.Formats.srcCsv _),
+    "src_json"        -> (graft.sources.Formats.srcJson _),
+    "src_orc"         -> (graft.sources.Formats.srcOrc _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -33,6 +33,27 @@ object Dedup {
   def tokens(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => t =!= "")
 
+  /** Spread a small scan across all cores before a CPU-heavy projection.
+    * The test tables are single parquet files → one input partition, so
+    * per-row hashing (minhash: ~1ms/doc) would otherwise run on one
+    * core. On a real cluster the scan arrives pre-partitioned and this
+    * round-robin shuffle of the raw text is noise.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Eagerly materialize a shared subplan that feeds both sides of a
+    * self-join, truncating lineage (localCheckpoint). A lazy .cache()
+    * is not enough: the join sides materialize concurrently and each
+    * computes the full subplan (in-flight work isn't deduped), and
+    * worse, broadcast-build stages sometimes recompute the cache child
+    * through an AQE-coalesced 1-task exchange — the expensive signature
+    * projection then runs single-threaded. With lineage truncated,
+    * downstream stages can only read the materialized blocks.
+    */
+  private def forceCached(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
+
   /** d_exact: exact-duplicate groups via md5(normalized text). */
   def dExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -46,8 +67,7 @@ object Dedup {
     * form evaluates interpreted and cost ~20ms/doc at 500 shingles).
     */
   private def withSignature(docs: DataFrame): DataFrame =
-    docs
-      .filter(length(col("text")) >= ShingleK)
+    spread(docs.filter(length(col("text")) >= ShingleK))
       .withColumn("sig",
         graft.expressions.TextHashExprs.minhashSig(col("text"), ShingleK))
 
@@ -70,8 +90,8 @@ object Dedup {
     * hash), never as a cross product.
     */
   def dMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = withSignature(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text"))).cache()
+    val sigs = forceCached(withSignature(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until Bands).map(b => bandKey(col("sig"), b)): _*))
         .as(Seq("band_id", "band_key")))
@@ -96,7 +116,7 @@ object Dedup {
     * 32 integer folds over the array).
     */
   private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
-    val th = Tables.documents(spark, dir)
+    val th = spread(Tables.documents(spark, dir).select("doc_id", "text"))
       .select(col("doc_id"),
         transform(array_distinct(tokens(col("text"))), t => H.tokenHash32(t)).as("th"))
     def bitSum(j: Int): Column =
@@ -122,7 +142,7 @@ object Dedup {
       (0 until 4).foldLeft(df)((d, c) =>
         d.withColumn(s"c$c$suffix", shiftright(col(s"simhash$suffix"), 8 * c).bitwiseAND(lit(255L))))
     // the signature table feeds 4 joins × 2 sides — compute it once
-    val s = simhashDf(spark, dir).cache()
+    val s = forceCached(simhashDf(spark, dir))
     val l = chunks(s.select(col("doc_id").as("doc1"), col("simhash").as("simhash1")), "1")
     val r = chunks(s.select(col("doc_id").as("doc2"), col("simhash").as("simhash2")), "2")
     val joins = (0 until 4).map { c =>
@@ -145,8 +165,8 @@ object Dedup {
     */
   private def bandCandidates(spark: SparkSession, dir: String): DataFrame = {
     // signatures feed both sides of the band join — compute once
-    val sigs = withSignature(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text"))).cache()
+    val sigs = forceCached(withSignature(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
     val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => bandKey(col("sig"), b)): _*))
         .as(Seq("band_id", "band_key")))
@@ -170,8 +190,11 @@ object Dedup {
           .filter(col("doc1") % 10 === 0)
           .withColumn("doc2", col("doc1") + 1))
       .distinct()
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    // tokenization feeds two join sides and possibly a single-threaded
+    // broadcast build (AQE brodcasts this side) — compute it spread
+    // across cores, once
+    val toks = forceCached(spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks")))
     val t1 = toks.select(col("doc_id").as("doc1"), col("toks").as("toks1"))
     val t2 = toks.select(col("doc_id").as("doc2"), col("toks").as("toks2"))
     cands.join(t1, "doc1").join(t2, "doc2")
@@ -180,6 +203,33 @@ object Dedup {
         size(array_union(col("toks1"), col("toks2"))).cast("long").as("uni"))
       .select(col("doc1"), col("doc2"), col("inter"), col("uni"),
         (col("inter") / col("uni")).as("jaccard"))
+      .orderBy("doc1", "doc2")
+  }
+
+  /** d_ngram_jacc: character n-gram (k=3) set jaccard — the n-gram
+    * flavor of near-dup scoring (token jaccard misses reorderings
+    * inside words; char n-grams don't). Computed over a deterministic
+    * sample of pairs (doc_id ≡ 0 mod 7 paired with doc_id+3) — the
+    * production path takes its pairs from the MinHash band blocking,
+    * same as d_jaccard; the scoring expression is the operator here.
+    */
+  def dNgramJacc(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val g = spread(Tables.documents(spark, dir).filter(length(col("text")) >= k))
+      .select(col("doc_id"),
+        array_distinct(graft.expressions.TextHashExprs.shingleHashes(col("text"), k))
+          .as("g"))
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("doc1"))
+      .filter(col("doc1") % 7 === 0)
+      .withColumn("doc2", col("doc1") + 3)
+    val g1 = g.select(col("doc_id").as("doc1"), col("g").as("g1"))
+    val g2 = g.select(col("doc_id").as("doc2"), col("g").as("g2"))
+    pairs.join(g1, "doc1").join(g2, "doc2")
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("g1"), col("g2"))).cast("long").as("inter"),
+        size(array_union(col("g1"), col("g2"))).cast("long").as("uni"))
+      .withColumn("jaccard", col("inter") / col("uni"))
       .orderBy("doc1", "doc2")
   }
 
@@ -195,13 +245,12 @@ object Dedup {
     def bit(j: Int): Column = when(V.signedIntDot(col("vq"), signs(j)) > 0, 1).otherwise(0)
     def band(b: Int): Column =
       (0 until Knn.LshBandBits).map(r => bit(b * Knn.LshBandBits + r) * lit(1 << r)).reduce(_ + _)
-    val e = Tables.embeddings(spark, dir)
+    val e = forceCached(spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", V.norm2(col("v")))
       .withColumn("vq", V.quantize(col("v")))
       .withColumn("band0", band(0)).withColumn("band1", band(1))
-      .drop("vq")
-      .cache() // feeds both sides of both band joins
+      .drop("vq")) // feeds both sides of both band joins
     val l = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"),
       col("band0").as("a0"), col("band1").as("a1"))
     val r = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"),

@@ -111,6 +111,25 @@ object ImagePipeline {
         (pow(col("intensity") / lit(255.0), lit(1.0) / lit(1.5)) * 255).cast("long"))
       .orderBy("intensity")
 
+  /** m_frame_sample: video frame-sampling plumbing — given per-asset
+    * frame counts (deterministic fakes of probe metadata: a real
+    * pipeline reads them from the container header), emit the sampled
+    * frame indices (≈8 evenly spaced) and their timestamps. The
+    * sequence+explode shape is the real Spark-side plumbing a frame
+    * extractor UDF batches over; only the decode is a stub.
+    */
+  def mFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val fps = 30
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), (col("doc_id") % 240 + 30).as("n_frames"))
+      .withColumn("step", greatest(lit(1L), floor(col("n_frames") / 8)))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, col("step"))).as("frame_idx"))
+      .withColumn("sample_ms", expr(s"(frame_idx * 1000) div $fps"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** m_fake_embed: stub featurizer over the documents payload, long
     * format (doc_id, d, f) — the embedding column a real decoder would
     * produce, restricted to 10 docs × 8 dims for the correctness dump.

@@ -214,8 +214,10 @@ object Knn {
     * does the rows-only check.
     */
   def vIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm")).cache()
-    e.count() // force the cache before the iterative passes reuse it
+    // eager + lineage-truncating so the iterative passes and both join
+    // sides read materialized blocks (see Dedup.forceCached)
+    val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint(true)
 
     var centroids: Array[(Int, Array[Double])] =
       e.filter(col("vec_id") < IvfClusters)
@@ -252,8 +254,7 @@ object Knn {
       if (means.nonEmpty) centroids = means
     }
 
-    val inv = withCid(e).cache()
-    inv.count() // feeds both the probe side and the search join
+    val inv = withCid(e).localCheckpoint(true) // feeds probe side + search join
     val qProbe = {
       // nprobe nearest centroid lists per query, again via the literal
       // centroid array: sort (desc sim, asc cid) structs, take nprobe

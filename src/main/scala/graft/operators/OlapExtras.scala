@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Round-2 OLAP additions: as-of join, banded range join, pivot,
+  * exact percentiles, salted aggregation, grouping sets.
+  *
+  * Each one exists because Spark has no single built-in operator for
+  * it (as-of, range) or because the composition itself is the
+  * 100 TB-scale pattern worth keeping first-class (salting, banding).
+  */
+object OlapExtras {
+
+  /** q_asof_join: backward as-of join — for every purchase event, the
+    * user's most recent view event at-or-before it.
+    *
+    * Implemented with the union-then-window technique rather than an
+    * equi-join + per-key argmax: tag both sides, union, one window
+    * sorted by (ts, tag, id) per user, carry the last view forward
+    * with last_value(ignoreNulls). ONE shuffle on user_id and no
+    * per-key pair fan-out — an equi-join formulation materializes
+    * |purchases_u|×|views_u| rows per user, which dies on 100 TB
+    * power-law users; this shape is linear in input size.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
+    // ties: a view at the same millisecond as the purchase counts
+    // (tag 0 sorts first); among same-ms views the largest id wins
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "tag", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("view_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("view_ms",
+        last(when(col("tag") === 0, col("ts_ms")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(col("ts_ms") - col("view_ms"), lit(-1L)).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  /** Epoch millis of 2024-01-01T00:00:00Z — the events table's epoch. */
+  private val Epoch2024: Long = 1704067200000L
+  private val HourMs: Long = 3600L * 1000
+
+  /** q_range_join: interval (range) join, banded. 20 six-hour analysis
+    * windows (every 36 h) joined to the events whose ts falls inside.
+    *
+    * A raw theta-join `start <= ts < end` is a broadcast nested loop
+    * over every (event, interval) pair. Banding makes it an equi-join:
+    * intervals are exploded to the 6-hour buckets they cover, events
+    * map to their bucket, and the range predicate only runs within
+    * bucket-matched pairs. At 100 TB both sides shuffle/broadcast on
+    * the bucket key and the cross product never exists.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bucketMs = 6 * HourMs
+    val iv = spark.range(20)
+      .select(col("id").as("interval_id"),
+        (lit(Epoch2024) + col("id") * (36 * HourMs)).as("start_ms"))
+      .withColumn("end_ms", col("start_ms") + 6 * HourMs)
+      .withColumn("bucket",
+        explode(sequence(floor(col("start_ms") / bucketMs),
+          floor((col("end_ms") - 1) / bucketMs))))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("bucket", floor(col("ts_ms") / bucketMs))
+    ev.join(broadcast(iv),
+        ev("bucket") === iv("bucket") &&
+        col("ts_ms") >= col("start_ms") && col("ts_ms") < col("end_ms"))
+      .groupBy("interval_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("interval_id")
+  }
+
+  /** q_pivot: wide daily activity matrix — one column per event type.
+    * Explicit pivot values keep the schema static (no extra pass to
+    * discover them — at 100 TB an unseeded pivot is a full scan), and
+    * each cell is a map-side conditional count.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+  }
+
+  /** q_percentiles: exact interpolated quartiles of lineitem quantity
+    * per return flag (percentile_cont semantics on both engines).
+    *
+    * NOT percentile(col, p) over raw rows — that ships every value of
+    * a group to one reducer (3 groups → 3 hot reducers holding the
+    * whole table). Instead: partial-aggregated (flag, value) histogram
+    * first (map-side combine shrinks 100 TB to |flags|×|distinct
+    * values| rows), then percentile with explicit frequencies over the
+    * tiny histogram. Same exact result, embarrassingly parallel.
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("freq"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25, freq)"), 6).as("p25"),
+        round(expr("percentile(l_quantity, 0.50, freq)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.75, freq)"), 6).as("p75"),
+        sum(col("freq")).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q_salted_agg: two-phase (salted) aggregation. events has only 5
+    * event types — a direct groupBy sends every row for a type to ONE
+    * reducer, the classic skew bottleneck. Salting the key over 16
+    * shards aggregates in parallel, then a second tiny agg over ≤
+    * 16×|types| partial rows merges shards. Result is identical to the
+    * direct groupBy (the oracle IS the direct formulation).
+    */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val partial = Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("user_id"), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("pcents"))
+    partial.groupBy("event_type")
+      .agg(sum(col("pn")).as("n_events"),
+        (sum(col("pcents")) / lit(100.0)).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** q_grouping_sets: explicit grouping sets — the two one-dimension
+    * marginals plus the grand total, without the full cube's 2^n sets.
+    * Goes through the SQL surface (same Spark 4.1 lineage-tag issue as
+    * q_cube — see Relational.qCube).
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_qgs_base")
+    spark.sql("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n,
+        SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0D AS total
+      FROM graft_qgs_base
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""")
+  }
+}

@@ -105,14 +105,32 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
 
+  /** t_bpe_tokens: BPE-style pre-tokenization counting — pieces are
+    * maximal letter runs, digit runs, or single punctuation marks
+    * (the split a byte-pair tokenizer's pre-tokenizer makes before
+    * merges). One map-side regexp_extract_all per doc; no shuffle but
+    * the final sort.
+    */
+  def tBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("pieces",
+        regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .select(col("doc_id"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        size(filter(col("pieces"), p => p.rlike("^[a-z]"))).cast("long").as("n_alpha"),
+        size(filter(col("pieces"), p => p.rlike("^[0-9]"))).cast("long").as("n_num"),
+        (aggregate(transform(col("pieces"), p => length(p)), lit(0), (a, x) => a + x)
+          / size(col("pieces"))).as("avg_piece_len"))
+      .orderBy("doc_id")
+
   /** t_fingerprint: winnowing-style fingerprint — the 4 smallest
     * distinct 5-gram hashes per document (long format).
     */
   def tFingerprint(spark: SparkSession, dir: String): DataFrame =
     // bottom-4 per doc computed inside one array expression (sort the
     // distinct hashes, slice 4) — no explode + window shuffle at all
-    Tables.documents(spark, dir)
-      .filter(length(col("text")) >= Dedup.ShingleK)
+    Dedup.spread(Tables.documents(spark, dir)
+      .filter(length(col("text")) >= Dedup.ShingleK))
       .select(col("doc_id"),
         posexplode(slice(
           array_sort(array_distinct(

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Source/sink format coverage: CSV, JSON, ORC round-trips.
+  *
+  * Each query writes a projection of a test table out in the format,
+  * reads it back, and aggregates the re-read data — the oracle runs
+  * the same aggregate against the original parquet, so a hash match
+  * proves the write+read path preserved values exactly (schema, nulls,
+  * floating-point text round-trip).
+  *
+  * Scale shape: writes are partitioned (one file per task, no driver
+  * funnel); reads are splittable scans. CSV re-reads use an explicit
+  * schema — inference is a second full pass at 100 TB.
+  */
+object Formats {
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_mktsegment", StringType),
+    StructField("c_acctbal", DoubleType)))
+
+  private def base(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+  /** Aggregate whose hash proves value fidelity through the format:
+    * exact cents sum + key extremes per segment.
+    */
+  private def fidelityAgg(df: DataFrame): DataFrame =
+    df.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")) / lit(100.0))
+          .as("sum_bal"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+      .orderBy("c_mktsegment")
+
+  private def tmpDir(fmt: String): String =
+    new java.io.File(s"target/roundtrip_$fmt").getAbsolutePath
+
+  def srcCsv(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("csv")
+    base(spark, dir).write.mode("overwrite").option("header", "true").csv(out)
+    fidelityAgg(spark.read.schema(customerSchema).option("header", "true").csv(out))
+  }
+
+  def srcJson(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("json")
+    base(spark, dir).write.mode("overwrite").json(out)
+    fidelityAgg(spark.read.schema(customerSchema).json(out))
+  }
+
+  def srcOrc(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("orc")
+    base(spark, dir).write.mode("overwrite").orc(out)
+    fidelityAgg(spark.read.orc(out))
+  }
+}

@@ -17,6 +17,19 @@ object ProfileQ {
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // print any stage that takes > 1s wall-clock, to localize bimodal
+    // slowdowns to a specific exchange/scan
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val secs = (for {s <- i.submissionTime; c <- i.completionTime}
+                    yield (c - s) / 1e3).getOrElse(-1.0)
+        if (secs > 1.0)
+          System.err.println(f"[stage ${i.stageId}%4d] $secs%6.1fs tasks=${i.numTasks} " +
+            i.rddInfos.map(r => r.name + "#" + r.id).mkString(" <- ").take(200))
+      }
+    })
     val names = if (args.nonEmpty) args.toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
