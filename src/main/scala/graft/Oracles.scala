@@ -663,6 +663,34 @@ object Oracles {
         (frame_idx * 1000) // 30 AS sample_ms
       FROM x ORDER BY doc_id, frame_idx""",
 
+    "t_tfidf" -> s"""
+      WITH $tokensCte,
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
+      dfx AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
+      nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+      s AS (SELECT doc_id, tf.tok, ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6)
+              AS tfidf
+            FROM tf JOIN dfx ON tf.tok = dfx.tok CROSS JOIN nn),
+      r AS (SELECT doc_id, tok, tfidf,
+              CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rnk
+            FROM s WHERE doc_id < 100)
+      SELECT doc_id, rnk, tok, tfidf FROM r WHERE rnk <= 3
+      ORDER BY doc_id, rnk""",
+
+    "v_mips" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      s AS (SELECT query_id, vec_id AS neighbor_id,
+              ROUND(list_dot_product(qv, v), 6) AS ip
+            FROM e CROSS JOIN q WHERE vec_id <> query_id),
+      r AS (SELECT query_id, neighbor_id, ip,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY ip DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM s)
+      SELECT query_id, rnk, neighbor_id, ip FROM r WHERE rnk <= 5
+      ORDER BY query_id, rnk""",
+
     "src_csv" -> formatsOracle,
     "src_json" -> formatsOracle,
     "src_orc" -> formatsOracle

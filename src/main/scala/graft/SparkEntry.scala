@@ -48,6 +48,7 @@ object SparkEntry {
     "v_centroid_label" -> (Knn.vCentroidLabel _),
     "v_range_search"  -> (Knn.vRangeSearch _),
     "v_knn_l2"        -> (Knn.vKnnL2 _),
+    "v_mips"          -> (Knn.vMips _),
     // C. dedup
     "d_exact"         -> (Dedup.dExact _),
     "d_minhash"       -> (Dedup.dMinhash _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "t_fingerprint"   -> (TextAnalysis.tFingerprint _),
     "t_ngrams"        -> (TextAnalysis.tNgrams _),
     "t_bpe_tokens"    -> (TextAnalysis.tBpeTokens _),
+    "t_tfidf"         -> (TextAnalysis.tTfidf _),
     // E. multimodal (stubs per SURVEY §2.E — no image libs in env)
     "m_bbox"          -> (ImagePipeline.mBbox _),
     "m_fake_embed"    -> (ImagePipeline.mFakeEmbed _),

@@ -109,6 +109,24 @@ object Knn {
       .limit(100)
   }
 
+  /** v_mips: exact top-5 by raw inner product — maximum-inner-product
+    * search, the unnormalized sibling of cosine k-NN (what IndexFlatIP
+    * computes when vectors are NOT pre-normalized). Same broadcast
+    * nested-loop + windowed top-k shape.
+    */
+  def vMips(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val ips = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(V.dot(col("qv"), col("v")), 6).as("ip"))
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id").asc)
+    ips.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
+      .select("query_id", "rnk", "neighbor_id", "ip")
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_range_search: all neighbors within a similarity radius
     * (faiss IndexFlatIP.range_search semantics) — same broadcast
     * nested-loop shape as exact k-NN, but threshold-filtered instead

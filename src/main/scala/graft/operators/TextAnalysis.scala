@@ -105,6 +105,29 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
 
+  /** t_tfidf: top-3 terms per document by tf·idf (idf = ln(N/df)).
+    * Scale shape: tf is a (doc, term) group-by; the df table is a
+    * |vocab|-sized aggregate joined back on term (at 100 TB that join
+    * shuffles on term — no driver-side vocab); top-3 via per-doc
+    * window. Output restricted to doc_id < 100 to keep the dump small.
+    */
+  def tTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val tf = docToks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = docToks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    // corpus size as a broadcast 1-row aggregate, not a driver .count()
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok").asc)
+    scored.filter(col("doc_id") < 100)
+      .withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "tok", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+
   /** t_bpe_tokens: BPE-style pre-tokenization counting — pieces are
     * maximal letter runs, digit runs, or single punctuation marks
     * (the split a byte-pair tokenizer's pre-tokenizer makes before

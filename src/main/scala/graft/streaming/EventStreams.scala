@@ -107,6 +107,21 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
   }
 
+  /** Streaming deduplication: first event per (user_id, event_type)
+    * key, with watermark-bounded state (dropDuplicatesWithinWatermark
+    * evicts keys once the watermark passes — bounded state at 100 TB,
+    * unlike a plain dropDuplicates whose state grows forever).
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+
   /** s_window_agg: batch twin of windowAggStream — identical window
     * semantics (epoch-aligned tumbling windows), oracle-checkable.
     */
