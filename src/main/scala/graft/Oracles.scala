@@ -691,6 +691,30 @@ object Oracles {
       SELECT query_id, rnk, neighbor_id, ip FROM r WHERE rnk <= 5
       ORDER BY query_id, rnk""",
 
+    "m_clahe_hist" -> """
+      WITH h AS (SELECT doc_id % 4 AS tile, doc_id % 256 AS intensity,
+                   COUNT(*) AS n
+                 FROM documents GROUP BY tile, intensity),
+      c AS (SELECT tile, intensity, n, LEAST(n, 5) AS clipped FROM h),
+      t AS (SELECT tile, intensity, n, clipped,
+              CAST(SUM(n - clipped) OVER (PARTITION BY tile) AS BIGINT) AS excess,
+              COUNT(*) OVER (PARTITION BY tile) AS n_bins
+            FROM c)
+      SELECT tile, intensity, n, clipped,
+        clipped + excess // n_bins AS equalized
+      FROM t ORDER BY tile, intensity""",
+
+    "s_sliding_agg" -> """
+      WITH cand AS (SELECT event_type,
+              unnest([time_bucket(INTERVAL '15 minutes', ts),
+                      time_bucket(INTERVAL '15 minutes', ts)
+                        - INTERVAL '15 minutes']) AS win_start
+            FROM events)
+      SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS win_start,
+        event_type, COUNT(*) AS n
+      FROM cand GROUP BY win_start, event_type
+      ORDER BY win_start, event_type""",
+
     "src_csv" -> formatsOracle,
     "src_json" -> formatsOracle,
     "src_orc" -> formatsOracle

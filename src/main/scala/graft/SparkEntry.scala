@@ -71,8 +71,10 @@ object SparkEntry {
     "m_fake_embed"    -> (ImagePipeline.mFakeEmbed _),
     "m_gamma_lut"     -> (ImagePipeline.mGammaLut _),
     "m_frame_sample"  -> (ImagePipeline.mFrameSample _),
+    "m_clahe_hist"    -> (ImagePipeline.mClaheHist _),
     // F. streaming (batch-equivalent of the streaming window agg)
     "s_window_agg"    -> (graft.streaming.EventStreams.sWindowAggBatch _),
+    "s_sliding_agg"   -> (graft.streaming.EventStreams.sSlidingAggBatch _),
     // G. source/sink formats (round-trip fidelity, oracle vs parquet)
     "src_csv"         -> (graft.sources.Formats.srcCsv _),
     "src_json"        -> (graft.sources.Formats.srcJson _),

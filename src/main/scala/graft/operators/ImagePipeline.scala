@@ -111,6 +111,31 @@ object ImagePipeline {
         (pow(col("intensity") / lit(255.0), lit(1.0) / lit(1.5)) * 255).cast("long"))
       .orderBy("intensity")
 
+  /** m_clahe_hist: the histogram core of the reference's alternative
+    * CLAHE preprocessing path (app.py:60-66 — clip-limited adaptive
+    * histogram equalization). Per tile: intensity histogram, counts
+    * clipped at the limit, clipped excess redistributed evenly across
+    * the tile's occupied bins (integer arithmetic end-to-end so the
+    * oracle matches bit-exactly). One shuffle for the histogram, one
+    * window for the per-tile totals.
+    */
+  def mClaheHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clipLimit = 5L
+    val hist = Tables.documents(spark, dir)
+      .select((col("doc_id") % 4).as("tile"), (col("doc_id") % 256).as("intensity"))
+      .groupBy("tile", "intensity")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("clipped", least(col("n"), lit(clipLimit)))
+    val byTile = Window.partitionBy("tile")
+    hist
+      .withColumn("excess", sum(col("n") - col("clipped")).over(byTile))
+      .withColumn("n_bins", count(lit(1)).over(byTile))
+      .select(col("tile"), col("intensity"), col("n"), col("clipped"),
+        expr("clipped + (excess div n_bins)").as("equalized"))
+      .orderBy("tile", "intensity")
+  }
+
   /** m_frame_sample: video frame-sampling plumbing — given per-asset
     * frame counts (deterministic fakes of probe metadata: a real
     * pipeline reads them from the container header), emit the sampled

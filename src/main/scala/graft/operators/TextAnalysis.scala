@@ -115,7 +115,10 @@ object TextAnalysis {
     val docToks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
     val tf = docToks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = docToks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    // df from tf, not from a second pass over the corpus: tf's rows are
+    // already distinct (doc, term), so count(*) per term == distinct
+    // docs per term — one less explode+shuffle
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     // corpus size as a broadcast 1-row aggregate, not a driver .count()
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "tok").crossJoin(broadcast(n))

@@ -122,6 +122,18 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  /** s_sliding_agg: 30-minute windows sliding every 15 — each event
+    * lands in exactly two windows. Same plan shape streaming or batch:
+    * the window expression expands rows map-side, then one partial agg.
+    */
+  def sSlidingAggBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+
   /** s_window_agg: batch twin of windowAggStream — identical window
     * semantics (epoch-aligned tumbling windows), oracle-checkable.
     */

@@ -25,9 +25,13 @@ object ProfileQ {
         val i = sc.stageInfo
         val secs = (for {s <- i.submissionTime; c <- i.completionTime}
                     yield (c - s) / 1e3).getOrElse(-1.0)
-        if (secs > 1.0)
+        if (secs > 1.0) {
           System.err.println(f"[stage ${i.stageId}%4d] $secs%6.1fs tasks=${i.numTasks} " +
             i.rddInfos.map(r => r.name + "#" + r.id).mkString(" <- ").take(200))
+          if (secs > 5.0)
+            System.err.println("  details: " +
+              i.details.linesIterator.filter(_.contains("graft")).take(4).mkString(" | "))
+        }
       }
     })
     val names = if (args.nonEmpty) args.toSeq
