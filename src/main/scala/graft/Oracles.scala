@@ -717,7 +717,12 @@ object Oracles {
 
     "src_csv" -> formatsOracle,
     "src_json" -> formatsOracle,
-    "src_orc" -> formatsOracle
+    "src_orc" -> formatsOracle,
+
+    "src_bucketed" -> s"""
+      SELECT COUNT(*) AS n,
+        ${msum("l_extendedprice*(1-l_discount)")} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
   )
 
   /** All three format round-trips share one oracle: the same fidelity

@@ -78,7 +78,8 @@ object SparkEntry {
     // G. source/sink formats (round-trip fidelity, oracle vs parquet)
     "src_csv"         -> (graft.sources.Formats.srcCsv _),
     "src_json"        -> (graft.sources.Formats.srcJson _),
-    "src_orc"         -> (graft.sources.Formats.srcOrc _)
+    "src_orc"         -> (graft.sources.Formats.srcOrc _),
+    "src_bucketed"    -> (graft.sources.Formats.srcBucketedJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -59,4 +59,38 @@ object Formats {
     base(spark, dir).write.mode("overwrite").orc(out)
     fidelityAgg(spark.read.orc(out))
   }
+
+  /** src_bucketed: co-located join via bucketing — both fact tables
+    * written bucketed+sorted on the join key, then joined through the
+    * catalog. The join reads bucket files pairwise: NO shuffle of
+    * either side at read time (asserted in Round2Spec). At 100 TB this
+    * is the difference between re-shuffling petabytes per join and a
+    * one-time layout cost at write time.
+    */
+  def srcBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // the in-memory catalog is per-session but the warehouse directory
+    // outlives it — clear both or the managed-table write refuses the
+    // orphan location
+    Seq("graft_orders_bkt", "graft_lineitem_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.isDirectory) {
+        loc.listFiles().foreach(_.delete())
+        loc.delete()
+      }
+    }
+    Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable("graft_orders_bkt")
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable("graft_lineitem_bkt")
+    spark.table("graft_lineitem_bkt")
+      .join(spark.table("graft_orders_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + lit(0.5))
+          .cast("long")) / lit(100.0)).as("revenue"))
+  }
 }

@@ -111,6 +111,19 @@ class Round2Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "dimension joins must broadcast")
   }
 
+  test("plan shape: bucketed join shuffles neither side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("src_bucketed")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed tables must join without re-shuffling")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("plan shape: as-of join has no join operator at all (union+window)") {
     val df = SparkEntry.queries("q_asof_join")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
