@@ -613,6 +613,30 @@ object Oracles {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY status, priority""",
 
+    "q_window_funcs" -> """
+      WITH daily AS (SELECT l_suppkey, strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+              SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS day_rev
+            FROM lineitem WHERE l_suppkey <= 3 GROUP BY 1, 2)
+      SELECT l_suppkey, ship_day, day_rev,
+        COALESCE(LAG(day_rev, 1) OVER w1, -1) AS prev_rev,
+        COALESCE(LEAD(day_rev, 1) OVER w1, -1) AS next_rev,
+        CAST(DENSE_RANK() OVER w2 AS BIGINT) AS rev_rank,
+        CAST(NTILE(4) OVER w2 AS BIGINT) AS quartile
+      FROM daily
+      WINDOW w1 AS (PARTITION BY l_suppkey ORDER BY ship_day),
+             w2 AS (PARTITION BY l_suppkey ORDER BY day_rev DESC, ship_day ASC)
+      ORDER BY l_suppkey, ship_day""",
+
+    "q_exists_subquery" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders o
+      WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_quantity > (SELECT AVG(l_quantity) FROM lineitem))
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
     "d_ngram_jacc" -> s"""
       WITH p3 AS (SELECT doc_id, text,
                     unnest(generate_series(1, length(text) - 2)) AS i

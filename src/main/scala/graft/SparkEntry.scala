@@ -37,6 +37,8 @@ object SparkEntry {
     "q_percentiles"   -> (OlapExtras.qPercentiles _),
     "q_salted_agg"    -> (OlapExtras.qSaltedAgg _),
     "q_grouping_sets" -> (OlapExtras.qGroupingSets _),
+    "q_window_funcs"  -> (OlapExtras.qWindowFuncs _),
+    "q_exists_subquery" -> (OlapExtras.qExistsSubquery _),
     // B. vector search
     "v_norm"          -> (Knn.vNorm _),
     "v_knn_exact"     -> (Knn.vKnnExact _),

@@ -137,6 +137,55 @@ object OlapExtras {
       .orderBy("event_type")
   }
 
+  /** q_window_funcs: the window-function breadth query — lag, lead,
+    * dense_rank, ntile and a group-fraction share in ONE window pass
+    * over each supplier's daily revenue (all five share the same
+    * partition+order, so Catalyst evaluates them in a single Window
+    * operator: one shuffle).
+    */
+  def qWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 3)
+      .groupBy(col("l_suppkey"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      .agg((sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        / lit(100.0)).as("day_rev"))
+    val w = Window.partitionBy("l_suppkey").orderBy("ship_day")
+    daily
+      .withColumn("prev_rev", lag(col("day_rev"), 1).over(w))
+      .withColumn("next_rev", lead(col("day_rev"), 1).over(w))
+      .withColumn("rev_rank",
+        dense_rank().over(Window.partitionBy("l_suppkey")
+          .orderBy(col("day_rev").desc, col("ship_day").asc)).cast("long"))
+      .withColumn("quartile",
+        ntile(4).over(Window.partitionBy("l_suppkey")
+          .orderBy(col("day_rev").desc, col("ship_day").asc)).cast("long"))
+      .select(col("l_suppkey"), col("ship_day"), col("day_rev"),
+        coalesce(col("prev_rev"), lit(-1.0)).as("prev_rev"),
+        coalesce(col("next_rev"), lit(-1.0)).as("next_rev"),
+        col("rev_rank"), col("quartile"))
+      .orderBy("l_suppkey", "ship_day")
+  }
+
+  /** q_exists_subquery: correlated EXISTS + scalar subquery through
+    * the SQL surface — exercises Catalyst's decorrelation (rewrites to
+    * a semi join + a broadcast scalar aggregate; never a per-row
+    * subquery execution).
+    */
+  def qExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_sub_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_sub_lineitem")
+    spark.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM graft_sub_orders o
+      WHERE EXISTS (
+          SELECT 1 FROM graft_sub_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_quantity > (SELECT AVG(l_quantity) FROM graft_sub_lineitem))
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
   /** q_grouping_sets: explicit grouping sets — the two one-dimension
     * marginals plus the grand total, without the full cube's 2^n sets.
     * Goes through the SQL surface (same Spark 4.1 lineage-tag issue as
