@@ -33,11 +33,14 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         (es: Seq[Expression]) => builder(es)))
     }
+    // whole-operator planner rule (CosineTopK → CosineTopKExec)
+    ext.injectPlannerStrategy(_ => graft.plans.CosineTopKStrategy)
+  }
 }

@@ -273,6 +273,12 @@ object Oracles {
       WITH $knnCte
       SELECT query_id, rnk, neighbor_id, sim FROM top5 ORDER BY query_id, rnk""",
 
+    // identical semantics through the custom CosineTopK operator — a
+    // hash match against the same SQL proves the whole-operator path
+    "v_knn_custom" -> s"""
+      WITH $knnCte
+      SELECT query_id, rnk, neighbor_id, sim FROM top5 ORDER BY query_id, rnk""",
+
     "v_knn_meta" -> s"""
       WITH $knnCte,
       m AS (SELECT e2.vec_id AS mid, e2.label, d.lang, d.source

@@ -109,6 +109,27 @@ object Knn {
       .limit(100)
   }
 
+  /** v_knn_custom: the same exact-cosine top-5 as v_knn_exact, planned
+    * through the engine's custom whole-operator path (CosineTopK
+    * logical node → CosineTopKStrategy → CosineTopKExec): per-partition
+    * bounded heaps, k×q map output, no pair materialization. Same
+    * oracle as v_knn_exact — hash equality IS the correctness proof.
+    */
+  def vKnnCustom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{GraftShim => Shim}
+    if (!spark.experimental.extraStrategies.contains(graft.plans.CosineTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.CosineTopKStrategy
+    val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    // the query set is tiny and user-supplied in the reference flow
+    // (an uploaded image's embedding) — driver-resident by contract
+    val qs = e.filter(col("vec_id") < NumQueries).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))).toSeq
+    Shim.ofRows(spark,
+        graft.plans.CosineTopK(qs, DefaultK, Shim.logicalPlan(e)))
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_mips: exact top-5 by raw inner product — maximum-inner-product
     * search, the unnormalized sibling of cosine k-NN (what IndexFlatIP
     * computes when vectors are NOT pre-normalized). Same broadcast

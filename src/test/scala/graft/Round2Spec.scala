@@ -111,6 +111,21 @@ class Round2Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "dimension joins must broadcast")
   }
 
+  test("custom CosineTopK operator returns exactly v_knn_exact's rows") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSeq
+    assert(rows("v_knn_custom") == rows("v_knn_exact"))
+  }
+
+  test("custom CosineTopK plans through CosineTopKExec, no join/window") {
+    val df = SparkEntry.queries("v_knn_custom")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("CosineTopK"))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "whole-operator path must not fall back to join+window")
+  }
+
   test("plan shape: bucketed join shuffles neither side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
