@@ -643,6 +643,30 @@ object Oracles {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 
+    "d_components" -> s"""
+      WITH RECURSIVE $bandPairsCte,
+      je AS (SELECT doc1, doc2,
+               SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) / 16.0 AS jacc_est
+             FROM pairs
+             JOIN mh m1 ON m1.doc_id = doc1
+             JOIN mh m2 ON m2.doc_id = doc2 AND m2.perm_id = m1.perm_id
+             GROUP BY doc1, doc2),
+      fb AS (SELECT doc_id AS doc1, doc_id + 1 AS doc2 FROM documents
+             WHERE doc_id % 10 = 0),
+      und AS (SELECT doc1, doc2 FROM je WHERE jacc_est >= 0.25
+              UNION SELECT doc1, doc2 FROM fb),
+      edges AS (SELECT doc1 AS a, doc2 AS b FROM und
+                UNION SELECT doc2, doc1 FROM und),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lbl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+              FROM reach GROUP BY a)
+      SELECT doc_id, component,
+        CAST(CASE WHEN doc_id = component THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      FROM lbl ORDER BY doc_id""",
+
     "d_ngram_jacc" -> s"""
       WITH p3 AS (SELECT doc_id, text,
                     unnest(generate_series(1, length(text) - 2)) AS i

@@ -61,6 +61,7 @@ object SparkEntry {
     "d_jaccard"       -> (Dedup.dJaccard _),
     "d_embed_near"    -> (Dedup.dEmbedNear _),
     "d_ngram_jacc"    -> (Dedup.dNgramJacc _),
+    "d_components"    -> (Dedup.dComponents _),
     // D. text analysis
     "t_tokens"        -> (TextAnalysis.tTokens _),
     "t_quality"       -> (TextAnalysis.tQuality _),

@@ -233,6 +233,59 @@ object Dedup {
       .orderBy("doc1", "doc2")
   }
 
+  /** d_components: connected components over the MinHash near-dup
+    * pair graph (jacc_est ≥ 0.25 edges + the deterministic fallback
+    * pairs) — the clustering step that turns pairwise near-dup hits
+    * into "keep one doc per cluster" decisions.
+    *
+    * Pregel-style min-label propagation: each superstep joins labels
+    * across edges and keeps the per-node min, with lineage truncated
+    * per step (localCheckpoint) so plans stay flat. The driver only
+    * coordinates supersteps and checks convergence (the MLlib/GraphX
+    * pattern); all data movement is edge-partitioned joins. Converges
+    * in O(component diameter) steps — near-dup clusters are shallow.
+    * Output label = min doc_id of the component (exact fixpoint).
+    */
+  def dComponents(spark: SparkSession, dir: String): DataFrame = {
+    val est = dMinhashPairs(spark, dir).filter(col("jacc_est") >= 0.25)
+      .select("doc1", "doc2")
+    val fallback = Tables.documents(spark, dir)
+      .select(col("doc_id").as("doc1"))
+      .filter(col("doc1") % 10 === 0)
+      .withColumn("doc2", col("doc1") + 1)
+    val undirected = est.union(fallback).distinct()
+    val edges = undirected
+      .union(undirected.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+      .select(col("doc1").as("a"), col("doc2").as("b"))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint(true)
+    // per-node labels only ever decrease, so the label sum is strictly
+    // monotone until the fixpoint — equality of sums IS convergence,
+    // and costs one agg instead of a join+filter+count per superstep
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < 50) {
+      val prop = edges.join(labels, edges("a") === labels("doc"))
+        .select(col("b").as("doc"), col("label"))
+      labels = labels.union(prop)
+        .groupBy("doc").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      iters += 1
+    }
+    labels
+      .select(col("doc").as("doc_id"), col("label").as("component"),
+        when(col("doc") === col("label"), 1L).otherwise(0L).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   /** d_embed_near: embedding near-dup candidates via deterministic
     * random-hyperplane LSH bands (exact integer sign sums → both
     * engines derive identical buckets), exact cosine on candidates,
