@@ -633,6 +633,17 @@ object Oracles {
              w2 AS (PARTITION BY l_suppkey ORDER BY day_rev DESC, ship_day ASC)
       ORDER BY l_suppkey, ship_day""",
 
+    "q_setops" -> """
+      SELECT
+        (SELECT COUNT(*) FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           INTERSECT
+           SELECT o_custkey FROM orders)) AS intersect_n,
+        (SELECT COUNT(*) FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           EXCEPT
+           SELECT o_custkey FROM orders)) AS except_n""",
+
     "q_exists_subquery" -> """
       SELECT o_orderpriority, COUNT(*) AS n_orders
       FROM orders o

@@ -39,6 +39,7 @@ object SparkEntry {
     "q_grouping_sets" -> (OlapExtras.qGroupingSets _),
     "q_window_funcs"  -> (OlapExtras.qWindowFuncs _),
     "q_exists_subquery" -> (OlapExtras.qExistsSubquery _),
+    "q_setops"        -> (OlapExtras.qSetops _),
     // B. vector search
     "v_norm"          -> (Knn.vNorm _),
     "v_knn_exact"     -> (Knn.vKnnExact _),

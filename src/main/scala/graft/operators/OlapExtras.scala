@@ -186,6 +186,21 @@ object OlapExtras {
       ORDER BY o_orderpriority""")
   }
 
+  /** q_setops: INTERSECT / EXCEPT over customer key sets (BUILDING
+    * customers vs customers with orders). Both compile to hash
+    * aggregate + shuffle join — no driver-side set logic.
+    */
+  def qSetops(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val withOrders = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    val both = building.intersect(withOrders)
+      .agg(count(lit(1)).as("intersect_n"))
+    val without = building.except(withOrders)
+      .agg(count(lit(1)).as("except_n"))
+    both.crossJoin(without)
+  }
+
   /** q_grouping_sets: explicit grouping sets — the two one-dimension
     * marginals plus the grand total, without the full cube's 2^n sets.
     * Goes through the SQL surface (same Spark 4.1 lineage-tag issue as

@@ -122,6 +122,46 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  /** foreachBatch sink: per micro-batch, append the updated per-type
+    * counts tagged with the batch id to a parquet target (idempotent
+    * append — re-running a batch rewrites the same rows; readers
+    * resolve the latest batch id per key). This is the
+    * exactly-once-without-a-table-format upsert pattern; with a real
+    * lakehouse table the foreachBatch body becomes a MERGE.
+    */
+  def runForeachBatchUpsert(spark: SparkSession, dir: String,
+                            target: String): StreamingQuery = {
+    val counts = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(target)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Reader-side resolution for the foreachBatch target: latest
+    * batch_id per key wins.
+    */
+  def resolveUpserts(spark: SparkSession, target: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("batch_id").desc)
+    spark.read.parquet(target)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("event_type", "n")
+  }
+
   /** s_sliding_agg: 30-minute windows sliding every 15 — each event
     * lands in exactly two windows. Same plan shape streaming or batch:
     * the window expression expands rows map-side, then one partial agg.

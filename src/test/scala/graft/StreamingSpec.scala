@@ -41,6 +41,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert target resolves to the batch counts") {
+    val target = new java.io.File("target/upsert_test").getAbsolutePath
+    val dir = new java.io.File(target)
+    if (dir.isDirectory) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    val q = EventStreams.runForeachBatchUpsert(spark, sf, target)
+    try {
+      val resolved = EventStreams.resolveUpserts(spark, target).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val batch = Tables.events(spark, sf).groupBy("event_type").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(resolved == batch)
+      assert(resolved.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization: streamed closed sessions == batch minus trailing open") {
     val q = EventStreams.sessionizeStream(spark, sf)
       .writeStream.outputMode("append").format("memory").queryName("sess_stream")
