@@ -633,6 +633,13 @@ object Oracles {
              w2 AS (PARTITION BY l_suppkey ORDER BY day_rev DESC, ship_day ASC)
       ORDER BY l_suppkey, ship_day""",
 
+    "q_json_extract" -> """
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
     "q_setops" -> """
       SELECT
         (SELECT COUNT(*) FROM (

@@ -40,6 +40,7 @@ object SparkEntry {
     "q_window_funcs"  -> (OlapExtras.qWindowFuncs _),
     "q_exists_subquery" -> (OlapExtras.qExistsSubquery _),
     "q_setops"        -> (OlapExtras.qSetops _),
+    "q_json_extract"  -> (OlapExtras.qJsonExtract _),
     // B. vector search
     "v_norm"          -> (Knn.vNorm _),
     "v_knn_exact"     -> (Knn.vKnnExact _),

@@ -186,6 +186,22 @@ object OlapExtras {
       ORDER BY o_orderpriority""")
   }
 
+  /** q_json_extract: semi-structured column handling — the events
+    * props JSON parsed in-flight (get_json_object, codegen'd) and
+    * aggregated. At 100 TB the parse is map-side and the only shuffle
+    * is the final small agg; a repeated-access production path would
+    * first materialize props into typed columns (from_json once).
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   /** q_setops: INTERSECT / EXCEPT over customer key sets (BUILDING
     * customers vs customers with orders). Both compile to hash
     * aggregate + shuffle join — no driver-side set logic.
