@@ -54,6 +54,7 @@ object SparkEntry {
     "v_knn_l2"        -> (Knn.vKnnL2 _),
     "v_mips"          -> (Knn.vMips _),
     "v_knn_custom"    -> (Knn.vKnnCustom _),
+    "v_pq"            -> (Knn.vPq _),
     // C. dedup
     "d_exact"         -> (Dedup.dExact _),
     "d_minhash"       -> (Dedup.dMinhash _),

@@ -111,6 +111,18 @@ class Round2Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "dimension joins must broadcast")
   }
 
+  test("v_pq: 5 ranked neighbors per query, recall overlap with exact L2") {
+    val pq = SparkEntry.queries("v_pq")(spark, sf).collect()
+    val byQ = pq.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach(g => assert(g.length == 5))
+    val exact = SparkEntry.queries("v_knn_l2")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hits = pq.count(r =>
+      exact.contains((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    assert(hits > 0, "PQ found no exact-L2-top-5 neighbor at all")
+  }
+
   test("custom CosineTopK operator returns exactly v_knn_exact's rows") {
     def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
