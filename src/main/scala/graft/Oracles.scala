@@ -787,6 +787,48 @@ object Oracles {
       FROM cand GROUP BY win_start, event_type
       ORDER BY win_start, event_type""",
 
+    "t_pipeline" -> {
+      val vals = graft.operators.TextAnalysis.stopwords.toSeq.sortBy(_._1)
+        .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
+      s"""
+      WITH $tokensCte,
+      st AS (SELECT * FROM (VALUES $vals) AS s(cand_lang, word)),
+      hits AS (SELECT doc_id, cand_lang, COUNT(*) AS hits
+               FROM tk JOIN st ON tok = word GROUP BY doc_id, cand_lang),
+      best AS (SELECT doc_id AS hd, cand_lang,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY hits DESC, cand_lang ASC) AS rn
+               FROM hits),
+      lp AS (SELECT d.doc_id, d.lang, COALESCE(b.cand_lang, 'und') AS pred_lang
+             FROM documents d
+             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.hd),
+      f AS (SELECT doc_id, text, length(text) AS n_chars_t,
+              list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                          t -> t <> '') AS toks
+            FROM documents),
+      g AS (SELECT doc_id, n_chars_t,
+              len(toks) AS n_toks,
+              n_chars_t - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+              len(list_filter(toks,
+                t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS stop_hits
+            FROM f),
+      q AS (SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+              ROUND(LEAST(n_chars_t, 500) / 500.0 * 0.4
+                + (stop_hits / n_toks) * 0.4
+                + (1.0 - punct / n_chars_t) * 0.2, 6) AS quality
+            FROM g),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+               GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+      SELECT l.lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+        SUM(CAST(FLOOR(quality * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_quality
+      FROM q
+      JOIN keep k ON q.doc_id = k.doc_id
+      JOIN lp l ON q.doc_id = l.doc_id
+      WHERE quality >= 0.5 AND pred_lang = lang
+      GROUP BY l.lang ORDER BY l.lang"""
+    },
+
     "src_csv" -> formatsOracle,
     "src_json" -> formatsOracle,
     "src_orc" -> formatsOracle,

@@ -73,6 +73,7 @@ object SparkEntry {
     "t_ngrams"        -> (TextAnalysis.tNgrams _),
     "t_bpe_tokens"    -> (TextAnalysis.tBpeTokens _),
     "t_tfidf"         -> (TextAnalysis.tTfidf _),
+    "t_pipeline"      -> (TextAnalysis.tPipeline _),
     // E. multimodal (stubs per SURVEY §2.E — no image libs in env)
     "m_bbox"          -> (ImagePipeline.mBbox _),
     "m_fake_embed"    -> (ImagePipeline.mFakeEmbed _),

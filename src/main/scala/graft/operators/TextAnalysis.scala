@@ -149,6 +149,29 @@ object TextAnalysis {
           / size(col("pieces"))).as("avg_piece_len"))
       .orderBy("doc_id")
 
+  /** t_pipeline: the end-to-end corpus-cleaning pipeline as ONE
+    * declarative query — exact-dedup keeper selection ∘ quality
+    * threshold ∘ language-ID agreement, reported per language. This is
+    * the composition a training-data run executes; expressing it as a
+    * single plan lets Catalyst share the documents scan and pipeline
+    * the filters instead of materializing intermediate corpora.
+    */
+  def tPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val keepers = Dedup.dExact(spark, dir).select(col("keep_doc_id").as("doc_id"))
+    val quality = tQuality(spark, dir).select(col("doc_id"), col("n_toks"), col("quality"))
+    val langs = tLangid(spark, dir).select(col("doc_id"), col("lang"), col("pred_lang"))
+    quality
+      .join(keepers, "doc_id") // drop exact-dup non-keepers
+      .join(langs, "doc_id")
+      .filter(col("quality") >= 0.5 && col("pred_lang") === col("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        (sum(floor(col("quality") * 1000000 + lit(0.5)).cast("long"))
+          / lit(1000000.0)).as("sum_quality"))
+      .orderBy("lang")
+  }
+
   /** t_fingerprint: winnowing-style fingerprint — the 4 smallest
     * distinct 5-gram hashes per document (long format).
     */
