@@ -53,6 +53,19 @@ object IndexStore {
   def writeMetadata(meta: DataFrame, path: String): Unit =
     meta.write.mode("overwrite").parquet(s"$path.meta")
 
+  /** Incremental maintenance: append new vectors into the existing
+    * banded layout. New rows land in their band0 partition directories
+    * (dynamic partition append), so probes keep pruning correctly with
+    * no rebuild — the faiss add() analog, minus any global structure
+    * to rewrite. Compaction of small files is a periodic rewrite of
+    * one partition at a time.
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String, dim: Int): Unit =
+    withBands(
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("nrm", V.norm2(col("v"))), dim)
+      .write.mode("append").partitionBy("band0").parquet(path)
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

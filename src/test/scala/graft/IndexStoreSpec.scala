@@ -43,4 +43,23 @@ class IndexStoreSpec extends SparkSpec {
     val plan = ann.queryExecution.executedPlan.toString
     assert(plan.contains("band0"), "band filter should reach the scan")
   }
+
+  test("incremental append: new vectors are searchable without a rebuild") {
+    import spark.implicits._
+    val path = s"$tmp/idx_inc"
+    val emb = Tables.embeddings(spark, sf)
+    IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
+    val before = IndexStore.read(spark, path).count()
+    // append a synthetic vector identical to vec_id 0 but with a new id
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val extra = Seq((100000L, v0)).toDF("vec_id", "embedding")
+    IndexStore.append(extra, "vec_id", "embedding", path, dim = 64)
+    val index = IndexStore.read(spark, path)
+    assert(index.count() == before + 1)
+    // the clone must surface as vec_id 0's top neighbor (cosine 1.0)
+    val q = emb.filter(col("vec_id") === 0)
+    val top = IndexStore.search(index, q, "vec_id", "embedding", 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 100000L)
+  }
 }
