@@ -258,8 +258,11 @@ object Dedup {
       .union(undirected.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
       .select(col("doc1").as("a"), col("doc2").as("b"))
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("doc")).distinct()
-      .withColumn("label", col("doc"))
+    // seed with the 1-hop minimum (min of self and direct neighbors)
+    // — equivalent to one free propagation superstep
+    var labels = edges.groupBy(col("a").as("doc"))
+      .agg(min(col("b")).as("nb"))
+      .select(col("doc"), least(col("doc"), col("nb")).as("label"))
       .localCheckpoint(true)
     // per-node labels only ever decrease, so the label sum is strictly
     // monotone until the fixpoint — equality of sums IS convergence,
