@@ -35,6 +35,7 @@ object SparkEntry {
     "q_range_join"    -> (OlapExtras.qRangeJoin _),
     "q_pivot"         -> (OlapExtras.qPivot _),
     "q_percentiles"   -> (OlapExtras.qPercentiles _),
+    "q_approx_quantiles" -> (OlapExtras.qApproxQuantiles _),
     "q_salted_agg"    -> (OlapExtras.qSaltedAgg _),
     "q_grouping_sets" -> (OlapExtras.qGroupingSets _),
     "q_window_funcs"  -> (OlapExtras.qWindowFuncs _),

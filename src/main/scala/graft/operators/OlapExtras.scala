@@ -118,6 +118,25 @@ object OlapExtras {
         sum(col("freq")).as("n"))
       .orderBy("l_returnflag")
 
+  /** q_approx_quantiles: t-digest-style approximate quartiles
+    * (approx_percentile) — the 100 TB path where the exact histogram
+    * is itself too wide (continuous values, billions of distincts).
+    * Mergeable sketch per partition, one tiny final merge. No SQL
+    * oracle (sketch internals are implementation-specific) — rows-only
+    * check; q_percentiles is the exact twin.
+    */
+  def qApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("quartiles"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("quartiles")(0).as("p25"), col("quartiles")(1).as("p50"),
+        col("quartiles")(2).as("p75"), col("n"))
+      .orderBy("l_returnflag")
+
   /** q_salted_agg: two-phase (salted) aggregation. events has only 5
     * event types — a direct groupBy sends every row for a type to ONE
     * reducer, the classic skew bottleneck. Salting the key over 16
