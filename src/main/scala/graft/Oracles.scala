@@ -610,6 +610,15 @@ object Oracles {
         ${msum("value")} AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "q_salted_join" -> """
+      WITH dim AS (SELECT DISTINCT event_type,
+                     CAST(length(event_type) AS BIGINT) AS weight
+                   FROM events)
+      SELECT e.event_type, COUNT(*) AS n,
+        CAST(SUM(weight) AS BIGINT) AS sum_weight
+      FROM events e JOIN dim d ON e.event_type = d.event_type
+      GROUP BY e.event_type ORDER BY e.event_type""",
+
     "q_grouping_sets" -> s"""
       SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -37,6 +37,7 @@ object SparkEntry {
     "q_percentiles"   -> (OlapExtras.qPercentiles _),
     "q_approx_quantiles" -> (OlapExtras.qApproxQuantiles _),
     "q_salted_agg"    -> (OlapExtras.qSaltedAgg _),
+    "q_salted_join"   -> (OlapExtras.qSaltedJoin _),
     "q_grouping_sets" -> (OlapExtras.qGroupingSets _),
     "q_window_funcs"  -> (OlapExtras.qWindowFuncs _),
     "q_exists_subquery" -> (OlapExtras.qExistsSubquery _),

@@ -236,6 +236,29 @@ object OlapExtras {
     both.crossJoin(without)
   }
 
+  /** q_salted_join: skew-safe join via key salting. The build side is
+    * replicated once per salt shard and the probe side picks a
+    * deterministic shard, so a hot join key's rows spread over 16
+    * reducers instead of one. Result is identical to the unsalted
+    * join (the oracle IS the unsalted formulation); AQE's skew-join
+    * split is the automatic variant, salting is the planned one.
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 16
+    // tiny dim: per-type weight derived from the type name, replicated
+    // per salt (at scale: the small-but-hot side of a skewed join)
+    val dim = Tables.events(spark, dir).select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")).cast("long"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val ev = Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+    ev.join(dim, Seq("event_type", "salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("weight")).as("sum_weight"))
+      .orderBy("event_type")
+  }
+
   /** q_grouping_sets: explicit grouping sets — the two one-dimension
     * marginals plus the grand total, without the full cube's 2^n sets.
     * Goes through the SQL surface (same Spark 4.1 lineage-tag issue as

@@ -122,6 +122,48 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * views from the preceding 30 minutes, both sides watermarked so
+    * the join state is bounded (views older than the watermark minus
+    * the interval are evicted). The batch twin below is what the spec
+    * asserts against.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    def side(t: String) = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter(col("event_type") === t)
+    val views = side("view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = side("purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(views,
+      expr("""v_user = p_user AND
+              view_ts >= p_ts - INTERVAL 30 MINUTES AND view_ts <= p_ts"""))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
+  }
+
+  /** Batch twin of streamStreamJoin (same predicate on the static table). */
+  def streamStreamJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    purchases.join(views,
+      expr("""v_user = p_user AND
+              view_ts >= p_ts - INTERVAL 30 MINUTES AND view_ts <= p_ts"""))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
+  }
+
   /** foreachBatch sink: per micro-batch, append the updated per-type
     * counts tagged with the batch id to a parquet target (idempotent
     * append — re-running a batch rewrites the same rows; readers

@@ -41,6 +41,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    val q = EventStreams.streamStreamJoin(spark, sf)
+      .writeStream.outputMode("append").format("memory").queryName("ssj_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = EventStreams.streamStreamJoinBatch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert target resolves to the batch counts") {
     val target = new java.io.File("target/upsert_test").getAbsolutePath
     val dir = new java.io.File(target)
