@@ -322,6 +322,39 @@ object Oracles {
       SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 3
       ORDER BY query_id, rnk""",
 
+    "v_recall" -> s"""
+      WITH $lshBandsCte,
+      q AS (SELECT b.vec_id AS query_id, b.band0 AS qb0, b.band1 AS qb1,
+              n.v AS qv, n.nrm AS qn
+            FROM bands b JOIN n ON n.vec_id = b.vec_id WHERE b.vec_id < 10),
+      cand AS (SELECT query_id, qv, qn, b.vec_id AS neighbor_id
+               FROM q JOIN bands b
+                 ON b.vec_id <> query_id AND (b.band0 = qb0 OR b.band1 = qb1)),
+      s AS (SELECT query_id, neighbor_id,
+              ROUND(list_dot_product(qv, y.v) / (qn * y.nrm), 6) AS sim
+            FROM cand JOIN n y ON y.vec_id = neighbor_id),
+      r AS (SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM s),
+      lsh3 AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 3),
+      ex_s AS (SELECT q2.query_id, n.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(q2.qv, n.v) / (q2.qn * n.nrm), 6) AS sim
+               FROM n CROSS JOIN (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                                  FROM n WHERE vec_id < 10) q2
+               WHERE n.vec_id <> q2.query_id),
+      ex_r AS (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM ex_s),
+      ex3 AS (SELECT query_id, neighbor_id FROM ex_r WHERE rnk <= 3)
+      SELECT e.query_id,
+        CAST(COUNT(l.neighbor_id) AS BIGINT) AS hits,
+        ROUND(COUNT(l.neighbor_id) / 3.0, 6) AS recall
+      FROM ex3 e LEFT JOIN lsh3 l
+        ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id ORDER BY e.query_id""",
+
     "v_range_search" -> s"""
       WITH $normsCte,
       q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10)

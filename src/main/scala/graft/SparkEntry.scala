@@ -57,6 +57,7 @@ object SparkEntry {
     "v_mips"          -> (Knn.vMips _),
     "v_knn_custom"    -> (Knn.vKnnCustom _),
     "v_pq"            -> (Knn.vPq _),
+    "v_recall"        -> (Knn.vRecall _),
     // C. dedup
     "d_exact"         -> (Dedup.dExact _),
     "d_minhash"       -> (Dedup.dMinhash _),

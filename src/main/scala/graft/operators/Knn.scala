@@ -236,6 +236,23 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_recall: index-quality evaluation as a query — recall@3 of the
+    * LSH index against exact cosine top-3 per query. The evaluation
+    * joins two small top-k outputs, so it costs two searches plus a
+    * k-row join — runnable continuously against a production index.
+    */
+  def vRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBase(spark, dir, 3).select(col("query_id"), col("neighbor_id"))
+    val lsh = vAnnLsh(spark, dir)
+      .select(col("query_id").as("lq"), col("neighbor_id").as("ln"))
+    exact.join(lsh,
+        col("query_id") === col("lq") && col("neighbor_id") === col("ln"), "left")
+      .groupBy("query_id")
+      .agg(count(col("ln")).as("hits"),
+        round(count(col("ln")) / lit(3.0), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   // ---- IVF (k-means coarse quantizer) ------------------------------
 
   val IvfClusters = 8
