@@ -268,7 +268,7 @@ object Dedup {
     // monotone until the fixpoint — equality of sums IS convergence,
     // and costs one agg instead of a join+filter+count per superstep
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).collect()(0).getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
     var prevSum = labelSum(labels)
     var iters = 0
     var converged = false
