@@ -703,6 +703,19 @@ object Oracles {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 
+    "d_sample_stratified" -> """
+      WITH sizes AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      t AS (SELECT MIN(n) AS target FROM sizes),
+      r AS (SELECT lang, n, LEAST(1.0, target / CAST(n AS DOUBLE)) AS rate
+            FROM sizes CROSS JOIN t),
+      s AS (SELECT d.doc_id, d.lang, r.n, r.rate,
+              CAST(('0x' || substr(md5('smp_' || d.doc_id), 1, 15)) AS BIGINT)
+                / 1152921504606846976.0 AS u
+            FROM documents d JOIN r ON d.lang = r.lang)
+      SELECT lang, CAST(MAX(n) AS BIGINT) AS n_stratum,
+        COUNT(*) FILTER (WHERE u < rate) AS n_sampled
+      FROM s GROUP BY lang ORDER BY lang""",
+
     "d_components" -> s"""
       WITH RECURSIVE $bandPairsCte,
       je AS (SELECT doc1, doc2,

@@ -68,6 +68,7 @@ object SparkEntry {
     "d_embed_near"    -> (Dedup.dEmbedNear _),
     "d_ngram_jacc"    -> (Dedup.dNgramJacc _),
     "d_components"    -> (Dedup.dComponents _),
+    "d_sample_stratified" -> (Dedup.dSampleStratified _),
     // D. text analysis
     "t_tokens"        -> (TextAnalysis.tTokens _),
     "t_quality"       -> (TextAnalysis.tQuality _),

@@ -233,6 +233,29 @@ object Dedup {
       .orderBy("doc1", "doc2")
   }
 
+  /** d_sample_stratified: deterministic balanced sampling — every
+    * stratum (language) downsampled to the smallest stratum's size in
+    * expectation, with membership decided by a hash of the key
+    * (md5-derived uniform in [0,1)), not an RNG. Hash sampling is the
+    * scale idiom: reproducible across runs and engines, no state, no
+    * shuffle beyond the tiny rate table broadcast.
+    */
+  def dSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val target = sizes.agg(min(col("n")).as("target"))
+    val rates = sizes.crossJoin(broadcast(target))
+      .withColumn("rate", least(lit(1.0), col("target") / col("n").cast("double")))
+    docs.join(broadcast(rates), "lang")
+      .withColumn("u",
+        H.md5Long(concat(lit("smp_"), col("doc_id").cast("string")), 15)
+          / lit(1152921504606846976.0)) // 2^60
+      .groupBy("lang")
+      .agg(max(col("n")).as("n_stratum"),
+        count(when(col("u") < col("rate"), 1)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
   /** d_components: connected components over the MinHash near-dup
     * pair graph (jacc_est ≥ 0.25 edges + the deterministic fallback
     * pairs) — the clustering step that turns pairwise near-dup hits
