@@ -322,6 +322,13 @@ object Oracles {
       SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 3
       ORDER BY query_id, rnk""",
 
+    "v_sql_surface" -> """
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+        ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dot
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 50
+      ORDER BY id1""",
+
     "v_recall" -> s"""
       WITH $lshBandsCte,
       q AS (SELECT b.vec_id AS query_id, b.band0 AS qb0, b.band1 AS qb1,

@@ -58,6 +58,7 @@ object SparkEntry {
     "v_knn_custom"    -> (Knn.vKnnCustom _),
     "v_pq"            -> (Knn.vPq _),
     "v_recall"        -> (Knn.vRecall _),
+    "v_sql_surface"   -> (Knn.vSqlSurface _),
     // C. dedup
     "d_exact"         -> (Dedup.dExact _),
     "d_minhash"       -> (Dedup.dMinhash _),

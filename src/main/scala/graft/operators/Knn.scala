@@ -236,6 +236,23 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_sql_surface: the engine's registered SQL functions driven
+    * through plain SQL end-to-end (GraftFunctions.register →
+    * graft_dot in a join), oracle-checked — the extension surface is
+    * part of the correctness gate, not just a spec.
+    */
+  def vSqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("graft_sql_emb")
+    spark.sql("""
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+        ROUND(graft_dot(CAST(a.embedding AS ARRAY<DOUBLE>),
+                        CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS dot
+      FROM graft_sql_emb a JOIN graft_sql_emb b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 50
+      ORDER BY id1""")
+  }
+
   /** v_recall: index-quality evaluation as a query — recall@3 of the
     * LSH index against exact cosine top-3 per query. The evaluation
     * joins two small top-k outputs, so it costs two searches plus a
