@@ -35,10 +35,13 @@ object Bench {
           System.err.println(s"[bench] $name failed ($pass): ${e.getMessage}")
         }
         val secs = (System.nanoTime() - t0) / 1e9
-        // operators cache shared subplans (signature tables, band keys);
-        // drop them so per-query timings stay order-independent and
-        // cached blocks don't accumulate memory pressure across queries
+        // operators materialize shared subplans (signature tables, band
+        // keys) via cache() or localCheckpoint(); release BOTH kinds of
+        // blocks deterministically so per-query timings stay
+        // order-independent and blocks don't accumulate memory pressure
+        // (clearCache alone leaves checkpointed RDD blocks to the GC)
         spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         name -> secs
       }
 

@@ -22,9 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators cache shared subplans; drop them between queries so
-      // cached blocks don't accumulate across the 40+ dumps
+      // operators materialize shared subplans (cache/localCheckpoint);
+      // release both kinds of blocks between queries so they don't
+      // accumulate across the 70+ dumps
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

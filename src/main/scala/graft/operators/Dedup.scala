@@ -50,6 +50,14 @@ object Dedup {
     * through an AQE-coalesced 1-task exchange — the expensive signature
     * projection then runs single-threaded. With lineage truncated,
     * downstream stages can only read the materialized blocks.
+    *
+    * Deployment scope: localCheckpoint blocks are unreplicated and
+    * lineage is gone, so on a multi-executor cluster an executor loss
+    * makes the query unrecoverable — correct for the single-JVM bench
+    * this repo runs in. On a real cluster swap in
+    * `df.persist(MEMORY_AND_DISK_2)` + an eager count, or a reliable
+    * `checkpoint()` to the cluster checkpoint dir (same call shape,
+    * recoverable blocks) — this method is the one switch point.
     */
   private def forceCached(df: DataFrame): DataFrame =
     df.localCheckpoint(true)

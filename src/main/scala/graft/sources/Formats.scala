@@ -39,23 +39,29 @@ object Formats {
         max(col("c_custkey")).as("max_key"))
       .orderBy("c_mktsegment")
 
-  private def tmpDir(fmt: String): String =
-    new java.io.File(s"target/roundtrip_$fmt").getAbsolutePath
+  /** Session-unique suffix so concurrent sessions sharing a working
+    * dir / warehouse never clobber each other's round-trip data.
+    */
+  private def runTag(spark: SparkSession): String =
+    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def tmpDir(spark: SparkSession, fmt: String): String =
+    new java.io.File(s"target/roundtrip_${fmt}_${runTag(spark)}").getAbsolutePath
 
   def srcCsv(spark: SparkSession, dir: String): DataFrame = {
-    val out = tmpDir("csv")
+    val out = tmpDir(spark, "csv")
     base(spark, dir).write.mode("overwrite").option("header", "true").csv(out)
     fidelityAgg(spark.read.schema(customerSchema).option("header", "true").csv(out))
   }
 
   def srcJson(spark: SparkSession, dir: String): DataFrame = {
-    val out = tmpDir("json")
+    val out = tmpDir(spark, "json")
     base(spark, dir).write.mode("overwrite").json(out)
     fidelityAgg(spark.read.schema(customerSchema).json(out))
   }
 
   def srcOrc(spark: SparkSession, dir: String): DataFrame = {
-    val out = tmpDir("orc")
+    val out = tmpDir(spark, "orc")
     base(spark, dir).write.mode("overwrite").orc(out)
     fidelityAgg(spark.read.orc(out))
   }
@@ -68,10 +74,13 @@ object Formats {
     * one-time layout cost at write time.
     */
   def srcBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = runTag(spark)
+    val ordersT = s"graft_orders_bkt_$tag"
+    val lineitemT = s"graft_lineitem_bkt_$tag"
     // the in-memory catalog is per-session but the warehouse directory
     // outlives it — clear both or the managed-table write refuses the
     // orphan location
-    Seq("graft_orders_bkt", "graft_lineitem_bkt").foreach { t =>
+    Seq(ordersT, lineitemT).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
@@ -82,12 +91,12 @@ object Formats {
     }
     Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .format("parquet").saveAsTable("graft_orders_bkt")
+      .format("parquet").saveAsTable(ordersT)
     Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .format("parquet").saveAsTable("graft_lineitem_bkt")
-    spark.table("graft_lineitem_bkt")
-      .join(spark.table("graft_orders_bkt"),
+      .format("parquet").saveAsTable(lineitemT)
+    spark.table(lineitemT)
+      .join(spark.table(ordersT),
         col("l_orderkey") === col("o_orderkey"))
       .agg(count(lit(1)).as("n"),
         (sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + lit(0.5))
