@@ -910,6 +910,199 @@ object Oracles {
         MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** Round-3 additions: filtered/grouped/multi-probe/scalar-quantized
+    * search, index introspection, histogram + correlation + CDC
+    * compaction, PII redaction + readability, blur stencil + audio
+    * energy.
+    */
+  val round3: Map[String, String] = Map(
+    "v_filtered_knn" -> s"""
+      WITH $normsCte,
+      q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+            FROM n WHERE vec_id < 10),
+      s AS (SELECT query_id, n.label, vec_id AS neighbor_id,
+              ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+            FROM n JOIN q ON vec_id <> query_id AND n.label = qlabel),
+      r AS (SELECT query_id, label, neighbor_id, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM s)
+      SELECT query_id, label, rnk, neighbor_id, sim FROM r WHERE rnk <= 3
+      ORDER BY query_id, rnk""",
+
+    "v_knn_per_label" -> s"""
+      WITH $normsCte,
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 3),
+      s AS (SELECT query_id, n.label, vec_id AS neighbor_id,
+              ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+            FROM n CROSS JOIN q WHERE vec_id <> query_id),
+      r AS (SELECT query_id, label, neighbor_id, sim,
+              ROW_NUMBER() OVER (PARTITION BY query_id, label
+                ORDER BY sim DESC, neighbor_id) AS rn
+            FROM s)
+      SELECT query_id, label, neighbor_id, sim FROM r WHERE rn = 1
+      ORDER BY query_id, label""",
+
+    "v_multiprobe" -> s"""
+      WITH $lshBandsCte,
+      flips AS (SELECT unnest([0, 1, 2, 4, 8]) AS f),
+      q AS (SELECT b.vec_id AS query_id, xor(CAST(b.band0 AS BIGINT), f) AS probe,
+              n.v AS qv, n.nrm AS qn
+            FROM bands b JOIN n ON n.vec_id = b.vec_id CROSS JOIN flips
+            WHERE b.vec_id < 10),
+      cand AS (SELECT query_id, qv, qn, b.vec_id AS neighbor_id
+               FROM q JOIN bands b
+                 ON b.vec_id <> query_id AND CAST(b.band0 AS BIGINT) = probe),
+      s AS (SELECT query_id, neighbor_id,
+              ROUND(list_dot_product(qv, y.v) / (qn * y.nrm), 6) AS sim
+            FROM cand JOIN n y ON y.vec_id = neighbor_id),
+      r AS (SELECT query_id, neighbor_id, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM s)
+      SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 3
+      ORDER BY query_id, rnk""",
+
+    "v_index_stats" -> s"""
+      WITH $lshBandsCte,
+      lf AS (SELECT 0 AS band_id, band0 AS band_val, n.label
+             FROM bands b JOIN n ON n.vec_id = b.vec_id
+             UNION ALL
+             SELECT 1 AS band_id, band1 AS band_val, n.label
+             FROM bands b JOIN n ON n.vec_id = b.vec_id)
+      SELECT CAST(band_id AS BIGINT) AS band_id, CAST(band_val AS BIGINT) AS band_val,
+        COUNT(*) AS n_vectors, CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+      FROM lf GROUP BY band_id, band_val
+      ORDER BY band_id, band_val""",
+
+    "v_scalar_quant" -> s"""
+      WITH $normsCte,
+      dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+      ex AS (SELECT vec_id, d, v[d] AS x FROM e CROSS JOIN dims),
+      st AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY d),
+      cd AS (SELECT vec_id, ex.d,
+               CASE WHEN mx = mn THEN 0
+                    ELSE CAST(ROUND(255.0 * (x - mn) / (mx - mn), 0) AS BIGINT)
+               END AS c
+             FROM ex JOIN st ON ex.d = st.d),
+      qc AS (SELECT vec_id AS query_id, d, c AS cq FROM cd WHERE vec_id < 10),
+      ips AS (SELECT query_id, cd.vec_id,
+                CAST(SUM(cq * c) AS BIGINT) AS qip
+              FROM cd JOIN qc ON cd.d = qc.d AND cd.vec_id <> qc.query_id
+              GROUP BY query_id, cd.vec_id),
+      r AS (SELECT query_id, vec_id, qip,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY qip DESC, vec_id) AS BIGINT) AS rnk
+            FROM ips)
+      SELECT query_id, rnk, vec_id AS neighbor_id, qip FROM r WHERE rnk <= 5
+      ORDER BY query_id, rnk""",
+
+    "q_histogram" -> """
+      WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                 FROM orders),
+      st AS (SELECT MIN(cents) AS mnc, MAX(cents) AS mxc FROM c),
+      b AS (SELECT ((cents - mnc) * 20) // (mxc - mnc + 1) AS bucket, cents, mnc, mxc
+            FROM c CROSS JOIN st)
+      SELECT bucket, MIN(mnc + (bucket * (mxc - mnc + 1)) // 20) / 100.0 AS bucket_lo,
+        COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) / 100.0 AS sum_total
+      FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "q_corr_stats" -> """
+      WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+             FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                     CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+                   FROM lineitem) t
+             GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price,
+        ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covar_pop
+      FROM s ORDER BY l_returnflag""",
+
+    "q_dedup_latest" -> """
+      SELECT user_id, event_type,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        event_id AS last_event_id,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) / 100.0 AS last_value
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events WHERE user_id < 100) t
+      WHERE rn = 1
+      ORDER BY user_id, event_type""",
+
+    "t_pii_redact" -> {
+      val ph = graft.operators.TextAnalysis.phoneRe
+      s"""
+      WITH lt AS (SELECT doc_id, lower(text) AS lt FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lt, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+'))
+          AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(lt, '$ph')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(regexp_replace(lt,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'),
+          '$ph', '<PHONE>', 'g')) AS red_hash
+      FROM lt ORDER BY doc_id"""
+    },
+
+    "t_readability" -> s"""
+      WITH c AS (SELECT doc_id,
+               GREATEST(1, len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 t -> t <> ''))) AS w,
+               GREATEST(1, len(regexp_extract_all(text, '[.!?]'))) AS s,
+               GREATEST(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS y
+             FROM documents)
+      SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
+        CAST(y AS BIGINT) AS n_vowel_groups,
+        ROUND(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) AS flesch
+      FROM c ORDER BY doc_id""",
+
+    "m_gauss_blur" -> """
+      WITH a AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+      ys AS (SELECT unnest(generate_series(0, 15)) AS y),
+      xs AS (SELECT unnest(generate_series(0, 15)) AS x),
+      px AS (SELECT doc_id, y, x,
+               CAST(('0x' || substr(md5('px_' || doc_id || '_' || y || '_' || x), 1, 2))
+                 AS BIGINT) AS px
+             FROM a CROSS JOIN ys CROSS JOIN xs),
+      offs AS (SELECT dy.d AS dy, dx.d AS dx,
+                 (CASE abs(dy.d) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END)
+                   * (CASE abs(dx.d) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END) AS wgt
+               FROM (SELECT unnest(generate_series(-2, 2)) AS d) dy
+               CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS d) dx),
+      conv AS (SELECT doc_id, y + dy AS yo, x + dx AS xo,
+                 CAST(SUM(wgt * px) AS BIGINT) AS b256
+               FROM px CROSS JOIN offs
+               WHERE y + dy BETWEEN 0 AND 15 AND x + dx BETWEEN 0 AND 15
+               GROUP BY doc_id, yo, xo)
+      SELECT doc_id, COUNT(*) AS n_px,
+        CAST(SUM(b256 // 256) AS BIGINT) AS sum_b,
+        MIN(b256 // 256) AS min_b, MAX(b256 // 256) AS max_b
+      FROM conv GROUP BY doc_id ORDER BY doc_id""",
+
+    "m_audio_energy" -> """
+      WITH fr AS (SELECT unnest(generate_series(0, 7)) AS frame),
+      ss AS (SELECT unnest(generate_series(0, 63)) AS i),
+      samp AS (SELECT doc_id, frame,
+                 CAST(('0x' || substr(md5('pcm_' || doc_id || '_' || (frame * 64 + i)), 1, 2))
+                   AS BIGINT) - 128 AS s
+               FROM documents CROSS JOIN fr CROSS JOIN ss
+               WHERE doc_id < 50)
+      SELECT doc_id, CAST(frame AS BIGINT) AS frame, COUNT(*) AS n_samples,
+        CAST(SUM(s * s) AS BIGINT) AS energy,
+        ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE) / 64.0), 6) AS rms
+      FROM samp GROUP BY doc_id, frame ORDER BY doc_id, frame"""
+  )
+
   def all: Map[String, String] =
-    relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming ++ round2
+    relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming ++ round2 ++ round3
 }

@@ -43,6 +43,9 @@ object SparkEntry {
     "q_exists_subquery" -> (OlapExtras.qExistsSubquery _),
     "q_setops"        -> (OlapExtras.qSetops _),
     "q_json_extract"  -> (OlapExtras.qJsonExtract _),
+    "q_histogram"     -> (OlapExtras.qHistogram _),
+    "q_corr_stats"    -> (OlapExtras.qCorrStats _),
+    "q_dedup_latest"  -> (OlapExtras.qDedupLatest _),
     // B. vector search
     "v_norm"          -> (Knn.vNorm _),
     "v_knn_exact"     -> (Knn.vKnnExact _),
@@ -59,6 +62,11 @@ object SparkEntry {
     "v_pq"            -> (Knn.vPq _),
     "v_recall"        -> (Knn.vRecall _),
     "v_sql_surface"   -> (Knn.vSqlSurface _),
+    "v_filtered_knn"  -> (Knn.vFilteredKnn _),
+    "v_knn_per_label" -> (Knn.vKnnPerLabel _),
+    "v_multiprobe"    -> (Knn.vMultiprobe _),
+    "v_index_stats"   -> (Knn.vIndexStats _),
+    "v_scalar_quant"  -> (Knn.vScalarQuant _),
     // C. dedup
     "d_exact"         -> (Dedup.dExact _),
     "d_minhash"       -> (Dedup.dMinhash _),
@@ -79,12 +87,16 @@ object SparkEntry {
     "t_bpe_tokens"    -> (TextAnalysis.tBpeTokens _),
     "t_tfidf"         -> (TextAnalysis.tTfidf _),
     "t_pipeline"      -> (TextAnalysis.tPipeline _),
+    "t_pii_redact"    -> (TextAnalysis.tPiiRedact _),
+    "t_readability"   -> (TextAnalysis.tReadability _),
     // E. multimodal (stubs per SURVEY §2.E — no image libs in env)
     "m_bbox"          -> (ImagePipeline.mBbox _),
     "m_fake_embed"    -> (ImagePipeline.mFakeEmbed _),
     "m_gamma_lut"     -> (ImagePipeline.mGammaLut _),
     "m_frame_sample"  -> (ImagePipeline.mFrameSample _),
     "m_clahe_hist"    -> (ImagePipeline.mClaheHist _),
+    "m_gauss_blur"    -> (ImagePipeline.mGaussBlur _),
+    "m_audio_energy"  -> (ImagePipeline.mAudioEnergy _),
     // F. streaming (batch-equivalent of the streaming window agg)
     "s_window_agg"    -> (graft.streaming.EventStreams.sWindowAggBatch _),
     "s_sliding_agg"   -> (graft.streaming.EventStreams.sSlidingAggBatch _),

@@ -155,6 +155,74 @@ object ImagePipeline {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** m_gauss_blur: the reference's Gaussian-blur preprocessing step
+    * (build_faiss_db.py:40-107 gamma+blur pipeline) as a distributed
+    * stencil: a 5×5 binomial kernel ([1,4,6,4,1]⊗[1,4,6,4,1]/256 — the
+    * standard integer Gaussian approximation, exact in int64)
+    * convolved over deterministic 16×16 fake images (md5-derived
+    * pixels; a real decoder lands here). The convolution is a
+    * broadcast join of the pixel table against the 25-row offset
+    * table + one group-by on output coordinates — the
+    * stencil-as-equi-join shape that partitions by image at any scale.
+    * Zero padding falls out of the inner join (out-of-range sources
+    * contribute nothing).
+    */
+  def mGaussBlur(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 16
+    val px = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(n - 1))).as("y"))
+      .select(col("doc_id"), col("y"), explode(sequence(lit(0), lit(n - 1))).as("x"))
+      .withColumn("px", H.md5Long(
+        concat(lit("px_"), col("doc_id").cast("string"), lit("_"),
+          col("y").cast("string"), lit("_"), col("x").cast("string")), 2))
+    val w1 = Map(0 -> 6L, 1 -> 4L, 2 -> 1L)
+    val offs = (for (dy <- -2 to 2; dx <- -2 to 2)
+      yield (dy, dx, w1(math.abs(dy)) * w1(math.abs(dx)))).toSeq
+      .toDF("dy", "dx", "wgt")
+    val conv = px.join(broadcast(offs))
+      .select(col("doc_id"), (col("y") + col("dy")).as("yo"),
+        (col("x") + col("dx")).as("xo"), (col("wgt") * col("px")).as("contrib"))
+      .filter(col("yo") >= 0 && col("yo") < n && col("xo") >= 0 && col("xo") < n)
+      .groupBy("doc_id", "yo", "xo")
+      .agg(sum(col("contrib")).as("b256"))
+    conv.select(col("doc_id"), expr("b256 div 256").as("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_px"), sum(col("b")).as("sum_b"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+      .orderBy("doc_id")
+  }
+
+  /** m_audio_energy: audio feature-extraction plumbing — framewise
+    * energy/RMS over deterministic fake PCM samples (md5-derived
+    * int8; a real decoder emits the same (asset, sample) long format
+    * from the binary payload). Energy is an exact integer sum of
+    * squares per frame; only the final RMS touches FP (rounded 6 dp
+    * both sides). Shape: sequence+explode then one group-by on
+    * (asset, frame) — partition-local when assets are the partition
+    * key.
+    */
+  def mAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val frames = 8
+    val spf = 64 // samples per frame
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(frames - 1))).as("frame"))
+      .select(col("doc_id"), col("frame"),
+        explode(sequence(lit(0), lit(spf - 1))).as("i"))
+      .withColumn("s", H.md5Long(
+        concat(lit("pcm_"), col("doc_id").cast("string"), lit("_"),
+          (col("frame") * spf + col("i")).cast("string")), 2) - 128)
+      .groupBy("doc_id", "frame")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("s") * col("s")).as("energy"))
+      .select(col("doc_id"), col("frame").cast("long").as("frame"),
+        col("n_samples"), col("energy"),
+        round(sqrt(col("energy") / lit(spf.toDouble)), 6).as("rms"))
+      .orderBy("doc_id", "frame")
+  }
+
   /** m_fake_embed: stub featurizer over the documents payload, long
     * format (doc_id, d, f) — the embedding column a real decoder would
     * produce, restricted to 10 docs × 8 dims for the correctness dump.

@@ -455,6 +455,125 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_filtered_knn: metadata-filtered search — top-3 neighbors drawn
+    * only from vectors sharing the query's label (the vector-DB
+    * "search with filter" op; the reference's per-class case lookup).
+    * The filter is part of the join condition, so it prunes BEFORE
+    * ranking — at scale the predicate pushes into the corpus scan and
+    * the top-k heap never sees out-of-filter rows.
+    */
+  def vFilteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val sims = e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 3)
+      .select("query_id", "label", "rnk", "neighbor_id", "sim")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_knn_per_label: grouped search — the single nearest neighbor per
+    * (query, label) partition, i.e. "best match within every class" in
+    * one pass. Same broadcast nested-loop; the window partitions by
+    * (query, label) so each group keeps a 1-row heap.
+    */
+  def vKnnPerLabel(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("query_id", "label")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("query_id", "label", "neighbor_id", "sim")
+      .orderBy("query_id", "label")
+  }
+
+  /** v_multiprobe: multi-probe LSH — each query probes its own band0
+    * bucket PLUS the 4 buckets at Hamming distance 1 (one bit flipped),
+    * recovering most of the recall a second hash table would buy
+    * without storing one. Probe expansion happens on the tiny query
+    * side (5 rows per query); the corpus side stays an equi-join on
+    * its single precomputed bucket key.
+    */
+  def vMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val e = withBands(
+      corpus(spark, dir).withColumn("vq", V.quantize(col("v"))), dim)
+      .select("vec_id", "v", "nrm", "band0")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(
+          col("band0") +: (0 until LshBandBits).map(r =>
+            col("band0").bitwiseXOR(lit(1 << r))): _*)).as("probe"))
+    val cands = e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("band0") === col("probe"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 3)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_index_stats: index introspection — occupancy histogram of the
+    * LSH hash tables (vectors and distinct labels per bucket). The
+    * operational query behind "is my index balanced or did one bucket
+    * swallow the corpus"; at 100 TB it is one group-by on the stored
+    * bucket keys, no vector math at all.
+    */
+  def vIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val e = withBands(
+      corpus(spark, dir).withColumn("vq", V.quantize(col("v"))), dim)
+      .select("vec_id", "label", "band0", "band1")
+    val long = e.select(lit(0L).as("band_id"), col("band0").cast("long").as("band_val"),
+        col("label"))
+      .union(e.select(lit(1L).as("band_id"), col("band1").cast("long").as("band_val"),
+        col("label")))
+    long.groupBy("band_id", "band_val")
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("label")).as("n_labels"))
+      .orderBy("band_id", "band_val")
+  }
+
+  /** v_scalar_quant: SQ8 scalar quantization — per-dimension min/max
+    * over the corpus maps each component to an 8-bit code; search runs
+    * on integer codes (exact inner product of quantized vectors), the
+    * memory-scale sibling of PQ (4 bytes/dim → 1). The stats pass is
+    * one tiny aggregate broadcast back; codes and the search join are
+    * integer-exact, so the whole path (including ranking) is
+    * oracle-hash-checkable — no FP ambiguity anywhere.
+    */
+  def vScalarQuant(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = corpus(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+    val stats = exploded.groupBy("d")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val codes = exploded.join(broadcast(stats), "d")
+      .select(col("vec_id"), col("d"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(round(lit(255.0) * (col("x") - col("mn")) / (col("mx") - col("mn")), 0)
+            .cast("long")).as("c"))
+    val qc = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("d").as("qd"), col("c").as("cq"))
+    val ips = codes.join(broadcast(qc),
+        col("d") === col("qd") && col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("cq") * col("c")).as("qip"))
+    val w = Window.partitionBy("query_id").orderBy(col("qip").desc, col("vec_id").asc)
+    ips.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("qip"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_centroid_label: per-label centroid statistics via exact integer
     * sums of quantized components (order-independent → oracle-safe).
     */

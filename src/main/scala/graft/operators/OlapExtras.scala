@@ -277,4 +277,79 @@ object OlapExtras {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY status, priority""")
   }
+
+  /** q_histogram: equal-width histogram of order totals — global
+    * min/max from a 1-row broadcast aggregate, then bucket assignment
+    * as pure integer arithmetic over exact cents (no FP bucket-edge
+    * ambiguity between engines). The two-pass shape (tiny stats pass,
+    * then map-side bucketing + one small group-by) is the 100 TB
+    * histogram idiom; the stats cross-join never shuffles the fact
+    * table.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = 20
+    val c = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val stats = c.agg(min(col("cents")).as("mnc"), max(col("cents")).as("mxc"))
+    c.crossJoin(broadcast(stats))
+      .withColumn("bucket", expr(s"((cents - mnc) * $buckets) div (mxc - mnc + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("cents")) / 100.0).as("sum_total"),
+        (min(expr(s"mnc + (bucket * (mxc - mnc + 1)) div $buckets")) / 100.0).as("bucket_lo"))
+      .select(col("bucket"), col("bucket_lo"), col("n_orders"), col("sum_total"))
+      .orderBy("bucket")
+  }
+
+  /** q_corr_stats: Pearson correlation + population covariance of
+    * quantity vs (floored) price per return flag — computed from the
+    * five exact integer sufficient-statistic sums (Σx, Σy, Σxy, Σx²,
+    * Σy²), then combined in double at the end. Spark's built-in
+    * corr() streams FP partial sums whose order differs run to run;
+    * the integer-sums formulation is order-independent, one-pass,
+    * map-side-combinable — and therefore oracle-hash-stable.
+    */
+  def qCorrStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice")).cast("long").as("y"))
+    val sums = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    sums.select(col("l_returnflag"), col("n"),
+        round((d("n") * d("sxy") - d("sx") * d("sy"))
+          / sqrt((d("n") * d("sxx") - d("sx") * d("sx"))
+            * (d("n") * d("syy") - d("sy") * d("sy"))), 6).as("corr_qty_price"),
+        round((d("n") * d("sxy") - d("sx") * d("sy")) / (d("n") * d("n")), 6)
+          .as("covar_pop"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q_dedup_latest: CDC compaction — the latest record per
+    * (user, event_type) key, ties broken by event_id. The
+    * `row_number ≤ 1` filter compiles to WindowGroupLimit, so each
+    * partition keeps one row per key before the shuffle — the
+    * latest-wins resolve that turns an append log into current state
+    * (the batch twin of the foreachBatch upsert sink).
+    */
+  def qDedupLatest(spark: SparkSession, dir: String): DataFrame = {
+    // order on explicit micros: Spark's ts is already µs-truncated but
+    // DuckDB reads the raw nanos timestamp — epoch_us on both sides
+    // pins the tie-break granularity to the same unit
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(unix_micros(col("ts")).desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 100)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("event_id").as("last_event_id"),
+        (floor(col("value") * 100 + 0.5).cast("long") / 100.0).as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
 }

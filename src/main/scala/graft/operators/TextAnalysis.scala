@@ -172,6 +172,50 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Email / phone-shaped patterns shared by t_pii_redact and its
+    * oracle. Both RE2 (DuckDB) and java.util.regex (Spark) give these
+    * identical semantics (no backrefs/lookaround).
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val phoneRe = "[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+  /** t_pii_redact: PII scrubbing — the pre-training compliance pass.
+    * Counts email/phone-shaped matches and emits the md5 of the
+    * redacted text (the full redacted corpus would be the real output;
+    * hashing keeps the dump small while still proving byte-identical
+    * redaction). One map-side projection, no shuffle but the sort.
+    */
+  def tPiiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("lt", lower(col("text")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("lt"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("lt"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("lt"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("red_hash"))
+      .orderBy("doc_id")
+
+  /** t_readability: Flesch-style reading-ease score from word /
+    * sentence / vowel-group counts (the vowel-group count is the
+    * standard syllable proxy). All three counts are regexp extractions
+    * in one projection; the score arithmetic is written identically in
+    * the oracle so the doubles match.
+    */
+  def tReadability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("w", greatest(lit(1), size(toks(col("text")))))
+      .withColumn("s", greatest(lit(1),
+        size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))))
+      .withColumn("y", greatest(lit(1),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))))
+      .select(col("doc_id"),
+        col("w").cast("long").as("n_words"),
+        col("s").cast("long").as("n_sentences"),
+        col("y").cast("long").as("n_vowel_groups"),
+        round(lit(206.835) - lit(1.015) * (col("w") / col("s"))
+          - lit(84.6) * (col("y") / col("w")), 4).as("flesch"))
+      .orderBy("doc_id")
+
   /** t_fingerprint: winnowing-style fingerprint — the 4 smallest
     * distinct 5-gram hashes per document (long format).
     */

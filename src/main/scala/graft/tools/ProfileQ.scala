@@ -42,6 +42,7 @@ object ProfileQ {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name%-20s " + times.map(t => f"$t%6.2f").mkString(" "))
