@@ -979,22 +979,24 @@ object Oracles {
       WITH $normsCte,
       dims AS (SELECT unnest(generate_series(1, 64)) AS d),
       ex AS (SELECT vec_id, d, v[d] AS x FROM e CROSS JOIN dims),
-      st AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY d),
-      cd AS (SELECT vec_id, ex.d,
+      st AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx,
+               CAST(ROUND(1000000.0 * (MAX(x) - MIN(x)) / 255.0, 0) AS BIGINT) AS span
+             FROM ex GROUP BY d),
+      cd AS (SELECT vec_id, ex.d, span,
                CASE WHEN mx = mn THEN 0
                     ELSE CAST(ROUND(255.0 * (x - mn) / (mx - mn), 0) AS BIGINT)
                END AS c
              FROM ex JOIN st ON ex.d = st.d),
       qc AS (SELECT vec_id AS query_id, d, c AS cq FROM cd WHERE vec_id < 10),
-      ips AS (SELECT query_id, cd.vec_id,
-                CAST(SUM(cq * c) AS BIGINT) AS qip
-              FROM cd JOIN qc ON cd.d = qc.d AND cd.vec_id <> qc.query_id
-              GROUP BY query_id, cd.vec_id),
-      r AS (SELECT query_id, vec_id, qip,
+      ds AS (SELECT query_id, cd.vec_id,
+               CAST(SUM((cq - c) * span * (cq - c) * span) AS BIGINT) AS qdist
+             FROM cd JOIN qc ON cd.d = qc.d AND cd.vec_id <> qc.query_id
+             GROUP BY query_id, cd.vec_id),
+      r AS (SELECT query_id, vec_id, qdist,
               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY qip DESC, vec_id) AS BIGINT) AS rnk
-            FROM ips)
-      SELECT query_id, rnk, vec_id AS neighbor_id, qip FROM r WHERE rnk <= 5
+                ORDER BY qdist ASC, vec_id) AS BIGINT) AS rnk
+            FROM ds)
+      SELECT query_id, rnk, vec_id AS neighbor_id, qdist FROM r WHERE rnk <= 5
       ORDER BY query_id, rnk""",
 
     "q_histogram" -> """

@@ -545,32 +545,40 @@ object Knn {
   }
 
   /** v_scalar_quant: SQ8 scalar quantization — per-dimension min/max
-    * over the corpus maps each component to an 8-bit code; search runs
-    * on integer codes (exact inner product of quantized vectors), the
-    * memory-scale sibling of PQ (4 bytes/dim → 1). The stats pass is
-    * one tiny aggregate broadcast back; codes and the search join are
-    * integer-exact, so the whole path (including ranking) is
-    * oracle-hash-checkable — no FP ambiguity anywhere.
+    * over the corpus maps each component to an 8-bit code (the
+    * memory-scale path: 4 bytes/dim → 1, faiss ScalarQuantizer
+    * semantics); search ranks by quantized L2, where the per-dim
+    * decoded difference (c₁−c₂)·(mx−mn)/255 cancels the min shift, so
+    * code-space distance faithfully approximates original L2. The
+    * span scale is fixed-point (×10⁶) so distances are exact int64
+    * sums — the whole path (stats, codes, ranking) is
+    * oracle-hash-checkable with no FP ambiguity. The stats pass is a
+    * 64-row aggregate broadcast back; codes join queries on the dim
+    * key.
     */
   def vScalarQuant(spark: SparkSession, dir: String): DataFrame = {
     val exploded = corpus(spark, dir)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
     val stats = exploded.groupBy("d")
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .select(col("d"), col("mn"), col("mx"),
+        round(lit(1000000.0) * (col("mx") - col("mn")) / lit(255.0), 0)
+          .cast("long").as("span"))
     val codes = exploded.join(broadcast(stats), "d")
-      .select(col("vec_id"), col("d"),
+      .select(col("vec_id"), col("d"), col("span"),
         when(col("mx") === col("mn"), lit(0L))
           .otherwise(round(lit(255.0) * (col("x") - col("mn")) / (col("mx") - col("mn")), 0)
             .cast("long")).as("c"))
     val qc = codes.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("d").as("qd"), col("c").as("cq"))
-    val ips = codes.join(broadcast(qc),
+    val dists = codes.join(broadcast(qc),
         col("d") === col("qd") && col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
-      .agg(sum(col("cq") * col("c")).as("qip"))
-    val w = Window.partitionBy("query_id").orderBy(col("qip").desc, col("vec_id").asc)
-    ips.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
-      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("qip"))
+      .agg(sum((col("cq") - col("c")) * col("span") * (col("cq") - col("c")) * col("span"))
+        .as("qdist"))
+    val w = Window.partitionBy("query_id").orderBy(col("qdist").asc, col("vec_id").asc)
+    dists.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("qdist"))
       .orderBy("query_id", "rnk")
   }
 

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants + plan-shape assertions for the round-3 operators
+  * (filtered/grouped/multi-probe/scalar-quantized search, index
+  * stats, histogram, correlation, CDC compaction, PII redaction,
+  * readability, blur stencil, audio energy).
+  */
+class Round3Spec extends SparkSpec {
+
+  test("v_filtered_knn: every neighbor shares the query's label") {
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = SparkEntry.queries("v_filtered_knn")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label") == labels(r.getAs[Long]("query_id")),
+        "filter must restrict candidates to the query's own label")
+      assert(labels(r.getAs[Long]("neighbor_id")) == r.getAs[Int]("label"))
+    }
+  }
+
+  test("v_filtered_knn is a subset-ranking of the unfiltered search space") {
+    // the top-1 filtered sim can never exceed the top-1 unfiltered sim
+    val unf = SparkEntry.queries("v_knn_exact")(spark, sf).collect()
+      .filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("sim")).toMap
+    SparkEntry.queries("v_filtered_knn")(spark, sf).collect()
+      .filter(_.getAs[Long]("rnk") == 1L)
+      .foreach(r => assert(r.getAs[Double]("sim") <= unf(r.getAs[Long]("query_id"))))
+  }
+
+  test("v_knn_per_label: one row per (query, present label)") {
+    val nLabels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    val rows = SparkEntry.queries("v_knn_per_label")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 3)
+    byQ.values.foreach { g =>
+      assert(g.length <= nLabels)
+      assert(g.map(_.getAs[Int]("label")).distinct.length == g.length)
+    }
+  }
+
+  test("v_multiprobe candidates contain the exact band0 bucket matches") {
+    // probing {band0} ∪ Hamming-1 flips is a superset of the band0-only
+    // candidate set, so multiprobe's top-1 is ≥ any band0-only match
+    val rows = SparkEntry.queries("v_multiprobe")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { g =>
+      val rnks = g.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(rnks == (1L to rnks.length.toLong), "ranks must be dense from 1")
+    }
+  }
+
+  test("v_index_stats: bucket occupancies sum to 2×corpus, band_val in range") {
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = SparkEntry.queries("v_index_stats")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == 2 * n,
+      "each vector appears in exactly one bucket per band")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("band_val") >= 0 && r.getAs[Long]("band_val") < 16)
+      assert(r.getAs[Long]("n_labels") <= r.getAs[Long]("n_vectors"))
+    }
+  }
+
+  test("v_scalar_quant: 5 dense-ranked rows per query, high recall vs exact L2") {
+    val sq = SparkEntry.queries("v_scalar_quant")(spark, sf).collect()
+    val byQ = sq.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach(g => assert(g.length == 5))
+    // quantized L2 approximates exact L2 to 8-bit precision — recall
+    // should be near-perfect, unlike a lossier PQ codebook
+    val exact = SparkEntry.queries("v_knn_l2")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hits = sq.count(r =>
+      exact.contains((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    assert(hits >= 40, s"SQ8 recall collapsed: $hits/50 overlap with exact L2 top-5")
+  }
+
+  test("q_histogram: buckets within range, counts cover all orders") {
+    val total = Tables.orders(spark, sf).count()
+    val rows = SparkEntry.queries("q_histogram")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == total)
+    rows.foreach(r => assert(r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") < 20))
+    val los = rows.sortBy(_.getAs[Long]("bucket")).map(_.getAs[Double]("bucket_lo")).toSeq
+    assert(los == los.sorted, "bucket_lo must increase with bucket id")
+  }
+
+  test("q_corr_stats: correlations in [-1,1], one row per flag") {
+    val rows = SparkEntry.queries("q_corr_stats")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr_qty_price")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("q_dedup_latest: keys unique, timestamps are the per-key max") {
+    val rows = SparkEntry.queries("q_dedup_latest")(spark, sf).collect()
+    val keys = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    assert(keys.distinct.length == keys.length, "compaction must emit one row per key")
+    val maxTs = Tables.events(spark, sf).filter(col("user_id") < 100)
+      .groupBy("user_id", "event_type")
+      .agg(date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("m")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) -> r.getAs[String]("m"))
+      .toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))
+      assert(r.getAs[String]("last_ts") == maxTs(k))
+    }
+  }
+
+  test("t_pii_redact: redaction is idempotent on the hash") {
+    val rows = SparkEntry.queries("t_pii_redact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // a doc with zero matches must hash to md5(lower(text)) unchanged
+    val zero = rows.filter(r =>
+      r.getAs[Long]("n_emails") == 0 && r.getAs[Long]("n_phones") == 0)
+    assert(zero.nonEmpty)
+    val orig = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(lower(col("text"))).as("h")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("h")).toMap
+    zero.foreach(r =>
+      assert(r.getAs[String]("red_hash") == orig(r.getAs[Long]("doc_id"))))
+  }
+
+  test("t_readability: counts positive, score formula reproduced") {
+    SparkEntry.queries("t_readability")(spark, sf).collect().foreach { r =>
+      val (w, s, y) = (r.getAs[Long]("n_words").toDouble,
+        r.getAs[Long]("n_sentences").toDouble, r.getAs[Long]("n_vowel_groups").toDouble)
+      assert(w >= 1 && s >= 1 && y >= 1)
+      val expected = BigDecimal(206.835 - 1.015 * (w / s) - 84.6 * (y / w))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("flesch") - expected) < 1e-9)
+    }
+  }
+
+  test("m_gauss_blur: full coverage, blur bounded by the pixel range") {
+    val rows = SparkEntry.queries("m_gauss_blur")(spark, sf).collect()
+    assert(rows.length == math.min(40, Tables.documents(spark, sf).count()))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_px") == 256, "every output pixel must be produced")
+      assert(r.getAs[Long]("min_b") >= 0 && r.getAs[Long]("max_b") <= 255,
+        "normalized binomial kernel cannot leave [0,255]")
+    }
+  }
+
+  test("m_audio_energy: 8 frames × 64 samples, RMS consistent with energy") {
+    val rows = SparkEntry.queries("m_audio_energy")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach(g => assert(g.length == 8))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_samples") == 64)
+      val e = r.getAs[Long]("energy").toDouble
+      assert(math.abs(r.getAs[Double]("rms") - BigDecimal(math.sqrt(e / 64.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("plan shape: v_filtered_knn broadcasts the query side") {
+    val df = SparkEntry.queries("v_filtered_knn")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "query side must broadcast — corpus never shuffles for exact search")
+  }
+
+  test("plan shape: q_histogram never shuffles orders for the stats pass") {
+    val df = SparkEntry.queries("q_histogram")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "min/max stats must attach via a 1-row broadcast, not a shuffle join")
+  }
+
+  test("plan shape: v_multiprobe probes via equi-join on the bucket key") {
+    val df = SparkEntry.queries("v_multiprobe")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe set must hash-join the corpus bucket key (no theta join)")
+  }
+}
