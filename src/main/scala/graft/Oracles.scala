@@ -999,6 +999,73 @@ object Oracles {
       SELECT query_id, rnk, vec_id AS neighbor_id, qdist FROM r WHERE rnk <= 5
       ORDER BY query_id, rnk""",
 
+    "v_rrf_fusion" -> s"""
+      WITH $normsCte,
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+      s AS (SELECT query_id, vec_id AS cand,
+              ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+            FROM n CROSS JOIN q WHERE vec_id <> query_id),
+      vr AS (SELECT query_id AS vq, cand AS vc, rv FROM (
+               SELECT query_id, cand, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, cand) AS rv
+               FROM s) t WHERE rv <= 10),
+      sh0 AS (SELECT d.doc_id, d.text FROM documents d
+              JOIN embeddings em ON em.vec_id = d.doc_id
+              WHERE length(d.text) >= 5),
+      p AS (SELECT doc_id, text, unnest(generate_series(1, length(text)-4)) AS i
+            FROM sh0),
+      shd AS (SELECT DISTINCT doc_id,
+                CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 15)) AS BIGINT)
+                  % ${H.P31} AS h
+              FROM p),
+      qsh AS (SELECT doc_id AS query_id, h FROM shd WHERE doc_id < 5),
+      ov AS (SELECT query_id, s2.doc_id, COUNT(*) AS overlap
+             FROM shd s2 JOIN qsh ON s2.h = qsh.h AND s2.doc_id <> qsh.query_id
+             GROUP BY query_id, s2.doc_id),
+      tr AS (SELECT query_id AS tq, doc_id AS tc, rt FROM (
+               SELECT query_id, doc_id, overlap,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY overlap DESC, doc_id) AS rt
+               FROM ov) t WHERE rt <= 10),
+      fused AS (SELECT COALESCE(vq, tq) AS query_id, COALESCE(vc, tc) AS cand,
+                  ROUND(COALESCE(1.0 / (60 + rv), 0) + COALESCE(1.0 / (60 + rt), 0), 6)
+                    AS rrf
+                FROM vr FULL OUTER JOIN tr ON vq = tq AND vc = tc),
+      r AS (SELECT query_id, cand, rrf,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rrf DESC, cand) AS BIGINT) AS rnk
+            FROM fused)
+      SELECT query_id, rnk, cand AS doc_id, rrf FROM r WHERE rnk <= 5
+      ORDER BY query_id, rnk""",
+
+    "d_cdc_chunks" -> s"""
+      WITH c AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5),
+      h AS (SELECT doc_id, text,
+              list_transform(generate_series(1, length(text) - 4),
+                i -> CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 15)) AS BIGINT)
+                  % ${H.P31}) AS hs
+            FROM c),
+      b AS (SELECT doc_id, text, hs,
+              list_filter(list_transform(generate_series(1, len(hs)),
+                i -> CASE WHEN hs[i] % 64 = 0 THEN i END), x -> x IS NOT NULL) AS bpos
+            FROM h),
+      st AS (SELECT doc_id, text, hs,
+               list_prepend(1, list_transform(bpos, x -> x + 1)) AS starts,
+               list_append(bpos, len(hs)) AS ends
+             FROM b),
+      ch AS (SELECT doc_id, text,
+               list_filter(list_transform(generate_series(1, len(starts)),
+                 i -> CASE WHEN ends[i] >= starts[i]
+                      THEN md5(substr(text, starts[i], ends[i] - starts[i] + 5)) END),
+                 x -> x IS NOT NULL) AS chunks
+             FROM st)
+      SELECT doc_id, CAST(len(chunks) AS BIGINT) AS n_chunks,
+        CAST(len(list_distinct(chunks)) AS BIGINT) AS n_uniq_chunks,
+        chunks[1] AS head_chunk,
+        length(text) / len(chunks) AS avg_chunk_len
+      FROM ch ORDER BY doc_id""",
+
     "q_histogram" -> """
       WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                  FROM orders),

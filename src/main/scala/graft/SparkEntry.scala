@@ -67,6 +67,7 @@ object SparkEntry {
     "v_multiprobe"    -> (Knn.vMultiprobe _),
     "v_index_stats"   -> (Knn.vIndexStats _),
     "v_scalar_quant"  -> (Knn.vScalarQuant _),
+    "v_rrf_fusion"    -> (Knn.vRrfFusion _),
     // C. dedup
     "d_exact"         -> (Dedup.dExact _),
     "d_minhash"       -> (Dedup.dMinhash _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "d_ngram_jacc"    -> (Dedup.dNgramJacc _),
     "d_components"    -> (Dedup.dComponents _),
     "d_sample_stratified" -> (Dedup.dSampleStratified _),
+    "d_cdc_chunks"    -> (Dedup.dCdcChunks _),
     // D. text analysis
     "t_tokens"        -> (TextAnalysis.tTokens _),
     "t_quality"       -> (TextAnalysis.tQuality _),

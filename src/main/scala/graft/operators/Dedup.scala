@@ -334,6 +334,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d_cdc_chunks: content-defined chunking — the chunk-level dedup
+    * primitive for long documents (near-identical docs share most
+    * chunk hashes even when edits shift byte offsets, which fixed-size
+    * blocks can't survive). Boundaries fall where the 5-gram rolling
+    * hash ≡ 0 mod 64 (expected chunk ≈ 64 chars, content-determined),
+    * chunks are md5'd between boundaries. The whole derivation —
+    * hashes, boundary positions, chunk extraction — is ONE map-side
+    * projection of higher-order array expressions; no shuffle but the
+    * final sort, and the chunk-hash column is what a corpus-level
+    * chunk-dedup group-by consumes at 100 TB.
+    */
+  def dCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val k = ShingleK
+    val mod = 64
+    spread(Tables.documents(spark, dir).filter(length(col("text")) >= k))
+      .select(col("doc_id"), col("text"),
+        graft.expressions.TextHashExprs.shingleHashes(col("text"), k).as("hs"))
+      .withColumn("bpos", filter(
+        zip_with(col("hs"), sequence(lit(1), size(col("hs"))),
+          (h, i) => when(h % mod === 0, i)),
+        x => x.isNotNull))
+      .withColumn("starts", concat(array(lit(1)), transform(col("bpos"), b => b + 1)))
+      .withColumn("ends", concat(col("bpos"), array(size(col("hs")))))
+      .withColumn("chunks", filter(
+        zip_with(col("starts"), col("ends"),
+          (s, e) => when(e >= s, md5(col("text").substr(s, e - s + lit(k))))),
+        c => c.isNotNull))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        size(array_distinct(col("chunks"))).cast("long").as("n_uniq_chunks"),
+        element_at(col("chunks"), 1).as("head_chunk"),
+        (length(col("text")) / size(col("chunks"))).as("avg_chunk_len"))
+      .orderBy("doc_id")
+  }
+
   /** d_embed_near: embedding near-dup candidates via deterministic
     * random-hyperplane LSH bands (exact integer sign sums → both
     * engines derive identical buckets), exact cosine on candidates,

@@ -582,6 +582,63 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_rrf_fusion: hybrid search — reciprocal-rank fusion of the
+    * vector ranking (exact cosine) with a lexical ranking (shared
+    * distinct 5-gram shingles with the query's document), the
+    * vector-DB "hybrid search" op. Each ranking keeps its own top-10;
+    * fusion scores 1/(60+rank) summed over the rankings a candidate
+    * appears in (k=60, the standard RRF constant).
+    *
+    * Scale shape: the lexical side is an inverted-index join — query
+    * shingles (tiny, broadcast) joined to the corpus's exploded
+    * shingles on the hash, counted per (query, doc) — never a
+    * text-to-text pair scan; the vector side is the usual broadcast
+    * top-k; the fusion join touches 10+10 rows per query.
+    */
+  def vRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val nq = 5
+    val fuseK = 10
+    // vector ranking: exact cosine top-10 for queries vec_id < 5
+    val e = corpus(spark, dir)
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val wv = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand").asc)
+    val vr = sims.withColumn("rv", row_number().over(wv)).filter(col("rv") <= fuseK)
+      .select(col("query_id").as("vq"), col("cand").as("vc"), col("rv"))
+    // lexical ranking: distinct-shingle overlap with the query doc's
+    // text, via the inverted-index join (corpus shingles exploded,
+    // query shingles broadcast)
+    val sh = Tables.documents(spark, dir)
+      .join(Tables.embeddings(spark, dir).select(col("vec_id")),
+        col("doc_id") === col("vec_id"))
+      .filter(length(col("text")) >= Dedup.ShingleK)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.expressions.TextHashExprs.shingleHashes(col("text"), Dedup.ShingleK)))
+          .as("h"))
+    val qsh = sh.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("query_id"), col("h").as("qh"))
+    val ov = sh.join(broadcast(qsh),
+        col("h") === col("qh") && col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("overlap"))
+    val wt = Window.partitionBy("query_id").orderBy(col("overlap").desc, col("doc_id").asc)
+    val tr = ov.withColumn("rt", row_number().over(wt)).filter(col("rt") <= fuseK)
+      .select(col("query_id").as("tq"), col("doc_id").as("tc"), col("rt"))
+    // fuse: a candidate scores from every ranking it appears in
+    val fused = vr.join(tr, col("vq") === col("tq") && col("vc") === col("tc"), "full_outer")
+      .select(coalesce(col("vq"), col("tq")).as("query_id"),
+        coalesce(col("vc"), col("tc")).as("cand"),
+        round(coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)), 6).as("rrf"))
+    val wf = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("cand").asc)
+    fused.withColumn("rnk", row_number().over(wf).cast("long")).filter(col("rnk") <= DefaultK)
+      .select(col("query_id"), col("rnk"), col("cand").as("doc_id"), col("rrf"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_centroid_label: per-label centroid statistics via exact integer
     * sums of quantized components (order-independent → oracle-safe).
     */

@@ -160,6 +160,39 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("v_rrf_fusion: 5 per query; fused scores bounded by 2/61") {
+    val rows = SparkEntry.queries("v_rrf_fusion")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 5)
+    byQ.values.foreach { g =>
+      assert(g.length == 5)
+      g.foreach { r =>
+        val s = r.getAs[Double]("rrf")
+        assert(s > 0.0 && s <= 2.0 / 61.0 + 1e-9,
+          "RRF of two rankings with k=60 is at most 1/61 + 1/61")
+      }
+    }
+  }
+
+  test("d_cdc_chunks: chunk counts well-formed, boundaries content-stable") {
+    val rows = SparkEntry.queries("d_cdc_chunks")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") >= 1)
+      assert(r.getAs[Long]("n_uniq_chunks") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[String]("head_chunk") != null)
+    }
+    // content-defined property: identical texts yield identical chunk
+    // stats (the md5 head chunk pins the actual boundary bytes)
+    val byText = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("th")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("th")).toMap
+    rows.groupBy(r => byText(r.getAs[Long]("doc_id"))).values.foreach { g =>
+      assert(g.map(_.getAs[String]("head_chunk")).distinct.length == 1)
+      assert(g.map(_.getAs[Long]("n_chunks")).distinct.length == 1)
+    }
+  }
+
   test("plan shape: v_filtered_knn broadcasts the query side") {
     val df = SparkEntry.queries("v_filtered_knn")(spark, sf)
     df.collect()
