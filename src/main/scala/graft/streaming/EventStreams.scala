@@ -193,6 +193,33 @@ object EventStreams {
     q
   }
 
+  /** Incremental ingest: Trigger.AvailableNow against a durable
+    * checkpoint — each run processes exactly the files that arrived
+    * since the previous run, then stops. This is the batch-cadence
+    * incremental pipeline ("process tonight's new files") that
+    * replaces full recomputes at 100 TB: the file source records
+    * processed files in the checkpoint log, so a run costs only the
+    * delta no matter how large the landing zone has grown.
+    */
+  def runIncremental(spark: SparkSession, srcDir: String, checkpoint: String,
+                     target: String): StreamingQuery = {
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        batch.write.mode("append").parquet(target)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Reader-side resolution for the foreachBatch target: latest
     * batch_id per key wins.
     */

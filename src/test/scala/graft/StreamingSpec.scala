@@ -71,6 +71,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental ingest: AvailableNow runs process exactly the new files") {
+    val base = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val (src, ckpt, tgt) = (s"$base/src", s"$base/ckpt", s"$base/tgt")
+    // raw read keeps ts as a nanos long (nanosAsLong), matching eventsSchema
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val wave1 = raw.filter(col("event_id") % 2 === 0)
+    wave1.write.mode("overwrite").parquet(src)
+    EventStreams.runIncremental(spark, src, ckpt, tgt)
+    assert(spark.read.parquet(tgt).count() == wave1.count())
+    // a second wave of files lands in the same directory
+    raw.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    EventStreams.runIncremental(spark, src, ckpt, tgt)
+    val ingested = spark.read.parquet(tgt)
+    assert(ingested.count() == raw.count(),
+      "second run must pick up exactly the delta — nothing skipped")
+    assert(ingested.select("event_id").distinct().count() == raw.count(),
+      "no file may be reprocessed (checkpointed file log)")
+  }
+
   test("stateful sessionization: streamed closed sessions == batch minus trailing open") {
     val q = EventStreams.sessionizeStream(spark, sf)
       .writeStream.outputMode("append").format("memory").queryName("sess_stream")
