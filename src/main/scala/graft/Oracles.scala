@@ -1066,6 +1066,37 @@ object Oracles {
         length(text) / len(chunks) AS avg_chunk_len
       FROM ch ORDER BY doc_id""",
 
+    "d_chunk_dedup" -> s"""
+      WITH c AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5),
+      h AS (SELECT doc_id, text,
+              list_transform(generate_series(1, length(text) - 4),
+                i -> CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 15)) AS BIGINT)
+                  % ${H.P31}) AS hs
+            FROM c),
+      b AS (SELECT doc_id, text, hs,
+              list_filter(list_transform(generate_series(1, len(hs)),
+                i -> CASE WHEN hs[i] % 64 = 0 THEN i END), x -> x IS NOT NULL) AS bpos
+            FROM h),
+      st AS (SELECT doc_id, text, hs,
+               list_prepend(1, list_transform(bpos, x -> x + 1)) AS starts,
+               list_append(bpos, len(hs)) AS ends
+             FROM b),
+      ch AS (SELECT doc_id, text,
+               list_filter(list_transform(generate_series(1, len(starts)),
+                 i -> CASE WHEN ends[i] >= starts[i]
+                      THEN md5(substr(text, starts[i], ends[i] - starts[i] + 5)) END),
+                 x -> x IS NOT NULL) AS chunks
+             FROM st),
+      ex AS (SELECT unnest(chunks) AS chunk FROM ch),
+      bc AS (SELECT chunk, COUNT(*) AS copies FROM ex GROUP BY chunk)
+      SELECT CAST(SUM(copies) AS BIGINT) AS total_chunks,
+        COUNT(*) AS uniq_chunks,
+        CAST(COUNT(*) FILTER (WHERE copies > 1) AS BIGINT) AS shared_chunks,
+        MAX(copies) AS max_copies,
+        ROUND(100.0 * CAST(CAST(SUM(copies) AS BIGINT) - COUNT(*) AS DOUBLE)
+          / CAST(CAST(SUM(copies) AS BIGINT) AS DOUBLE), 4) AS savings_pct
+      FROM bc""",
+
     "q_histogram" -> """
       WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                  FROM orders),
@@ -1134,6 +1165,19 @@ object Oracles {
         CAST(y AS BIGINT) AS n_vowel_groups,
         ROUND(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) AS flesch
       FROM c ORDER BY doc_id""",
+
+    "t_entropy" -> """
+      WITH u AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+                 FROM documents),
+      cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM u GROUP BY doc_id, ch),
+      ag AS (SELECT doc_id, list(c ORDER BY ch) AS cs,
+               CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_distinct
+             FROM cc GROUP BY doc_id)
+      SELECT doc_id, n AS n_chars, n_distinct,
+        ROUND(-list_reduce(
+          list_transform(cs, c -> (c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))),
+          (a, b) -> a + b), 6) AS entropy
+      FROM ag ORDER BY doc_id""",
 
     "m_gauss_blur" -> """
       WITH a AS (SELECT doc_id FROM documents WHERE doc_id < 40),

@@ -80,6 +80,7 @@ object SparkEntry {
     "d_components"    -> (Dedup.dComponents _),
     "d_sample_stratified" -> (Dedup.dSampleStratified _),
     "d_cdc_chunks"    -> (Dedup.dCdcChunks _),
+    "d_chunk_dedup"   -> (Dedup.dChunkDedup _),
     // D. text analysis
     "t_tokens"        -> (TextAnalysis.tTokens _),
     "t_quality"       -> (TextAnalysis.tQuality _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "t_pipeline"      -> (TextAnalysis.tPipeline _),
     "t_pii_redact"    -> (TextAnalysis.tPiiRedact _),
     "t_readability"   -> (TextAnalysis.tReadability _),
+    "t_entropy"       -> (TextAnalysis.tEntropy _),
     // E. multimodal (stubs per SURVEY §2.E — no image libs in env)
     "m_bbox"          -> (ImagePipeline.mBbox _),
     "m_fake_embed"    -> (ImagePipeline.mFakeEmbed _),

@@ -345,7 +345,11 @@ object Dedup {
     * final sort, and the chunk-hash column is what a corpus-level
     * chunk-dedup group-by consumes at 100 TB.
     */
-  def dCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, text, chunks: array<md5>) — the CDC chunk derivation
+    * shared by d_cdc_chunks (per-doc stats) and d_chunk_dedup
+    * (corpus-level dedup summary).
+    */
+  private def cdcChunkArrays(spark: SparkSession, dir: String): DataFrame = {
     val k = ShingleK
     val mod = 64
     spread(Tables.documents(spark, dir).filter(length(col("text")) >= k))
@@ -361,12 +365,37 @@ object Dedup {
         zip_with(col("starts"), col("ends"),
           (s, e) => when(e >= s, md5(col("text").substr(s, e - s + lit(k))))),
         c => c.isNotNull))
+  }
+
+  def dCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    cdcChunkArrays(spark, dir)
       .select(col("doc_id"),
         size(col("chunks")).cast("long").as("n_chunks"),
         size(array_distinct(col("chunks"))).cast("long").as("n_uniq_chunks"),
         element_at(col("chunks"), 1).as("head_chunk"),
         (length(col("text")) / size(col("chunks"))).as("avg_chunk_len"))
       .orderBy("doc_id")
+  }
+
+  /** d_chunk_dedup: corpus-level chunk dedup — explode every doc's CDC
+    * chunk hashes, group by hash, report how much of the corpus is
+    * redundant at chunk granularity (what a chunk-store would actually
+    * save). One explode + one group-by on the hash (shuffle on chunk
+    * hash = the blocking key), then a 1-row summary.
+    */
+  def dChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val byChunk = cdcChunkArrays(spark, dir)
+      .select(explode(col("chunks")).as("chunk"))
+      .groupBy("chunk").agg(count(lit(1)).as("copies"))
+    byChunk.agg(
+        sum(col("copies")).as("total_chunks"),
+        count(lit(1)).as("uniq_chunks"),
+        count(when(col("copies") > 1, 1)).as("shared_chunks"),
+        max(col("copies")).as("max_copies"))
+      .select(col("total_chunks"), col("uniq_chunks"), col("shared_chunks"),
+        col("max_copies"),
+        round(lit(100.0) * (col("total_chunks") - col("uniq_chunks"))
+          / col("total_chunks"), 4).as("savings_pct"))
   }
 
   /** d_embed_near: embedding near-dup candidates via deterministic

@@ -216,6 +216,31 @@ object TextAnalysis {
           - lit(84.6) * (col("y") / col("w")), 4).as("flesch"))
       .orderBy("doc_id")
 
+  /** t_entropy: character-level Shannon entropy (nats) — the
+    * gibberish/boilerplate detector in quality filtering (low entropy
+    * = repeated padding, high = random noise). FP determinism: the
+    * per-char counts are sorted by character and folded left-to-right
+    * from 0.0, which is bit-identical to DuckDB's list_reduce over
+    * the same sorted list (0.0 + x ≡ x), so the oracle hash-matches
+    * despite the transcendental ln.
+    */
+  def tEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("ch"), col("c")))),
+          s => s.getField("c")).as("cs"),
+        sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
+        round(-aggregate(
+          transform(col("cs"), c => (c / col("n")) * log(c / col("n"))),
+          lit(0.0), (acc, t) => acc + t), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** t_fingerprint: winnowing-style fingerprint — the 4 smallest
     * distinct 5-gram hashes per document (long format).
     */

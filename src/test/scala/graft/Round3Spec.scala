@@ -193,6 +193,28 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("d_chunk_dedup: totals consistent with per-doc chunk stats") {
+    val summary = SparkEntry.queries("d_chunk_dedup")(spark, sf).collect().head
+    val perDoc = SparkEntry.queries("d_cdc_chunks")(spark, sf).collect()
+    assert(summary.getAs[Long]("total_chunks") == perDoc.map(_.getAs[Long]("n_chunks")).sum)
+    assert(summary.getAs[Long]("uniq_chunks") <= summary.getAs[Long]("total_chunks"))
+    assert(summary.getAs[Long]("shared_chunks") <= summary.getAs[Long]("uniq_chunks"))
+    val s = summary.getAs[Double]("savings_pct")
+    assert(s >= 0.0 && s < 100.0)
+  }
+
+  test("t_entropy: bounded by log of alphabet size, constant text = 0") {
+    val rows = SparkEntry.queries("t_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("entropy")
+      val maxE = math.log(r.getAs[Long]("n_distinct").toDouble)
+      assert(e >= -1e-9 && e <= maxE + 1e-9,
+        s"entropy $e outside [0, ln(n_distinct)=$maxE]")
+      if (r.getAs[Long]("n_distinct") == 1) assert(math.abs(e) < 1e-9)
+    }
+  }
+
   test("plan shape: v_filtered_knn broadcasts the query side") {
     val df = SparkEntry.queries("v_filtered_knn")(spark, sf)
     df.collect()
