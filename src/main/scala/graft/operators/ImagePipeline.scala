@@ -223,6 +223,63 @@ object ImagePipeline {
       .orderBy("doc_id", "frame")
   }
 
+  /** Fixed-point DCT-II basis: C(u,y) = round(cos(π·(2y+1)·u/32)·10⁴)
+    * for a 16-point transform. Computed once driver-side and inlined
+    * as literals into BOTH the Spark plan and the SQL oracle, so no
+    * engine ever evaluates cos() — the whole pHash derivation below is
+    * exact integer arithmetic.
+    */
+  val dctBasis: Seq[(Int, Int, Long)] =
+    for (u <- 0 until 16; y <- 0 until 16)
+      yield (u, y, math.round(math.cos(math.Pi * (2 * y + 1) * u / 32.0) * 10000))
+
+  /** m_phash: perceptual image hash — the image near-dup fingerprint
+    * (pHash): 2-D DCT of the 16×16 image, keep the low-frequency 8×8
+    * block minus DC, hash = which coefficients exceed the median. Two
+    * deterministic fakes stand in for decode (md5 pixels); everything
+    * downstream is the real algorithm. The DCT is SEPARABLE and each
+    * 1-D pass is a stencil-as-equi-join against the broadcast basis
+    * table + a group-by — rows × 16 fan-out per pass, never rows²;
+    * partitioned by image id at any scale. The median is an exact
+    * order statistic (rank-32 of 63) via one tiny window.
+    */
+  def mPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val n = 16
+    val px = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(n - 1))).as("y"))
+      .select(col("doc_id"), col("y"), explode(sequence(lit(0), lit(n - 1))).as("x"))
+      .withColumn("px", H.md5Long(
+        concat(lit("px_"), col("doc_id").cast("string"), lit("_"),
+          col("y").cast("string"), lit("_"), col("x").cast("string")), 2))
+    val basis = dctBasis.toDF("bu", "by", "cw")
+    // pass 1: T(u, x) = Σ_y C(u,y)·P(y,x)
+    val t = px.join(broadcast(basis), col("y") === col("by"))
+      .groupBy(col("doc_id"), col("bu").as("u"), col("x"))
+      .agg(sum(col("cw") * col("px")).as("t"))
+    // pass 2: D(u, v) = Σ_x C(v,x)·T(u,x), low-frequency 8×8 minus DC
+    val d = t.join(broadcast(basis.toDF("bv", "bx", "cw2")), col("x") === col("bx"))
+      .groupBy(col("doc_id"), col("u"), col("bv").as("v"))
+      .agg(sum(col("cw2") * col("t")).as("coef"))
+      .filter(col("u") < 8 && col("v") < 8 && !(col("u") === 0 && col("v") === 0))
+    // median = exact rank-32 of the 63 coefficients (ties by (u,v))
+    val w = Window.partitionBy("doc_id").orderBy(col("coef").asc, col("u").asc, col("v").asc)
+    val ranked = d.withColumn("rk", row_number().over(w))
+    val med = ranked.filter(col("rk") === 32)
+      .select(col("doc_id").as("md"), col("coef").as("median"))
+    // bit index u·8+v−1 ∈ [0,62] (DC excluded) keeps every power and
+    // the sum inside positive int64 on both engines
+    ranked.join(med, col("doc_id") === col("md"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("coef") > col("median"),
+          expr("shiftleft(CAST(1 AS BIGINT), u * 8 + v - 1)")).otherwise(0L)).as("phash"),
+        count(when(col("coef") > col("median"), 1)).as("n_bits"),
+        max(col("median")).as("median"))
+      .orderBy("doc_id")
+  }
+
   /** m_fake_embed: stub featurizer over the documents payload, long
     * format (doc_id, d, f) — the embedding column a real decoder would
     * produce, restricted to 10 docs × 8 dims for the correctness dump.

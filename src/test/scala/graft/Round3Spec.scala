@@ -215,6 +215,19 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("m_phash: 63-bit hashes with ~half the bits set") {
+    val rows = SparkEntry.queries("m_phash")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("phash")
+      val nb = r.getAs[Long]("n_bits")
+      assert(h >= 0L, "bit 63 is never set (DC excluded)")
+      assert(java.lang.Long.bitCount(h) == nb)
+      // 31 of 63 coefficients exceed the rank-32 median unless tied
+      assert(nb <= 31 && nb >= 20, s"bit balance off: $nb set")
+    }
+  }
+
   test("plan shape: v_filtered_knn broadcasts the query side") {
     val df = SparkEntry.queries("v_filtered_knn")(spark, sf)
     df.collect()
