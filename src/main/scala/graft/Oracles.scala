@@ -1234,6 +1234,45 @@ object Oracles {
       GROUP BY dd.doc_id ORDER BY dd.doc_id"""
     },
 
+    "m_phash_pairs" -> {
+      val basisValues = graft.operators.ImagePipeline.dctBasis
+        .map { case (u, y, c) => s"($u, $y, $c)" }.mkString(", ")
+      s"""
+      WITH a AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+      ys AS (SELECT unnest(generate_series(0, 15)) AS y),
+      xs AS (SELECT unnest(generate_series(0, 15)) AS x),
+      px AS (SELECT doc_id, y, x,
+               CAST(('0x' || substr(md5('px_' || doc_id || '_' || y || '_' || x), 1, 2))
+                 AS BIGINT) AS px
+             FROM a CROSS JOIN ys CROSS JOIN xs),
+      cb AS (SELECT * FROM (VALUES $basisValues) AS t(bu, b_y, cw)),
+      t1 AS (SELECT doc_id, bu AS u, x, CAST(SUM(cw * px) AS BIGINT) AS t
+             FROM px JOIN cb ON px.y = cb.b_y
+             GROUP BY doc_id, bu, x),
+      d2 AS (SELECT doc_id, u, c2.bu AS v, CAST(SUM(c2.cw * t) AS BIGINT) AS coef
+             FROM t1 JOIN cb c2 ON t1.x = c2.b_y
+             GROUP BY doc_id, u, c2.bu),
+      dd AS (SELECT * FROM d2 WHERE u < 8 AND v < 8 AND NOT (u = 0 AND v = 0)),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY coef, u, v) AS rk FROM dd),
+      md AS (SELECT doc_id AS mdid, coef AS median FROM rk WHERE rk = 32),
+      ph AS (SELECT dd.doc_id,
+               CAST(SUM(CASE WHEN coef > median
+                        THEN (CAST(1 AS BIGINT) << (u * 8 + v - 1)) ELSE 0 END) AS BIGINT)
+                 AS phash
+             FROM dd JOIN md ON dd.doc_id = mdid
+             GROUP BY dd.doc_id),
+      bytes AS (SELECT doc_id, phash, k, (phash >> (k * 8)) & 255 AS byte
+                FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks),
+      cands AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2,
+                  b1.phash AS h1, b2.phash AS h2
+                FROM bytes b1 JOIN bytes b2
+                  ON b1.k = b2.k AND b1.byte = b2.byte AND b1.doc_id < b2.doc_id)
+      SELECT doc1, doc2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+      FROM cands
+      ORDER BY hamming, doc1, doc2 LIMIT 20"""
+    },
+
     "m_audio_energy" -> """
       WITH fr AS (SELECT unnest(generate_series(0, 7)) AS frame),
       ss AS (SELECT unnest(generate_series(0, 63)) AS i),

@@ -102,6 +102,7 @@ object SparkEntry {
     "m_gauss_blur"    -> (ImagePipeline.mGaussBlur _),
     "m_audio_energy"  -> (ImagePipeline.mAudioEnergy _),
     "m_phash"         -> (ImagePipeline.mPhash _),
+    "m_phash_pairs"   -> (ImagePipeline.mPhashPairs _),
     // F. streaming (batch-equivalent of the streaming window agg)
     "s_window_agg"    -> (graft.streaming.EventStreams.sWindowAggBatch _),
     "s_sliding_agg"   -> (graft.streaming.EventStreams.sSlidingAggBatch _),

@@ -243,12 +243,18 @@ object ImagePipeline {
     * partitioned by image id at any scale. The median is an exact
     * order statistic (rank-32 of 63) via one tiny window.
     */
-  def mPhash(spark: SparkSession, dir: String): DataFrame = {
+  def mPhash(spark: SparkSession, dir: String): DataFrame =
+    phashTable(spark, dir, 50)
+
+  /** (doc_id, phash, n_bits, median) for the first `nDocs` assets —
+    * shared by m_phash and m_phash_pairs.
+    */
+  private def phashTable(spark: SparkSession, dir: String, nDocs: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val n = 16
     val px = Tables.documents(spark, dir)
-      .filter(col("doc_id") < 50)
+      .filter(col("doc_id") < nDocs)
       .select(col("doc_id"), explode(sequence(lit(0), lit(n - 1))).as("y"))
       .select(col("doc_id"), col("y"), explode(sequence(lit(0), lit(n - 1))).as("x"))
       .withColumn("px", H.md5Long(
@@ -278,6 +284,33 @@ object ImagePipeline {
         count(when(col("coef") > col("median"), 1)).as("n_bits"),
         max(col("median")).as("median"))
       .orderBy("doc_id")
+  }
+
+  /** m_phash_pairs: nearest image pairs by perceptual-hash hamming
+    * distance — candidates come from byte-position pigeonhole blocking
+    * (pairs sharing any of the hash's 8 bytes at the same position:
+    * an equi-join on (position, byte), the d_simhash_pairs pattern),
+    * exact bit_count(xor) hamming only on candidates, top-20 closest.
+    * The pair space is never materialized beyond the shared-byte
+    * buckets, which is what survives a billion images.
+    */
+  def mPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ph = phashTable(spark, dir, 100).select(col("doc_id"), col("phash"))
+      .localCheckpoint(true) // feeds both sides of the byte-bucket self-join
+    val bytes = ph.select(col("doc_id"), col("phash"),
+      explode(sequence(lit(0), lit(7))).as("k"))
+      .withColumn("byte", expr("(phash >> (k * 8)) & 255"))
+    val cands = bytes.select(col("doc_id").as("doc1"), col("phash").as("h1"),
+        col("k"), col("byte"))
+      .join(bytes.select(col("doc_id").as("doc2"), col("phash").as("h2"),
+        col("k").as("k2"), col("byte").as("b2")),
+        col("k") === col("k2") && col("byte") === col("b2") && col("doc1") < col("doc2"))
+      .select("doc1", "doc2", "h1", "h2").distinct()
+    cands
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+      .select("doc1", "doc2", "hamming")
+      .orderBy(col("hamming").asc, col("doc1").asc, col("doc2").asc)
+      .limit(20)
   }
 
   /** m_fake_embed: stub featurizer over the documents payload, long

@@ -228,6 +228,22 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("m_phash_pairs: 20 closest pairs, hamming ascending and exact") {
+    val phash = SparkEntry.queries("m_phash")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    val rows = SparkEntry.queries("m_phash_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hams = rows.map(_.getAs[Long]("hamming")).toSeq
+    assert(hams == hams.sorted)
+    rows.filter(r => phash.contains(r.getAs[Long]("doc1"))
+        && phash.contains(r.getAs[Long]("doc2")))
+      .foreach { r =>
+        val expected = java.lang.Long.bitCount(
+          phash(r.getAs[Long]("doc1")) ^ phash(r.getAs[Long]("doc2")))
+        assert(r.getAs[Long]("hamming") == expected)
+      }
+  }
+
   test("plan shape: v_filtered_knn broadcasts the query side") {
     val df = SparkEntry.queries("v_filtered_knn")(spark, sf)
     df.collect()
