@@ -60,6 +60,7 @@ object SparkEntry {
     "v_mips"          -> (Knn.vMips _),
     "v_knn_custom"    -> (Knn.vKnnCustom _),
     "v_pq"            -> (Knn.vPq _),
+    "v_ivf_pq"        -> (Knn.vIvfPq _),
     "v_recall"        -> (Knn.vRecall _),
     "v_sql_surface"   -> (Knn.vSqlSurface _),
     "v_filtered_knn"  -> (Knn.vFilteredKnn _),

@@ -286,12 +286,12 @@ object Knn {
     * equi-join on cluster id. No SQL oracle (iterative k-means), driver
     * does the rows-only check.
     */
-  def vIvf(spark: SparkSession, dir: String): DataFrame = {
-    // eager + lineage-truncating so the iterative passes and both join
-    // sides read materialized blocks (see Dedup.forceCached)
-    val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
-      .localCheckpoint(true)
-
+  /** Lloyd-trained IVF model over a checkpointed corpus frame
+    * (vec_id, v, nrm): returns the corpus with its nearest-centroid
+    * assignment (checkpointed — feeds probe side + search join) and
+    * the trained centroid set. Shared by v_ivf and v_ivf_pq.
+    */
+  private def ivfModel(e: DataFrame): (DataFrame, Array[(Int, Array[Double])]) = {
     var centroids: Array[(Int, Array[Double])] =
       e.filter(col("vec_id") < IvfClusters)
         .orderBy("vec_id")
@@ -327,22 +327,34 @@ object Knn {
       if (means.nonEmpty) centroids = means
     }
 
-    val inv = withCid(e).localCheckpoint(true) // feeds probe side + search join
-    val qProbe = {
-      // nprobe nearest centroid lists per query, again via the literal
-      // centroid array: sort (desc sim, asc cid) structs, take nprobe
-      val cands = array_sort(array(centroids.map { case (cid, cv) =>
-        val cn = math.sqrt(cv.map(x => x * x).sum)
-        struct(
-          (-V.cosinePre(V.dot(col("v"), typedLit(cv.toSeq)), col("nrm"), lit(cn))).as("nsim"),
-          lit(cid).as("cid"))
-      }: _*))
-      inv.filter(col("vec_id") < NumQueries)
-        .withColumn("pcid", explode(transform(
-          slice(cands, 1, IvfNprobe), s => s.getField("cid"))))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("pcid"))
-    }
+    (withCid(e).localCheckpoint(true), centroids)
+  }
+
+  /** nprobe nearest centroid lists per query, via the literal centroid
+    * array: sort (desc sim, asc cid) structs, take nprobe.
+    */
+  private def ivfProbe(inv: DataFrame,
+                       centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val cands = array_sort(array(centroids.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        (-V.cosinePre(V.dot(col("v"), typedLit(cv.toSeq)), col("nrm"), lit(cn))).as("nsim"),
+        lit(cid).as("cid"))
+    }: _*))
+    inv.filter(col("vec_id") < NumQueries)
+      .withColumn("pcid", explode(transform(
+        slice(cands, 1, IvfNprobe), s => s.getField("cid"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("pcid"))
+  }
+
+  def vIvf(spark: SparkSession, dir: String): DataFrame = {
+    // eager + lineage-truncating so the iterative passes and both join
+    // sides read materialized blocks (see Dedup.forceCached)
+    val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint(true)
+    val (inv, centroids) = ivfModel(e)
+    val qProbe = ivfProbe(inv, centroids)
     val cands = inv.join(broadcast(qProbe),
         col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -373,10 +385,18 @@ object Knn {
     * embeddings. No SQL oracle (iterative k-means) — rows-only check;
     * the spec asserts recall overlap against exact L2 top-5.
     */
-  def vPq(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Sample-trained PQ codebooks + corpus encoding over a checkpointed
+    * (vec_id, v) frame: returns (encoded (vec_id, m, code), books).
+    * Shared by v_pq and v_ivf_pq.
+    */
+  private def pqModel(e: DataFrame): (DataFrame, Array[Array[Array[Double]]]) = {
     val dsub = 64 / PqSubspaces
-    val e = corpus(spark, dir).select(col("vec_id"), col("v")).localCheckpoint(true)
 
     // (vec_id, m, subvector, ||sv||²) — one row per subspace; the
     // subvector self-dot is precomputed so every code distance below
@@ -393,12 +413,6 @@ object Knn {
         .map(_.getSeq[Double](1).toArray)
         .map(v => Array.tabulate(PqSubspaces)(m => v.slice(m * dsub, (m + 1) * dsub)))
         .transpose // (K vectors × M) → (M × K)
-
-    def l2sq(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
 
     /** code = argmin_k ||sv − books(m)(k)||², as one literal expression
       * per (m, k) — same literal-centroid pattern as vIvf.
@@ -434,19 +448,61 @@ object Knn {
         Array.tabulate(PqCodes)(k => means.getOrElse((m, k), books(m)(k))))
     }
 
-    val encoded = sub.withColumn("code", codeExpr).select("vec_id", "m", "code")
+    (sub.withColumn("code", codeExpr).select("vec_id", "m", "code"), books)
+  }
 
-    // ADC table: partial L2 of each query subvector to every code
+  /** ADC table: partial L2 of each query subvector to every code. */
+  private def pqDtable(spark: SparkSession, e: DataFrame,
+                       books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val dsub = 64 / PqSubspaces
     val queries = e.filter(col("vec_id") < NumQueries).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val dtable = broadcast(queries.flatMap { case (qid, qv) =>
+    broadcast(queries.flatMap { case (qid, qv) =>
       for (m <- 0 until PqSubspaces; k <- 0 until PqCodes)
         yield (qid, m, k, l2sq(qv.slice(m * dsub, (m + 1) * dsub), books(m)(k)))
     }.toSeq.toDF("query_id", "qm", "qk", "d2"))
+  }
 
+  def vPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir).select(col("vec_id"), col("v")).localCheckpoint(true)
+    val (encoded, books) = pqModel(e)
+    val dtable = pqDtable(spark, e, books)
     val scored = encoded.join(dtable,
         col("m") === col("qm") && col("code") === col("qk") &&
         col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sqrt(sum(col("d2"))), 6).as("adc_dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_ivf_pq: the full two-stage ANN index — IVF coarse quantizer
+    * prunes each query to its nprobe nearest centroid lists, PQ ADC
+    * ranks only within the probed lists (faiss IndexIVFPQ). At 100 TB
+    * the search cost is (corpus/nlist)·nprobe rows of 8-byte codes per
+    * query — the coarse prune and the code compression compose. Both
+    * trainings are iterative k-means → no SQL oracle (rows-only
+    * check); the spec asserts candidates ⊆ probed lists and recall
+    * overlap with exact search.
+    */
+  def vIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint(true)
+    val (inv, centroids) = ivfModel(e)
+    val qProbe = ivfProbe(inv, centroids)
+    val (encoded, books) = pqModel(e.select(col("vec_id"), col("v")))
+    val dtable = pqDtable(spark, e, books)
+    // candidates: vectors whose list a query probes (equi-join on cid)
+    val cand = inv.join(broadcast(qProbe.select(col("query_id").as("pq"), col("pcid"))),
+        col("cid") === col("pcid") && col("vec_id") =!= col("pq"))
+      .select(col("pq"), col("vec_id").as("cv"))
+    val scored = encoded.join(cand, col("vec_id") === col("cv"))
+      .join(dtable,
+        col("pq") === col("query_id") && col("m") === col("qm")
+          && col("code") === col("qk"))
       .groupBy("query_id", "vec_id")
       .agg(round(sqrt(sum(col("d2"))), 6).as("adc_dist"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)

@@ -244,6 +244,25 @@ class Round3Spec extends SparkSpec {
       }
   }
 
+  test("v_ivf_pq: per-query results, ADC distances agree with full-scan PQ") {
+    val ivfpq = SparkEntry.queries("v_ivf_pq")(spark, sf).collect()
+    val byQ = ivfpq.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach(g => assert(g.length >= 1 && g.length <= 5))
+    // same codebooks → wherever a pair appears in both the pruned and
+    // the full-scan ranking, the ADC distance must be identical
+    val full = SparkEntry.queries("v_pq")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Double]("adc_dist")).toMap
+    val both = ivfpq.filter(r =>
+      full.contains((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    assert(both.nonEmpty, "pruned search found nothing the full scan ranked top-5")
+    both.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(r.getAs[Double]("adc_dist") == full(k))
+    }
+  }
+
   test("plan shape: v_filtered_knn broadcasts the query side") {
     val df = SparkEntry.queries("v_filtered_knn")(spark, sf)
     df.collect()
