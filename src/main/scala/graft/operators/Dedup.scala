@@ -198,14 +198,18 @@ object Dedup {
           .filter(col("doc1") % 10 === 0)
           .withColumn("doc2", col("doc1") + 1))
       .distinct()
-    // tokenization feeds two join sides and possibly a single-threaded
-    // broadcast build (AQE brodcasts this side) — compute it spread
-    // across cores, once
-    val toks = forceCached(spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks")))
+    // the PAIR LIST is the small side — broadcast it and stream the
+    // token table in parallel. (Letting AQE pick broadcasts the token
+    // table instead: its array payloads build a hash table
+    // single-threaded, which profiling showed as two 1.5s one-task
+    // stages.) Each join's probe side is a parallel scan; the second
+    // join's build side is the tiny first-join result.
+    val toks = spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
     val t1 = toks.select(col("doc_id").as("doc1"), col("toks").as("toks1"))
     val t2 = toks.select(col("doc_id").as("doc2"), col("toks").as("toks2"))
-    cands.join(t1, "doc1").join(t2, "doc2")
+    val j1 = t1.join(broadcast(cands), "doc1")
+    t2.join(broadcast(j1), "doc2")
       .select(col("doc1"), col("doc2"),
         size(array_intersect(col("toks1"), col("toks2"))).cast("long").as("inter"),
         size(array_union(col("toks1"), col("toks2"))).cast("long").as("uni"))
