@@ -1129,6 +1129,26 @@ object Oracles {
           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covar_pop
       FROM s ORDER BY l_returnflag""",
 
+    "q_scd2" -> """
+      WITH ch AS (SELECT user_id, event_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS prev_type
+             FROM events WHERE user_id < 30),
+      cg AS (SELECT user_id, event_id, ts, event_type FROM ch
+             WHERE prev_type IS NULL OR prev_type <> event_type),
+      v AS (SELECT user_id, event_type, ts,
+              CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id) AS BIGINT) AS version,
+              LEAD(ts) OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id) AS valid_to_ts
+            FROM cg)
+      SELECT user_id, version, event_type,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        COALESCE(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S'),
+          '9999-12-31 00:00:00') AS valid_to,
+        CAST(CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      FROM v ORDER BY user_id, version""",
+
     "q_dedup_latest" -> """
       SELECT user_id, event_type,
         strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,

@@ -46,6 +46,7 @@ object SparkEntry {
     "q_histogram"     -> (OlapExtras.qHistogram _),
     "q_corr_stats"    -> (OlapExtras.qCorrStats _),
     "q_dedup_latest"  -> (OlapExtras.qDedupLatest _),
+    "q_scd2"          -> (OlapExtras.qScd2 _),
     // B. vector search
     "v_norm"          -> (Knn.vNorm _),
     "v_knn_exact"     -> (Knn.vKnnExact _),

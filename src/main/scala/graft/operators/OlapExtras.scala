@@ -330,6 +330,35 @@ object OlapExtras {
       .orderBy("l_returnflag")
   }
 
+  /** q_scd2: slowly-changing-dimension type-2 build — turn each
+    * user's event log into versioned validity intervals: a new version
+    * opens whenever the tracked attribute (event_type) CHANGES from
+    * the previous event (lag-based change detection), closes at the
+    * next change (lead), and the open version is flagged current. Two
+    * window passes over the same (user, time) ordering — one shuffle
+    * total, no self-join; the standard merge pattern for building
+    * dimension history from a change log.
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")).asc, col("event_id").asc)
+    val changes = Tables.events(spark, dir)
+      .filter(col("user_id") < 30)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val byChange = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")).asc, col("event_id").asc)
+    changes
+      .withColumn("version", row_number().over(byChange).cast("long"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(byChange))
+      .select(col("user_id"), col("version"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")).as("valid_to"),
+        when(col("valid_to_ts").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** q_dedup_latest: CDC compaction — the latest record per
     * (user, event_type) key, ties broken by event_id. The
     * `row_number ≤ 1` filter compiles to WindowGroupLimit, so each

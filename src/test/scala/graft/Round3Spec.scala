@@ -263,6 +263,25 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("q_scd2: versions dense, intervals chain, one current row per user") {
+    val rows = SparkEntry.queries("q_scd2")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq == (1L to sorted.length.toLong))
+      assert(sorted.count(_.getAs[Long]("is_current") == 1L) == 1)
+      assert(sorted.last.getAs[Long]("is_current") == 1L)
+      // each version closes exactly where the next one opens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"))
+          // consecutive versions must differ in the tracked attribute
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"))
+        case _ =>
+      }
+    }
+  }
+
   test("plan shape: v_filtered_knn broadcasts the query side") {
     val df = SparkEntry.queries("v_filtered_knn")(spark, sf)
     df.collect()
