@@ -385,7 +385,7 @@ object Knn {
     * embeddings. No SQL oracle (iterative k-means) — rows-only check;
     * the spec asserts recall overlap against exact L2 top-5.
     */
-  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def l2sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
@@ -393,9 +393,9 @@ object Knn {
 
   /** Sample-trained PQ codebooks + corpus encoding over a checkpointed
     * (vec_id, v) frame: returns (encoded (vec_id, m, code), books).
-    * Shared by v_pq and v_ivf_pq.
+    * Shared by v_pq, v_ivf_pq, and the persistent PqIndexStore.
     */
-  private def pqModel(e: DataFrame): (DataFrame, Array[Array[Array[Double]]]) = {
+  private[graft] def pqModel(e: DataFrame): (DataFrame, Array[Array[Array[Double]]]) = {
     val dsub = 64 / PqSubspaces
 
     // (vec_id, m, subvector, ||sv||²) — one row per subspace; the
@@ -451,18 +451,26 @@ object Knn {
     (sub.withColumn("code", codeExpr).select("vec_id", "m", "code"), books)
   }
 
-  /** ADC table: partial L2 of each query subvector to every code. */
-  private def pqDtable(spark: SparkSession, e: DataFrame,
-                       books: Array[Array[Array[Double]]]): DataFrame = {
+  /** ADC table for a driver-resident query set: partial L2 of each
+    * query subvector to every code.
+    */
+  private[graft] def pqDtableFor(spark: SparkSession,
+                                 queries: Array[(Long, Array[Double])],
+                                 books: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
     val dsub = 64 / PqSubspaces
-    val queries = e.filter(col("vec_id") < NumQueries).orderBy("vec_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     broadcast(queries.flatMap { case (qid, qv) =>
       for (m <- 0 until PqSubspaces; k <- 0 until PqCodes)
         yield (qid, m, k, l2sq(qv.slice(m * dsub, (m + 1) * dsub), books(m)(k)))
     }.toSeq.toDF("query_id", "qm", "qk", "d2"))
   }
+
+  private def pqDtable(spark: SparkSession, e: DataFrame,
+                       books: Array[Array[Array[Double]]]): DataFrame =
+    pqDtableFor(spark,
+      e.filter(col("vec_id") < NumQueries).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
+      books)
 
   def vPq(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).select(col("vec_id"), col("v")).localCheckpoint(true)

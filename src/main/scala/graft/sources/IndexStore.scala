@@ -108,3 +108,63 @@ object IndexStore {
       .select("query_id", "rnk", "neighbor_id", "sim")
   }
 }
+
+/** Persistent product-quantized index — the compressed counterpart of
+  * IndexStore (faiss write_index for an IndexPQ): the corpus persists
+  * as 8 one-byte codes per vector plus a tiny codebook sidecar, 32×
+  * smaller than the raw embeddings. Search decodes nothing: the ADC
+  * distance table is built driver-side from the loaded codebooks and
+  * joined to the code table.
+  */
+object PqIndexStore {
+  import graft.operators.Knn
+
+  /** Train codebooks on the frame (sample-trained, deterministic init)
+    * and persist codes + codebooks.
+    */
+  def write(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(true)
+    val (encoded, books) = Knn.pqModel(e)
+    encoded.write.mode("overwrite").parquet(s"$path.codes")
+    books.zipWithIndex.flatMap { case (perM, m) =>
+      perM.zipWithIndex.map { case (cv, k) => (m, k, cv.toSeq) }
+    }.toSeq.toDF("m", "k", "cv")
+      .write.mode("overwrite").parquet(s"$path.books")
+  }
+
+  /** Load the codebooks (tiny — driver-resident, like the reference's
+    * in-memory index object).
+    */
+  def readBooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path.books").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    Array.tabulate(Knn.PqSubspaces)(m => Array.tabulate(Knn.PqCodes)(k => rows((m, k))))
+  }
+
+  /** ADC top-k against the persisted codes: queries are collected
+    * (driver-resident by contract — the uploaded-image flow), their
+    * distance table broadcast against the code scan.
+    */
+  def search(spark: SparkSession, path: String, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val books = readBooks(spark, path)
+    val encoded = spark.read.parquet(s"$path.codes")
+    val qs = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val dtable = Knn.pqDtableFor(spark, qs, books)
+    val scored = encoded.join(dtable,
+        col("m") === col("qm") && col("code") === col("qk") &&
+        col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sqrt(sum(col("d2"))), 6).as("adc_dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
+}

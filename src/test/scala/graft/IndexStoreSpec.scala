@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.sources.IndexStore
+import graft.sources.{IndexStore, PqIndexStore}
 
 class IndexStoreSpec extends SparkSpec {
 
@@ -61,5 +61,25 @@ class IndexStoreSpec extends SparkSpec {
     val q = emb.filter(col("vec_id") === 0)
     val top = IndexStore.search(index, q, "vec_id", "embedding", 1).collect()
     assert(top.length == 1 && top.head.getLong(2) == 100000L)
+  }
+
+  test("PQ index: write → load → ADC search equals the in-memory v_pq") {
+    val path = s"$tmp/idx_pq"
+    val emb = Tables.embeddings(spark, sf)
+    PqIndexStore.write(emb, "vec_id", "embedding", path)
+    // codes persist 8 one-byte codes per vector
+    val codes = spark.read.parquet(s"$path.codes")
+    assert(codes.columns.toSet == Set("vec_id", "m", "code"))
+    assert(codes.count() == emb.count() * graft.operators.Knn.PqSubspaces)
+    // deterministic training → the persisted index serves the same
+    // ranking as the in-memory operator
+    val queries = emb.filter(col("vec_id") < 10)
+    val viaStore = PqIndexStore.search(spark, path, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = SparkEntry.queries("v_pq")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toSet
+    assert(viaStore == direct,
+      "ADC search over the persisted PQ index must equal v_pq")
   }
 }
