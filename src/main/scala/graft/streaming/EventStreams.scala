@@ -9,6 +9,12 @@ import graft.Tables
 /** Event row for the stateful sessionizer (ts in epoch millis). */
 case class SessionEvent(user_id: Long, event_id: Long, ts_ms: Long)
 
+/** Event row for the event-time-timeout sessionizer: carries the
+  * watermarked timestamp column through the typed projection.
+  */
+case class SessionEventT(user_id: Long, event_id: Long, ts_ms: Long,
+                         ts: java.sql.Timestamp)
+
 /** Open-session state carried across micro-batches per user. */
 case class SessionState(sessionId: Long, startMs: Long, lastMs: Long, n: Long)
 
@@ -105,6 +111,63 @@ object EventStreams {
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+  }
+
+  /** Event-time-timeout sessionization: same 30-minute-gap semantics,
+    * but idle sessions are CLOSED BY THE WATERMARK instead of lingering
+    * in state forever — the piece sessionizeStream leaves open. Each
+    * update arms a timeout at lastEvent + gap; when the watermark
+    * passes it, the state fires one last time with hasTimedOut and the
+    * session is emitted and evicted. This is how streaming state stays
+    * bounded over months of uptime: watermark-driven eviction, not
+    * table growth.
+    */
+  def sessionizeStreamEvt(spark: SparkSession, dir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("ts"))
+      .as[SessionEventT]
+
+    // local copy — referencing the object member from the closure drags
+    // the (non-serializable) enclosing object into the task
+    val gapMs = SessionGapMs
+
+    def fold(user: Long, events: Iterator[SessionEventT],
+             state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator.single(SessionOut(user, st.sessionId, st.n, (st.lastMs - st.startMs) / 1000))
+      } else {
+        val sorted = events.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+        var st = state.getOption.orNull
+        val out = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          if (st == null) {
+            st = SessionState(1L, e.ts_ms, e.ts_ms, 1L)
+          } else if (e.ts_ms - st.lastMs > gapMs) {
+            out += SessionOut(user, st.sessionId, st.n, (st.lastMs - st.startMs) / 1000)
+            st = SessionState(st.sessionId + 1, e.ts_ms, e.ts_ms, 1L)
+          } else {
+            st = st.copy(lastMs = e.ts_ms, n = st.n + 1)
+          }
+        }
+        if (st != null) {
+          state.update(st)
+          state.setTimeoutTimestamp(st.lastMs + gapMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
   }
 
   /** Streaming deduplication: first event per (user_id, event_type)

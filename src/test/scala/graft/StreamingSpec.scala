@@ -71,6 +71,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout closes idle sessions the plain sessionizer leaves open") {
+    val q = EventStreams.sessionizeStreamEvt(spark, sf)
+      .writeStream.outputMode("append").format("memory").queryName("sess_evt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_evt").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("duration_s"))).toSet
+      val batch = SparkEntry.queries("q_sessionize")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("duration_s")))
+      assert(streamed.subsetOf(batch.toSet), "every emitted session must match batch")
+      val closedByEvent = batch.toSet --
+        batch.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+      assert(closedByEvent.subsetOf(streamed),
+        "gap-closed sessions must still be emitted")
+      // trailing sessions whose timeout is safely below the final
+      // watermark (max event time − 10 min delay) must now ALSO emit
+      val maxMs = Tables.events(spark, sf)
+        .agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
+      val lastEnd = Tables.events(spark, sf)
+        .groupBy("user_id").agg(max(unix_millis(col("ts"))).as("last_ms")).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_ms")).toMap
+      val wm = maxMs - 10L * 60 * 1000
+      val mustTimeout = batch.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values
+        .filter(s => lastEnd(s._1) + EventStreams.SessionGapMs < wm - 1000)
+        .toSet
+      assert(mustTimeout.nonEmpty, "test data should have idle users")
+      assert(mustTimeout.subsetOf(streamed),
+        "watermark-passed idle sessions must be closed by the timeout")
+    } finally q.stop()
+  }
+
   test("incremental ingest: AvailableNow runs process exactly the new files") {
     val base = java.nio.file.Files.createTempDirectory("graft_incr").toString
     val (src, ckpt, tgt) = (s"$base/src", s"$base/ckpt", s"$base/tgt")
