@@ -57,7 +57,7 @@ object Bench {
     // spikes on single runs (an 0.3s scan can record 18s), so one pass
     // reports noise, not the engine. Min-of-N is the steady-state
     // number a cluster scheduler would see.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val passes = (1 to reps).map(_ => runAll(sfDir, timed = true).toMap)
     val results = passes.head.keys.toSeq.sorted
       .map(name => name -> passes.map(_(name)).min)
