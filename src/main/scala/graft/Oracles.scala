@@ -1129,6 +1129,21 @@ object Oracles {
           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covar_pop
       FROM s ORDER BY l_returnflag""",
 
+    "q_window_range" -> """
+      WITH daily AS (
+        SELECT l_suppkey,
+          CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS day_num,
+          SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS day_cents
+        FROM lineitem WHERE l_suppkey <= 3
+        GROUP BY l_suppkey, day_num)
+      SELECT l_suppkey,
+        strftime(DATE '1970-01-01' + CAST(day_num AS INTEGER), '%Y-%m-%d') AS ship_day,
+        day_cents / 100.0 AS day_rev,
+        CAST(SUM(day_cents) OVER (PARTITION BY l_suppkey ORDER BY day_num
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS wk_rev
+      FROM daily
+      ORDER BY l_suppkey, ship_day""",
+
     "q_scd2" -> """
       WITH ch AS (SELECT user_id, event_id, ts, event_type,
                LAG(event_type) OVER (PARTITION BY user_id

@@ -47,6 +47,7 @@ object SparkEntry {
     "q_corr_stats"    -> (OlapExtras.qCorrStats _),
     "q_dedup_latest"  -> (OlapExtras.qDedupLatest _),
     "q_scd2"          -> (OlapExtras.qScd2 _),
+    "q_window_range"  -> (OlapExtras.qWindowRange _),
     // B. vector search
     "v_norm"          -> (Knn.vNorm _),
     "v_knn_exact"     -> (Knn.vKnnExact _),

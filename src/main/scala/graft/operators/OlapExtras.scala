@@ -330,6 +330,32 @@ object OlapExtras {
       .orderBy("l_returnflag")
   }
 
+  /** q_window_range: RANGE-framed window — trailing-7-day revenue per
+    * supplier, where the frame is defined by VALUE distance (day
+    * number within 6 of the current row), not row count: gaps in the
+    * calendar shrink the window, which ROWS frames cannot express.
+    * Day numbers are integers (epoch days) so the frame bounds are
+    * exact on both engines; cents arithmetic as usual.
+    */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 3)
+      .groupBy(col("l_suppkey"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+          .as("day_num"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("day_cents"))
+    val w = Window.partitionBy("l_suppkey").orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("wk_cents", sum(col("day_cents")).over(w))
+      .select(col("l_suppkey"),
+        date_format(expr("date_add(DATE '1970-01-01', day_num)"), "yyyy-MM-dd")
+          .as("ship_day"),
+        (col("day_cents") / 100.0).as("day_rev"),
+        (col("wk_cents") / 100.0).as("wk_rev"))
+      .orderBy("l_suppkey", "ship_day")
+  }
+
   /** q_scd2: slowly-changing-dimension type-2 build — turn each
     * user's event log into versioned validity intervals: a new version
     * opens whenever the tracked attribute (event_type) CHANGES from

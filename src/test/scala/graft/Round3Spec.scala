@@ -282,6 +282,22 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("q_window_range: trailing window bounded by day revenue sums") {
+    val rows = SparkEntry.queries("q_window_range")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("l_suppkey")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[String]("ship_day"))
+      sorted.foreach { r =>
+        assert(r.getAs[Double]("wk_rev") >= r.getAs[Double]("day_rev") - 1e-9,
+          "the 7-day window includes the current day")
+      }
+      // wk_rev on an isolated first day equals its day_rev
+      assert(math.abs(sorted.head.getAs[Double]("wk_rev")
+        - sorted.head.getAs[Double]("day_rev")) < 1e-9 ||
+        sorted.length > 1)
+    }
+  }
+
   test("plan shape: v_filtered_knn broadcasts the query side") {
     val df = SparkEntry.queries("v_filtered_knn")(spark, sf)
     df.collect()
