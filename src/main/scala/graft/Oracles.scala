@@ -1066,6 +1066,31 @@ object Oracles {
         length(text) / len(chunks) AS avg_chunk_len
       FROM ch ORDER BY doc_id""",
 
+    "d_pipeline" -> s"""
+      WITH $bandPairsCte,
+      est0 AS (SELECT doc1, doc2,
+                 SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) / 16.0 AS jacc_est
+               FROM pairs JOIN mh m1 ON m1.doc_id = doc1
+               JOIN mh m2 ON m2.doc_id = doc2 AND m2.perm_id = m1.perm_id
+               GROUP BY doc1, doc2),
+      nrm AS (SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              FROM documents),
+      keep1 AS (SELECT MIN(doc_id) AS doc_id FROM nrm GROUP BY fp),
+      losers AS (SELECT DISTINCT e.doc2 AS doc_id FROM est0 e
+                 JOIN keep1 a ON e.doc1 = a.doc_id
+                 JOIN keep1 b ON e.doc2 = b.doc_id
+                 WHERE e.jacc_est >= 0.25),
+      fin AS (SELECT doc_id FROM keep1 EXCEPT SELECT doc_id FROM losers)
+      SELECT d.lang, COUNT(*) AS n_docs,
+        COUNT(k.doc_id) AS n_exact_keep,
+        COUNT(f.doc_id) AS n_final_keep,
+        ROUND(COUNT(f.doc_id) / CAST(COUNT(*) AS DOUBLE), 4) AS keep_ratio
+      FROM documents d
+      LEFT JOIN keep1 k ON d.doc_id = k.doc_id
+      LEFT JOIN fin f ON d.doc_id = f.doc_id
+      GROUP BY d.lang ORDER BY d.lang""",
+
     "d_chunk_dedup" -> s"""
       WITH c AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5),
       h AS (SELECT doc_id, text,

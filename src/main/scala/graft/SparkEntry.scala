@@ -84,6 +84,7 @@ object SparkEntry {
     "d_sample_stratified" -> (Dedup.dSampleStratified _),
     "d_cdc_chunks"    -> (Dedup.dCdcChunks _),
     "d_chunk_dedup"   -> (Dedup.dChunkDedup _),
+    "d_pipeline"      -> (Dedup.dPipeline _),
     // D. text analysis
     "t_tokens"        -> (TextAnalysis.tTokens _),
     "t_quality"       -> (TextAnalysis.tQuality _),

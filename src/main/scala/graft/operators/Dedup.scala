@@ -338,6 +338,37 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d_pipeline: the end-to-end dedup pipeline as ONE declarative
+    * plan — exact-dedup keeper selection ∘ pairwise near-dup pruning
+    * among the keepers (a keeper is dropped when a smaller-id keeper
+    * is MinHash-near it), reported per language. The transitive
+    * cluster flavor is d_components; the pairwise rule here is the
+    * non-iterative composition a single pass executes, so Catalyst
+    * pipelines all three stages off shared scans — the dedup twin of
+    * t_pipeline.
+    */
+  def dPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val keep1 = dExact(spark, dir).select(col("keep_doc_id").as("doc_id"))
+    val est = dMinhashPairs(spark, dir).filter(col("jacc_est") >= 0.25)
+      .select(col("doc1"), col("doc2"))
+    val losers = est
+      .join(keep1.select(col("doc_id").as("ka")), col("doc1") === col("ka"))
+      .join(keep1.select(col("doc_id").as("kb")), col("doc2") === col("kb"))
+      .select(col("doc2").as("doc_id")).distinct()
+    val finalKeep = keep1.except(losers)
+    docs
+      .join(keep1.withColumn("ex", lit(1)), Seq("doc_id"), "left")
+      .join(finalKeep.withColumn("fi", lit(1)), Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("ex")).as("n_exact_keep"),
+        count(col("fi")).as("n_final_keep"))
+      .withColumn("keep_ratio",
+        round(col("n_final_keep") / col("n_docs").cast("double"), 4))
+      .orderBy("lang")
+  }
+
   /** d_cdc_chunks: content-defined chunking — the chunk-level dedup
     * primitive for long documents (near-identical docs share most
     * chunk hashes even when edits shift byte offsets, which fixed-size

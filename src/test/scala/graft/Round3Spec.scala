@@ -298,6 +298,19 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("d_pipeline: keep counts monotone per language, totals reconcile") {
+    val rows = SparkEntry.queries("d_pipeline")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    rows.foreach { r =>
+      val (n, ex, fi) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_exact_keep"), r.getAs[Long]("n_final_keep"))
+      assert(fi <= ex && ex <= n, "each stage can only remove documents")
+      assert(r.getAs[Double]("keep_ratio") <= 1.0)
+    }
+  }
+
   test("plan shape: v_filtered_knn broadcasts the query side") {
     val df = SparkEntry.queries("v_filtered_knn")(spark, sf)
     df.collect()
