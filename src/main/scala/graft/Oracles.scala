@@ -1122,6 +1122,51 @@ object Oracles {
           / CAST(CAST(SUM(copies) AS BIGINT) AS DOUBLE), 4) AS savings_pct
       FROM bc""",
 
+    "v_refine" -> s"""
+      WITH $lshBandsCte,
+      vq AS (SELECT vec_id,
+               list_transform(v, x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS q
+             FROM e),
+      qq AS (SELECT b.vec_id AS query_id, b.band0 AS qb0, b.band1 AS qb1,
+               n.v AS qv2, n.nrm AS qn, vq.q AS qvq
+             FROM bands b JOIN n ON n.vec_id = b.vec_id
+             JOIN vq ON vq.vec_id = b.vec_id
+             WHERE b.vec_id < 10),
+      cand AS (SELECT query_id, qv2, qn, qvq, b.vec_id AS neighbor_id
+               FROM qq JOIN bands b
+                 ON b.vec_id <> query_id AND (b.band0 = qb0 OR b.band1 = qb1)),
+      sk AS (SELECT query_id, neighbor_id, qv2, qn,
+               CAST(list_dot_product(CAST(qvq AS DOUBLE[]), CAST(vqn.q AS DOUBLE[]))
+                 AS BIGINT) AS qdot
+             FROM cand JOIN vq vqn ON vqn.vec_id = neighbor_id),
+      rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY qdot DESC, neighbor_id) AS rr FROM sk),
+      ex AS (SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv2, y.v) / (qn * y.nrm), 6) AS sim
+             FROM rr JOIN n y ON y.vec_id = neighbor_id
+             WHERE rr.rr <= 20),
+      r2 AS (SELECT query_id, neighbor_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+             FROM ex)
+      SELECT query_id, rnk, neighbor_id, sim FROM r2 WHERE rnk <= 3
+      ORDER BY query_id, rnk""",
+
+    "m_resize" -> """
+      WITH a AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+      ys AS (SELECT unnest(generate_series(0, 15)) AS y),
+      xs AS (SELECT unnest(generate_series(0, 15)) AS x),
+      px AS (SELECT doc_id, y, x,
+               CAST(('0x' || substr(md5('px_' || doc_id || '_' || y || '_' || x), 1, 2))
+                 AS BIGINT) AS px
+             FROM a CROSS JOIN ys CROSS JOIN xs),
+      o AS (SELECT doc_id, y // 2 AS yo, x // 2 AS xo,
+              CAST(SUM(px) AS BIGINT) // 4 AS p
+            FROM px GROUP BY doc_id, yo, xo)
+      SELECT doc_id, COUNT(*) AS n_px, CAST(SUM(p) AS BIGINT) AS sum_p,
+        MIN(p) AS min_p, MAX(p) AS max_p
+      FROM o GROUP BY doc_id ORDER BY doc_id""",
+
     "q_histogram" -> """
       WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                  FROM orders),

@@ -71,6 +71,7 @@ object SparkEntry {
     "v_index_stats"   -> (Knn.vIndexStats _),
     "v_scalar_quant"  -> (Knn.vScalarQuant _),
     "v_rrf_fusion"    -> (Knn.vRrfFusion _),
+    "v_refine"        -> (Knn.vRefine _),
     // C. dedup
     "d_exact"         -> (Dedup.dExact _),
     "d_minhash"       -> (Dedup.dMinhash _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "m_audio_energy"  -> (ImagePipeline.mAudioEnergy _),
     "m_phash"         -> (ImagePipeline.mPhash _),
     "m_phash_pairs"   -> (ImagePipeline.mPhashPairs _),
+    "m_resize"        -> (ImagePipeline.mResize _),
     // F. streaming (batch-equivalent of the streaming window agg)
     "s_window_agg"    -> (graft.streaming.EventStreams.sWindowAggBatch _),
     "s_sliding_agg"   -> (graft.streaming.EventStreams.sSlidingAggBatch _),

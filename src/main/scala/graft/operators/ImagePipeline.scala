@@ -313,6 +313,30 @@ object ImagePipeline {
       .limit(20)
   }
 
+  /** m_resize: image downsampling plumbing — 16×16 → 8×8 by 2×2 box
+    * averaging over the deterministic fake pixels (a real decoder's
+    * resize step before the CNN; the reference resizes crops for
+    * ResNet input). Integer-exact: each output pixel is the floor
+    * mean of its 4 sources. The gather is a map-side coordinate
+    * group-by (yo = y div 2), no joins at all.
+    */
+  def mResize(spark: SparkSession, dir: String): DataFrame = {
+    val n = 16
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(n - 1))).as("y"))
+      .select(col("doc_id"), col("y"), explode(sequence(lit(0), lit(n - 1))).as("x"))
+      .withColumn("px", H.md5Long(
+        concat(lit("px_"), col("doc_id").cast("string"), lit("_"),
+          col("y").cast("string"), lit("_"), col("x").cast("string")), 2))
+      .groupBy(col("doc_id"), expr("y div 2").as("yo"), expr("x div 2").as("xo"))
+      .agg(expr("sum(px) div 4").as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_px"), sum(col("p")).as("sum_p"),
+        min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+      .orderBy("doc_id")
+  }
+
   /** m_fake_embed: stub featurizer over the documents payload, long
     * format (doc_id, d, f) — the embedding column a real decoder would
     * produce, restricted to 10 docs × 8 dims for the correctness dump.

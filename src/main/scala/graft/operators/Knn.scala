@@ -703,6 +703,45 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_refine: two-tier serving — cheap index recall (LSH bucket
+    * candidates, top-20 by quantized-integer sketch similarity) then
+    * EXACT cosine re-rank of just those candidates to top-3 (the
+    * faiss IndexRefineFlat pattern). At 100 TB the exact pass touches
+    * 20 rows per query instead of the corpus; the recall tier's cost
+    * profile is the index's.
+    */
+  def vRefine(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val refineK = 20
+    val e = withBands(
+      corpus(spark, dir).withColumn("vq", V.quantize(col("v"))), dim)
+      .select("vec_id", "v", "nrm", "vq", "band0", "band1")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("vq").as("qvq"), col("band0").as("qb0"), col("band1").as("qb1"))
+    // recall tier: bucket candidates ranked by the integer quantized
+    // dot (cheap sketch — no FP, no norms), top-20 per query
+    val cands0 = e.join(broadcast(q),
+      col("vec_id") =!= col("query_id") && col("band0") === col("qb0"))
+    val cands1 = e.join(broadcast(q),
+      col("vec_id") =!= col("query_id") && col("band1") === col("qb1") &&
+      col("band0") =!= col("qb0"))
+    val sketch = cands0.union(cands1)
+      .select(col("query_id"), col("vec_id"), col("qv"), col("qn"),
+        col("v"), col("nrm"),
+        aggregate(zip_with(col("qvq"), col("vq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("qdot"))
+    val wr = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("vec_id").asc)
+    val recall = sketch.withColumn("rr", row_number().over(wr)).filter(col("rr") <= refineK)
+    // precision tier: exact cosine over the 20 survivors only
+    val exact = recall.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val wf = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    exact.withColumn("rnk", row_number().over(wf).cast("long")).filter(col("rnk") <= 3)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_centroid_label: per-label centroid statistics via exact integer
     * sums of quantized components (order-independent → oracle-safe).
     */

@@ -311,6 +311,27 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("v_refine: exact re-rank never scores better than full exact search") {
+    val refined = SparkEntry.queries("v_refine")(spark, sf).collect()
+    assert(refined.groupBy(_.getAs[Long]("query_id")).size == 10)
+    val exact = SparkEntry.queries("v_knn_exact")(spark, sf).collect()
+      .filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("sim")).toMap
+    refined.filter(_.getAs[Long]("rnk") == 1L).foreach { r =>
+      assert(r.getAs[Double]("sim") <= exact(r.getAs[Long]("query_id")) + 1e-9,
+        "refined candidates are a subset of the corpus")
+    }
+  }
+
+  test("m_resize: 64 output pixels per image, means inside pixel range") {
+    val rows = SparkEntry.queries("m_resize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_px") == 64)
+      assert(r.getAs[Long]("min_p") >= 0 && r.getAs[Long]("max_p") <= 255)
+    }
+  }
+
   test("plan shape: v_filtered_knn broadcasts the query side") {
     val df = SparkEntry.queries("v_filtered_knn")(spark, sf)
     df.collect()
