@@ -1214,6 +1214,32 @@ object Oracles {
       FROM daily
       ORDER BY l_suppkey, ship_day""",
 
+    "q_multi_distinct" -> """
+      SELECT event_type, COUNT(*) AS n,
+        COUNT(DISTINCT user_id) AS n_users,
+        COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+        COUNT(DISTINCT (user_id || '_' || strftime(ts, '%Y-%m-%d'))) AS n_user_days
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "t_bigram_lm" -> """
+      WITH tk2 AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t <> '') AS toks
+             FROM documents),
+      bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+             FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                   FROM tk2) u),
+      st AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM st),
+      sc AS (SELECT doc_id, bg.bigram, ln(cnt / CAST(n_total AS DOUBLE)) AS lp
+             FROM bg JOIN st ON bg.bigram = st.bigram CROSS JOIN tot),
+      ag AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+               list(lp ORDER BY bigram, lp) AS lps
+             FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_bigrams,
+        ROUND(list_reduce(lps, (a, b) -> a + b) / n_bigrams, 6) AS avg_logprob
+      FROM ag ORDER BY doc_id""",
+
     "q_scd2" -> """
       WITH ch AS (SELECT user_id, event_id, ts, event_type,
                LAG(event_type) OVER (PARTITION BY user_id

@@ -48,6 +48,7 @@ object SparkEntry {
     "q_dedup_latest"  -> (OlapExtras.qDedupLatest _),
     "q_scd2"          -> (OlapExtras.qScd2 _),
     "q_window_range"  -> (OlapExtras.qWindowRange _),
+    "q_multi_distinct" -> (OlapExtras.qMultiDistinct _),
     // B. vector search
     "v_norm"          -> (Knn.vNorm _),
     "v_knn_exact"     -> (Knn.vKnnExact _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "t_pii_redact"    -> (TextAnalysis.tPiiRedact _),
     "t_readability"   -> (TextAnalysis.tReadability _),
     "t_entropy"       -> (TextAnalysis.tEntropy _),
+    "t_bigram_lm"     -> (TextAnalysis.tBigramLm _),
     // E. multimodal (stubs per SURVEY §2.E — no image libs in env)
     "m_bbox"          -> (ImagePipeline.mBbox _),
     "m_fake_embed"    -> (ImagePipeline.mFakeEmbed _),

@@ -356,6 +356,23 @@ object OlapExtras {
       .orderBy("l_suppkey", "ship_day")
   }
 
+  /** q_multi_distinct: several COUNT(DISTINCT …) over different keys
+    * in ONE aggregation — Catalyst plans this with the Expand operator
+    * (one replicated row per distinct-group), so all four aggregates
+    * still run in a single shuffle pass instead of one job per
+    * distinct column.
+    */
+  def qMultiDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("day")).as("n_days"),
+        countDistinct(concat(col("user_id").cast("string"), lit("_"), col("day")))
+          .as("n_user_days"))
+      .orderBy("event_type")
+
   /** q_scd2: slowly-changing-dimension type-2 build — turn each
     * user's event log into versioned validity intervals: a new version
     * opens whenever the tracked attribute (event_type) CHANGES from

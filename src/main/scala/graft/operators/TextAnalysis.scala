@@ -94,13 +94,7 @@ object TextAnalysis {
     * tail), so the only shuffle is the count group-by.
     */
   def tNgrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("toks", toks(col("text")))
-      .select(explode(when(size(col("toks")) < 2, array().cast("array<string>"))
-        .otherwise(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => concat(a, lit(" "), b)))).as("bigram"))
+    docBigrams(spark, dir)
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
@@ -238,6 +232,43 @@ object TextAnalysis {
         round(-aggregate(
           transform(col("cs"), c => (c / col("n")) * log(c / col("n"))),
           lit(0.0), (acc, t) => acc + t), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc token bigrams, long format (doc_id, bigram). */
+  private def docBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks(col("text")))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) < 2, array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat(a, lit(" "), b)))).as("bigram"))
+
+  /** t_bigram_lm: language-model-style quality score — each document's
+    * mean bigram log-probability under the corpus bigram distribution
+    * (the perplexity proxy used to flag gibberish: rare transitions →
+    * very negative score). Scale shape: the bigram stats table is a
+    * term-shuffled aggregate joined back on the bigram (no driver
+    * vocab); per-doc scores fold the per-bigram log-probs
+    * deterministically (sorted list, 0.0-seeded left fold ≡ DuckDB
+    * list_reduce — same trick as t_entropy).
+    */
+  def tBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docBigrams(spark, dir)
+    val stats = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val total = stats.agg(sum(col("cnt")).as("n_total"))
+    val scored = bg.join(stats, "bigram").crossJoin(broadcast(total))
+      .select(col("doc_id"), col("bigram"),
+        log(col("cnt") / col("n_total").cast("double")).as("lp"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        transform(array_sort(collect_list(struct(col("bigram"), col("lp")))),
+          s => s.getField("lp")).as("lps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(aggregate(col("lps"), lit(0.0), (acc, x) => acc + x)
+          / col("n_bigrams"), 6).as("avg_logprob"))
       .orderBy("doc_id")
   }
 

@@ -332,6 +332,28 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("q_multi_distinct: one Expand pass, distincts bounded sensibly") {
+    val df = SparkEntry.queries("q_multi_distinct")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("n_user_days") >= r.getAs[Long]("n_users"))
+      assert(r.getAs[Long]("n_user_days") <= r.getAs[Long]("n"))
+    }
+    assert(df.queryExecution.executedPlan.toString.contains("Expand"),
+      "multiple COUNT DISTINCTs must plan through one Expand, not N jobs")
+  }
+
+  test("t_bigram_lm: log-probs negative, common-transition docs score higher") {
+    val rows = SparkEntry.queries("t_bigram_lm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_logprob") < 0.0, "probabilities are < 1")
+      assert(r.getAs[Long]("n_bigrams") >= 1)
+    }
+  }
+
   test("plan shape: v_filtered_knn broadcasts the query side") {
     val df = SparkEntry.queries("v_filtered_knn")(spark, sf)
     df.collect()
