@@ -90,21 +90,53 @@ object Knn {
       .orderBy("query_id")
   }
 
-  /** Top-100 most similar pairs, exact (brute-force all-pairs — the
-    * FAISS-flat-equivalent baseline; the LSH/IVF paths below are what
-    * run at scale).
+  /** Cells of the G×G upper-triangular pair grid (a ≤ b). Tiny —
+    * G(G+1)/2 rows — and always broadcast.
+    */
+  val PairGridSize = 16
+
+  /** Top-100 most similar pairs, EXACT, with no nested-loop self-join:
+    * the O(n²) pair space is tiled into a G×G upper-triangular grid of
+    * cells. Each side replicates to its cell coordinates via a
+    * broadcast equi-join against the (G(G+1)/2)-row cell table, the
+    * pair join is a shuffle HASH join on the (cell_a, cell_b) key, and
+    * each cell keeps only its local top-100 (WindowGroupLimit) before
+    * the global top-100 merge.
+    *
+    * Scale shape: exact all-pairs top-k on structure-less data is
+    * inherently O(n²) compute — what matters is that no single task
+    * owns it. Here parallelism = G(G+1)/2 cells, per-side shuffle
+    * volume = n·(G+1)/2 rows (the replication factor is the price of
+    * exactness, tunable via G), and shuffle OUT of the cells is ≤
+    * 100·cells rows. When the data has real near-dup structure, the
+    * cheap path is the LSH-blocked d_embed_near; this is the exact
+    * engine operator (FAISS-flat-equivalent) that survives a cluster.
     */
   def vPairsNear(spark: SparkSession, dir: String): DataFrame = {
+    val g = PairGridSize
+    val cells = broadcast(
+      spark.createDataFrame(for { a <- 0 until g; b <- a until g } yield (a, b))
+        .toDF("ga", "gb"))
     val e = corpus(spark, dir)
-    // the corpus parquet is one small file → one input partition; spread
-    // the O(n²/2) pair evaluation across the cluster before the
-    // nested-loop join (at scale the stream side is partitioned anyway)
-    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
-      .repartition(col("id1"))
-    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-    a.join(b, col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        round(V.cosinePre(V.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6).as("sim"))
+      .withColumn("grp", pmod(col("vec_id"), lit(g)).cast("int"))
+    val l = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"),
+        col("grp").as("g1"))
+      .join(cells, col("g1") === col("ga"))
+    val r = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"),
+        col("grp").as("g2"))
+      .join(cells.select(col("ga").as("ha"), col("gb").as("hb")), col("g2") === col("hb"))
+    // off-diagonal cells see each unordered pair exactly once (block
+    // order fixes orientation); diagonal cells dedupe on id order
+    val scored = l.join(r, col("ga") === col("ha") && col("gb") === col("hb") &&
+        (col("ga") < col("gb") || col("id1") < col("id2")))
+      .select(
+        least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"),
+        round(V.cosinePre(V.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6).as("sim"),
+        col("ga"), col("gb"))
+    val w = Window.partitionBy("ga", "gb").orderBy(col("sim").desc, col("id1").asc, col("id2").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 100)
+      .select("id1", "id2", "sim")
       .orderBy(col("sim").desc, col("id1").asc, col("id2").asc)
       .limit(100)
   }

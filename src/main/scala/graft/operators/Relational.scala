@@ -57,7 +57,7 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === ord("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
