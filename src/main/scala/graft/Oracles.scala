@@ -262,7 +262,222 @@ object Oracles {
             FROM s),
       top5 AS (SELECT * FROM r WHERE rnk <= 5)"""
 
+  /** Deterministic IVF training + search, replayed as unrolled SQL:
+    * seeds = first k vectors (cid = rank by vec_id), each Lloyd
+    * iteration = round-6 cosine argmax assignment then per-dim mean as
+    * a vec_id-sorted 0.0-seeded fold (bit-equal to Spark's
+    * aggregate(array_sort(collect_list(..)), 0.0, +) — see
+    * Knn.ivfModel). Ends with `ivfasg` (vec_id, v, nrm, cid under the
+    * final centroids) and `ivftop` (per-query IVF top-5 via nprobe
+    * probed lists).
+    */
+  private def ivfCte: String = {
+    import graft.operators.Knn.{IvfClusters, IvfIters, IvfNprobe, NumQueries, DefaultK}
+    val sb = new StringBuilder
+    sb.append(s"""$normsCte,
+      ivfdims AS (SELECT unnest(generate_series(1, 64)) AS d),
+      cent0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                  v AS cv, sqrt(list_dot_product(v, v)) AS cn
+                FROM n WHERE vec_id < $IvfClusters)""")
+    for (i <- 1 to IvfIters) {
+      sb.append(s""",
+      asg$i AS (SELECT vec_id, v, nrm, cid FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                ROUND(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+                c.cid ASC) AS rn
+            FROM n CROSS JOIN cent${i - 1} c) t WHERE rn = 1),
+      cm$i AS (SELECT cid, d,
+            list_reduce(list(v[d] ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS m
+          FROM asg$i CROSS JOIN ivfdims GROUP BY cid, d),
+      cent$i AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+            SELECT cid, list(m ORDER BY d) AS cv FROM cm$i GROUP BY cid) t)""")
+    }
+    sb.append(s""",
+      ivfasg AS (SELECT vec_id, v, nrm, cid FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                ROUND(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+                c.cid ASC) AS rn
+            FROM n CROSS JOIN cent$IvfIters c) t WHERE rn = 1),
+      ivfq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+               FROM n WHERE vec_id < $NumQueries),
+      ivfprobe AS (SELECT query_id, qv, qn, cid AS pcid FROM (
+            SELECT q.query_id, q.qv, q.qn, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                ROUND(list_dot_product(q.qv, c.cv) / (q.qn * c.cn), 6) DESC,
+                c.cid ASC) AS rn
+            FROM ivfq q CROSS JOIN cent$IvfIters c) t WHERE rn <= $IvfNprobe),
+      ivfcand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+              ROUND(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) AS sim
+            FROM ivfprobe p JOIN ivfasg a
+              ON a.cid = p.pcid AND a.vec_id <> p.query_id),
+      ivftop AS (SELECT query_id, neighbor_id, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM ivfcand QUALIFY rnk <= $DefaultK)""")
+    sb.toString
+  }
+
+  /** Deterministic PQ codebook training + ADC search, replayed as
+    * unrolled SQL (assumes `n` from normsCte is in scope — composes
+    * with normsCte or ivfCte). Mirrors Knn.pqModel exactly: seeds =
+    * subvectors of the first K vectors, round-6 L2 argmin assignment,
+    * vec_id-sorted fold means, codebooks trained on the vec_id<500
+    * sample, full-corpus encode, ADC via per-(query, subspace, code)
+    * partial-L2 table, m-sorted fold sum. Every float op folds in the
+    * same order as the Spark side, so codebooks are bit-identical.
+    * Ends with `pcodes` (full-corpus codes), `pdt` (ADC table), and
+    * `pqtop` (per-query ADC top-5).
+    */
+  private def pqCteBody: String = {
+    import graft.operators.Knn.{PqSubspaces, PqCodes, PqIters, NumQueries, DefaultK}
+    val dsub = 64 / PqSubspaces
+    def fold(expr: String): String =
+      s"list_reduce(list_transform(generate_series(1, $dsub), ii -> $expr), (a, b) -> a + b)"
+    def asgFrom(src: String, books: String): String = s"""(
+            SELECT t.vec_id, t.m, t.sv, b.k AS code,
+              ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.m ORDER BY
+                ROUND(t.svn + ${fold("b.cv[ii] * b.cv[ii]")}
+                  - 2.0 * ${fold("t.sv[ii] * b.cv[ii]")}, 6) ASC,
+                b.k ASC) AS rn
+            FROM $src t JOIN $books b ON b.m = t.m) z WHERE rn = 1"""
+    val sb = new StringBuilder
+    sb.append(s"""
+      pqdims AS (SELECT unnest(generate_series(1, $dsub)) AS d),
+      pqms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
+      psub AS (SELECT vec_id, m, v[m * $dsub + 1 : m * $dsub + $dsub] AS sv,
+                 ${fold(s"v[m * $dsub + ii] * v[m * $dsub + ii]")} AS svn
+               FROM n CROSS JOIN pqms),
+      ptrain AS (SELECT * FROM psub WHERE vec_id < 500),
+      pbooks0 AS (SELECT m,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) AS k,
+                    sv AS cv
+                  FROM psub WHERE vec_id < $PqCodes)""")
+    for (i <- 1 to PqIters) {
+      sb.append(s""",
+      pasg$i AS (SELECT vec_id, m, sv, code FROM ${asgFrom("ptrain", s"pbooks${i - 1}")}),
+      pcm$i AS (SELECT m, code, d,
+            list_reduce(list(sv[d] ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS mu
+          FROM pasg$i CROSS JOIN pqdims GROUP BY m, code, d),
+      pbooks$i AS (SELECT b.m, b.k, COALESCE(nb.cv, b.cv) AS cv
+          FROM pbooks${i - 1} b LEFT JOIN (
+            SELECT m, code AS k, list(mu ORDER BY d) AS cv
+            FROM pcm$i GROUP BY m, code) nb
+          ON nb.m = b.m AND nb.k = b.k)""")
+    }
+    sb.append(s""",
+      pcodes AS (SELECT vec_id, m, code FROM ${asgFrom("psub", s"pbooks$PqIters")}),
+      pqq AS (SELECT vec_id AS query_id, m, sv AS qsv FROM psub WHERE vec_id < $NumQueries),
+      pdt AS (SELECT q.query_id, b.m, b.k,
+                ${fold("(q.qsv[ii] - b.cv[ii]) * (q.qsv[ii] - b.cv[ii])")} AS d2
+              FROM pqq q JOIN pbooks$PqIters b ON b.m = q.m),
+      pqscore AS (SELECT t.query_id, c.vec_id,
+                ROUND(sqrt(list_reduce(list(t.d2 ORDER BY t.m), (a, b) -> a + b)), 6)
+                  AS adc_dist
+              FROM pcodes c JOIN pdt t
+                ON t.m = c.m AND t.k = c.code AND c.vec_id <> t.query_id
+              GROUP BY t.query_id, c.vec_id),
+      pqtop AS (SELECT query_id, vec_id AS neighbor_id, adc_dist,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rnk
+              FROM pqscore QUALIFY rnk <= $DefaultK)""")
+    sb.toString
+  }
+
+  /** Exact L2 top-5 (the recall reference for the PQ paths); assumes
+    * `n` in scope. Ends with `exl2` (query_id, neighbor_id).
+    */
+  private def exactL2Cte: String = """
+      exl2_s AS (SELECT q2.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   ROUND(sqrt(GREATEST(q2.nrm * q2.nrm + n.nrm * n.nrm
+                     - 2.0 * list_dot_product(q2.v, n.v), 0.0)), 6) AS dist
+                 FROM n CROSS JOIN (SELECT * FROM n WHERE vec_id < 10) q2
+                 WHERE n.vec_id <> q2.vec_id),
+      exl2 AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dist ASC, neighbor_id) AS rnk
+                 FROM exl2_s) t WHERE rnk <= 5)"""
+
   val vector: Map[String, String] = Map(
+    "v_pq" -> s"""
+      WITH $normsCte, $pqCteBody
+      SELECT query_id, rnk, neighbor_id, adc_dist FROM pqtop
+      ORDER BY query_id, rnk""",
+
+    "v_pq_recall" -> s"""
+      WITH $normsCte, $pqCteBody, $exactL2Cte
+      SELECT e.query_id,
+        CAST(COUNT(p.neighbor_id) AS BIGINT) AS hits,
+        ROUND(COUNT(p.neighbor_id) / 5.0, 6) AS recall
+      FROM exl2 e LEFT JOIN pqtop p
+        ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id ORDER BY e.query_id""",
+
+    "v_ivf_pq" -> s"""
+      WITH $ivfCte, $pqCteBody,
+      ipcand AS (SELECT p.query_id AS cq, a.vec_id AS cv
+                 FROM ivfprobe p JOIN ivfasg a
+                   ON a.cid = p.pcid AND a.vec_id <> p.query_id),
+      ipscore AS (SELECT t.query_id, c.cv AS vec_id,
+                ROUND(sqrt(list_reduce(list(t.d2 ORDER BY t.m), (a, b) -> a + b)), 6)
+                  AS adc_dist
+              FROM pcodes pc
+                JOIN ipcand c ON pc.vec_id = c.cv
+                JOIN pdt t ON t.query_id = c.cq AND t.m = pc.m AND t.k = pc.code
+              GROUP BY t.query_id, c.cv),
+      iptop AS (SELECT query_id, vec_id AS neighbor_id, adc_dist,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rnk
+              FROM ipscore QUALIFY rnk <= 5)
+      SELECT query_id, rnk, neighbor_id, adc_dist FROM iptop
+      ORDER BY query_id, rnk""",
+
+    "v_ivf_pq_recall" -> s"""
+      WITH $ivfCte, $pqCteBody, $exactL2Cte,
+      ipcand AS (SELECT p.query_id AS cq, a.vec_id AS cv
+                 FROM ivfprobe p JOIN ivfasg a
+                   ON a.cid = p.pcid AND a.vec_id <> p.query_id),
+      ipscore AS (SELECT t.query_id, c.cv AS vec_id,
+                ROUND(sqrt(list_reduce(list(t.d2 ORDER BY t.m), (a, b) -> a + b)), 6)
+                  AS adc_dist
+              FROM pcodes pc
+                JOIN ipcand c ON pc.vec_id = c.cv
+                JOIN pdt t ON t.query_id = c.cq AND t.m = pc.m AND t.k = pc.code
+              GROUP BY t.query_id, c.cv),
+      iptop AS (SELECT query_id, vec_id AS neighbor_id
+              FROM (SELECT query_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+                    FROM ipscore) t WHERE rnk <= 5)
+      SELECT e.query_id,
+        CAST(COUNT(p.neighbor_id) AS BIGINT) AS hits,
+        ROUND(COUNT(p.neighbor_id) / 5.0, 6) AS recall
+      FROM exl2 e LEFT JOIN iptop p
+        ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id ORDER BY e.query_id""",
+
+    "v_ivf" -> s"""
+      WITH $ivfCte
+      SELECT query_id, rnk, neighbor_id, sim FROM ivftop ORDER BY query_id, rnk""",
+
+    "v_ivf_recall" -> s"""
+      WITH $ivfCte,
+      ex_s AS (SELECT q2.query_id, n.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(q2.qv, n.v) / (q2.qn * n.nrm), 6) AS sim
+               FROM n CROSS JOIN ivfq q2 WHERE n.vec_id <> q2.query_id),
+      ex5 AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rnk
+                FROM ex_s) t WHERE rnk <= 5)
+      SELECT e.query_id,
+        CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits,
+        ROUND(COUNT(i.neighbor_id) / 5.0, 6) AS recall
+      FROM ex5 e LEFT JOIN ivftop i
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id ORDER BY e.query_id""",
     "v_norm" -> """
       SELECT vec_id, label,
         ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS nrm,

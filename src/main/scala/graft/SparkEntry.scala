@@ -65,6 +65,9 @@ object SparkEntry {
     "v_pq"            -> (Knn.vPq _),
     "v_ivf_pq"        -> (Knn.vIvfPq _),
     "v_recall"        -> (Knn.vRecall _),
+    "v_ivf_recall"    -> (Knn.vIvfRecall _),
+    "v_pq_recall"     -> (Knn.vPqRecall _),
+    "v_ivf_pq_recall" -> (Knn.vIvfPqRecall _),
     "v_sql_surface"   -> (Knn.vSqlSurface _),
     "v_filtered_knn"  -> (Knn.vFilteredKnn _),
     "v_knn_per_label" -> (Knn.vKnnPerLabel _),

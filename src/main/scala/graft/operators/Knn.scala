@@ -302,6 +302,54 @@ object Knn {
       .orderBy("query_id")
   }
 
+  /** v_ivf_recall: recall@5 of the IVF index against exact cosine
+    * top-5 — the driver-visible quality gate for the k-means path.
+    * Oracle-checkable because the whole Lloyd trajectory is
+    * deterministic (seeded init, round-6 assignment, sorted-fold
+    * means), so the oracle replays training as unrolled SQL CTEs.
+    */
+  def vIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBase(spark, dir, DefaultK).select(col("query_id"), col("neighbor_id"))
+    val ivf = vIvf(spark, dir)
+      .select(col("query_id").as("iq"), col("neighbor_id").as("inb"))
+    exact.join(ivf,
+        col("query_id") === col("iq") && col("neighbor_id") === col("inb"), "left")
+      .groupBy("query_id")
+      .agg(count(col("inb")).as("hits"),
+        round(count(col("inb")) / lit(5.0), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** v_pq_recall: recall@5 of PQ/ADC search against exact L2 top-5 —
+    * driver-visible quality gate for the codebook path (same unrolled
+    * deterministic-training oracle story as v_ivf_recall).
+    */
+  def vPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = vKnnL2(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val pq = vPq(spark, dir)
+      .select(col("query_id").as("pq"), col("neighbor_id").as("pn"))
+    exact.join(pq, col("query_id") === col("pq") && col("neighbor_id") === col("pn"), "left")
+      .groupBy("query_id")
+      .agg(count(col("pn")).as("hits"),
+        round(count(col("pn")) / lit(5.0), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** v_ivf_pq_recall: recall@5 of the two-stage IVF-PQ search against
+    * exact L2 top-5 — quantifies the compound loss of coarse pruning +
+    * code compression per query.
+    */
+  def vIvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = vKnnL2(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val ipq = vIvfPq(spark, dir)
+      .select(col("query_id").as("pq"), col("neighbor_id").as("pn"))
+    exact.join(ipq, col("query_id") === col("pq") && col("neighbor_id") === col("pn"), "left")
+      .groupBy("query_id")
+      .agg(count(col("pn")).as("hits"),
+        round(count(col("pn")) / lit(5.0), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   // ---- IVF (k-means coarse quantizer) ------------------------------
 
   val IvfClusters = 8
@@ -340,17 +388,26 @@ object Knn {
     def withCid(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val cands = array(centroids.map { case (cid, cv) =>
         val cn = math.sqrt(cv.map(x => x * x).sum)
+        // round-6 before the argmax so assignment survives ulp-level
+        // engine differences — the same tolerance every ranked sim in
+        // the oracle gate uses
         struct(
-          V.cosinePre(V.dot(col("v"), typedLit(cv.toSeq)), col("nrm"), lit(cn)).as("sim"),
+          round(V.cosinePre(V.dot(col("v"), typedLit(cv.toSeq)), col("nrm"), lit(cn)), 6)
+            .as("sim"),
           lit(-cid).as("ncid"))
       }: _*)
       df.withColumn("cid", -array_max(cands).getField("ncid"))
     }
 
     for (_ <- 1 to IvfIters) {
+      // per-dim mean as a SORTED 0.0-seeded fold (not avg()): bit-equal
+      // in any engine / any partitioning, so the whole Lloyd trajectory
+      // is deterministic and the oracle can replay it (SURVEY §6)
       val means = withCid(e)
-        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("cid", "d").agg(avg(col("x")).as("m"))
+        .select(col("cid"), col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg((aggregate(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+            lit(0.0), (acc, s) => acc + s.getField("x")) / count(lit(1))).as("m"))
         .groupBy("cid").agg(
           transform(array_sort(collect_list(struct(col("d"), col("m")))),
             s => s.getField("m")).as("cv"))
@@ -370,7 +427,8 @@ object Knn {
     val cands = array_sort(array(centroids.map { case (cid, cv) =>
       val cn = math.sqrt(cv.map(x => x * x).sum)
       struct(
-        (-V.cosinePre(V.dot(col("v"), typedLit(cv.toSeq)), col("nrm"), lit(cn))).as("nsim"),
+        (-round(V.cosinePre(V.dot(col("v"), typedLit(cv.toSeq)), col("nrm"), lit(cn)), 6))
+          .as("nsim"),
         lit(cid).as("cid"))
     }: _*))
     inv.filter(col("vec_id") < NumQueries)
@@ -454,8 +512,11 @@ object Knn {
         val perM = array((0 until PqCodes).map { k =>
           val c = books(m)(k)
           val cn = c.map(x => x * x).sum
+          // round-6 before the argmin — same cross-engine tolerance as
+          // every ranked distance in the oracle gate
           struct(
-            (col("svn") + lit(cn) - lit(2.0) * V.dot(col("sv"), typedLit(c.toSeq))).as("d2"),
+            round(col("svn") + lit(cn) - lit(2.0) * V.dot(col("sv"), typedLit(c.toSeq)), 6)
+              .as("d2"),
             lit(k).as("k"))
         }: _*)
         when(col("m") === m, array_min(perM).getField("k"))
@@ -467,9 +528,14 @@ object Knn {
     // encode pass still covers the full corpus)
     val trainSub = sub.filter(col("vec_id") < 500).localCheckpoint(true)
     for (_ <- 1 to PqIters) {
+      // per-dim mean as a vec_id-sorted 0.0-seeded fold, not avg() —
+      // deterministic under any partitioning, so the oracle can replay
+      // the codebook trajectory (same rationale as ivfModel)
       val means = trainSub.withColumn("code", codeExpr)
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
-        .groupBy("m", "code", "d").agg(avg(col("x")).as("mu"))
+        .select(col("m"), col("code"), col("vec_id"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy("m", "code", "d")
+        .agg((aggregate(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+            lit(0.0), (acc, s) => acc + s.getField("x")) / count(lit(1))).as("mu"))
         .groupBy("m", "code").agg(
           transform(array_sort(collect_list(struct(col("d"), col("mu")))),
             s => s.getField("mu")).as("cv"))
@@ -512,7 +578,8 @@ object Knn {
         col("m") === col("qm") && col("code") === col("qk") &&
         col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
-      .agg(round(sqrt(sum(col("d2"))), 6).as("adc_dist"))
+      .agg(round(sqrt(aggregate(array_sort(collect_list(struct(col("m"), col("d2")))),
+        lit(0.0), (acc, s) => acc + s.getField("d2"))), 6).as("adc_dist"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
@@ -544,7 +611,8 @@ object Knn {
         col("pq") === col("query_id") && col("m") === col("qm")
           && col("code") === col("qk"))
       .groupBy("query_id", "vec_id")
-      .agg(round(sqrt(sum(col("d2"))), 6).as("adc_dist"))
+      .agg(round(sqrt(aggregate(array_sort(collect_list(struct(col("m"), col("d2")))),
+        lit(0.0), (acc, s) => acc + s.getField("d2"))), 6).as("adc_dist"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))

@@ -162,7 +162,8 @@ object PqIndexStore {
         col("m") === col("qm") && col("code") === col("qk") &&
         col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
-      .agg(round(sqrt(sum(col("d2"))), 6).as("adc_dist"))
+      .agg(round(sqrt(aggregate(array_sort(collect_list(struct(col("m"), col("d2")))),
+        lit(0.0), (acc, s) => acc + s.getField("d2"))), 6).as("adc_dist"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
