@@ -794,6 +794,47 @@ object Oracles {
       FROM (SELECT DISTINCT doc_id % 256 AS intensity FROM documents)
       ORDER BY intensity""",
 
+    // same formula as m_fake_embed, but the Spark side produces it
+    // through the pluggable batched-inference scaffold (mapPartitions
+    // + per-partition model load) instead of a Catalyst expression
+    "m_embed_scaffold" -> """
+      WITH dd AS (SELECT unnest(generate_series(1, 8)) AS d)
+      SELECT doc_id, CAST(d AS BIGINT) AS d,
+        ROUND(CAST(('0x' || substr(md5(text || '_' || d), 1, 8)) AS BIGINT)
+          / 4294967296.0, 6) AS f
+      FROM documents CROSS JOIN dd WHERE doc_id < 10 ORDER BY doc_id, d""",
+
+    // the pluggable detector scaffold: md5-derived boxes through the
+    // reference's exact normalized->pixel bbox truncation math
+    "m_detect" -> """
+      WITH di AS (SELECT unnest(generate_series(0, 2)) AS i),
+      base AS (SELECT doc_id, text,
+          CAST(('0x' || substr(md5(text || '_n'), 1, 8)) AS BIGINT) % 3 + 1 AS n
+        FROM documents WHERE doc_id < 20),
+      raw AS (SELECT doc_id, i,
+          CAST(CAST(('0x' || substr(md5(text || '_x' || i), 1, 8)) AS BIGINT) AS DOUBLE)
+            / 4294967296.0 AS xc,
+          CAST(CAST(('0x' || substr(md5(text || '_y' || i), 1, 8)) AS BIGINT) AS DOUBLE)
+            / 4294967296.0 AS yc,
+          CAST(CAST(('0x' || substr(md5(text || '_w' || i), 1, 8)) AS BIGINT) AS DOUBLE)
+            / 4294967296.0 / 4.0 AS w,
+          CAST(CAST(('0x' || substr(md5(text || '_h' || i), 1, 8)) AS BIGINT) AS DOUBLE)
+            / 4294967296.0 / 4.0 AS h,
+          CAST(('0x' || substr(md5(text || '_c' || i), 1, 8)) AS BIGINT) % 5 AS class_id,
+          ROUND(CAST(('0x' || substr(md5(text || '_s' || i), 1, 8)) AS BIGINT)
+            / 4294967296.0, 6) AS score
+        FROM base CROSS JOIN di WHERE i < n),
+      a AS (SELECT doc_id, i, class_id, score, xc, yc,
+          CAST(trunc(w * 640) AS BIGINT) AS w_abs,
+          CAST(trunc(h * 480) AS BIGINT) AS h_abs FROM raw)
+      SELECT doc_id, CAST(i AS BIGINT) AS det_id,
+        CAST(class_id AS BIGINT) AS class_id, score,
+        CAST(trunc(xc * 640 - w_abs / 2.0) AS BIGINT) AS x1,
+        CAST(trunc(yc * 480 - h_abs / 2.0) AS BIGINT) AS y1,
+        CAST(trunc(xc * 640 - w_abs / 2.0) AS BIGINT) + w_abs AS x2,
+        CAST(trunc(yc * 480 - h_abs / 2.0) AS BIGINT) + h_abs AS y2
+      FROM a ORDER BY doc_id, det_id""",
+
     "m_fake_embed" -> """
       WITH dd AS (SELECT unnest(generate_series(1, 8)) AS d)
       SELECT doc_id, CAST(d AS BIGINT) AS d,

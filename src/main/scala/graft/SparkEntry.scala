@@ -106,6 +106,8 @@ object SparkEntry {
     // E. multimodal (stubs per SURVEY §2.E — no image libs in env)
     "m_bbox"          -> (ImagePipeline.mBbox _),
     "m_fake_embed"    -> (ImagePipeline.mFakeEmbed _),
+    "m_embed_scaffold" -> (BatchInference.mEmbedScaffold _),
+    "m_detect"        -> (BatchInference.mDetect _),
     "m_gamma_lut"     -> (ImagePipeline.mGammaLut _),
     "m_frame_sample"  -> (ImagePipeline.mFrameSample _),
     "m_clahe_hist"    -> (ImagePipeline.mClaheHist _),

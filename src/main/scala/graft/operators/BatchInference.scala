@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.{HashFns => H}
+
+/** Batched executor-side model inference over binary payload columns —
+  * the executable analog of the reference's ResNet featurizer
+  * (/root/reference/build_faiss_db.py:111-134) and YOLO detector
+  * (/root/reference/app.py:112-124), with the model kept pluggable.
+  *
+  * This container has no torch/opencv, so the shipped models are
+  * deterministic md5 fakes — but the Spark-side contract is the real
+  * one a JNI/ONNX/TorchScript model drops into unchanged:
+  *
+  *  - `Loader.load()` runs ONCE per partition on the executor (the
+  *    expensive weight load), never on the driver, and the model is
+  *    closed when the partition's iterator is exhausted;
+  *  - payloads are fed in caller-sized batches (the GPU-utilization
+  *    knob), so peak memory is batchSize×payload, not partition×payload;
+  *  - the stage is a mapPartitions over rows — no shuffle, no driver
+  *    collect; at 100 TB it scales with input splits exactly like the
+  *    reference's per-file loop scales with files.
+  *
+  * The md5 fakes make scaffold output hash-verifiable end-to-end: the
+  * DuckDB oracle reproduces the same vectors/boxes from md5 SQL, so
+  * the whole decode→detect→embed plumbing sits inside the correctness
+  * gate rather than beside it.
+  */
+object BatchInference {
+
+  /** A loaded featurizer instance — one per partition, fed batches. */
+  trait EmbedModel {
+    def embedBatch(payloads: Array[Array[Byte]]): Array[Array[Double]]
+    def close(): Unit = ()
+  }
+
+  /** Serializable factory shipped to executors; `dim` sizes the output
+    * schema without loading the model on the driver.
+    */
+  trait EmbedLoader extends Serializable {
+    def load(): EmbedModel
+    def dim: Int
+  }
+
+  /** A loaded detector instance: per payload, a list of
+    * (class_id, score, x1, y1, x2, y2) boxes in pixel coords.
+    */
+  trait DetectModel {
+    def detectBatch(payloads: Array[Array[Byte]]): Array[Seq[(Int, Double, Long, Long, Long, Long)]]
+    def close(): Unit = ()
+  }
+
+  trait DetectLoader extends Serializable {
+    def load(): DetectModel
+  }
+
+  /** Iterator that runs `f` exactly once when exhausted — releases the
+    * per-partition model without holding the whole partition in memory.
+    */
+  private def completing[T](it: Iterator[T])(f: => Unit): Iterator[T] = new Iterator[T] {
+    private var done = false
+    def hasNext: Boolean = {
+      val h = it.hasNext
+      if (!h && !done) { done = true; f }
+      h
+    }
+    def next(): T = it.next()
+  }
+
+  /** Append `outCol: array<double>` to `df` by running the pluggable
+    * featurizer over `payloadCol` in batches of `batchSize`.
+    */
+  def embedStage(df: DataFrame, payloadCol: String, loader: EmbedLoader,
+                 batchSize: Int = 64, outCol: String = "embedding"): DataFrame = {
+    val schema = df.schema
+      .add(StructField(outCol, ArrayType(DoubleType, containsNull = false), nullable = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    // method-local copies: a closure referencing object vals would
+    // capture the enclosing object (see EventStreams' serialization note)
+    val (ld, bs) = (loader, batchSize)
+    df.mapPartitions { it =>
+      val model = ld.load()
+      val out = it.grouped(bs).flatMap { batch =>
+        val vecs = model.embedBatch(batch.iterator.map(_.getAs[Array[Byte]](idx)).toArray)
+        batch.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v.toSeq))
+      }
+      completing(out)(model.close())
+    }(Encoders.row(schema))
+  }
+
+  val detectionSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("class_id", IntegerType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("x1", LongType, nullable = false),
+    StructField("y1", LongType, nullable = false),
+    StructField("x2", LongType, nullable = false),
+    StructField("y2", LongType, nullable = false))), containsNull = false)
+
+  /** Append `outCol: array<struct>` of detections to `df` by running
+    * the pluggable detector over `payloadCol` in batches.
+    */
+  def detectStage(df: DataFrame, payloadCol: String, loader: DetectLoader,
+                  batchSize: Int = 64, outCol: String = "detections"): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, detectionSchema, nullable = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val (ld, bs) = (loader, batchSize)
+    df.mapPartitions { it =>
+      val model = ld.load()
+      val out = it.grouped(bs).flatMap { batch =>
+        val dets = model.detectBatch(batch.iterator.map(_.getAs[Array[Byte]](idx)).toArray)
+        batch.lazyZip(dets).map { (r, ds) =>
+          Row.fromSeq(r.toSeq :+ ds.map { case (c, s, x1, y1, x2, y2) =>
+            Row(c, s, x1, y1, x2, y2)
+          })
+        }
+      }
+      completing(out)(model.close())
+    }(Encoders.row(schema))
+  }
+
+  // ---- deterministic fake models (oracle-replicable md5 math) ------
+
+  /** md5-derived fraction in [0,1): first 8 hex chars / 2^32 — exact
+    * dyadic rational, bit-identical in any engine.
+    */
+  private def md5Frac(s: String): Double =
+    java.lang.Long.parseLong(H.md5Hex(s).take(8), 16).toDouble / 4294967296.0
+
+  /** Spark's round(_, 6): HALF_UP on the decimal repr of the double. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** ResNet stand-in: dim doubles in [0,1) from md5(payload ++ "_d") —
+    * the exact formula of ImagePipeline.fakeEmbedding, so scaffold
+    * output hash-matches the same SQL oracle. Payloads are assumed
+    * UTF-8 (the test corpus carries text bytes).
+    */
+  final class Md5EmbedLoader(val dim: Int) extends EmbedLoader {
+    def load(): EmbedModel = new EmbedModel {
+      private val d0 = dim // silence "never used" on the outer val path
+      def embedBatch(payloads: Array[Array[Byte]]): Array[Array[Double]] =
+        payloads.map { p =>
+          val s = new String(p, "UTF-8")
+          Array.tabulate(d0)(d => round6(md5Frac(s + "_" + (d + 1))))
+        }
+    }
+  }
+
+  /** YOLO stand-in: 1-3 boxes per payload with md5-derived centers and
+    * sizes, run through the reference's exact normalized→pixel bbox
+    * math (build_faiss_db.py:173-177; truncation toward zero like
+    * python int()). All arithmetic is exact-dyadic doubles, so the SQL
+    * oracle reproduces every coordinate bit-for-bit.
+    */
+  final class Md5DetectLoader extends DetectLoader {
+    def load(): DetectModel = new DetectModel {
+      def detectBatch(payloads: Array[Array[Byte]]): Array[Seq[(Int, Double, Long, Long, Long, Long)]] =
+        payloads.map { p =>
+          val s = new String(p, "UTF-8")
+          val n = (java.lang.Long.parseLong(H.md5Hex(s + "_n").take(8), 16) % 3 + 1).toInt
+          (0 until n).map { i =>
+            val xc = md5Frac(s + "_x" + i)
+            val yc = md5Frac(s + "_y" + i)
+            val w = md5Frac(s + "_w" + i) / 4.0
+            val h = md5Frac(s + "_h" + i) / 4.0
+            val classId = (java.lang.Long.parseLong(H.md5Hex(s + "_c" + i).take(8), 16) % 5).toInt
+            val score = round6(md5Frac(s + "_s" + i))
+            val wAbs = (w * 640).toLong
+            val hAbs = (h * 480).toLong
+            val x1 = (xc * 640 - wAbs / 2.0).toLong
+            val y1 = (yc * 480 - hAbs / 2.0).toLong
+            (classId, score, x1, y1, x1 + wAbs, y1 + hAbs)
+          }
+        }
+    }
+  }
+
+  // ---- driver-checkable queries ------------------------------------
+
+  /** m_embed_scaffold: the full pluggable-inference path (binary
+    * payload → per-partition model load → batched forward → vector
+    * column), exploded long for the gate. Same oracle formula as
+    * m_fake_embed — but the values here travel through mapPartitions
+    * and a real model API instead of a Catalyst expression.
+    */
+  def mEmbedScaffold(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    embedStage(base, "payload", new Md5EmbedLoader(8), batchSize = 4)
+      .select(col("doc_id"), posexplode(col("embedding")).as(Seq("d0", "f")))
+      .select(col("doc_id"), (col("d0") + 1).cast("long").as("d"), col("f"))
+      .orderBy("doc_id", "d")
+  }
+
+  /** m_detect: the pluggable detector path (app.py:112-124's
+    * model(image) loop as a batched executor stage), exploded to one
+    * row per detection.
+    */
+  def mDetect(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    detectStage(base, "payload", new Md5DetectLoader, batchSize = 8)
+      .select(col("doc_id"), posexplode(col("detections")).as(Seq("det_id", "dt")))
+      .select(col("doc_id"), col("det_id").cast("long").as("det_id"),
+        col("dt.class_id").cast("long").as("class_id"), col("dt.score").as("score"),
+        col("dt.x1").as("x1"), col("dt.y1").as("y1"),
+        col("dt.x2").as("x2"), col("dt.y2").as("y2"))
+      .orderBy("doc_id", "det_id")
+  }
+}
