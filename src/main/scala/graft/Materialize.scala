@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Strategy-selectable eager materialization for shared subplans
+  * (subplans feeding both sides of a self-join, or iterative state).
+  *
+  * Why eager + lineage-truncating at all: a lazy .cache() is not
+  * enough — join sides materialize concurrently and each computes the
+  * full subplan (in-flight work isn't deduped), and AQE broadcast-build
+  * stages sometimes recompute the cache child through a 1-task
+  * coalesced exchange (see Dedup's original notes).
+  *
+  * Why a strategy switch: `localCheckpoint` blocks are unreplicated
+  * and lineage is gone, so on a multi-executor cluster an executor
+  * loss makes the query unrecoverable. The single-JVM bench wants
+  * exactly that (fastest, zero replication); a cluster deployment
+  * picks a recoverable flavor with ONE conf:
+  *
+  *   spark.graft.materialize = local      (default; single-JVM bench)
+  *                           | replicated (persist MEMORY_AND_DISK_2 +
+  *                                         eager count — survives one
+  *                                         executor loss)
+  *                           | checkpoint (reliable checkpoint to
+  *                                         sc.setCheckpointDir — survives
+  *                                         any loss; pay HDFS writes)
+  *
+  * All flavors preserve the child's output partitioning, which
+  * iterative operators (d_components) rely on to pre-partition their
+  * static join side once.
+  */
+object Materialize {
+
+  val ConfKey = "spark.graft.materialize"
+
+  def forceCached(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(ConfKey, "local") match {
+      case "local" => df.localCheckpoint(eager = true)
+      case "replicated" =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK_2)
+        p.count() // eager: consumers read blocks, never the lineage
+        p
+      case "checkpoint" => df.checkpoint(eager = true)
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey must be local|replicated|checkpoint, got '$other'")
+    }
+}

@@ -51,16 +51,12 @@ object Dedup {
     * projection then runs single-threaded. With lineage truncated,
     * downstream stages can only read the materialized blocks.
     *
-    * Deployment scope: localCheckpoint blocks are unreplicated and
-    * lineage is gone, so on a multi-executor cluster an executor loss
-    * makes the query unrecoverable — correct for the single-JVM bench
-    * this repo runs in. On a real cluster swap in
-    * `df.persist(MEMORY_AND_DISK_2)` + an eager count, or a reliable
-    * `checkpoint()` to the cluster checkpoint dir (same call shape,
-    * recoverable blocks) — this method is the one switch point.
+    * Deployment scope is strategy-selectable via the
+    * `spark.graft.materialize` conf (local | replicated | checkpoint)
+    * — see graft.Materialize for the cluster-mode trade-offs.
     */
   private def forceCached(df: DataFrame): DataFrame =
-    df.localCheckpoint(true)
+    graft.Materialize.forceCached(df)
 
   /** d_exact: exact-duplicate groups via md5(normalized text). */
   def dExact(spark: SparkSession, dir: String): DataFrame =
@@ -302,13 +298,13 @@ object Dedup {
       .union(undirected.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
       .select(col("doc1").as("a"), col("doc2").as("b"))
       .repartition(col("a"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.forceCached)
     // seed with the 1-hop minimum (min of self and direct neighbors)
     // — equivalent to one free propagation superstep
     var labels = edges.groupBy(col("a").as("doc"))
       .agg(min(col("b")).as("nb"))
       .select(col("doc"), least(col("doc"), col("nb")).as("label"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.forceCached)
     // per-node labels only ever decrease, so the label sum is strictly
     // monotone until the fixpoint — equality of sums IS convergence,
     // and costs one agg instead of a join+filter+count per superstep
@@ -326,7 +322,7 @@ object Dedup {
         .select(col("jd").as("doc"), col("label"))
       labels = labels.union(prop).union(jump)
         .groupBy("doc").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .transform(graft.Materialize.forceCached)
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s

@@ -296,7 +296,7 @@ object ImagePipeline {
     */
   def mPhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val ph = phashTable(spark, dir, 100).select(col("doc_id"), col("phash"))
-      .localCheckpoint(true) // feeds both sides of the byte-bucket self-join
+      .transform(graft.Materialize.forceCached) // feeds both sides of the byte-bucket self-join
     val bytes = ph.select(col("doc_id"), col("phash"),
       explode(sequence(lit(0), lit(7))).as("k"))
       .withColumn("byte", expr("(phash >> (k * 8)) & 255"))

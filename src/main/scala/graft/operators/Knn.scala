@@ -416,7 +416,7 @@ object Knn {
       if (means.nonEmpty) centroids = means
     }
 
-    (withCid(e).localCheckpoint(true), centroids)
+    (withCid(e).transform(graft.Materialize.forceCached), centroids)
   }
 
   /** nprobe nearest centroid lists per query, via the literal centroid
@@ -442,7 +442,7 @@ object Knn {
     // eager + lineage-truncating so the iterative passes and both join
     // sides read materialized blocks (see Dedup.forceCached)
     val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.forceCached)
     val (inv, centroids) = ivfModel(e)
     val qProbe = ivfProbe(inv, centroids)
     val cands = inv.join(broadcast(qProbe),
@@ -495,7 +495,7 @@ object Knn {
       posexplode(transform(sequence(lit(0), lit(PqSubspaces - 1)),
         m => slice(col("v"), m * dsub + 1, lit(dsub)))).as(Seq("m", "sv")))
       .withColumn("svn", V.dot(col("sv"), col("sv")))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.forceCached)
 
     // codebooks(m)(k) — trained driver-side over the tiny exploded agg
     var books: Array[Array[Array[Double]]] =
@@ -526,7 +526,7 @@ object Knn {
 
     // codebooks train on a fixed sample (standard PQ practice — the
     // encode pass still covers the full corpus)
-    val trainSub = sub.filter(col("vec_id") < 500).localCheckpoint(true)
+    val trainSub = sub.filter(col("vec_id") < 500).transform(graft.Materialize.forceCached)
     for (_ <- 1 to PqIters) {
       // per-dim mean as a vec_id-sorted 0.0-seeded fold, not avg() —
       // deterministic under any partitioning, so the oracle can replay
@@ -571,7 +571,7 @@ object Knn {
       books)
 
   def vPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir).select(col("vec_id"), col("v")).localCheckpoint(true)
+    val e = corpus(spark, dir).select(col("vec_id"), col("v")).transform(graft.Materialize.forceCached)
     val (encoded, books) = pqModel(e)
     val dtable = pqDtable(spark, e, books)
     val scored = encoded.join(dtable,
@@ -597,7 +597,7 @@ object Knn {
     */
   def vIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.forceCached)
     val (inv, centroids) = ivfModel(e)
     val qProbe = ivfProbe(inv, centroids)
     val (encoded, books) = pqModel(e.select(col("vec_id"), col("v")))

@@ -126,7 +126,7 @@ object PqIndexStore {
     val spark = df.sparkSession
     import spark.implicits._
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.forceCached)
     val (encoded, books) = Knn.pqModel(e)
     encoded.write.mode("overwrite").parquet(s"$path.codes")
     books.zipWithIndex.flatMap { case (perM, m) =>

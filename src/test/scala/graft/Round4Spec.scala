@@ -89,6 +89,22 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("materialize strategies are result-identical (cluster-mode switch)") {
+    val qs = Seq("d_minhash_pairs", "v_ivf")
+    def run(q: String): Array[String] =
+      SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted
+    val local = qs.map(q => q -> run(q)).toMap
+    spark.conf.set(Materialize.ConfKey, "replicated")
+    try qs.foreach { q =>
+      assert(run(q).sameElements(local(q)),
+        s"$q must not change under replicated (cluster-safe) materialization")
+    } finally {
+      spark.conf.unset(Materialize.ConfKey)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+  }
+
   test("m_detect: boxes are consistent with their YOLO normalized origin") {
     SparkEntry.queries("m_detect")(spark, sf).collect().foreach { r =>
       val (x1, y1, x2, y2) = (r.getAs[Long]("x1"), r.getAs[Long]("y1"),
