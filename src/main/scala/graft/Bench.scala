@@ -64,7 +64,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the full per-query line can exceed a log collector's tail window
+    // (r3's capture lost the line head → unparseable); emit it first,
+    // persist it to bench.json, and END stdout with a short totals
+    // line that survives any left-truncated tail
+    println(full)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      full.getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"bench.json"}""")
     spark.stop()
   }
 }

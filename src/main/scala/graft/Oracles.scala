@@ -794,6 +794,62 @@ object Oracles {
       FROM (SELECT DISTINCT doc_id % 256 AS intensity FROM documents)
       ORDER BY intensity""",
 
+    // full CLAHE: clipped per-tile histograms -> integer LUTs -> per-
+    // pixel bilinear blend of the 4 corner tiles' curves (fixed-point
+    // /16 weights), replayed with an ASOF join for the CDF lookup
+    "m_clahe" -> """
+      WITH cxs AS (SELECT unnest(generate_series(0, 31)) AS x),
+      cys AS (SELECT unnest(generate_series(0, 31)) AS y),
+      cds AS (SELECT doc_id FROM documents WHERE doc_id < 2),
+      cpx AS (SELECT doc_id, y, x,
+                CAST(('0x' || substr(md5('cl_' || doc_id || '_' || y || '_' || x), 1, 2))
+                  AS BIGINT) AS px
+              FROM cds CROSS JOIN cys CROSS JOIN cxs),
+      chist AS (SELECT doc_id, (y // 8) * 4 + (x // 8) AS t, px AS intensity,
+                  COUNT(*) AS n, LEAST(COUNT(*), 5) AS c
+                FROM cpx GROUP BY 1, 2, 3),
+      ctiles AS (SELECT doc_id, t, CAST(SUM(n - c) AS BIGINT) AS excess
+                 FROM chist GROUP BY 1, 2),
+      ccum AS (SELECT doc_id, t, intensity,
+                 CAST(SUM(c) OVER (PARTITION BY doc_id, t ORDER BY intensity) AS BIGINT)
+                   AS cumc
+               FROM chist),
+      cis AS (SELECT unnest(generate_series(0, 255)) AS i),
+      cluts AS (SELECT lb.doc_id, lb.t, lb.i,
+                  ((COALESCE(c.cumc, 0) + (lb.i + 1) * (lb.excess // 256)) * 255) // 64 AS m
+                FROM (SELECT ti.doc_id, ti.t, ti.excess, ii.i
+                      FROM ctiles ti CROSS JOIN cis ii) lb
+                ASOF LEFT JOIN ccum c
+                  ON lb.doc_id = c.doc_id AND lb.t = c.t AND lb.i >= c.intensity),
+      ccorn AS (SELECT doc_id, y, x, px,
+                  LEAST(GREATEST(x * 2 - 7, 0), 48) AS pcx,
+                  LEAST(GREATEST(y * 2 - 7, 0), 48) AS pcy
+                FROM cpx),
+      cc2 AS (SELECT doc_id, y, x, px,
+                pcx // 16 AS tx0, pcx % 16 AS qx,
+                pcy // 16 AS ty0, pcy % 16 AS qy,
+                LEAST(pcx // 16 + 1, 3) AS tx1, LEAST(pcy // 16 + 1, 3) AS ty1
+              FROM ccorn),
+      cm4 AS (SELECT c2.doc_id, c2.y, c2.qx, c2.qy,
+                tl.m AS mtl, tr.m AS mtr, bl.m AS mbl, br.m AS mbr
+              FROM cc2 c2
+              JOIN cluts tl ON tl.doc_id = c2.doc_id
+                AND tl.t = c2.ty0 * 4 + c2.tx0 AND tl.i = c2.px
+              JOIN cluts tr ON tr.doc_id = c2.doc_id
+                AND tr.t = c2.ty0 * 4 + c2.tx1 AND tr.i = c2.px
+              JOIN cluts bl ON bl.doc_id = c2.doc_id
+                AND bl.t = c2.ty1 * 4 + c2.tx0 AND bl.i = c2.px
+              JOIN cluts br ON br.doc_id = c2.doc_id
+                AND br.t = c2.ty1 * 4 + c2.tx1 AND br.i = c2.px),
+      cmap AS (SELECT doc_id, y,
+                 (mtl * (16 - qx) * (16 - qy) + mtr * qx * (16 - qy)
+                  + mbl * (16 - qx) * qy + mbr * qx * qy) // 256 AS m
+               FROM cm4)
+      SELECT doc_id, CAST(y AS BIGINT) AS y, COUNT(*) AS n_px,
+        CAST(SUM(m) AS BIGINT) AS sum_m,
+        CAST(MIN(m) AS BIGINT) AS min_m, CAST(MAX(m) AS BIGINT) AS max_m
+      FROM cmap GROUP BY doc_id, y ORDER BY doc_id, y""",
+
     // same formula as m_fake_embed, but the Spark side produces it
     // through the pluggable batched-inference scaffold (mapPartitions
     // + per-partition model load) instead of a Catalyst expression
@@ -844,6 +900,19 @@ object Oracles {
   )
 
   val streaming: Map[String, String] = Map(
+    // stream-stream interval join semantics on the static table:
+    // purchases joined to same-user views in the preceding 30 minutes.
+    // epoch_us on both sides — Spark's ts is µs-truncated nanos.
+    "s_interval_join" -> """
+      WITH v AS (SELECT user_id AS v_user, event_id AS view_id, epoch_us(ts) AS vus
+                 FROM events WHERE event_type = 'view'),
+      p AS (SELECT user_id AS p_user, event_id AS purchase_id, epoch_us(ts) AS pus
+            FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, v.view_id, p.p_user AS user_id
+      FROM p JOIN v ON v.v_user = p.p_user
+        AND v.vus >= p.pus - 1800000000 AND v.vus <= p.pus
+      ORDER BY purchase_id, view_id""",
+
     "s_window_agg" -> s"""
       SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M') AS win_start,
         event_type, COUNT(*) AS n,

@@ -106,6 +106,7 @@ object SparkEntry {
     // E. multimodal (stubs per SURVEY §2.E — no image libs in env)
     "m_bbox"          -> (ImagePipeline.mBbox _),
     "m_fake_embed"    -> (ImagePipeline.mFakeEmbed _),
+    "m_clahe"         -> (ImagePipeline.mClahe _),
     "m_embed_scaffold" -> (BatchInference.mEmbedScaffold _),
     "m_detect"        -> (BatchInference.mDetect _),
     "m_gamma_lut"     -> (ImagePipeline.mGammaLut _),
@@ -119,6 +120,7 @@ object SparkEntry {
     // F. streaming (batch-equivalent of the streaming window agg)
     "s_window_agg"    -> (graft.streaming.EventStreams.sWindowAggBatch _),
     "s_sliding_agg"   -> (graft.streaming.EventStreams.sSlidingAggBatch _),
+    "s_interval_join" -> (graft.streaming.EventStreams.streamStreamJoinBatch _),
     // G. source/sink formats (round-trip fidelity, oracle vs parquet)
     "src_csv"         -> (graft.sources.Formats.srcCsv _),
     "src_json"        -> (graft.sources.Formats.srcJson _),

@@ -320,6 +320,72 @@ object ImagePipeline {
     * mean of its 4 sources. The gather is a map-side coordinate
     * group-by (yo = y div 2), no joins at all.
     */
+  /** m_clahe: FULL clip-limited adaptive histogram equalization — the
+    * reference's alternative preprocess (app.py:60-66,
+    * cv2.createCLAHE(clipLimit, tileGridSize=(8,8))) including the
+    * per-pixel bilinear blend of the 4 surrounding tiles' equalization
+    * curves that makes CLAHE "adaptive" (m_clahe_hist keeps only the
+    * histogram core). Integer-exact fixed-point adaptation:
+    *
+    *  - synthetic 32×32 image per doc (md5-derived intensities), 4×4
+    *    grid of 8×8 tiles;
+    *  - per tile: histogram clipped at 5, excess redistributed evenly
+    *    over all 256 bins (excess div 256), CDF → mapping
+    *    m(i) = (cdf(i)·255) div tileArea — a 256-entry integer LUT
+    *    built as one transform/aggregate expression per tile;
+    *  - per pixel: corner tiles via doubled-coordinate arithmetic
+    *    (pc = clamp(2x−7, 0, 48); tile = pc div 16; frac = pc mod 16),
+    *    blend = Σ m_corner·w_corner with /16 fixed-point weights,
+    *    div 256 — cv2's border-replicate behavior at the edges.
+    *
+    * Scale shape: one shuffle for the per-tile histograms, tile LUTs
+    * are tiny and broadcast, the per-pixel blend is 4 broadcast
+    * equi-joins + a map-side projection. Output: per-row intensity
+    * stats after equalization.
+    */
+  def mClahe(spark: SparkSession, dir: String): DataFrame = {
+    val px = Tables.documents(spark, dir).filter(col("doc_id") < 2).select("doc_id")
+      .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("y"))
+      .select(col("doc_id"), col("y"), explode(sequence(lit(0), lit(31))).as("x"))
+      .withColumn("px", H.md5Long(
+        concat(lit("cl_"), col("doc_id").cast("string"), lit("_"),
+          col("y").cast("string"), lit("_"), col("x").cast("string")), 2))
+      .withColumn("t", expr("(y div 8) * 4 + (x div 8)"))
+    val tiles = px
+      .groupBy("doc_id", "t", "px").agg(count(lit(1)).as("n"))
+      .withColumn("clipped", least(col("n"), lit(5L)))
+      .groupBy("doc_id", "t")
+      .agg(sum(col("n") - col("clipped")).as("excess"),
+        collect_list(struct(col("px").as("intensity"), col("clipped"))).as("occ"))
+      .withColumn("lut", expr(
+        """transform(sequence(0, 255), i ->
+             ((aggregate(occ, 0L, (acc, s) -> acc + IF(s.intensity <= i, s.clipped, 0L))
+               + CAST(i + 1 AS BIGINT) * (excess div 256)) * 255) div 64)"""))
+      .select(col("doc_id").as("td"), col("t").as("tt"), col("lut"))
+    def corner(c: Column): Column = least(greatest(c * 2 - 7, lit(0)), lit(48))
+    val corners = px.drop("t")
+      .withColumn("pcx", corner(col("x"))).withColumn("pcy", corner(col("y")))
+      .withColumn("tx0", expr("pcx div 16")).withColumn("qx", col("pcx") % 16)
+      .withColumn("ty0", expr("pcy div 16")).withColumn("qy", col("pcy") % 16)
+      .withColumn("tx1", least(col("tx0") + 1, lit(3)))
+      .withColumn("ty1", least(col("ty0") + 1, lit(3)))
+    def lutJoin(df: DataFrame, ty: String, tx: String, out: String): DataFrame =
+      df.join(broadcast(tiles),
+          col("doc_id") === col("td") && col(ty) * 4 + col(tx) === col("tt"))
+        .withColumn(out, element_at(col("lut"), col("px").cast("int") + 1))
+        .drop("td", "tt", "lut")
+    val blended = lutJoin(lutJoin(lutJoin(lutJoin(
+        corners, "ty0", "tx0", "mtl"), "ty0", "tx1", "mtr"),
+        "ty1", "tx0", "mbl"), "ty1", "tx1", "mbr")
+      .withColumn("m", expr(
+        """(mtl * (16 - qx) * (16 - qy) + mtr * qx * (16 - qy)
+           + mbl * (16 - qx) * qy + mbr * qx * qy) div 256"""))
+    blended.groupBy(col("doc_id"), col("y").cast("long").as("y"))
+      .agg(count(lit(1)).as("n_px"), sum("m").as("sum_m"),
+        min("m").as("min_m"), max("m").as("max_m"))
+      .orderBy("doc_id", "y")
+  }
+
   def mResize(spark: SparkSession, dir: String): DataFrame = {
     val n = 16
     Tables.documents(spark, dir)

@@ -485,17 +485,51 @@ object Knn {
     * (vec_id, v) frame: returns (encoded (vec_id, m, code), books).
     * Shared by v_pq, v_ivf_pq, and the persistent PqIndexStore.
     */
-  private[graft] def pqModel(e: DataFrame): (DataFrame, Array[Array[Array[Double]]]) = {
+  /** (vec_id, m, subvector, ||sv||²) — one row per subspace; the
+    * subvector self-dot is precomputed so every code distance is
+    * svn + ||c||² − 2·dot (all codegen'd, no interpreted HOFs).
+    */
+  private[graft] def pqSubvectors(e: DataFrame): DataFrame = {
     val dsub = 64 / PqSubspaces
-
-    // (vec_id, m, subvector, ||sv||²) — one row per subspace; the
-    // subvector self-dot is precomputed so every code distance below
-    // is svn + ||c||² − 2·dot (all codegen'd, no interpreted HOFs)
-    val sub = e.select(col("vec_id"),
+    e.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(PqSubspaces - 1)),
         m => slice(col("v"), m * dsub + 1, lit(dsub)))).as(Seq("m", "sv")))
       .withColumn("svn", V.dot(col("sv"), col("sv")))
-      .transform(graft.Materialize.forceCached)
+  }
+
+  /** code = argmin_k ||sv − books(m)(k)||², as one literal expression
+    * per (m, k) — same literal-centroid pattern as vIvf. Round-6
+    * before the argmin: the cross-engine tolerance every ranked
+    * distance in the oracle gate uses.
+    */
+  private[graft] def pqCodeExpr(books: Array[Array[Array[Double]]]): Column = {
+    val cands = (0 until PqSubspaces).map { m =>
+      val perM = array((0 until PqCodes).map { k =>
+        val c = books(m)(k)
+        val cn = c.map(x => x * x).sum
+        struct(
+          round(col("svn") + lit(cn) - lit(2.0) * V.dot(col("sv"), typedLit(c.toSeq)), 6)
+            .as("d2"),
+          lit(k).as("k"))
+      }: _*)
+      when(col("m") === m, array_min(perM).getField("k"))
+    }
+    coalesce(cands: _*)
+  }
+
+  /** Encode vectors with FROZEN codebooks (no training) — the faiss
+    * add() analog for a persisted PQ index: new rows get codes from
+    * the existing books, old codes never change.
+    */
+  private[graft] def pqEncode(e: DataFrame,
+                              books: Array[Array[Array[Double]]]): DataFrame =
+    pqSubvectors(e).withColumn("code", pqCodeExpr(books))
+      .select("vec_id", "m", "code")
+
+  private[graft] def pqModel(e: DataFrame): (DataFrame, Array[Array[Array[Double]]]) = {
+    val dsub = 64 / PqSubspaces
+
+    val sub = pqSubvectors(e).transform(graft.Materialize.forceCached)
 
     // codebooks(m)(k) — trained driver-side over the tiny exploded agg
     var books: Array[Array[Array[Double]]] =
@@ -504,25 +538,7 @@ object Knn {
         .map(v => Array.tabulate(PqSubspaces)(m => v.slice(m * dsub, (m + 1) * dsub)))
         .transpose // (K vectors × M) → (M × K)
 
-    /** code = argmin_k ||sv − books(m)(k)||², as one literal expression
-      * per (m, k) — same literal-centroid pattern as vIvf.
-      */
-    def codeExpr: Column = {
-      val cands = (0 until PqSubspaces).map { m =>
-        val perM = array((0 until PqCodes).map { k =>
-          val c = books(m)(k)
-          val cn = c.map(x => x * x).sum
-          // round-6 before the argmin — same cross-engine tolerance as
-          // every ranked distance in the oracle gate
-          struct(
-            round(col("svn") + lit(cn) - lit(2.0) * V.dot(col("sv"), typedLit(c.toSeq)), 6)
-              .as("d2"),
-            lit(k).as("k"))
-        }: _*)
-        when(col("m") === m, array_min(perM).getField("k"))
-      }
-      coalesce(cands: _*)
-    }
+    def codeExpr: Column = pqCodeExpr(books)
 
     // codebooks train on a fixed sample (standard PQ practice — the
     // encode pass still covers the full corpus)

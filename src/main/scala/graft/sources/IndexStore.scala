@@ -135,6 +135,21 @@ object PqIndexStore {
       .write.mode("overwrite").parquet(s"$path.books")
   }
 
+  /** Incremental maintenance — the faiss add() analog for the
+    * compressed store: encode NEW vectors with the FROZEN persisted
+    * codebooks (no retrain) and append their codes. Existing code rows
+    * are untouched, the codebook sidecar is unchanged, and searches
+    * immediately cover the union. Periodic retraining (when the data
+    * distribution drifts) is a full write() — the same trade faiss
+    * makes between add() and retraining an IndexPQ.
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val books = readBooks(spark, path)
+    val e = df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    Knn.pqEncode(e, books).write.mode("append").parquet(s"$path.codes")
+  }
+
   /** Load the codebooks (tiny — driver-resident, like the reference's
     * in-memory index object).
     */

@@ -212,7 +212,12 @@ object EventStreams {
       .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
   }
 
-  /** Batch twin of streamStreamJoin (same predicate on the static table). */
+  /** Batch twin of streamStreamJoin (same predicate on the static
+    * table) — registered as s_interval_join so the stream-stream join
+    * semantics sit inside the oracle gate, not just the spec. The plan
+    * is an equi-join on user with a residual time-range filter: hash-
+    * joinable, per-user fan-out bounded by the 30-minute window.
+    */
   def streamStreamJoinBatch(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val views = ev.filter(col("event_type") === "view")

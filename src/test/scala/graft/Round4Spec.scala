@@ -89,6 +89,34 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("PqIndexStore.append: frozen-codebook add(); append+search == rebuild+search") {
+    import graft.sources.PqIndexStore
+    val emb = Tables.embeddings(spark, sf)
+    // new vectors with ids outside the vec_id<500 training sample, so a
+    // rebuild on the union trains the SAME (deterministic) codebooks —
+    // making append-vs-rebuild exactly comparable
+    val extra = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val p1 = java.nio.file.Files.createTempDirectory("pq_append").toString + "/idx"
+    val p2 = java.nio.file.Files.createTempDirectory("pq_rebuild").toString + "/idx"
+    PqIndexStore.write(emb, "vec_id", "embedding", p1)
+    val baseCodes = spark.read.parquet(s"$p1.codes").collect().map(_.toString).sorted
+    PqIndexStore.append(extra, "vec_id", "embedding", p1)
+    val after = spark.read.parquet(s"$p1.codes")
+    assert(after.count() == baseCodes.length + 20 * 8, "8 code rows per appended vector")
+    assert(after.filter(col("vec_id") < 1000).collect().map(_.toString).sorted
+      .sameElements(baseCodes), "append must not touch existing code rows")
+    val union = emb.select(col("vec_id"), col("embedding")).union(extra)
+    PqIndexStore.write(union, "vec_id", "embedding", p2)
+    val queries = emb.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+    def run(p: String): Array[String] =
+      PqIndexStore.search(spark, p, queries, "vec_id", "embedding", 5)
+        .collect().map(_.toString).sorted
+    assert(run(p1).sameElements(run(p2)),
+      "searching the appended store must equal searching a rebuilt union store")
+  }
+
   test("materialize strategies are result-identical (cluster-mode switch)") {
     val qs = Seq("d_minhash_pairs", "v_ivf")
     def run(q: String): Array[String] =
