@@ -61,19 +61,24 @@ object Bench {
     val passes = (1 to reps).map(_ => runAll(sfDir, timed = true).toMap)
     val results = passes.head.keys.toSeq.sorted
       .map(name => name -> passes.map(_(name)).min)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (millisecond) precision keeps the full line ~1KB under
+    // the driver's tail window — r4's capture lost the head of the
+    // full-precision line and recorded parsed:null
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // the full per-query line can exceed a log collector's tail window
-    // (r3's capture lost the line head → unparseable); emit it first,
-    // persist it to bench.json, and END stdout with a short totals
-    // line that survives any left-truncated tail
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // emit the full line FIRST (survives right-truncation), persist it
+    // to bench.json, and ALSO end stdout with the same line (survives
+    // left-truncated tails now that it's short + prefix-free via
+    // OutputStrategy.StdoutOutput in build.sbt)
     println(full)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       full.getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"bench.json"}""")
+    println(full)
     spark.stop()
   }
 }
