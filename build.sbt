@@ -15,6 +15,11 @@ run / fork := true
 // prefix — the driver's bench capture parses stdout lines as JSON and
 // the logger prefix broke every candidate line in rounds 1-4.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's own "[success] Total time: …" epilogue must not land
+// AFTER the forked JVM's final JSON line, or the last stdout line is
+// not parseable. With showSuccess off, the bench's tail line stays
+// genuinely last on stdout.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

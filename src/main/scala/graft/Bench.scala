@@ -64,21 +64,24 @@ object Bench {
     // 3-decimal (millisecond) precision keeps the full line ~1KB under
     // the driver's tail window — r4's capture lost the head of the
     // full-precision line and recorded parsed:null
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    def rounded(v: Double): BigDecimal =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + rounded(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // emit the full line FIRST (survives right-truncation), persist it
-    // to bench.json, and ALSO end stdout with the same line (survives
-    // left-truncated tails now that it's short + prefix-free via
-    // OutputStrategy.StdoutOutput in build.sbt)
-    println(full)
+    // total = sum of the already-rounded per-query values, so a
+    // consumer cross-checking value against queries reconciles exactly
+    val total = results.map(r => rounded(r._2)).sum
+    def line(extra: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec",$extra"queries":$qs,"sf":"$sfDir"}"""
+    // emit a "pos":"head"-tagged copy FIRST (survives right-truncation;
+    // the tag lets an aggregate-every-line consumer dedupe), persist to
+    // bench.json, and end stdout with the canonical line (survives
+    // left-truncated tails: short, prefix-free via StdoutOutput, and
+    // genuinely last now that build.sbt sets showSuccess := false)
+    println(line("\"pos\":\"head\","))
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      full.getBytes("UTF-8"))
-    println(full)
+      line("").getBytes("UTF-8"))
+    println(line(""))
     spark.stop()
   }
 }
