@@ -356,22 +356,55 @@ object Knn {
   val IvfIters = 3
   val IvfNprobe = 2
 
-  /** v_ivf: IVF-flat ANN — k-means centroids (deterministic init from
-    * the first k vectors, fixed Lloyd iterations), corpus partitioned
-    * by nearest centroid, queries probe the `nprobe` nearest lists.
-    *
-    * The centroid set is tiny (k×dim) — collecting and re-broadcasting
-    * it per iteration is the MLlib k-means pattern and is
-    * cluster-correct; the corpus itself never moves except the final
-    * equi-join on cluster id. No SQL oracle (iterative k-means), driver
-    * does the rows-only check.
+  /** Trained-model registry, keyed by (application, corpus dir): IVF
+    * centroid sets and PQ codebooks train ONCE per session per corpus
+    * and every consumer — the search query, the IVF-PQ composite, and
+    * the recall gates — reuses the driver-resident model. This is the
+    * production index contract (faiss trains an index once and serves
+    * it many times); before it, each recall gate re-ran the full Lloyd
+    * training its target query had already paid for, a duplicate
+    * full-corpus pass that dominates at 100 TB. Training is fully
+    * deterministic (seeded init, sorted 0-seeded folds), so a cached
+    * model is bit-identical to a retrain — oracle hashes are
+    * unaffected. The cached values are tiny (k×dim doubles / M×K×dsub
+    * codebooks), the cluster-scale analog being the persisted
+    * IndexStore/PqIndexStore sidecars.
     */
-  /** Lloyd-trained IVF model over a checkpointed corpus frame
-    * (vec_id, v, nrm): returns the corpus with its nearest-centroid
-    * assignment (checkpointed — feeds probe side + search join) and
-    * the trained centroid set. Shared by v_ivf and v_ivf_pq.
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private def modelKey(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId + ":" + new java.io.File(dir).getAbsolutePath
+
+  /** Clears cached trained models (test hook — forces retraining). */
+  private[graft] def clearModelCache(): Unit = { ivfCache.clear(); pqCache.clear() }
+
+  /** Nearest-centroid id as ONE map-side projection: the centroid set
+    * is tiny and driver-resident each Lloyd iteration (the MLlib
+    * k-means pattern), so it is inlined as literals — argmax over an
+    * array of (sim, -cid) structs. No join, no explode, no window
+    * shuffle; the corpus never moves during assignment.
     */
-  private def ivfModel(e: DataFrame): (DataFrame, Array[(Int, Array[Double])]) = {
+  private def withCid(df: DataFrame,
+                      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val cands = array(centroids.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      // round-6 before the argmax so assignment survives ulp-level
+      // engine differences — the same tolerance every ranked sim in
+      // the oracle gate uses
+      struct(
+        round(V.cosinePre(V.dot(col("v"), typedLit(cv.toSeq)), col("nrm"), lit(cn)), 6)
+          .as("sim"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    df.withColumn("cid", -array_max(cands).getField("ncid"))
+  }
+
+  /** Lloyd training over a checkpointed corpus frame (vec_id, v, nrm):
+    * deterministic init from the first k vectors, fixed iterations.
+    */
+  private def trainIvf(e: DataFrame): Array[(Int, Array[Double])] = {
     var centroids: Array[(Int, Array[Double])] =
       e.filter(col("vec_id") < IvfClusters)
         .orderBy("vec_id")
@@ -379,31 +412,11 @@ object Knn {
         .zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
 
-    /** Nearest-centroid id as ONE map-side projection: the centroid set
-      * is tiny and driver-resident each Lloyd iteration (the MLlib
-      * k-means pattern), so it is inlined as literals — argmax over an
-      * array of (sim, -cid) structs. No join, no explode, no window
-      * shuffle; the corpus never moves during assignment.
-      */
-    def withCid(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val cands = array(centroids.map { case (cid, cv) =>
-        val cn = math.sqrt(cv.map(x => x * x).sum)
-        // round-6 before the argmax so assignment survives ulp-level
-        // engine differences — the same tolerance every ranked sim in
-        // the oracle gate uses
-        struct(
-          round(V.cosinePre(V.dot(col("v"), typedLit(cv.toSeq)), col("nrm"), lit(cn)), 6)
-            .as("sim"),
-          lit(-cid).as("ncid"))
-      }: _*)
-      df.withColumn("cid", -array_max(cands).getField("ncid"))
-    }
-
     for (_ <- 1 to IvfIters) {
       // per-dim mean as a SORTED 0.0-seeded fold (not avg()): bit-equal
       // in any engine / any partitioning, so the whole Lloyd trajectory
       // is deterministic and the oracle can replay it (SURVEY §6)
-      val means = withCid(e)
+      val means = withCid(e, centroids)
         .select(col("cid"), col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("cid", "d")
         .agg((aggregate(array_sort(collect_list(struct(col("vec_id"), col("x")))),
@@ -415,8 +428,18 @@ object Knn {
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       if (means.nonEmpty) centroids = means
     }
+    centroids
+  }
 
-    (withCid(e).transform(graft.Materialize.forceCached), centroids)
+  /** IVF model for a corpus dir: centroids from the session cache
+    * (trained on first use), corpus re-assigned map-side from the
+    * cached literals — an assignment pass costs one projection, not a
+    * training run. Shared by v_ivf, v_ivf_pq, and the recall gates.
+    */
+  private def ivfModel(spark: SparkSession, dir: String,
+                       e: DataFrame): (DataFrame, Array[(Int, Array[Double])]) = {
+    val centroids = ivfCache.computeIfAbsent(modelKey(spark, dir), _ => trainIvf(e))
+    (withCid(e, centroids).transform(graft.Materialize.forceCached), centroids)
   }
 
   /** nprobe nearest centroid lists per query, via the literal centroid
@@ -438,12 +461,17 @@ object Knn {
         col("nrm").as("qn"), col("pcid"))
   }
 
+  /** v_ivf: IVF-flat ANN — k-means centroids (deterministic init from
+    * the first k vectors, fixed Lloyd iterations), corpus partitioned
+    * by nearest centroid, queries probe the `nprobe` nearest lists.
+    * The model comes from the session cache (trained on first use).
+    */
   def vIvf(spark: SparkSession, dir: String): DataFrame = {
     // eager + lineage-truncating so the iterative passes and both join
     // sides read materialized blocks (see Dedup.forceCached)
     val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
       .transform(graft.Materialize.forceCached)
-    val (inv, centroids) = ivfModel(e)
+    val (inv, centroids) = ivfModel(spark, dir, e)
     val qProbe = ivfProbe(inv, centroids)
     val cands = inv.join(broadcast(qProbe),
         col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
@@ -526,6 +554,27 @@ object Knn {
     pqSubvectors(e).withColumn("code", pqCodeExpr(books))
       .select("vec_id", "m", "code")
 
+  /** PQ model for a corpus dir: codebooks from the session cache; on a
+    * hit the corpus is encoded with the FROZEN books (one map pass —
+    * the faiss add() path), on a miss the full sample-training runs
+    * once and the books are cached. Shared by v_pq, v_ivf_pq, and the
+    * recall gates.
+    */
+  private def pqModelCached(spark: SparkSession, dir: String,
+                            e: DataFrame): (DataFrame, Array[Array[Array[Double]]]) = {
+    val key = modelKey(spark, dir)
+    Option(pqCache.get(key)) match {
+      case Some(books) => (pqEncode(e, books), books)
+      case None =>
+        val (encoded, books) = pqModel(e)
+        pqCache.put(key, books)
+        (encoded, books)
+    }
+  }
+
+  /** Train codebooks + encode an arbitrary frame (uncached — the
+    * PqIndexStore.write path, where persistence IS the model cache).
+    */
   private[graft] def pqModel(e: DataFrame): (DataFrame, Array[Array[Array[Double]]]) = {
     val dsub = 64 / PqSubspaces
 
@@ -588,7 +637,7 @@ object Knn {
 
   def vPq(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).select(col("vec_id"), col("v")).transform(graft.Materialize.forceCached)
-    val (encoded, books) = pqModel(e)
+    val (encoded, books) = pqModelCached(spark, dir, e)
     val dtable = pqDtable(spark, e, books)
     val scored = encoded.join(dtable,
         col("m") === col("qm") && col("code") === col("qk") &&
@@ -614,9 +663,9 @@ object Knn {
   def vIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
       .transform(graft.Materialize.forceCached)
-    val (inv, centroids) = ivfModel(e)
+    val (inv, centroids) = ivfModel(spark, dir, e)
     val qProbe = ivfProbe(inv, centroids)
-    val (encoded, books) = pqModel(e.select(col("vec_id"), col("v")))
+    val (encoded, books) = pqModelCached(spark, dir, e.select(col("vec_id"), col("v")))
     val dtable = pqDtable(spark, e, books)
     // candidates: vectors whose list a query probes (equi-join on cid)
     val cand = inv.join(broadcast(qProbe.select(col("query_id").as("pq"), col("pcid"))),
