@@ -1743,6 +1743,25 @@ object Oracles {
       FROM samp GROUP BY doc_id, frame ORDER BY doc_id, frame"""
   )
 
+  /** Round-6 additions: partitioned layout + DPP. */
+  val round6: Map[String, String] = Map(
+    // the oracle sees only the SEMANTICS (month-filtered join+agg);
+    // the partition layout and the DynamicPruningExpression on the
+    // fact scan are asserted plan-side in Round6Spec
+    "src_partitioned" -> s"""
+      WITH f AS (SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS o_month,
+                   o_orderpriority, o_totalprice
+                 FROM orders),
+      d AS (SELECT DISTINCT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS m
+            FROM orders WHERE year(o_orderdate) = 1996)
+      SELECT o_month, o_orderpriority, COUNT(*) AS n,
+        ${msum("o_totalprice")} AS revenue
+      FROM f JOIN d ON f.o_month = d.m
+      GROUP BY o_month, o_orderpriority
+      ORDER BY o_month, o_orderpriority"""
+  )
+
   def all: Map[String, String] =
-    relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming ++ round2 ++ round3
+    relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming ++
+      round2 ++ round3 ++ round6
 }

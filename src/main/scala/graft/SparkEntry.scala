@@ -125,7 +125,8 @@ object SparkEntry {
     "src_csv"         -> (graft.sources.Formats.srcCsv _),
     "src_json"        -> (graft.sources.Formats.srcJson _),
     "src_orc"         -> (graft.sources.Formats.srcOrc _),
-    "src_bucketed"    -> (graft.sources.Formats.srcBucketedJoin _)
+    "src_bucketed"    -> (graft.sources.Formats.srcBucketedJoin _),
+    "src_partitioned" -> (graft.sources.Formats.srcPartitioned _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -66,6 +66,40 @@ object Formats {
     fidelityAgg(spark.read.orc(out))
   }
 
+  /** src_partitioned: partitioned-table layout + dynamic partition
+    * pruning (DPP) — the scan-pruning half of the layout story
+    * (src_bucketed covers the shuffle half). The fact table (orders)
+    * is written `partitionBy(o_month)`; the query joins it to a
+    * dimension filtered on a NON-partition column (year), so static
+    * pruning cannot apply — Spark's PartitionPruning rule instead
+    * inserts a DynamicPruningExpression on the fact scan (asserted in
+    * Round6Spec), evaluates the broadcast dim at runtime, and reads
+    * only the matching month directories. At 100 TB with date/tenant
+    * partitions, this is the difference between scanning the whole
+    * fact table and scanning the 12 partitions a dim filter selects.
+    */
+  def srcPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir(spark, "part")
+    Tables.orders(spark, dir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(out)
+    val fact = spark.read.parquet(out)
+    // dim reads the ORIGINAL table (a different source, so no scan
+    // reuse ties it to the fact): distinct months, filtered on year —
+    // a column the fact's partition values don't expose statically
+    val dim = Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        year(col("o_orderdate")).as("yr"))
+      .distinct()
+      .filter(col("yr") === 1996)
+    fact.join(broadcast(dim), col("o_month") === col("m"))
+      .groupBy("o_month", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")) / lit(100.0))
+          .as("revenue"))
+      .orderBy("o_month", "o_orderpriority")
+  }
+
   /** src_bucketed: co-located join via bucketing — both fact tables
     * written bucketed+sorted on the join key, then joined through the
     * catalog. The join reads bucket files pairwise: NO shuffle of

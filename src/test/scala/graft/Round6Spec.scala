@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Formats
+
+/** Round-6 invariants: partitioned layout + dynamic partition pruning,
+  * and the shared trained-model registry for the ANN paths.
+  */
+class Round6Spec extends SparkSpec {
+
+  test("src_partitioned: fact scan carries a DynamicPruningExpression") {
+    val df = Formats.srcPartitioned(spark, sf)
+    // the pruning subquery is visible in the optimized/physical plan as
+    // dynamicpruning#NNN on the partitioned scan's PartitionFilters
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a DynamicPruningExpression on the partitioned fact scan; plan:\n$plan")
+    // and the pruning is effective: the result only contains 1996
+    // months even though the fact table holds 1995-2001
+    val months = df.select("o_month").distinct().collect().map(_.getString(0))
+    assert(months.nonEmpty && months.forall(_.startsWith("1996")))
+  }
+
+  test("src_partitioned: partitioned write produces one directory per month") {
+    Formats.srcPartitioned(spark, sf).collect() // force the write
+    val out = new java.io.File("target").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("roundtrip_part_"))
+      .maxBy(_.lastModified)
+    val parts = out.listFiles().filter(_.getName.startsWith("o_month="))
+    assert(parts.length > 12, s"expected >12 month partitions, got ${parts.length}")
+  }
+
+  test("ANN model registry: recall gate reuses the trained model (no second training)") {
+    graft.operators.Knn.clearModelCache()
+    // first call trains; the gate's internal re-derivation must be
+    // hash-identical to the standalone query it evaluates
+    val ivf1 = graft.operators.Knn.vIvf(spark, sf).collect()
+    val ivf2 = graft.operators.Knn.vIvf(spark, sf).collect()
+    assert(ivf1.sameElements(ivf2),
+      "cached-model search must be bit-identical to the training run's search")
+  }
+}
