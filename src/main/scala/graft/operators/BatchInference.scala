@@ -196,6 +196,76 @@ object BatchInference {
       .orderBy("doc_id", "d")
   }
 
+  /** m_pipeline: the reference's ENTIRE program as one registered,
+    * oracle-checked plan — ingest (build_faiss_db.py:138-226: payload →
+    * detect → crop → embed → persist index + metadata sidecar) feeding
+    * the query flow (app.py:100-160: top-5 search → metadata join →
+    * majority label vote). Every stage is the production-shaped one:
+    * batched executor-side inference (no shuffle), a partitioned
+    * persisted index, broadcast queries, windowed top-k, and a
+    * broadcast vote join. The fake crop carries the (payload, box)
+    * identity the way a real crop carries pixels; with torch/opencv
+    * present, only the two Loaders change.
+    *
+    * Output: the top-5 neighbors per query crop with each neighbor's
+    * label and the query's majority-vote prediction (ties to the
+    * smallest label, app.py's Counter.most_common order made
+    * deterministic).
+    */
+  def mPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.IndexStore
+    val dim = 8
+    val assets = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text"), col("text").cast("binary").as("payload"))
+    // stage 1: pluggable detector (app.py:112-124), one row per box
+    val det = detectStage(assets, "payload", new Md5DetectLoader, batchSize = 16)
+      .select(col("doc_id"), col("text"),
+        posexplode(col("detections")).as(Seq("det_id", "dt")))
+    // stage 2: crop (build_faiss_db.py:178-182's img[y1:y2, x1:x2]) —
+    // the fake crop is the payload tagged with its box origin
+    val crops = det.select(
+      (col("doc_id") * 10 + col("det_id")).as("crop_id"),
+      col("doc_id"),
+      col("dt.class_id").cast("long").as("label"),
+      concat(col("text"), lit("_"), col("dt.x1").cast("string"),
+        lit("_"), col("dt.y1").cast("string")).cast("binary").as("payload"))
+    // stage 3: batched featurizer (build_faiss_db.py:111-134)
+    val embedded = embedStage(crops, "payload", new Md5EmbedLoader(dim), batchSize = 16)
+      .select(col("crop_id"), col("doc_id"), col("label"), col("embedding"))
+      .transform(graft.Materialize.forceCached)
+    // stage 4: persist index + metadata sidecar (faiss.write_index +
+    // metadata.pkl, build_faiss_db.py:218-226)
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/m_pipeline_$tag/idx").getAbsolutePath
+    IndexStore.write(embedded, "crop_id", "embedding", path, dim)
+    IndexStore.writeMetadata(embedded.select(col("crop_id"), col("label")), path)
+    // stage 5: query flow (app.py:138-160) — first 3 docs' crops as the
+    // "uploaded image", top-5 over the loaded index, metadata join
+    val index = IndexStore.read(spark, path)
+    val queries = embedded.filter(col("doc_id") < 3)
+      .select(col("crop_id"), col("embedding"))
+    val hits = IndexStore.search(index, queries, "crop_id", "embedding", k = 5)
+    val labeled = hits.join(
+        broadcast(IndexStore.readMetadata(spark, path)),
+        hits("neighbor_id") === col("crop_id"))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"),
+        col("label").as("neighbor_label"))
+    // stage 6: majority label vote over the top-5 (app.py:148-160)
+    val votes = labeled.groupBy("query_id", "neighbor_label")
+      .agg(count(lit(1)).as("nv"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("nv").desc, col("neighbor_label").asc)
+    val pred = votes.withColumn("rv", row_number().over(wv)).filter(col("rv") === 1)
+      .select(col("query_id").as("pq"), col("neighbor_label").as("pred_label"),
+        col("nv").as("pred_votes"))
+    labeled.join(broadcast(pred), col("query_id") === col("pq"))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"),
+        col("neighbor_label"), col("pred_label"), col("pred_votes"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** m_detect: the pluggable detector path (app.py:112-124's
     * model(image) loop as a batched executor stage), exploded to one
     * row per detection.
