@@ -1743,8 +1743,23 @@ object Oracles {
       FROM samp GROUP BY doc_id, frame ORDER BY doc_id, frame"""
   )
 
-  /** Round-6 additions: partitioned layout + DPP. */
+  /** Round-6 additions: partitioned layout + DPP, the end-to-end
+    * multimodal pipeline, and the sketch error gates.
+    */
   val round6: Map[String, String] = Map(
+    // sketch error gates: the oracle asserts the BOUND, not the
+    // sketch internals — expected within-tolerance flags are literal
+    // TRUE, so sketch drift breaks the hash match
+    "q_approx_distinct_err" -> """
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        TRUE AS within_tol
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_approx_quantiles_err" -> """
+      SELECT l_returnflag, COUNT(*) AS n,
+        TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // the oracle sees only the SEMANTICS (month-filtered join+agg);
     // the partition layout and the DynamicPruningExpression on the
     // fact scan are asserted plan-side in Round6Spec

@@ -28,6 +28,7 @@ object SparkEntry {
     "q_sessionize"    -> (Relational.qSessionize _),
     "q_distinct"      -> (Relational.qDistinct _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    "q_approx_distinct_err" -> (Relational.qApproxDistinctErr _),
     "q_rollup"        -> (Relational.qRollup _),
     "q_cube"          -> (Relational.qCube _),
     "q_events_funnel" -> (Relational.qEventsFunnel _),
@@ -36,6 +37,7 @@ object SparkEntry {
     "q_pivot"         -> (OlapExtras.qPivot _),
     "q_percentiles"   -> (OlapExtras.qPercentiles _),
     "q_approx_quantiles" -> (OlapExtras.qApproxQuantiles _),
+    "q_approx_quantiles_err" -> (OlapExtras.qApproxQuantilesErr _),
     "q_salted_agg"    -> (OlapExtras.qSaltedAgg _),
     "q_salted_join"   -> (OlapExtras.qSaltedJoin _),
     "q_grouping_sets" -> (OlapExtras.qGroupingSets _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -136,6 +136,29 @@ object OlapExtras {
         col("quartiles")(0).as("p25"), col("quartiles")(1).as("p50"),
         col("quartiles")(2).as("p75"), col("n"))
       .orderBy("l_returnflag")
+
+  /** q_approx_quantiles_err: the quantile sketch's error gate — each
+    * approximate quartile must sit within 5% relative error of the
+    * exact interpolated percentile. Same contract as
+    * q_approx_distinct_err: the oracle's expected booleans are
+    * literally TRUE, so sketch drift breaks the hash. Both sides are
+    * 3-row aggregates.
+    */
+  def qApproxQuantilesErr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val approx = li.groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+        .as("aq"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("eq"),
+        count(lit(1)).as("n"))
+    def ok(i: Int): Column =
+      (abs(col("aq")(i) - col("eq")(i)) / col("eq")(i) <= 0.05)
+    exact.join(approx, "l_returnflag")
+      .select(col("l_returnflag"), col("n"),
+        ok(0).as("p25_ok"), ok(1).as("p50_ok"), ok(2).as("p75_ok"))
+      .orderBy("l_returnflag")
+  }
 
   /** q_salted_agg: two-phase (salted) aggregation. events has only 5
     * event types — a direct groupBy sends every row for a type to ONE

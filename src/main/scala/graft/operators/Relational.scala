@@ -252,6 +252,26 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy("event_type")
 
+  /** q_approx_distinct_err: the HLL sketch's error gate — |estimate −
+    * exact| / exact must stay within 5× the requested rsd. The oracle
+    * cannot reproduce sketch internals, but it CAN assert the bound:
+    * its expected within_tol is literally TRUE, so a sketch drifting
+    * out of tolerance breaks the hash match and the driver sees it.
+    * Both inputs are 5-row aggregates; the join is trivial.
+    */
+  def qApproxDistinctErr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    exact.join(approx, "event_type")
+      .select(col("event_type"), col("n_users"),
+        (abs(col("approx_users") - col("n_users")).cast("double") / col("n_users")
+          <= 0.05).as("within_tol"))
+      .orderBy("event_type")
+  }
+
   /** Rollup aggregation: status × priority with subtotals + grand total. */
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
