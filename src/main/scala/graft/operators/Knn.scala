@@ -91,9 +91,21 @@ object Knn {
   }
 
   /** Cells of the G×G upper-triangular pair grid (a ≤ b). Tiny —
-    * G(G+1)/2 rows — and always broadcast.
+    * G(G+1)/2 rows — and always broadcast. The size is a conf
+    * (`spark.graft.pairgrid`, default 16) because it is the
+    * parallelism-vs-replication knob at scale: per-side shuffle volume
+    * is n·(G+1)/2 rows and cell parallelism is G(G+1)/2, so a cluster
+    * sizes G to its executor count. Results are grid-invariant — the
+    * grid partitions the pair space without changing any pair's score
+    * (asserted in Round6Spec at two sizes).
     */
-  val PairGridSize = 16
+  val PairGridConf = "spark.graft.pairgrid"
+  val PairGridDefault = 16
+  private def pairGridSize(spark: SparkSession): Int = {
+    val g = spark.conf.get(PairGridConf, PairGridDefault.toString).toInt
+    require(g >= 1 && g <= 4096, s"$PairGridConf must be in [1, 4096], got $g")
+    g
+  }
 
   /** Top-100 most similar pairs, EXACT, with no nested-loop self-join:
     * the O(n²) pair space is tiled into a G×G upper-triangular grid of
@@ -113,7 +125,7 @@ object Knn {
     * engine operator (FAISS-flat-equivalent) that survives a cluster.
     */
   def vPairsNear(spark: SparkSession, dir: String): DataFrame = {
-    val g = PairGridSize
+    val g = pairGridSize(spark)
     val cells = broadcast(
       spark.createDataFrame(for { a <- 0 until g; b <- a until g } yield (a, b))
         .toDF("ga", "gb"))

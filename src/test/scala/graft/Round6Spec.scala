@@ -30,6 +30,18 @@ class Round6Spec extends SparkSpec {
     assert(parts.length > 12, s"expected >12 month partitions, got ${parts.length}")
   }
 
+  test("v_pairs_near: result is pair-grid-size invariant (hash-stable conf)") {
+    import graft.operators.Knn
+    def run(): Array[String] =
+      Knn.vPairsNear(spark, sf).collect().map(_.toString)
+    val atDefault = run()
+    spark.conf.set(Knn.PairGridConf, "7")
+    try {
+      assert(run().sameElements(atDefault),
+        "the grid only partitions the pair space; scores and top-100 must not change")
+    } finally spark.conf.unset(Knn.PairGridConf)
+  }
+
   test("ANN model registry: recall gate reuses the trained model (no second training)") {
     graft.operators.Knn.clearModelCache()
     // first call trains; the gate's internal re-derivation must be
