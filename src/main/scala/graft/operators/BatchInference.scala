@@ -91,6 +91,57 @@ object BatchInference {
     }(Encoders.row(schema))
   }
 
+  /** A featurizer that consumes Arrow COLUMNAR batches — the contract
+    * a GPU/ONNX runtime binds to without row materialization: payload
+    * bytes arrive as one contiguous Arrow VarBinaryVector (validity +
+    * offsets + data buffers), which is the same memory layout
+    * PySpark's mapInArrow hands a Python UDF. Scala's Dataset has no
+    * public mapInArrow (it is a Python-surface API), so the columnar
+    * handoff happens inside mapPartitions: Spark rows are packed into
+    * the Arrow batch once per `batchSize`, the model reads the raw
+    * buffers, and only the tiny embedding output crosses back.
+    */
+  trait ArrowEmbedModel {
+    def embedBatch(payloads: org.apache.arrow.vector.VarBinaryVector): Array[Array[Double]]
+    def close(): Unit = ()
+  }
+
+  trait ArrowEmbedLoader extends Serializable {
+    def load(): ArrowEmbedModel
+    def dim: Int
+  }
+
+  /** Arrow-columnar variant of embedStage: same stage contract
+    * (per-partition load, caller-sized batches, no shuffle, no
+    * driver), but each batch crosses the model boundary as an Arrow
+    * vector instead of an Array[Array[Byte]]. Bit-equal to the row
+    * path by construction (asserted in Round6Spec).
+    */
+  def embedStageArrow(df: DataFrame, payloadCol: String, loader: ArrowEmbedLoader,
+                      batchSize: Int = 64, outCol: String = "embedding"): DataFrame = {
+    val schema = df.schema
+      .add(StructField(outCol, ArrayType(DoubleType, containsNull = false), nullable = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val (ld, bs) = (loader, batchSize)
+    df.mapPartitions { it =>
+      val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+      val vec = new org.apache.arrow.vector.VarBinaryVector("payload", alloc)
+      val model = ld.load()
+      val out = it.grouped(bs).flatMap { batch =>
+        vec.reset()
+        vec.setInitialCapacity(batch.length)
+        vec.allocateNew()
+        batch.iterator.zipWithIndex.foreach { case (r, i) =>
+          vec.setSafe(i, r.getAs[Array[Byte]](idx))
+        }
+        vec.setValueCount(batch.length)
+        val vecs = model.embedBatch(vec)
+        batch.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v.toSeq))
+      }
+      completing(out) { model.close(); vec.close(); alloc.close() }
+    }(Encoders.row(schema))
+  }
+
   val detectionSchema: ArrayType = ArrayType(StructType(Seq(
     StructField("class_id", IntegerType, nullable = false),
     StructField("score", DoubleType, nullable = false),
@@ -133,19 +184,34 @@ object BatchInference {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** ResNet stand-in: dim doubles in [0,1) from md5(payload ++ "_d") —
-    * the exact formula of ImagePipeline.fakeEmbedding, so scaffold
-    * output hash-matches the same SQL oracle. Payloads are assumed
-    * UTF-8 (the test corpus carries text bytes).
+  /** ResNet stand-in formula: dim doubles in [0,1) from
+    * md5(payload ++ "_d") — the exact formula of
+    * ImagePipeline.fakeEmbedding, so scaffold output hash-matches the
+    * same SQL oracle. Payloads are assumed UTF-8 (the test corpus
+    * carries text bytes).
     */
+  private def md5Embed(payload: Array[Byte], dim: Int): Array[Double] = {
+    val s = new String(payload, "UTF-8")
+    Array.tabulate(dim)(d => round6(md5Frac(s + "_" + (d + 1))))
+  }
+
   final class Md5EmbedLoader(val dim: Int) extends EmbedLoader {
     def load(): EmbedModel = new EmbedModel {
       private val d0 = dim // silence "never used" on the outer val path
       def embedBatch(payloads: Array[Array[Byte]]): Array[Array[Double]] =
-        payloads.map { p =>
-          val s = new String(p, "UTF-8")
-          Array.tabulate(d0)(d => round6(md5Frac(s + "_" + (d + 1))))
-        }
+        payloads.map(md5Embed(_, d0))
+    }
+  }
+
+  /** The same fake model behind the Arrow boundary: reads each payload
+    * out of the columnar batch (a real model would hand the buffers to
+    * its runtime without this copy).
+    */
+  final class Md5ArrowEmbedLoader(val dim: Int) extends ArrowEmbedLoader {
+    def load(): ArrowEmbedModel = new ArrowEmbedModel {
+      private val d0 = dim
+      def embedBatch(payloads: org.apache.arrow.vector.VarBinaryVector): Array[Array[Double]] =
+        Array.tabulate(payloads.getValueCount)(i => md5Embed(payloads.get(i), d0))
     }
   }
 
@@ -190,7 +256,7 @@ object BatchInference {
     val base = Tables.documents(spark, dir)
       .filter(col("doc_id") < 10)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    embedStage(base, "payload", new Md5EmbedLoader(8), batchSize = 4)
+    embedStageArrow(base, "payload", new Md5ArrowEmbedLoader(8), batchSize = 4)
       .select(col("doc_id"), posexplode(col("embedding")).as(Seq("d0", "f")))
       .select(col("doc_id"), (col("d0") + 1).cast("long").as("d"), col("f"))
       .orderBy("doc_id", "d")

@@ -42,6 +42,24 @@ class Round6Spec extends SparkSpec {
     } finally spark.conf.unset(Knn.PairGridConf)
   }
 
+  test("embedStageArrow: bit-equal to the row-based embedStage") {
+    import graft.operators.BatchInference._
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 30)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .repartition(3)
+    val viaRows = embedStage(base, "payload", new Md5EmbedLoader(8), batchSize = 7)
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaArrow = embedStageArrow(base, "payload", new Md5ArrowEmbedLoader(8), batchSize = 7)
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaArrow.keySet == viaRows.keySet && viaArrow.keySet.size == 30)
+    viaArrow.foreach { case (id, v) =>
+      assert(v == viaRows(id), s"doc $id: arrow and row paths must agree bit-for-bit")
+    }
+  }
+
   test("ANN model registry: recall gate reuses the trained model (no second training)") {
     graft.operators.Knn.clearModelCache()
     // first call trains; the gate's internal re-derivation must be
