@@ -288,6 +288,44 @@ object EventStreams {
     q
   }
 
+  /** Streaming index maintenance: incremental file-source ingest →
+    * batched featurizer → persistent PQ index. Each AvailableNow run
+    * embeds exactly the files that arrived since the last run and
+    * folds them into the compressed index: the FIRST wave trains the
+    * codebooks (PqIndexStore.write), every later wave encodes with the
+    * FROZEN persisted books and appends (PqIndexStore.append — the
+    * faiss add() path), so new vectors become searchable with no
+    * rebuild and no retraining pass over the existing corpus. At
+    * 100 TB this is the "tonight's new documents join the ANN index"
+    * pipeline: cost scales with the delta, never the corpus.
+    */
+  def runEmbedIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                     indexPath: String, loader: graft.operators.BatchInference.EmbedLoader,
+                     batchSize: Int = 64): StreamingQuery = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val q = spark.readStream
+      .schema(docSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val embedded = graft.operators.BatchInference
+          .embedStage(batch.toDF(), "payload", loader, batchSize)
+        val store = graft.sources.PqIndexStore
+        val trained = new java.io.File(s"$indexPath.books").exists()
+        if (trained) store.append(embedded, "doc_id", "embedding", indexPath)
+        else store.write(embedded, "doc_id", "embedding", indexPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Reader-side resolution for the foreachBatch target: latest
     * batch_id per key wins.
     */

@@ -60,6 +60,40 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("streaming embed-ingest: wave-2 vectors searchable with no rebuild, no retrain") {
+    import graft.operators.BatchInference.Md5EmbedLoader
+    import graft.sources.PqIndexStore
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("ingest_stream").toString
+    val (src, ckpt, idx) = (s"$base/src", s"$base/ckpt", s"$base/idx")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val loader = new Md5EmbedLoader(64)
+    // wave 1: lands 40 docs, trains the codebooks, builds the index
+    docs.filter(col("doc_id") < 40).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runEmbedIngest(spark, src, ckpt, idx, loader)
+    assert(spark.read.parquet(s"$idx.codes").count() == 40 * 8)
+    val books1 = spark.read.parquet(s"$idx.books").collect().map(_.toString).sorted
+    // wave 2: 20 new files in the landing zone; the checkpointed source
+    // processes ONLY the delta, and append encodes with frozen books
+    docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+      .write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runEmbedIngest(spark, src, ckpt, idx, loader)
+    assert(spark.read.parquet(s"$idx.codes").count() == 60 * 8,
+      "wave 2 must add exactly its own code rows")
+    assert(spark.read.parquet(s"$idx.books").collect().map(_.toString).sorted
+      .sameElements(books1), "append must not retrain the codebooks")
+    // searchable without rebuild: a full ranking from a wave-1 query
+    // covers every wave-2 vector
+    val q = graft.operators.BatchInference.embedStage(
+      docs.filter(col("doc_id") === 0), "payload", loader)
+      .select(col("doc_id"), col("embedding"))
+    val neighbors = PqIndexStore.search(spark, idx, q, "doc_id", "embedding", 59)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert((40L until 60L).forall(neighbors.contains),
+      "every wave-2 vector must rank in the appended index")
+  }
+
   test("ANN model registry: recall gate reuses the trained model (no second training)") {
     graft.operators.Knn.clearModelCache()
     // first call trains; the gate's internal re-derivation must be
