@@ -566,23 +566,63 @@ object Knn {
     pqSubvectors(e).withColumn("code", pqCodeExpr(books))
       .select("vec_id", "m", "code")
 
-  /** PQ model for a corpus dir: codebooks from the session cache; on a
-    * hit the corpus is encoded with the FROZEN books (one map pass —
-    * the faiss add() path), on a miss the full sample-training runs
-    * once and the books are cached. Shared by v_pq, v_ivf_pq, and the
-    * recall gates.
+  /** PQ codebooks for a corpus dir, from the session cache (trained on
+    * first use — see the registry scaladoc). Shared by v_pq, v_ivf_pq,
+    * and the recall gates.
     */
-  private def pqModelCached(spark: SparkSession, dir: String,
-                            e: DataFrame): (DataFrame, Array[Array[Array[Double]]]) = {
-    val key = modelKey(spark, dir)
-    Option(pqCache.get(key)) match {
-      case Some(books) => (pqEncode(e, books), books)
-      case None =>
-        val (encoded, books) = pqModel(e)
-        pqCache.put(key, books)
-        (encoded, books)
-    }
+  private def pqBooksCached(spark: SparkSession, dir: String,
+                            e: DataFrame): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent(modelKey(spark, dir), _ => pqModel(e)._2)
+
+  /** All M codes as ONE array column in a single map-side projection —
+    * no explode, no per-subspace rows. Each element is the same
+    * argmin-over-k struct pqCodeExpr computes on the exploded layout
+    * (identical slices, identical round-6 distances, identical (d2, k)
+    * tie order), so codes are bit-equal to pqEncode's by construction.
+    */
+  private def pqCodesCol(books: Array[Array[Array[Double]]]): Column = {
+    val dsub = 64 / PqSubspaces
+    array((0 until PqSubspaces).map { m =>
+      val sv = slice(col("v"), m * dsub + 1, dsub)
+      val svn = V.dot(sv, sv)
+      val perM = array((0 until PqCodes).map { k =>
+        val c = books(m)(k)
+        val cn = c.map(x => x * x).sum
+        struct(
+          round(svn + lit(cn) - lit(2.0) * V.dot(sv, typedLit(c.toSeq)), 6).as("d2"),
+          lit(k).as("k"))
+      }: _*)
+      array_min(perM).getField("k")
+    }: _*)
   }
+
+  /** Per-query ADC lookup tables as one broadcast row per query:
+    * qdt(m)(k) = ||query subvector m − code k||², the same driver-side
+    * l2sq values pqDtableFor lays out as (query, m, k) rows.
+    */
+  private def pqQueryTables(spark: SparkSession,
+                            queries: Array[(Long, Array[Double])],
+                            books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val dsub = 64 / PqSubspaces
+    broadcast(queries.map { case (qid, qv) =>
+      (qid, (0 until PqSubspaces).map(m =>
+        (0 until PqCodes).map(k =>
+          l2sq(qv.slice(m * dsub, (m + 1) * dsub), books(m)(k))).toSeq).toSeq)
+    }.toSeq.toDF("query_id", "qdt"))
+  }
+
+  /** ADC distance from a codes array + lookup table: Σ_m qdt(m)(codes(m))
+    * folded in ascending m seeded 0.0 — the exact summation order (and
+    * therefore the exact doubles) of the old sorted-collect_list fold,
+    * now a pure map-side expression with no groupBy behind it.
+    */
+  private def adcDistCol: Column =
+    round(sqrt(aggregate(
+      transform(sequence(lit(0), lit(PqSubspaces - 1)),
+        m => element_at(element_at(col("qdt"), m + 1),
+          element_at(col("codes"), m + 1) + 1)),
+      lit(0.0), (acc, x) => acc + x)), 6)
 
   /** Train codebooks + encode an arbitrary frame (uncached — the
     * PqIndexStore.write path, where persistence IS the model cache).
@@ -640,23 +680,23 @@ object Knn {
     }.toSeq.toDF("query_id", "qm", "qk", "d2"))
   }
 
-  private def pqDtable(spark: SparkSession, e: DataFrame,
-                       books: Array[Array[Array[Double]]]): DataFrame =
-    pqDtableFor(spark,
+  def vPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir).select(col("vec_id"), col("v")).transform(graft.Materialize.forceCached)
+    val books = pqBooksCached(spark, dir, e)
+    // encode is ONE map-side pass over the corpus (no exploded code
+    // rows, no (m, code) join, no groupBy re-merge), materialized so
+    // the query join's fan-out reads 8-byte codes instead of
+    // re-deriving them per query — exactly what a persisted PQ index
+    // gives a cluster; scoring is then a pure lookup projection and
+    // the only shuffle left is the top-k window's
+    val coded = e.select(col("vec_id"), pqCodesCol(books).as("codes"))
+      .transform(graft.Materialize.forceCached)
+    val qdt = pqQueryTables(spark,
       e.filter(col("vec_id") < NumQueries).orderBy("vec_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
       books)
-
-  def vPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir).select(col("vec_id"), col("v")).transform(graft.Materialize.forceCached)
-    val (encoded, books) = pqModelCached(spark, dir, e)
-    val dtable = pqDtable(spark, e, books)
-    val scored = encoded.join(dtable,
-        col("m") === col("qm") && col("code") === col("qk") &&
-        col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(round(sqrt(aggregate(array_sort(collect_list(struct(col("m"), col("d2")))),
-        lit(0.0), (acc, s) => acc + s.getField("d2"))), 6).as("adc_dist"))
+    val scored = coded.join(qdt, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcDistCol.as("adc_dist"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
@@ -677,19 +717,21 @@ object Knn {
       .transform(graft.Materialize.forceCached)
     val (inv, centroids) = ivfModel(spark, dir, e)
     val qProbe = ivfProbe(inv, centroids)
-    val (encoded, books) = pqModelCached(spark, dir, e.select(col("vec_id"), col("v")))
-    val dtable = pqDtable(spark, e, books)
-    // candidates: vectors whose list a query probes (equi-join on cid)
-    val cand = inv.join(broadcast(qProbe.select(col("query_id").as("pq"), col("pcid"))),
-        col("cid") === col("pcid") && col("vec_id") =!= col("pq"))
-      .select(col("pq"), col("vec_id").as("cv"))
-    val scored = encoded.join(cand, col("vec_id") === col("cv"))
-      .join(dtable,
-        col("pq") === col("query_id") && col("m") === col("qm")
-          && col("code") === col("qk"))
-      .groupBy("query_id", "vec_id")
-      .agg(round(sqrt(aggregate(array_sort(collect_list(struct(col("m"), col("d2")))),
-        lit(0.0), (acc, s) => acc + s.getField("d2"))), 6).as("adc_dist"))
+    val books = pqBooksCached(spark, dir, e.select(col("vec_id"), col("v")))
+    // the assigned corpus carries its codes array in the same map-side
+    // projection; probes (query, pcid, lookup table) are one broadcast
+    // side — so coarse pruning AND ADC scoring happen in a single
+    // broadcast equi-join on cid with zero shuffle before the top-k
+    val coded = inv.select(col("vec_id"), col("cid"), pqCodesCol(books).as("codes"))
+      .transform(graft.Materialize.forceCached)
+    val qdt = pqQueryTables(spark,
+      e.filter(col("vec_id") < NumQueries).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
+      books)
+    val probes = qProbe.select("query_id", "pcid").join(qdt, "query_id")
+    val scored = coded.join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcDistCol.as("adc_dist"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
