@@ -1760,6 +1760,24 @@ object Oracles {
         TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // streaming contiguous sequence packing per language shard:
+    // seq_id = floor(tokens-before-me / 512) in doc_id order
+    "t_pack" -> """
+      WITH tc AS (SELECT doc_id, lang,
+              CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                t -> t <> '')) AS BIGINT) AS n_toks
+            FROM documents),
+      cum AS (SELECT doc_id, lang, n_toks,
+                SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM tc),
+      packed AS (SELECT lang, CAST(FLOOR((cum - n_toks) / 512) AS BIGINT) AS seq_id,
+                   n_toks FROM cum)
+      SELECT lang, seq_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS seq_tokens,
+        ROUND(CAST(SUM(n_toks) AS DOUBLE) / 512.0, 6) AS fill
+      FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id""",
+
     // the oracle sees only the SEMANTICS (month-filtered join+agg);
     // the partition layout and the DynamicPruningExpression on the
     // fact scan are asserted plan-side in Round6Spec

@@ -94,6 +94,7 @@ object SparkEntry {
     "d_pipeline"      -> (Dedup.dPipeline _),
     // D. text analysis
     "t_tokens"        -> (TextAnalysis.tTokens _),
+    "t_pack"          -> (TextAnalysis.tPack _),
     "t_quality"       -> (TextAnalysis.tQuality _),
     "t_langid"        -> (TextAnalysis.tLangid _),
     "t_fingerprint"   -> (TextAnalysis.tFingerprint _),

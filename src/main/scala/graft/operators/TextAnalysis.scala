@@ -36,6 +36,36 @@ object TextAnalysis {
           / size(col("toks"))).as("avg_token_len"))
       .orderBy("doc_id")
 
+  /** t_pack: sequence packing — the training-data op that turns a
+    * document corpus into fixed-token-budget training sequences.
+    * Documents pack contiguously per language shard in doc_id order
+    * (streaming packing: seq_id = floor(tokens-before-me / budget)),
+    * and the output reports per-sequence document count, token count,
+    * and fill ratio — the metric a data loader uses to size its
+    * batches and measure padding waste.
+    *
+    * Scale shape: one window running-sum per shard (the shard key is
+    * the natural parallelism unit) and one group-by — no driver state,
+    * no sort beyond the shard-local window order. At 100 TB the shard
+    * key becomes (lang, file-bucket) to bound any one window
+    * partition; the packing stays deterministic because the order key
+    * travels with the rows.
+    */
+  def tPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toks(col("text"))).cast("long").as("n_toks"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("seq_id", floor((col("cum") - col("n_toks")) / budget).cast("long"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("seq_tokens"))
+      .withColumn("fill", round(col("seq_tokens").cast("double") / budget, 6))
+      .orderBy("lang", "seq_id")
+  }
+
   /** t_quality: heuristic quality score from length / punctuation /
     * digit / stopword-ratio features. The arithmetic expression tree is
     * written identically in the oracle so doubles match bit-for-bit.
