@@ -1760,6 +1760,23 @@ object Oracles {
         TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // benchmark decontamination: distinct-shingle inverted-index join
+    // of the corpus against the (broadcastable) eval set
+    "t_decontaminate" -> s"""
+      WITH $shinglesCte,
+      shd AS (SELECT DISTINCT doc_id, h FROM sh),
+      ev AS (SELECT doc_id AS eval_id, h FROM shd WHERE doc_id < 10),
+      sz AS (SELECT eval_id, COUNT(*) AS eval_sh FROM ev GROUP BY eval_id),
+      hits AS (SELECT s.doc_id, e.eval_id, COUNT(*) AS n_shared
+               FROM shd s JOIN ev e ON s.h = e.h AND s.doc_id >= 10
+               GROUP BY s.doc_id, e.eval_id),
+      scored AS (SELECT h.doc_id, h.eval_id, h.n_shared,
+          ROUND(CAST(h.n_shared AS DOUBLE) / sz.eval_sh, 6) AS containment
+        FROM hits h JOIN sz ON sz.eval_id = h.eval_id)
+      SELECT doc_id, eval_id, n_shared, containment
+      FROM scored WHERE containment >= 0.6
+      ORDER BY doc_id, eval_id""",
+
     // streaming contiguous sequence packing per language shard:
     // seq_id = floor(tokens-before-me / 512) in doc_id order
     "t_pack" -> """

@@ -95,6 +95,7 @@ object SparkEntry {
     // D. text analysis
     "t_tokens"        -> (TextAnalysis.tTokens _),
     "t_pack"          -> (TextAnalysis.tPack _),
+    "t_decontaminate" -> (TextAnalysis.tDecontaminate _),
     "t_quality"       -> (TextAnalysis.tQuality _),
     "t_langid"        -> (TextAnalysis.tLangid _),
     "t_fingerprint"   -> (TextAnalysis.tFingerprint _),

@@ -66,6 +66,41 @@ object TextAnalysis {
       .orderBy("lang", "seq_id")
   }
 
+  /** t_decontaminate: benchmark decontamination — find training
+    * documents that overlap an evaluation set (here: docs 0-9 stand in
+    * for the benchmark corpus). Both sides reduce to DISTINCT 5-char
+    * shingle hashes; the eval side is tiny and broadcast, so the
+    * detector is an inverted-index equi-join on the hash — never a
+    * text-to-text comparison. Reports each (train doc, eval doc) pair
+    * sharing ≥ 20 shingles with its containment ratio
+    * (shared / |eval shingle set|), the metric a pipeline thresholds
+    * on before dropping contaminated documents. At 100 TB the eval
+    * side stays broadcastable by construction (benchmarks are small);
+    * the corpus side is one explode + one shuffle-free broadcast join
+    * + one group-by.
+    */
+  def tDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val k = Dedup.ShingleK
+    val sh = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.expressions.TextHashExprs.shingleHashes(col("text"), k))).as("h"))
+    val evalSide = sh.filter(col("doc_id") < 10)
+    val evalSizes = evalSide.groupBy(col("doc_id").as("sz_id"))
+      .agg(count(lit(1)).as("eval_sh"))
+    val hits = sh.filter(col("doc_id") >= 10)
+      .join(broadcast(evalSide.select(col("doc_id").as("eval_id"), col("h").as("eh"))),
+        col("h") === col("eh"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+    hits.join(broadcast(evalSizes), col("eval_id") === col("sz_id"))
+      .select(col("doc_id"), col("eval_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("eval_sh"), 6).as("containment"))
+      // unrelated same-language docs share ~0.3-0.4 of generic 5-char
+      // shingles; real contamination lives in the >= 0.6 tail
+      .filter(col("containment") >= 0.6)
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** t_quality: heuristic quality score from length / punctuation /
     * digit / stopword-ratio features. The arithmetic expression tree is
     * written identically in the oracle so doubles match bit-for-bit.
