@@ -94,6 +94,22 @@ class Round6Spec extends SparkSpec {
       "every wave-2 vector must rank in the appended index")
   }
 
+  test("round-6 operators are result-identical under cluster-safe materialization") {
+    val qs = Seq("v_pq", "v_ivf_pq", "m_pipeline")
+    def run(q: String): Array[String] =
+      SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted
+    val local = qs.map(q => q -> run(q)).toMap
+    spark.conf.set(Materialize.ConfKey, "replicated")
+    try qs.foreach { q =>
+      assert(run(q).sameElements(local(q)),
+        s"$q must not change under replicated (cluster-safe) materialization")
+    } finally {
+      spark.conf.unset(Materialize.ConfKey)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+  }
+
   test("ANN model registry: recall gate reuses the trained model (no second training)") {
     graft.operators.Knn.clearModelCache()
     // first call trains; the gate's internal re-derivation must be
