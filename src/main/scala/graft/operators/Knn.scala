@@ -398,8 +398,8 @@ object Knn {
     * array of (sim, -cid) structs. No join, no explode, no window
     * shuffle; the corpus never moves during assignment.
     */
-  private def withCid(df: DataFrame,
-                      centroids: Array[(Int, Array[Double])]): DataFrame = {
+  private[graft] def withCid(df: DataFrame,
+                             centroids: Array[(Int, Array[Double])]): DataFrame = {
     val cands = array(centroids.map { case (cid, cv) =>
       val cn = math.sqrt(cv.map(x => x * x).sum)
       // round-6 before the argmax so assignment survives ulp-level
@@ -416,7 +416,7 @@ object Knn {
   /** Lloyd training over a checkpointed corpus frame (vec_id, v, nrm):
     * deterministic init from the first k vectors, fixed iterations.
     */
-  private def trainIvf(e: DataFrame): Array[(Int, Array[Double])] = {
+  private[graft] def trainIvf(e: DataFrame): Array[(Int, Array[Double])] = {
     var centroids: Array[(Int, Array[Double])] =
       e.filter(col("vec_id") < IvfClusters)
         .orderBy("vec_id")

@@ -109,6 +109,94 @@ object IndexStore {
   }
 }
 
+/** Persistent IVF index — the faiss write_index(IndexIVFFlat) analog,
+  * completing the store trio (IndexStore = LSH-banded flat,
+  * PqIndexStore = compressed codes, IvfIndexStore = coarse-quantized
+  * lists): the corpus persists PARTITIONED BY its nearest-centroid
+  * list id (cid=NN directories) with a tiny centroid sidecar. A
+  * search reads ONLY the nprobe list directories its queries probe —
+  * file-level partition pruning, so at 100 TB a probe scans
+  * corpus·nprobe/nlist bytes, never the corpus. Training is the same
+  * deterministic Lloyd as v_ivf; append assigns new vectors with the
+  * FROZEN persisted centroids (faiss add()) so they land in the right
+  * list directories with no retrain and no rewrite of existing rows.
+  */
+object IvfIndexStore {
+  import graft.operators.Knn
+
+  private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", V.norm2(col("v")))
+
+  /** Train centroids on the frame and persist list-partitioned corpus
+    * + centroid sidecar.
+    */
+  def write(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = prepared(df, idCol, vecCol).transform(graft.Materialize.forceCached)
+    val centroids = Knn.trainIvf(e)
+    Knn.withCid(e, centroids).write.mode("overwrite").partitionBy("cid").parquet(path)
+    centroids.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$path.centroids")
+  }
+
+  /** Assign NEW vectors with the frozen persisted centroids and append
+    * into their list directories (dynamic partition append): existing
+    * rows and the sidecar are untouched, probes immediately cover the
+    * union.
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val centroids = readCentroids(df.sparkSession, path)
+    Knn.withCid(prepared(df, idCol, vecCol), centroids)
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
+  /** Centroid sidecar — tiny, driver-resident (the in-memory coarse
+    * quantizer of a loaded faiss index).
+    */
+  def readCentroids(spark: SparkSession, path: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$path.centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** nprobe-pruned exact-cosine top-k against the persisted lists.
+    * Queries are tiny by contract (the uploaded-image flow) and
+    * broadcast; their probed list ids are ALSO applied to the scan as
+    * a static IN filter, so the parquet source prunes to the probed
+    * cid=NN directories at file level before any row is read.
+    */
+  def search(spark: SparkSession, path: String, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             nprobe: Int = Knn.IvfNprobe): DataFrame = {
+    val centroids = readCentroids(spark, path)
+    // rank lists per query with the literal centroid set (sorted
+    // (desc sim, asc cid) structs — the ivfProbe formula)
+    val cands = array_sort(array(centroids.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        (-round(V.cosinePre(V.dot(col("qv"), typedLit(cv.toSeq)), col("qn"), lit(cn)), 6))
+          .as("nsim"),
+        lit(cid).as("cid"))
+    }: _*))
+    val qProbe = prepared(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("pcid", explode(transform(
+        slice(cands, 1, nprobe), s => s.getField("cid"))))
+    val probedCids = qProbe.select("pcid").distinct().collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids: _*)) // static file-level pruning
+    val scored = index.join(broadcast(qProbe),
+        col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+  }
+}
+
 /** Persistent product-quantized index — the compressed counterpart of
   * IndexStore (faiss write_index for an IndexPQ): the corpus persists
   * as 8 one-byte codes per vector plus a tiny codebook sidecar, 32×

@@ -110,6 +110,42 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("IvfIndexStore: persisted search == v_ivf, frozen-centroid append, file-pruned probes") {
+    import graft.sources.IvfIndexStore
+    import graft.operators.Knn
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivf_store").toString + "/idx"
+    IvfIndexStore.write(emb, "vec_id", "embedding", path)
+    // searching the persisted lists must reproduce the in-session
+    // v_ivf ranking exactly (same deterministic training, same probe
+    // formula, same rescoring)
+    val queries = emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val viaStore = IvfIndexStore.search(spark, path, queries, "vec_id", "embedding", Knn.DefaultK)
+      .collect().map(_.toString).sorted
+    val viaQuery = Knn.vIvf(spark, sf).collect().map(_.toString).sorted
+    assert(viaStore.sameElements(viaQuery), "persisted-index search must equal v_ivf")
+    // probing is file-level: a cid filter reads strictly fewer files
+    val allFiles = spark.read.parquet(path).select(input_file_name()).distinct().count()
+    val prunedFiles = spark.read.parquet(path).where(col("cid").isin(0, 1))
+      .select(input_file_name()).distinct().count()
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"cid filter must prune list directories ($prunedFiles of $allFiles)")
+    // append: frozen centroids, new rows land in their lists, sidecar
+    // and existing rows untouched, searches immediately cover the union
+    val before = spark.read.parquet(path).count()
+    val extra = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000).as("vec_id"), reverse(col("embedding")).as("embedding"))
+    IvfIndexStore.append(extra, "vec_id", "embedding", path)
+    assert(spark.read.parquet(path).count() == before + 20)
+    assert(IvfIndexStore.readCentroids(spark, path).length == Knn.IvfClusters,
+      "append must not touch the centroid sidecar")
+    val after = IvfIndexStore.search(spark, path, queries, "vec_id", "embedding", 1000)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert((1000L until 1020L).exists(after.contains),
+      "appended vectors must be reachable by probes with no rebuild")
+  }
+
   test("ANN model registry: recall gate reuses the trained model (no second training)") {
     graft.operators.Knn.clearModelCache()
     // first call trains; the gate's internal re-derivation must be
