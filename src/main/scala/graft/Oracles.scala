@@ -1760,6 +1760,11 @@ object Oracles {
         TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // the persisted index paths share their in-session twins' oracles:
+    // deterministic training makes store search ≡ in-session search
+    "v_ivf_store" -> vector("v_ivf"),
+    "v_pq_store" -> vector("v_pq"),
+
     // benchmark decontamination: distinct-shingle inverted-index join
     // of the corpus against the (broadcastable) eval set
     "t_decontaminate" -> s"""

@@ -59,6 +59,8 @@ object SparkEntry {
     "v_pairs_near"    -> (Knn.vPairsNear _),
     "v_ann_lsh"       -> (Knn.vAnnLsh _),
     "v_ivf"           -> (Knn.vIvf _),
+    "v_ivf_store"     -> (Knn.vIvfStore _),
+    "v_pq_store"      -> (Knn.vPqStore _),
     "v_centroid_label" -> (Knn.vCentroidLabel _),
     "v_range_search"  -> (Knn.vRangeSearch _),
     "v_knn_l2"        -> (Knn.vKnnL2 _),

@@ -961,6 +961,41 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_ivf_store: the PERSISTED IVF path inside the correctness gate —
+    * build the list-partitioned index on disk, search it, and
+    * hash-match the same oracle as v_ivf (deterministic training makes
+    * store search ≡ in-session search; the src_bucketed analog for the
+    * ANN layout). The write cost is the one-time layout price; the
+    * search reads only probed list directories.
+    */
+  def vIvfStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/ivf_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.IvfIndexStore.write(emb, "vec_id", "embedding", path)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.IvfIndexStore
+      .search(spark, path, queries, "vec_id", "embedding", DefaultK)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_pq_store: the persisted PQ path inside the correctness gate —
+    * codes + codebook sidecar written to disk, ADC search over the
+    * loaded index, hash-matched against v_pq's oracle.
+    */
+  def vPqStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/pq_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.PqIndexStore.write(emb, "vec_id", "embedding", path)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.PqIndexStore
+      .search(spark, path, queries, "vec_id", "embedding", DefaultK)
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_centroid_label: per-label centroid statistics via exact integer
     * sums of quantized components (order-independent → oracle-safe).
     */
