@@ -1764,6 +1764,7 @@ object Oracles {
     // deterministic training makes store search ≡ in-session search
     "v_ivf_store" -> vector("v_ivf"),
     "v_pq_store" -> vector("v_pq"),
+    "v_flat_store" -> vector("v_knn_exact"),
 
     // benchmark decontamination: distinct-shingle inverted-index join
     // of the corpus against the (broadcastable) eval set

@@ -60,6 +60,7 @@ object SparkEntry {
     "v_ann_lsh"       -> (Knn.vAnnLsh _),
     "v_ivf"           -> (Knn.vIvf _),
     "v_ivf_store"     -> (Knn.vIvfStore _),
+    "v_flat_store"    -> (Knn.vFlatStore _),
     "v_pq_store"      -> (Knn.vPqStore _),
     "v_centroid_label" -> (Knn.vCentroidLabel _),
     "v_range_search"  -> (Knn.vRangeSearch _),

@@ -980,6 +980,25 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_flat_store: the persisted FLAT index path inside the gate —
+    * IndexStore write/read/search over the banded layout, exact top-5,
+    * hash-matched against v_knn_exact's oracle (the persisted corpus
+    * carries precomputed norms; exact search ignores the bands).
+    */
+  def vFlatStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/flat_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.IndexStore
+      .search(graft.sources.IndexStore.read(spark, path), queries,
+        "vec_id", "embedding", DefaultK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_pq_store: the persisted PQ path inside the correctness gate —
     * codes + codebook sidecar written to disk, ADC search over the
     * loaded index, hash-matched against v_pq's oracle.
