@@ -1743,6 +1743,62 @@ object Oracles {
       FROM samp GROUP BY doc_id, frame ORDER BY doc_id, frame"""
   )
 
+  /** Shared ingest CTEs of the m_pipeline oracles (md5-fake detect
+    * boxes → crop tag → md5-fake embed → vectors + norms), ending with
+    * `nn` (crop_id, doc_id, label, v, nrm).
+    */
+  private val mPipelineBase: String = """di AS (SELECT unnest(generate_series(0, 2)) AS i),
+      base AS (SELECT doc_id, text,
+          CAST(('0x' || substr(md5(text || '_n'), 1, 8)) AS BIGINT) % 3 + 1 AS n
+        FROM documents WHERE doc_id < 20),
+      raw AS (SELECT doc_id, i, text,
+          CAST(CAST(('0x' || substr(md5(text || '_x' || i), 1, 8)) AS BIGINT) AS DOUBLE)
+            / 4294967296.0 AS xc,
+          CAST(CAST(('0x' || substr(md5(text || '_y' || i), 1, 8)) AS BIGINT) AS DOUBLE)
+            / 4294967296.0 AS yc,
+          CAST(CAST(('0x' || substr(md5(text || '_w' || i), 1, 8)) AS BIGINT) AS DOUBLE)
+            / 4294967296.0 / 4.0 AS w,
+          CAST(CAST(('0x' || substr(md5(text || '_h' || i), 1, 8)) AS BIGINT) AS DOUBLE)
+            / 4294967296.0 / 4.0 AS h,
+          CAST(('0x' || substr(md5(text || '_c' || i), 1, 8)) AS BIGINT) % 5 AS class_id
+        FROM base CROSS JOIN di WHERE i < n),
+      boxes AS (SELECT doc_id, i, class_id, text,
+          CAST(trunc(xc * 640 - CAST(trunc(w * 640) AS BIGINT) / 2.0) AS BIGINT) AS x1,
+          CAST(trunc(yc * 480 - CAST(trunc(h * 480) AS BIGINT) / 2.0) AS BIGINT) AS y1
+        FROM raw),
+      crops AS (SELECT doc_id * 10 + i AS crop_id, doc_id, class_id AS label,
+          text || '_' || x1 || '_' || y1 AS cropstr
+        FROM boxes),
+      dd AS (SELECT unnest(generate_series(1, 8)) AS d),
+      embs AS (SELECT crop_id, doc_id, label, d,
+          ROUND(CAST(('0x' || substr(md5(cropstr || '_' || d), 1, 8)) AS BIGINT)
+            / 4294967296.0, 6) AS f
+        FROM crops CROSS JOIN dd),
+      vecs AS (SELECT crop_id, doc_id, label, list(f ORDER BY d) AS v
+               FROM embs GROUP BY crop_id, doc_id, label),
+      nn AS (SELECT crop_id, doc_id, label, v,
+               sqrt(list_dot_product(v, v)) AS nrm FROM vecs)"""
+
+  /** Query flow + label vote over any candidate CTE `s` (query_id,
+    * neighbor_id, neighbor_label, sim): top-5 rank, majority vote.
+    */
+  private val mPipelineVote: String = """
+      r AS (SELECT query_id, neighbor_id, neighbor_label, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM s),
+      top AS (SELECT * FROM r WHERE rnk <= 5),
+      votes AS (SELECT query_id, neighbor_label, COUNT(*) AS nv FROM top
+                GROUP BY query_id, neighbor_label),
+      pred AS (SELECT query_id, neighbor_label AS pred_label, nv AS pred_votes,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY nv DESC, neighbor_label) AS rv
+               FROM votes)
+      SELECT t.query_id, t.rnk, t.neighbor_id, t.sim, t.neighbor_label,
+        p.pred_label, p.pred_votes
+      FROM top t JOIN pred p ON p.query_id = t.query_id AND p.rv = 1
+      ORDER BY t.query_id, t.rnk"""
+
   /** Round-6 additions: partitioned layout + DPP, the end-to-end
     * multimodal pipeline, and the sketch error gates.
     */
@@ -1820,57 +1876,38 @@ object Oracles {
     // boxes (the m_detect math) → crop tag → md5-fake embed (the
     // m_embed_scaffold math) → exact cosine top-5 → majority label
     // vote (ties to the smallest label)
-    "m_pipeline" -> """
-      WITH di AS (SELECT unnest(generate_series(0, 2)) AS i),
-      base AS (SELECT doc_id, text,
-          CAST(('0x' || substr(md5(text || '_n'), 1, 8)) AS BIGINT) % 3 + 1 AS n
-        FROM documents WHERE doc_id < 20),
-      raw AS (SELECT doc_id, i, text,
-          CAST(CAST(('0x' || substr(md5(text || '_x' || i), 1, 8)) AS BIGINT) AS DOUBLE)
-            / 4294967296.0 AS xc,
-          CAST(CAST(('0x' || substr(md5(text || '_y' || i), 1, 8)) AS BIGINT) AS DOUBLE)
-            / 4294967296.0 AS yc,
-          CAST(CAST(('0x' || substr(md5(text || '_w' || i), 1, 8)) AS BIGINT) AS DOUBLE)
-            / 4294967296.0 / 4.0 AS w,
-          CAST(CAST(('0x' || substr(md5(text || '_h' || i), 1, 8)) AS BIGINT) AS DOUBLE)
-            / 4294967296.0 / 4.0 AS h,
-          CAST(('0x' || substr(md5(text || '_c' || i), 1, 8)) AS BIGINT) % 5 AS class_id
-        FROM base CROSS JOIN di WHERE i < n),
-      boxes AS (SELECT doc_id, i, class_id, text,
-          CAST(trunc(xc * 640 - CAST(trunc(w * 640) AS BIGINT) / 2.0) AS BIGINT) AS x1,
-          CAST(trunc(yc * 480 - CAST(trunc(h * 480) AS BIGINT) / 2.0) AS BIGINT) AS y1
-        FROM raw),
-      crops AS (SELECT doc_id * 10 + i AS crop_id, doc_id, class_id AS label,
-          text || '_' || x1 || '_' || y1 AS cropstr
-        FROM boxes),
-      dd AS (SELECT unnest(generate_series(1, 8)) AS d),
-      embs AS (SELECT crop_id, doc_id, label, d,
-          ROUND(CAST(('0x' || substr(md5(cropstr || '_' || d), 1, 8)) AS BIGINT)
-            / 4294967296.0, 6) AS f
-        FROM crops CROSS JOIN dd),
-      vecs AS (SELECT crop_id, doc_id, label, list(f ORDER BY d) AS v
-               FROM embs GROUP BY crop_id, doc_id, label),
-      nn AS (SELECT crop_id, doc_id, label, v,
-               sqrt(list_dot_product(v, v)) AS nrm FROM vecs),
+    "m_pipeline" -> s"""
+      WITH $mPipelineBase,
       q AS (SELECT crop_id AS query_id, v AS qv, nrm AS qn FROM nn WHERE doc_id < 3),
       s AS (SELECT query_id, nn.crop_id AS neighbor_id, nn.label AS neighbor_label,
               ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
             FROM nn CROSS JOIN q WHERE nn.crop_id <> query_id),
-      r AS (SELECT query_id, neighbor_id, neighbor_label, sim,
-              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
-            FROM s),
-      top AS (SELECT * FROM r WHERE rnk <= 5),
-      votes AS (SELECT query_id, neighbor_label, COUNT(*) AS nv FROM top
-                GROUP BY query_id, neighbor_label),
-      pred AS (SELECT query_id, neighbor_label AS pred_label, nv AS pred_votes,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY nv DESC, neighbor_label) AS rv
-               FROM votes)
-      SELECT t.query_id, t.rnk, t.neighbor_id, t.sim, t.neighbor_label,
-        p.pred_label, p.pred_votes
-      FROM top t JOIN pred p ON p.query_id = t.query_id AND p.rv = 1
-      ORDER BY t.query_id, t.rnk"""
+      $mPipelineVote""",
+
+    // the same program on the banded serving tier: candidates must
+    // share the query's LSH band-0 bucket (the persisted index's
+    // partition column), then exact rescoring + vote inside the bucket
+    "m_pipeline_ann" -> s"""
+      WITH $mPipelineBase,
+      dims8 AS (SELECT unnest(generate_series(1, 8)) AS d),
+      js4 AS (SELECT unnest(generate_series(0, 3)) AS j),
+      dots AS (SELECT crop_id, j,
+          SUM((CASE WHEN strpos('0123456789abcdef',
+                 substr(md5('hp_' || j || '_' || d), 1, 1)) <= 8
+               THEN 1 ELSE -1 END)
+              * CAST(ROUND(v[d] * 1000, 0) AS BIGINT)) AS dot
+        FROM nn CROSS JOIN dims8 CROSS JOIN js4
+        GROUP BY crop_id, j),
+      bands AS (SELECT crop_id,
+          CAST(SUM(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS band0
+        FROM dots GROUP BY crop_id),
+      q AS (SELECT nn.crop_id AS query_id, v AS qv, nrm AS qn, b.band0 AS qb0
+            FROM nn JOIN bands b ON b.crop_id = nn.crop_id WHERE nn.doc_id < 3),
+      s AS (SELECT query_id, nn.crop_id AS neighbor_id, nn.label AS neighbor_label,
+              ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+            FROM nn JOIN bands cb ON cb.crop_id = nn.crop_id
+            JOIN q ON nn.crop_id <> q.query_id AND cb.band0 = q.qb0),
+      $mPipelineVote"""
   )
 
   def all: Map[String, String] =

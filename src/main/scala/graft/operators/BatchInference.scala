@@ -278,8 +278,13 @@ object BatchInference {
     * smallest label, app.py's Counter.most_common order made
     * deterministic).
     */
-  def mPipeline(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Stages 1-4 of the reference ingest (detect → crop → embed →
+    * persist index + metadata): returns the embedded crop frame and
+    * the index path. Shared by m_pipeline (exact query flow) and
+    * m_pipeline_ann (banded partition-pruned query flow).
+    */
+  private def pipelineIngest(spark: SparkSession, dir: String,
+                             tag: String): (DataFrame, String) = {
     import graft.sources.IndexStore
     val dim = 8
     val assets = Tables.documents(spark, dir)
@@ -303,22 +308,25 @@ object BatchInference {
       .transform(graft.Materialize.forceCached)
     // stage 4: persist index + metadata sidecar (faiss.write_index +
     // metadata.pkl, build_faiss_db.py:218-226)
-    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/m_pipeline_$tag/idx").getAbsolutePath
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/${tag}_$app/idx").getAbsolutePath
     IndexStore.write(embedded, "crop_id", "embedding", path, dim)
     IndexStore.writeMetadata(embedded.select(col("crop_id"), col("label")), path)
-    // stage 5: query flow (app.py:138-160) — first 3 docs' crops as the
-    // "uploaded image", top-5 over the loaded index, metadata join
-    val index = IndexStore.read(spark, path)
-    val queries = embedded.filter(col("doc_id") < 3)
-      .select(col("crop_id"), col("embedding"))
-    val hits = IndexStore.search(index, queries, "crop_id", "embedding", k = 5)
+    (embedded, path)
+  }
+
+  /** Stages 5-6 of the query flow: metadata join + majority label vote
+    * over whatever hit list the index tier produced (app.py:148-160).
+    */
+  private def labelVote(spark: SparkSession, hits: DataFrame,
+                        path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.IndexStore
     val labeled = hits.join(
         broadcast(IndexStore.readMetadata(spark, path)),
         hits("neighbor_id") === col("crop_id"))
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"),
         col("label").as("neighbor_label"))
-    // stage 6: majority label vote over the top-5 (app.py:148-160)
     val votes = labeled.groupBy("query_id", "neighbor_label")
       .agg(count(lit(1)).as("nv"))
     val wv = Window.partitionBy("query_id")
@@ -330,6 +338,36 @@ object BatchInference {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"),
         col("neighbor_label"), col("pred_label"), col("pred_votes"))
       .orderBy("query_id", "rnk")
+  }
+
+  def mPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val (embedded, path) = pipelineIngest(spark, dir, "m_pipeline")
+    // stage 5: query flow (app.py:138-160) — first 3 docs' crops as the
+    // "uploaded image", exact top-5 over the loaded index
+    val queries = embedded.filter(col("doc_id") < 3)
+      .select(col("crop_id"), col("embedding"))
+    val hits = IndexStore.search(IndexStore.read(spark, path), queries,
+      "crop_id", "embedding", k = 5)
+    labelVote(spark, hits, path)
+  }
+
+  /** m_pipeline_ann: the same reference program on the SCALE serving
+    * tier — the query probes only its LSH band-0 bucket of the
+    * persisted index (band0 is the partition column, so the probe
+    * reads 1/16 of the index's files), then exact-rescoring and the
+    * label vote run inside the bucket. The hit lists are
+    * data-dependent (a query may have < 5 bucket neighbors), which is
+    * the ANN recall trade the oracle replays exactly.
+    */
+  def mPipelineAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val (embedded, path) = pipelineIngest(spark, dir, "m_pipeline_ann")
+    val queries = embedded.filter(col("doc_id") < 3)
+      .select(col("crop_id"), col("embedding"))
+    val hits = IndexStore.searchAnn(IndexStore.read(spark, path), queries,
+      "crop_id", "embedding", k = 5, dim = 8)
+    labelVote(spark, hits, path)
   }
 
   /** m_detect: the pluggable detector path (app.py:112-124's
