@@ -145,16 +145,16 @@ object OlapExtras {
     * 3-row aggregates.
     */
   def qApproxQuantilesErr(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val approx = li.groupBy("l_returnflag")
-      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
-        .as("aq"))
-    val exact = li.groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("eq"),
-        count(lit(1)).as("n"))
+    // sketch and exact percentiles in ONE scan + ONE aggregation — no
+    // second pass, no join
     def ok(i: Int): Column =
       (abs(col("aq")(i) - col("eq")(i)) / col("eq")(i) <= 0.05)
-    exact.join(approx, "l_returnflag")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("aq"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("eq"),
+        count(lit(1)).as("n"))
       .select(col("l_returnflag"), col("n"),
         ok(0).as("p25_ok"), ok(1).as("p50_ok"), ok(2).as("p75_ok"))
       .orderBy("l_returnflag")

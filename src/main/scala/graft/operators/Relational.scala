@@ -259,18 +259,18 @@ object Relational {
     * out of tolerance breaks the hash match and the driver sees it.
     * Both inputs are 5-row aggregates; the join is trivial.
     */
-  def qApproxDistinctErr(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val approx = ev.groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
-    val exact = ev.groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("n_users"))
-    exact.join(approx, "event_type")
+  def qApproxDistinctErr(spark: SparkSession, dir: String): DataFrame =
+    // sketch and exact twin computed in ONE scan + ONE aggregation
+    // (Spark plans the distinct+non-distinct mix via Expand) — no
+    // second pass over the table, no join
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .select(col("event_type"), col("n_users"),
         (abs(col("approx_users") - col("n_users")).cast("double") / col("n_users")
           <= 0.05).as("within_tol"))
       .orderBy("event_type")
-  }
 
   /** Rollup aggregation: status × priority with subtotals + grand total. */
   def qRollup(spark: SparkSession, dir: String): DataFrame =
