@@ -321,7 +321,7 @@ object Oracles {
 
   /** Deterministic PQ codebook training + ADC search, replayed as
     * unrolled SQL (assumes `n` from normsCte is in scope — composes
-    * with normsCte or ivfCte). Mirrors Knn.pqModel exactly: seeds =
+    * with normsCte or ivfCte). Mirrors Knn.trainPqBooks exactly: seeds =
     * subvectors of the first K vectors, round-6 L2 argmin assignment,
     * vec_id-sorted fold means, codebooks trained on the vec_id<500
     * sample, full-corpus encode, ADC via per-(query, subspace, code)

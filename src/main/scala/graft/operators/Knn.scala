@@ -557,30 +557,23 @@ object Knn {
     coalesce(cands: _*)
   }
 
-  /** Encode vectors with FROZEN codebooks (no training) — the faiss
-    * add() analog for a persisted PQ index: new rows get codes from
-    * the existing books, old codes never change.
-    */
-  private[graft] def pqEncode(e: DataFrame,
-                              books: Array[Array[Array[Double]]]): DataFrame =
-    pqSubvectors(e).withColumn("code", pqCodeExpr(books))
-      .select("vec_id", "m", "code")
-
   /** PQ codebooks for a corpus dir, from the session cache (trained on
     * first use — see the registry scaladoc). Shared by v_pq, v_ivf_pq,
     * and the recall gates.
     */
   private def pqBooksCached(spark: SparkSession, dir: String,
                             e: DataFrame): Array[Array[Array[Double]]] =
-    pqCache.computeIfAbsent(modelKey(spark, dir), _ => pqModel(e)._2)
+    pqCache.computeIfAbsent(modelKey(spark, dir), _ => trainPqBooks(e))
 
   /** All M codes as ONE array column in a single map-side projection —
     * no explode, no per-subspace rows. Each element is the same
     * argmin-over-k struct pqCodeExpr computes on the exploded layout
     * (identical slices, identical round-6 distances, identical (d2, k)
-    * tie order), so codes are bit-equal to pqEncode's by construction.
+    * tie order), so codes are bit-equal to the exploded encoder's by
+    * construction. Frozen-books encoding for a persisted store's
+    * append() is this same expression — the faiss add() analog.
     */
-  private def pqCodesCol(books: Array[Array[Array[Double]]]): Column = {
+  private[graft] def pqCodesCol(books: Array[Array[Array[Double]]]): Column = {
     val dsub = 64 / PqSubspaces
     array((0 until PqSubspaces).map { m =>
       val sv = slice(col("v"), m * dsub + 1, dsub)
@@ -597,10 +590,10 @@ object Knn {
   }
 
   /** Per-query ADC lookup tables as one broadcast row per query:
-    * qdt(m)(k) = ||query subvector m − code k||², the same driver-side
-    * l2sq values pqDtableFor lays out as (query, m, k) rows.
+    * qdt(m)(k) = ||query subvector m − code k||², computed driver-side
+    * from the tiny query set and codebooks.
     */
-  private def pqQueryTables(spark: SparkSession,
+  private[graft] def pqQueryTables(spark: SparkSession,
                             queries: Array[(Long, Array[Double])],
                             books: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
@@ -617,20 +610,21 @@ object Knn {
     * therefore the exact doubles) of the old sorted-collect_list fold,
     * now a pure map-side expression with no groupBy behind it.
     */
-  private def adcDistCol: Column =
+  private[graft] def adcDistCol: Column =
     round(sqrt(aggregate(
       transform(sequence(lit(0), lit(PqSubspaces - 1)),
         m => element_at(element_at(col("qdt"), m + 1),
           element_at(col("codes"), m + 1) + 1)),
       lit(0.0), (acc, x) => acc + x)), 6)
 
-  /** Train codebooks + encode an arbitrary frame (uncached — the
-    * PqIndexStore.write path, where persistence IS the model cache).
+  /** Train codebooks on an arbitrary frame (uncached — for paths where
+    * persistence or the session registry is the model cache). Training
+    * touches ONLY the fixed vec_id<500 sample (standard PQ practice),
+    * so nothing full-corpus is materialized here — encoding the corpus
+    * is the caller's one map-side pqCodesCol pass.
     */
-  private[graft] def pqModel(e: DataFrame): (DataFrame, Array[Array[Array[Double]]]) = {
+  private[graft] def trainPqBooks(e: DataFrame): Array[Array[Array[Double]]] = {
     val dsub = 64 / PqSubspaces
-
-    val sub = pqSubvectors(e).transform(graft.Materialize.forceCached)
 
     // codebooks(m)(k) — trained driver-side over the tiny exploded agg
     var books: Array[Array[Array[Double]]] =
@@ -639,16 +633,13 @@ object Knn {
         .map(v => Array.tabulate(PqSubspaces)(m => v.slice(m * dsub, (m + 1) * dsub)))
         .transpose // (K vectors × M) → (M × K)
 
-    def codeExpr: Column = pqCodeExpr(books)
-
-    // codebooks train on a fixed sample (standard PQ practice — the
-    // encode pass still covers the full corpus)
-    val trainSub = sub.filter(col("vec_id") < 500).transform(graft.Materialize.forceCached)
+    val trainSub = pqSubvectors(e.filter(col("vec_id") < 500))
+      .transform(graft.Materialize.forceCached)
     for (_ <- 1 to PqIters) {
       // per-dim mean as a vec_id-sorted 0.0-seeded fold, not avg() —
       // deterministic under any partitioning, so the oracle can replay
       // the codebook trajectory (same rationale as ivfModel)
-      val means = trainSub.withColumn("code", codeExpr)
+      val means = trainSub.withColumn("code", pqCodeExpr(books))
         .select(col("m"), col("code"), col("vec_id"), posexplode(col("sv")).as(Seq("d", "x")))
         .groupBy("m", "code", "d")
         .agg((aggregate(array_sort(collect_list(struct(col("vec_id"), col("x")))),
@@ -662,22 +653,7 @@ object Knn {
       books = Array.tabulate(PqSubspaces)(m =>
         Array.tabulate(PqCodes)(k => means.getOrElse((m, k), books(m)(k))))
     }
-
-    (sub.withColumn("code", codeExpr).select("vec_id", "m", "code"), books)
-  }
-
-  /** ADC table for a driver-resident query set: partial L2 of each
-    * query subvector to every code.
-    */
-  private[graft] def pqDtableFor(spark: SparkSession,
-                                 queries: Array[(Long, Array[Double])],
-                                 books: Array[Array[Array[Double]]]): DataFrame = {
-    import spark.implicits._
-    val dsub = 64 / PqSubspaces
-    broadcast(queries.flatMap { case (qid, qv) =>
-      for (m <- 0 until PqSubspaces; k <- 0 until PqCodes)
-        yield (qid, m, k, l2sq(qv.slice(m * dsub, (m + 1) * dsub), books(m)(k)))
-    }.toSeq.toDF("query_id", "qm", "qk", "d2"))
+    books
   }
 
   def vPq(spark: SparkSession, dir: String): DataFrame = {

@@ -208,15 +208,19 @@ object PqIndexStore {
   import graft.operators.Knn
 
   /** Train codebooks on the frame (sample-trained, deterministic init)
-    * and persist codes + codebooks.
+    * and persist codes + codebooks. The code table holds ONE row per
+    * vector with all M codes as an array — the faiss code-blob layout:
+    * an 8-element tinyint array per vector instead of 8 exploded rows,
+    * so the search scan reads n rows, not 8n.
     */
   def write(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .transform(graft.Materialize.forceCached)
-    val (encoded, books) = Knn.pqModel(e)
-    encoded.write.mode("overwrite").parquet(s"$path.codes")
+    val books = Knn.trainPqBooks(e)
+    e.select(col("vec_id"), Knn.pqCodesCol(books).as("codes"))
+      .write.mode("overwrite").parquet(s"$path.codes")
     books.zipWithIndex.flatMap { case (perM, m) =>
       perM.zipWithIndex.map { case (cv, k) => (m, k, cv.toSeq) }
     }.toSeq.toDF("m", "k", "cv")
@@ -225,7 +229,7 @@ object PqIndexStore {
 
   /** Incremental maintenance — the faiss add() analog for the
     * compressed store: encode NEW vectors with the FROZEN persisted
-    * codebooks (no retrain) and append their codes. Existing code rows
+    * codebooks (no retrain) and append their code rows. Existing rows
     * are untouched, the codebook sidecar is unchanged, and searches
     * immediately cover the union. Periodic retraining (when the data
     * distribution drifts) is a full write() — the same trade faiss
@@ -234,8 +238,9 @@ object PqIndexStore {
   def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = df.sparkSession
     val books = readBooks(spark, path)
-    val e = df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-    Knn.pqEncode(e, books).write.mode("append").parquet(s"$path.codes")
+    df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("vec_id"), Knn.pqCodesCol(books).as("codes"))
+      .write.mode("append").parquet(s"$path.codes")
   }
 
   /** Load the codebooks (tiny — driver-resident, like the reference's
@@ -249,24 +254,23 @@ object PqIndexStore {
 
   /** ADC top-k against the persisted codes: queries are collected
     * (driver-resident by contract — the uploaded-image flow), their
-    * distance table broadcast against the code scan.
+    * per-query lookup tables ride the broadcast side, and the distance
+    * is a pure per-row fold over the codes array — no exploded rows,
+    * no re-merge; the top-k window is the only shuffle (the same
+    * map-side shape as the in-session v_pq).
     */
   def search(spark: SparkSession, path: String, queries: DataFrame,
              idCol: String, vecCol: String, k: Int): DataFrame = {
     val books = readBooks(spark, path)
-    val encoded = spark.read.parquet(s"$path.codes")
+    val coded = spark.read.parquet(s"$path.codes")
     val qs = queries
       .select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("v"))
       .orderBy("query_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val dtable = Knn.pqDtableFor(spark, qs, books)
-    val scored = encoded.join(dtable,
-        col("m") === col("qm") && col("code") === col("qk") &&
-        col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(round(sqrt(aggregate(array_sort(collect_list(struct(col("m"), col("d2")))),
-        lit(0.0), (acc, s) => acc + s.getField("d2"))), 6).as("adc_dist"))
+    val qdt = Knn.pqQueryTables(spark, qs, books)
+    val scored = coded.join(qdt, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), Knn.adcDistCol.as("adc_dist"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))

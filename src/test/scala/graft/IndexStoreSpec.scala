@@ -67,10 +67,13 @@ class IndexStoreSpec extends SparkSpec {
     val path = s"$tmp/idx_pq"
     val emb = Tables.embeddings(spark, sf)
     PqIndexStore.write(emb, "vec_id", "embedding", path)
-    // codes persist 8 one-byte codes per vector
+    // codes persist as ONE row per vector holding all M codes (the
+    // faiss code-blob layout)
     val codes = spark.read.parquet(s"$path.codes")
-    assert(codes.columns.toSet == Set("vec_id", "m", "code"))
-    assert(codes.count() == emb.count() * graft.operators.Knn.PqSubspaces)
+    assert(codes.columns.toSet == Set("vec_id", "codes"))
+    assert(codes.count() == emb.count())
+    assert(codes.head.getSeq[Int](codes.columns.indexOf("codes")).length
+      == graft.operators.Knn.PqSubspaces)
     // deterministic training → the persisted index serves the same
     // ranking as the in-memory operator
     val queries = emb.filter(col("vec_id") < 10)

@@ -104,7 +104,7 @@ class Round4Spec extends SparkSpec {
     val baseCodes = spark.read.parquet(s"$p1.codes").collect().map(_.toString).sorted
     PqIndexStore.append(extra, "vec_id", "embedding", p1)
     val after = spark.read.parquet(s"$p1.codes")
-    assert(after.count() == baseCodes.length + 20 * 8, "8 code rows per appended vector")
+    assert(after.count() == baseCodes.length + 20, "one codes row per appended vector")
     assert(after.filter(col("vec_id") < 1000).collect().map(_.toString).sorted
       .sameElements(baseCodes), "append must not touch existing code rows")
     val union = emb.select(col("vec_id"), col("embedding")).union(extra)

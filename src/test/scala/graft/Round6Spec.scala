@@ -72,14 +72,14 @@ class Round6Spec extends SparkSpec {
     // wave 1: lands 40 docs, trains the codebooks, builds the index
     docs.filter(col("doc_id") < 40).write.mode("append").parquet(src)
     graft.streaming.EventStreams.runEmbedIngest(spark, src, ckpt, idx, loader)
-    assert(spark.read.parquet(s"$idx.codes").count() == 40 * 8)
+    assert(spark.read.parquet(s"$idx.codes").count() == 40)
     val books1 = spark.read.parquet(s"$idx.books").collect().map(_.toString).sorted
     // wave 2: 20 new files in the landing zone; the checkpointed source
     // processes ONLY the delta, and append encodes with frozen books
     docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
       .write.mode("append").parquet(src)
     graft.streaming.EventStreams.runEmbedIngest(spark, src, ckpt, idx, loader)
-    assert(spark.read.parquet(s"$idx.codes").count() == 60 * 8,
+    assert(spark.read.parquet(s"$idx.codes").count() == 60,
       "wave 2 must add exactly its own code rows")
     assert(spark.read.parquet(s"$idx.books").collect().map(_.toString).sorted
       .sameElements(books1), "append must not retrain the codebooks")
