@@ -1816,6 +1816,15 @@ object Oracles {
         TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // heavy-hitters guarantee: every exact >=15%-support item must be
+    // in the sketch output (false positives allowed, misses are not)
+    "q_freq_items" -> """
+      WITH t AS (SELECT COUNT(*) AS total FROM events)
+      SELECT event_type, COUNT(*) AS n, TRUE AS in_sketch
+      FROM events CROSS JOIN t
+      GROUP BY event_type, total HAVING COUNT(*) >= total * 0.15
+      ORDER BY event_type""",
+
     // the persisted index paths share their in-session twins' oracles:
     // deterministic training makes store search ≡ in-session search
     "v_ivf_store" -> vector("v_ivf"),

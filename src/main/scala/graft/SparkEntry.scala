@@ -29,6 +29,7 @@ object SparkEntry {
     "q_distinct"      -> (Relational.qDistinct _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     "q_approx_distinct_err" -> (Relational.qApproxDistinctErr _),
+    "q_freq_items"    -> (Relational.qFreqItemsErr _),
     "q_rollup"        -> (Relational.qRollup _),
     "q_cube"          -> (Relational.qCube _),
     "q_events_funnel" -> (Relational.qEventsFunnel _),

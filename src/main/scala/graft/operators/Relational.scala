@@ -279,6 +279,30 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q_freq_items: heavy-hitters sketch with its guarantee as the
+    * gate — the hot-key detection op a pipeline runs before choosing
+    * salting factors. Spark's freqItems (Karp-Papadimitriou-Shenker)
+    * may return false positives but NEVER misses an item above the
+    * support threshold; the query joins the exact ≥-support set
+    * against the sketch output and emits the containment flag, which
+    * the oracle expects to be literal TRUE — same contract as the
+    * HLL/quantile error gates. Exact side is one aggregation; sketch
+    * side is one single-pass scan.
+    */
+  def qFreqItemsErr(spark: SparkSession, dir: String): DataFrame = {
+    val support = 0.15
+    val ev = Tables.events(spark, dir)
+    val sketch = ev.stat.freqItems(Array("event_type"), support)
+      .select(explode(col("event_type_freqItems")).as("item"))
+    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .join(broadcast(ev.agg(count(lit(1)).as("total"))))
+      .filter(col("n") >= col("total") * support)
+      .select(col("event_type"), col("n"))
+    exact.join(broadcast(sketch), col("event_type") === col("item"), "left")
+      .select(col("event_type"), col("n"), col("item").isNotNull.as("in_sketch"))
+      .orderBy("event_type")
+  }
+
   /** Rollup aggregation: status × priority with subtotals + grand total. */
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
