@@ -146,6 +146,43 @@ class Round6Spec extends SparkSpec {
       "appended vectors must be reachable by probes with no rebuild")
   }
 
+  test("runtime bloom-filter pruning: selective dim join injects a row-level filter") {
+    import org.apache.spark.sql.functions._
+    // the row-level sibling of DPP: for a shuffle join against a
+    // selective dim, Spark's InjectRuntimeFilter builds a bloom filter
+    // from the dim side and applies it to the fact scan side, pruning
+    // rows before the shuffle. Thresholds are tuned down to fire on
+    // test-sized data; on a cluster the defaults (10MB creation side)
+    // apply.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val fact = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloom"),
+        s"expected an injected bloom runtime filter on the fact side; plan:\n$plan")
+      assert(joined.collect().head.getLong(0) > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("ANN model registry: recall gate reuses the trained model (no second training)") {
     graft.operators.Knn.clearModelCache()
     // first call trains; the gate's internal re-derivation must be
