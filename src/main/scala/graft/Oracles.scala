@@ -1816,6 +1816,12 @@ object Oracles {
         TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // count-min guarantee: estimates never undercount, and at
+    // eps=0.001 / 5 keys the overcount stays within eps*total
+    "q_cms_err" -> """
+      SELECT event_type, COUNT(*) AS n, TRUE AS ge_ok, TRUE AS tight_ok
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
     // heavy-hitters guarantee: every exact >=15%-support item must be
     // in the sketch output (false positives allowed, misses are not)
     "q_freq_items" -> """

@@ -30,6 +30,7 @@ object SparkEntry {
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     "q_approx_distinct_err" -> (Relational.qApproxDistinctErr _),
     "q_freq_items"    -> (Relational.qFreqItemsErr _),
+    "q_cms_err"       -> (Relational.qCmsErr _),
     "q_rollup"        -> (Relational.qRollup _),
     "q_cube"          -> (Relational.qCube _),
     "q_events_funnel" -> (Relational.qEventsFunnel _),

@@ -303,6 +303,30 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q_cms_err: count-min sketch with its one-sided bound as the gate
+    * — the per-key frequency estimator for streams too wide to count
+    * exactly. CMS NEVER underestimates (hash collisions only add), and
+    * at eps=0.001 over 5 distinct keys overestimation is bounded by
+    * eps·total with ≥99% confidence; both bounds ride as flags the
+    * oracle expects to be literal TRUE. The sketch is built
+    * distributed (mergeable per partition); only the 5-key probe runs
+    * on the driver.
+    */
+  def qCmsErr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val cms = ev.stat.countMinSketch(col("event_type"),
+      eps = 0.001, confidence = 0.99, seed = 42)
+    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val total = exact.map(_._2).sum
+    exact.toSeq.map { case (t, n) =>
+      val est = cms.estimateCount(t)
+      (t, n, est >= n, est <= n + (0.001 * total).ceil.toLong)
+    }.toDF("event_type", "n", "ge_ok", "tight_ok")
+      .orderBy("event_type")
+  }
+
   /** Rollup aggregation: status × priority with subtotals + grand total. */
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
