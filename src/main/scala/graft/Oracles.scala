@@ -1760,15 +1760,21 @@ object Oracles {
             / 4294967296.0 / 4.0 AS w,
           CAST(CAST(('0x' || substr(md5(text || '_h' || i), 1, 8)) AS BIGINT) AS DOUBLE)
             / 4294967296.0 / 4.0 AS h,
-          CAST(('0x' || substr(md5(text || '_c' || i), 1, 8)) AS BIGINT) % 5 AS class_id
+          CAST(('0x' || substr(md5(text || '_c' || i), 1, 8)) AS BIGINT) % 5 AS class_id,
+          ROUND(CAST(('0x' || substr(md5(text || '_s' || i), 1, 8)) AS BIGINT)
+            / 4294967296.0, 6) AS score
         FROM base CROSS JOIN di WHERE i < n),
-      boxes AS (SELECT doc_id, i, class_id, text,
+      boxes AS (SELECT doc_id, i, class_id, score, text,
           CAST(trunc(xc * 640 - CAST(trunc(w * 640) AS BIGINT) / 2.0) AS BIGINT) AS x1,
           CAST(trunc(yc * 480 - CAST(trunc(h * 480) AS BIGINT) / 2.0) AS BIGINT) AS y1
         FROM raw),
-      crops AS (SELECT doc_id * 10 + i AS crop_id, doc_id, class_id AS label,
+      crops AS (SELECT doc_id * 10 + i AS crop_id, doc_id, class_id AS label, score,
           text || '_' || x1 || '_' || y1 AS cropstr
         FROM boxes),
+      qb AS (SELECT crop_id FROM (
+               SELECT crop_id, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, crop_id) AS rq
+               FROM crops WHERE doc_id < 3) z WHERE rq = 1),
       dd AS (SELECT unnest(generate_series(1, 8)) AS d),
       embs AS (SELECT crop_id, doc_id, label, d,
           ROUND(CAST(('0x' || substr(md5(cropstr || '_' || d), 1, 8)) AS BIGINT)
@@ -1893,7 +1899,8 @@ object Oracles {
     // vote (ties to the smallest label)
     "m_pipeline" -> s"""
       WITH $mPipelineBase,
-      q AS (SELECT crop_id AS query_id, v AS qv, nrm AS qn FROM nn WHERE doc_id < 3),
+      q AS (SELECT nn.crop_id AS query_id, v AS qv, nrm AS qn
+            FROM nn JOIN qb ON qb.crop_id = nn.crop_id),
       s AS (SELECT query_id, nn.crop_id AS neighbor_id, nn.label AS neighbor_label,
               ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
             FROM nn CROSS JOIN q WHERE nn.crop_id <> query_id),
@@ -1917,7 +1924,8 @@ object Oracles {
           CAST(SUM(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS band0
         FROM dots GROUP BY crop_id),
       q AS (SELECT nn.crop_id AS query_id, v AS qv, nrm AS qn, b.band0 AS qb0
-            FROM nn JOIN bands b ON b.crop_id = nn.crop_id WHERE nn.doc_id < 3),
+            FROM nn JOIN bands b ON b.crop_id = nn.crop_id
+            JOIN qb ON qb.crop_id = nn.crop_id),
       s AS (SELECT query_id, nn.crop_id AS neighbor_id, nn.label AS neighbor_label,
               ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
             FROM nn JOIN bands cb ON cb.crop_id = nn.crop_id

@@ -300,11 +300,12 @@ object BatchInference {
       (col("doc_id") * 10 + col("det_id")).as("crop_id"),
       col("doc_id"),
       col("dt.class_id").cast("long").as("label"),
+      col("dt.score").as("score"),
       concat(col("text"), lit("_"), col("dt.x1").cast("string"),
         lit("_"), col("dt.y1").cast("string")).cast("binary").as("payload"))
     // stage 3: batched featurizer (build_faiss_db.py:111-134)
     val embedded = embedStage(crops, "payload", new Md5EmbedLoader(dim), batchSize = 16)
-      .select(col("crop_id"), col("doc_id"), col("label"), col("embedding"))
+      .select(col("crop_id"), col("doc_id"), col("label"), col("score"), col("embedding"))
       .transform(graft.Materialize.forceCached)
     // stage 4: persist index + metadata sidecar (faiss.write_index +
     // metadata.pkl, build_faiss_db.py:218-226)
@@ -340,15 +341,27 @@ object BatchInference {
       .orderBy("query_id", "rnk")
   }
 
+  /** Query set = the HIGHEST-CONFIDENCE crop per query doc — exactly
+    * app.py:121's `result.boxes.conf.argmax()`: the uploaded image
+    * contributes one query vector, from its best detection.
+    */
+  private def bestCropQueries(embedded: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("crop_id").asc)
+    embedded.filter(col("doc_id") < 3)
+      .withColumn("rq", row_number().over(wq)).filter(col("rq") === 1)
+      .select(col("crop_id"), col("embedding"))
+  }
+
   def mPipeline(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexStore
     val (embedded, path) = pipelineIngest(spark, dir, "m_pipeline")
-    // stage 5: query flow (app.py:138-160) — first 3 docs' crops as the
-    // "uploaded image", exact top-5 over the loaded index
-    val queries = embedded.filter(col("doc_id") < 3)
-      .select(col("crop_id"), col("embedding"))
-    val hits = IndexStore.search(IndexStore.read(spark, path), queries,
-      "crop_id", "embedding", k = 5)
+    // stage 5: query flow (app.py:108-160) — the first 3 docs as the
+    // "uploaded images", each querying with its best-confidence crop,
+    // exact top-5 over the loaded index
+    val hits = IndexStore.search(IndexStore.read(spark, path),
+      bestCropQueries(embedded), "crop_id", "embedding", k = 5)
     labelVote(spark, hits, path)
   }
 
@@ -363,10 +376,8 @@ object BatchInference {
   def mPipelineAnn(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexStore
     val (embedded, path) = pipelineIngest(spark, dir, "m_pipeline_ann")
-    val queries = embedded.filter(col("doc_id") < 3)
-      .select(col("crop_id"), col("embedding"))
-    val hits = IndexStore.searchAnn(IndexStore.read(spark, path), queries,
-      "crop_id", "embedding", k = 5, dim = 8)
+    val hits = IndexStore.searchAnn(IndexStore.read(spark, path),
+      bestCropQueries(embedded), "crop_id", "embedding", k = 5, dim = 8)
     labelVote(spark, hits, path)
   }
 
