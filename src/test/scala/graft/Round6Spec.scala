@@ -183,6 +183,23 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("map-side ADC plan shape: top-k window + ordering are the only exchanges") {
+    // regression pin for the r6 ADC rework: encode and scoring are
+    // map-side, so v_pq/v_ivf_pq must not re-grow an exploded-code
+    // join or a groupBy re-merge (each would add hash exchanges)
+    for (q <- Seq("v_pq", "v_ivf_pq")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.write.format("noop").mode("overwrite").save() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange (hash|range|RoundRobin|SinglePartition)".r
+        .findAllIn(plan).size
+      assert(exchanges <= 2,
+        s"$q should shuffle only for the top-k window (+ final ordering), got $exchanges:\n$plan")
+    }
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("ANN model registry: recall gate reuses the trained model (no second training)") {
     graft.operators.Knn.clearModelCache()
     // first call trains; the gate's internal re-derivation must be
