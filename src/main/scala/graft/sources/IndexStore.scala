@@ -161,6 +161,36 @@ object IvfIndexStore {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
+  /** Probe frame for a query set: one row per (query, probed list id),
+    * lists ranked per query against the literal centroid set (sorted
+    * (desc sim, asc cid) structs — the ivfProbe formula).
+    */
+  private def probeFrame(queries: DataFrame, idCol: String, vecCol: String,
+                         centroids: Array[(Int, Array[Double])],
+                         nprobe: Int): DataFrame = {
+    val cands = array_sort(array(centroids.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        (-round(V.cosinePre(V.dot(col("qv"), typedLit(cv.toSeq)), col("qn"), lit(cn)), 6))
+          .as("nsim"),
+        lit(cid).as("cid"))
+    }: _*))
+    prepared(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("pcid", explode(transform(
+        slice(cands, 1, nprobe), s => s.getField("cid"))))
+  }
+
+  private def rescored(index: DataFrame, qProbe: DataFrame, k: Int): DataFrame = {
+    val scored = index.join(broadcast(qProbe),
+        col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+  }
+
   /** nprobe-pruned exact-cosine top-k against the persisted lists.
     * Queries are tiny by contract (the uploaded-image flow) and
     * broadcast; their probed list ids are ALSO applied to the scan as
@@ -171,29 +201,28 @@ object IvfIndexStore {
              idCol: String, vecCol: String, k: Int,
              nprobe: Int = Knn.IvfNprobe): DataFrame = {
     val centroids = readCentroids(spark, path)
-    // rank lists per query with the literal centroid set (sorted
-    // (desc sim, asc cid) structs — the ivfProbe formula)
-    val cands = array_sort(array(centroids.map { case (cid, cv) =>
-      val cn = math.sqrt(cv.map(x => x * x).sum)
-      struct(
-        (-round(V.cosinePre(V.dot(col("qv"), typedLit(cv.toSeq)), col("qn"), lit(cn)), 6))
-          .as("nsim"),
-        lit(cid).as("cid"))
-    }: _*))
-    val qProbe = prepared(queries, idCol, vecCol)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .withColumn("pcid", explode(transform(
-        slice(cands, 1, nprobe), s => s.getField("cid"))))
+    val qProbe = probeFrame(queries, idCol, vecCol, centroids, nprobe)
     val probedCids = qProbe.select("pcid").distinct().collect().map(_.getInt(0)).toSeq
     val index = spark.read.parquet(path)
       .where(col("cid").isin(probedCids: _*)) // static file-level pruning
-    val scored = index.join(broadcast(qProbe),
-        col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "sim")
+    rescored(index, qProbe, k)
+  }
+
+  /** Batch-serving variant: the probe set stays DISTRIBUTED — no
+    * driver collect of probed list ids — and the scan prunes through
+    * Spark's dynamic partition pruning instead: the broadcast join on
+    * the cid partition column gets a DynamicPruningExpression on the
+    * parquet scan (asserted in Round6Spec), which evaluates the probe
+    * side at runtime and reads only the probed list directories. Use
+    * this when the query set is itself a table (bulk re-ranking,
+    * index-to-index joins) rather than a handful of uploads.
+    */
+  def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  nprobe: Int = Knn.IvfNprobe): DataFrame = {
+    val centroids = readCentroids(spark, path)
+    val qProbe = probeFrame(queries, idCol, vecCol, centroids, nprobe)
+    rescored(spark.read.parquet(path), qProbe, k)
   }
 }
 

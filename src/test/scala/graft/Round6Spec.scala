@@ -200,6 +200,26 @@ class Round6Spec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("IvfIndexStore.searchBatch: DPP-pruned probe, result-equal to the collect path") {
+    import graft.sources.IvfIndexStore
+    import graft.operators.Knn
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivf_dpp").toString + "/idx"
+    IvfIndexStore.write(emb, "vec_id", "embedding", path)
+    val queries = emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val batch = IvfIndexStore.searchBatch(spark, path, queries,
+      "vec_id", "embedding", Knn.DefaultK)
+    // the distributed-probe plan must prune the list scan dynamically
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected DynamicPruningExpression on the cid-partitioned scan; plan:\n${plan.take(4000)}")
+    // and be row-for-row identical to the driver-collected probe path
+    val viaCollect = IvfIndexStore.search(spark, path, queries,
+      "vec_id", "embedding", Knn.DefaultK).collect().map(_.toString).sorted
+    assert(batch.collect().map(_.toString).sorted.sameElements(viaCollect))
+  }
+
   test("ANN model registry: recall gate reuses the trained model (no second training)") {
     graft.operators.Knn.clearModelCache()
     // first call trains; the gate's internal re-derivation must be
