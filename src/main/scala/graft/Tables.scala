@@ -61,4 +61,9 @@ object GraftSession {
       // recompile when they're hit again (static conf — set pre-start)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+      // cluster-mode switch for shared-subplan materialization (see
+      // graft.Materialize); env override lets the whole Verify/Bench
+      // surface run under the replicated/checkpoint strategies
+      .config(Materialize.ConfKey,
+        sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "local"))
 }
