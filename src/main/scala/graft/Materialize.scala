@@ -34,15 +34,45 @@ object Materialize {
 
   val ConfKey = "spark.graft.materialize"
 
+  /** Truncated frame → its persisted backing frame, so release() can
+    * drop the blocks (the truncated view is not itself in the cache
+    * manager). Weak keys: frames the caller dropped get collected.
+    */
+  private val persistedOf = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, DataFrame]())
+
   def forceCached(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(ConfKey, "local") match {
       case "local" => df.localCheckpoint(eager = true)
       case "replicated" =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK_2)
         p.count() // eager: consumers read blocks, never the lineage
-        p
+        // LINEAGE must still be cut (a LogicalRDD leaf over the
+        // executed plan): without it, iterative supersteps nest their
+        // unions into an exponentially growing logical plan and the
+        // driver heap dies at ~15 supersteps — persist alone is not a
+        // plan barrier. The leaf's RDD keeps its own DAG + replicated
+        // storage, so executor-loss recovery is intact.
+        val t = org.apache.spark.sql.GraftShim.truncateLineage(p)
+        persistedOf.put(t, p)
+        t
       case "checkpoint" => df.checkpoint(eager = true)
       case other => throw new IllegalArgumentException(
         s"$ConfKey must be local|replicated|checkpoint, got '$other'")
+    }
+
+  /** Release a frame a previous forceCached produced, for iterative
+    * loops that re-materialize state every superstep: under
+    * `replicated` the superseded persisted blocks would otherwise
+    * accumulate across supersteps (2 copies each); under
+    * `local`/`checkpoint` this is a no-op (localCheckpoint blocks are
+    * dropped with their RDD by end-of-query cleanup; reliable
+    * checkpoints live on disk).
+    */
+  def release(df: DataFrame): Unit =
+    df.sparkSession.conf.get(ConfKey, "local") match {
+      case "replicated" =>
+        Option(persistedOf.remove(df)).foreach(_.unpersist(blocking = false))
+      case _ => ()
     }
 }

@@ -320,9 +320,13 @@ object Dedup {
       val jump = labels.select(col("doc").as("jd"), col("label").as("jl"))
         .join(labels, col("jl") === labels("doc"))
         .select(col("jd").as("doc"), col("label"))
-      labels = labels.union(prop).union(jump)
+      val next = labels.union(prop).union(jump)
         .groupBy("doc").agg(min(col("label")).as("label"))
         .transform(graft.Materialize.forceCached)
+      // the superseded superstep state must not accumulate (its blocks
+      // are dead the moment `next` is materialized)
+      graft.Materialize.release(labels)
+      labels = next
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s

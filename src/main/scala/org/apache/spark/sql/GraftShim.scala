@@ -20,4 +20,20 @@ object GraftShim {
     */
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Lineage-truncated view of a (typically persisted) frame: wraps
+    * its executed RDD in a LogicalRDD leaf — downstream plans stop
+    * growing (the iterative-algorithm requirement localCheckpoint
+    * satisfies), while the RDD keeps its own DAG and storage level, so
+    * a lost replicated block still recomputes. This is the same
+    * mechanism Dataset.checkpoint uses to cut the plan
+    * (LogicalRDD.fromDataset preserves partitioning + ordering).
+    */
+  def truncateLineage(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    classic.Dataset.ofRows(spark,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
 }
