@@ -13,9 +13,11 @@ object Verify {
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // the reliable-checkpoint strategy needs a checkpoint dir
+    // the reliable-checkpoint strategy needs a checkpoint dir — a
+    // SIBLING of outDir, not inside it (the result checker treats
+    // every outDir child as a query dump)
     if (spark.conf.get(Materialize.ConfKey, "local") == "checkpoint")
-      spark.sparkContext.setCheckpointDir(s"$outDir/_ckpt")
+      spark.sparkContext.setCheckpointDir(s"$outDir.ckpt")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
