@@ -220,6 +220,32 @@ class Round6Spec extends SparkSpec {
     assert(batch.collect().map(_.toString).sorted.sameElements(viaCollect))
   }
 
+  test("replicated materialization is a plan barrier and release drops the blocks") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set(Materialize.ConfKey, "replicated")
+    try {
+      val df = Tables.documents(spark, sf)
+        .select(col("doc_id")).filter(col("doc_id") < 10)
+        .transform(Materialize.forceCached)
+      // downstream plans must see a leaf (LogicalRDD), not the source
+      // relation — without this, iterative supersteps nest their plans
+      // exponentially (the d_components replicated-mode OOM)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+        s"replicated forceCached must cut lineage to an RDD leaf; plan:\n$plan")
+      assert(!plan.contains("parquet"),
+        "the original scan must not be reachable from the truncated plan")
+      assert(!spark.sharedState.cacheManager.isEmpty, "blocks must be cached")
+      Materialize.release(df)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "release must drop the superseded persisted blocks")
+    } finally {
+      spark.conf.unset(Materialize.ConfKey)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+  }
+
   test("ANN model registry: recall gate reuses the trained model (no second training)") {
     graft.operators.Knn.clearModelCache()
     // first call trains; the gate's internal re-derivation must be
