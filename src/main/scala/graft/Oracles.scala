@@ -267,18 +267,21 @@ object Oracles {
     * iteration = round-6 cosine argmax assignment then per-dim mean as
     * a vec_id-sorted 0.0-seeded fold (bit-equal to Spark's
     * aggregate(array_sort(collect_list(..)), 0.0, +) — see
-    * Knn.ivfModel). Ends with `ivfasg` (vec_id, v, nrm, cid under the
-    * final centroids) and `ivftop` (per-query IVF top-5 via nprobe
-    * probed lists).
+    * Knn.ivfModel). Training runs on the fixed vec_id < IvfTrainSample
+    * prefix, mirroring Knn.trainIvf's bounded sample; the final
+    * `ivfasg` assignment covers the FULL corpus. Ends with `ivfasg`
+    * (vec_id, v, nrm, cid under the final centroids) and `ivftop`
+    * (per-query IVF top-5 via nprobe probed lists).
     */
   private def ivfCte: String = {
-    import graft.operators.Knn.{IvfClusters, IvfIters, IvfNprobe, NumQueries, DefaultK}
+    import graft.operators.Knn.{IvfClusters, IvfIters, IvfNprobe, IvfTrainSample, NumQueries, DefaultK}
     val sb = new StringBuilder
     sb.append(s"""$normsCte,
       ivfdims AS (SELECT unnest(generate_series(1, 64)) AS d),
+      ivftrain AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < $IvfTrainSample),
       cent0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
                   v AS cv, sqrt(list_dot_product(v, v)) AS cn
-                FROM n WHERE vec_id < $IvfClusters)""")
+                FROM ivftrain WHERE vec_id < $IvfClusters)""")
     for (i <- 1 to IvfIters) {
       sb.append(s""",
       asg$i AS (SELECT vec_id, v, nrm, cid FROM (
@@ -286,7 +289,7 @@ object Oracles {
               ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
                 ROUND(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
                 c.cid ASC) AS rn
-            FROM n CROSS JOIN cent${i - 1} c) t WHERE rn = 1),
+            FROM ivftrain n CROSS JOIN cent${i - 1} c) t WHERE rn = 1),
       cm$i AS (SELECT cid, d,
             list_reduce(list(v[d] ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS m
           FROM asg$i CROSS JOIN ivfdims GROUP BY cid, d),

@@ -1,0 +1,91 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** REAL pixel decode for the multimodal pipeline — `javax.imageio`
+  * (public JDK API, present in any JVM) turns PNG/BMP payload bytes
+  * into the integer grayscale pixel frame (id, y, x, px ∈ [0,255])
+  * that the γ-LUT / Gaussian-blur / CLAHE / pHash stencils already
+  * consume, replacing the md5 decode stub for payloads that are
+  * actual images. This is the Spark-side re-expression of the
+  * reference's `cv2.imread` → grayscale step
+  * (/root/reference/build_faiss_db.py:72-83); only the CNN models
+  * remain fakes (no torch in this environment).
+  *
+  * Scale shape: decode is a per-row library call with no cross-row
+  * state, so `pixelFrame` is one narrow flatMap stage — no shuffle, no
+  * collect, partitioned by whatever partitions the payload table. The
+  * w×h fan-out per image is the same row multiplicity every stencil
+  * downstream already budgets for.
+  */
+object ImageDecode {
+
+  /** ITU-R BT.601 integer luma — the same weights cv2's grayscale
+    * conversion uses, as exact integer arithmetic:
+    * (299·R + 587·G + 114·B) div 1000. For a gray pixel (v,v,v) this
+    * is exactly v, which the spec exploits for round-trip checks.
+    */
+  def gray(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff
+    val g = (rgb >> 8) & 0xff
+    val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** Decode one payload to (width, height, row-major gray pixels).
+    * Throws on undecodable bytes — a real ingest wraps this in its
+    * quarantine policy; the engine does not silently fabricate pixels.
+    */
+  def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img: BufferedImage = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = gray(img.getRGB(x, y)); x += 1 }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Binary payload column → (id, y, x, px) pixel frame. The decode
+    * boundary is per-row imperative by nature (a codec library call —
+    * the same justification as the batched-inference stages); every
+    * transform downstream of this frame stays declarative and feeds
+    * the existing stencil operators unchanged.
+    */
+  def pixelFrame(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val (w, h, px) = decodeGray(bytes)
+        for (y <- 0 until h; x <- 0 until w) yield (id, y, x, px(y * w + x))
+      }
+      .toDF(idCol, "y", "x", "px")
+  }
+
+  /** Deterministic synthetic PNG (spec/dev helper): pixel (x, y) has
+    * gray value ((seed + 7·y + 13·x) mod 256), so every decoded value
+    * is predictable driver-side without any image library.
+    */
+  def syntheticPng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (seed + 7 * y + 13 * x) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+}

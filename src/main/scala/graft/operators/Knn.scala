@@ -367,6 +367,19 @@ object Knn {
   val IvfClusters = 8
   val IvfIters = 3
   val IvfNprobe = 2
+  /** Lloyd trains on this fixed deterministic prefix of the corpus —
+    * the same bound the PQ trainer uses. Training must never scan the
+    * full corpus: at 100 TB a full-corpus Lloyd pass is the dominant
+    * build cost, and the per-(cid, d) sorted-fold mean would
+    * materialize ~n/k corpus values into ONE aggregation buffer (an
+    * executor OOM). A fixed sample caps that buffer at
+    * IvfTrainSample/k values and makes training cost independent of
+    * corpus size (standard practice — faiss trains IVF coarse
+    * quantizers on a bounded sample too). Assignment of the FULL
+    * corpus under the trained centroids stays a map-side literal
+    * projection (withCid).
+    */
+  val IvfTrainSample = 500
 
   /** Trained-model registry, keyed by (application, corpus dir): IVF
     * centroid sets and PQ codebooks train ONCE per session per corpus
@@ -414,11 +427,15 @@ object Knn {
   }
 
   /** Lloyd training over a checkpointed corpus frame (vec_id, v, nrm):
-    * deterministic init from the first k vectors, fixed iterations.
+    * deterministic init from the first k vectors, fixed iterations,
+    * input capped at the vec_id < IvfTrainSample prefix (see the
+    * constant's scaladoc — training cost and aggregation-buffer size
+    * are independent of corpus size).
     */
   private[graft] def trainIvf(e: DataFrame): Array[(Int, Array[Double])] = {
+    val sample = e.filter(col("vec_id") < IvfTrainSample)
     var centroids: Array[(Int, Array[Double])] =
-      e.filter(col("vec_id") < IvfClusters)
+      sample.filter(col("vec_id") < IvfClusters)
         .orderBy("vec_id")
         .collect()
         .zipWithIndex
@@ -428,7 +445,7 @@ object Knn {
       // per-dim mean as a SORTED 0.0-seeded fold (not avg()): bit-equal
       // in any engine / any partitioning, so the whole Lloyd trajectory
       // is deterministic and the oracle can replay it (SURVEY §6)
-      val means = withCid(e, centroids)
+      val means = withCid(sample, centroids)
         .select(col("cid"), col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("cid", "d")
         .agg((aggregate(array_sort(collect_list(struct(col("vec_id"), col("x")))),
@@ -453,6 +470,21 @@ object Knn {
     val centroids = ivfCache.computeIfAbsent(modelKey(spark, dir), _ => trainIvf(e))
     (withCid(e, centroids).transform(graft.Materialize.forceCached), centroids)
   }
+
+  /** Registry access for a corpus DIR (trains on first use): the store
+    * writers consult this too, so persisting an index after any
+    * in-session query of the same corpus — or vice versa, in either
+    * order — never trains twice. Cached ≡ retrained (deterministic
+    * training), so oracle hashes are unaffected by who trained first.
+    */
+  private[graft] def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] =
+    ivfCache.computeIfAbsent(modelKey(spark, dir), _ =>
+      trainIvf(corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))))
+
+  /** PQ codebooks for a corpus DIR from the registry (see ivfCentroids). */
+  private[graft] def pqBooksFor(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent(modelKey(spark, dir), _ =>
+      trainPqBooks(corpus(spark, dir).select(col("vec_id"), col("v"))))
 
   /** nprobe nearest centroid lists per query, via the literal centroid
     * array: sort (desc sim, asc cid) structs, take nprobe.
@@ -811,30 +843,59 @@ object Knn {
     * code-space distance faithfully approximates original L2. The
     * span scale is fixed-point (×10⁶) so distances are exact int64
     * sums — the whole path (stats, codes, ranking) is
-    * oracle-hash-checkable with no FP ambiguity. The stats pass is a
-    * 64-row aggregate broadcast back; codes join queries on the dim
-    * key.
+    * oracle-hash-checkable with no FP ambiguity.
+    *
+    * Layout is the PQ ADC pattern (pqCodesCol/adcDistCol): the stats
+    * pass partial-aggregates to 64 driver rows (the SQ8 "model" — 3
+    * tiny literal arrays), codes materialize as ONE int64 array per
+    * vector in a single map-side projection, and distance is a pure
+    * per-row fold against the broadcast query codes — no exploded
+    * per-dim rows, no (d-key join + groupBy) re-merge; the top-k
+    * window is the only shuffle. (The exploded layout this replaced
+    * pushed 64× more rows into its join stage; the oracle is
+    * unchanged — integer sums are order-independent, and every
+    * per-element expression is identical.)
     */
   def vScalarQuant(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = corpus(spark, dir)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
-    val stats = exploded.groupBy("d")
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .select(col("d"), col("mn"), col("mx"),
-        round(lit(1000000.0) * (col("mx") - col("mn")) / lit(255.0), 0)
-          .cast("long").as("span"))
-    val codes = exploded.join(broadcast(stats), "d")
-      .select(col("vec_id"), col("d"), col("span"),
-        when(col("mx") === col("mn"), lit(0L))
-          .otherwise(round(lit(255.0) * (col("x") - col("mn")) / (col("mx") - col("mn")), 0)
-            .cast("long")).as("c"))
-    val qc = codes.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("d").as("qd"), col("c").as("cq"))
-    val dists = codes.join(broadcast(qc),
-        col("d") === col("qd") && col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum((col("cq") - col("c")) * col("span") * (col("cq") - col("c")) * col("span"))
-        .as("qdist"))
+    import spark.implicits._
+    // NOT materialized: the frame is read twice (stats, encode) but
+    // both are single columnar parquet scans — cheaper at any scale
+    // than materializing the full vectors once
+    val e = corpus(spark, dir).select(col("vec_id"), col("v"))
+    val st = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mn = st.map(_._2)
+    val mx = st.map(_._3)
+    // same HALF_UP the Spark round() expression applied when span was
+    // computed engine-side — the value is bit-identical
+    val span: Array[Long] = st.map { case (_, lo, hi) =>
+      BigDecimal(1000000.0 * (hi - lo) / 255.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val codesCol = array((0 until 64).map { d =>
+      if (mx(d) == mn(d)) lit(0L)
+      else round(lit(255.0) * (element_at(col("v"), d + 1) - lit(mn(d)))
+          / lit(mx(d) - mn(d)), 0).cast("long")
+    }: _*)
+    // materialized once so the per-query join fan-out reads 64-byte
+    // code rows, not the raw vectors (the persisted-SQ-index analog)
+    val coded = e.select(col("vec_id"), codesCol.as("codes"))
+      .transform(graft.Materialize.forceCached)
+    val qdf = broadcast(
+      coded.filter(col("vec_id") < NumQueries).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+        .toSeq.toDF("query_id", "qcodes"))
+    val spanLit = typedLit(span.toSeq)
+    val distCol = aggregate(
+      transform(sequence(lit(0), lit(63)), d => {
+        val diff = (element_at(col("qcodes"), d + 1) - element_at(col("codes"), d + 1)) *
+          element_at(spanLit, d + 1)
+        diff * diff
+      }), lit(0L), (acc, x) => acc + x)
+    val dists = coded.join(qdf, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), distCol.as("qdist"))
     val w = Window.partitionBy("query_id").orderBy(col("qdist").asc, col("vec_id").asc)
     dists.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("qdist"))
@@ -948,7 +1009,10 @@ object Knn {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     val path = new java.io.File(s"target/ivf_store_$tag/idx").getAbsolutePath
     val emb = Tables.embeddings(spark, dir)
-    graft.sources.IvfIndexStore.write(emb, "vec_id", "embedding", path)
+    // model from the session registry (v_ivf's training pass, or
+    // trained here on first use) — the write itself never retrains
+    graft.sources.IvfIndexStore.write(emb, "vec_id", "embedding", path,
+      model = Some(ivfCentroids(spark, dir)))
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("embedding"))
     graft.sources.IvfIndexStore
@@ -983,7 +1047,10 @@ object Knn {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     val path = new java.io.File(s"target/pq_store_$tag/idx").getAbsolutePath
     val emb = Tables.embeddings(spark, dir)
-    graft.sources.PqIndexStore.write(emb, "vec_id", "embedding", path)
+    // codebooks from the session registry (v_pq's training pass, or
+    // trained here on first use) — the write itself never retrains
+    graft.sources.PqIndexStore.write(emb, "vec_id", "embedding", path,
+      model = Some(pqBooksFor(spark, dir)))
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("embedding"))
     graft.sources.PqIndexStore

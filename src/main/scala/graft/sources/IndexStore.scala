@@ -109,6 +109,62 @@ object IndexStore {
   }
 }
 
+/** Operational maintenance for the partitioned stores (IndexStore's
+  * band0= layout, IvfIndexStore's cid= layout). Incremental appends
+  * land one small file per batch per partition; at 100 TB with nightly
+  * ingest the accumulated small files throttle every probe (per-file
+  * open + footer read dominates a pruned scan). Compaction is the
+  * documented "periodic rewrite of one partition at a time": each
+  * partition directory is independent, so a cluster runs this
+  * partition-at-a-time during a low-traffic window with no global
+  * lock and no effect on the sidecars — rows, bands/list ids, and
+  * search results are unchanged by construction (the spec pins the
+  * search hash across a compaction).
+  */
+object StoreMaintenance {
+
+  /** Rewrite every `col=val` partition directory under `path` that has
+    * more than `targetFiles` data files down to `targetFiles`. The
+    * rewrite lands in a dot-prefixed sibling temp dir (invisible to
+    * parquet discovery), is fully materialized BEFORE any old file is
+    * deleted, then swaps in. Returns (files before, files after).
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1): (Int, Int) = {
+    val root = new java.io.File(path)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    var before = 0
+    var after = 0
+    parts.foreach { pdir =>
+      def dataFiles(d: java.io.File) =
+        d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val files = dataFiles(pdir)
+      before += files.length
+      if (files.length > targetFiles) {
+        val tmp = new java.io.File(root, s".compact_${pdir.getName}")
+        spark.read.parquet(pdir.getAbsolutePath)
+          .coalesce(targetFiles)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val rewritten = dataFiles(tmp)
+        files.foreach { f =>
+          f.delete()
+          new java.io.File(pdir, "." + f.getName + ".crc").delete()
+        }
+        rewritten.foreach { f =>
+          java.nio.file.Files.move(f.toPath, new java.io.File(pdir, f.getName).toPath)
+          val crc = new java.io.File(tmp, "." + f.getName + ".crc")
+          if (crc.isFile)
+            java.nio.file.Files.move(crc.toPath, new java.io.File(pdir, crc.getName).toPath)
+        }
+        Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        tmp.delete()
+        after += rewritten.length
+      } else after += files.length
+    }
+    (before, after)
+  }
+}
+
 /** Persistent IVF index — the faiss write_index(IndexIVFFlat) analog,
   * completing the store trio (IndexStore = LSH-banded flat,
   * PqIndexStore = compressed codes, IvfIndexStore = coarse-quantized
@@ -128,14 +184,20 @@ object IvfIndexStore {
     df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", V.norm2(col("v")))
 
-  /** Train centroids on the frame and persist list-partitioned corpus
-    * + centroid sidecar.
+  /** Persist the list-partitioned corpus + centroid sidecar. Pass
+    * `model` when a trained centroid set already exists (the session
+    * registry, a previous store's sidecar): training is the expensive
+    * half of an index build, and a write must never repeat a pass the
+    * session already paid for — the faiss contract is train once,
+    * serve (and persist) many. Without `model` the centroids train
+    * here on the frame's bounded sample.
     */
-  def write(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+  def write(df: DataFrame, idCol: String, vecCol: String, path: String,
+            model: Option[Array[(Int, Array[Double])]] = None): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val e = prepared(df, idCol, vecCol).transform(graft.Materialize.forceCached)
-    val centroids = Knn.trainIvf(e)
+    val e = prepared(df, idCol, vecCol)
+    val centroids = model.getOrElse(Knn.trainIvf(e))
     Knn.withCid(e, centroids).write.mode("overwrite").partitionBy("cid").parquet(path)
     centroids.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv")
@@ -191,15 +253,30 @@ object IvfIndexStore {
       .select("query_id", "rnk", "neighbor_id", "sim")
   }
 
+  /** Above this many query rows, search() hands off to the
+    * distributed-probe DPP path: collecting a big query set's probed
+    * list ids to the driver is both a needless job and a driver-memory
+    * liability, while below it the static IN filter is cheaper than
+    * DPP's runtime subquery. The size check reads at most
+    * threshold + 1 rows (limit-then-count), so it stays O(threshold)
+    * even when the query set is itself a 100 TB-side table.
+    */
+  val SearchBatchThreshold = 64
+
   /** nprobe-pruned exact-cosine top-k against the persisted lists.
-    * Queries are tiny by contract (the uploaded-image flow) and
-    * broadcast; their probed list ids are ALSO applied to the scan as
-    * a static IN filter, so the parquet source prunes to the probed
-    * cid=NN directories at file level before any row is read.
+    * Small query sets (the uploaded-image flow) are broadcast and
+    * their probed list ids applied to the scan as a static IN filter,
+    * so the parquet source prunes to the probed cid=NN directories at
+    * file level before any row is read. Query sets above
+    * SearchBatchThreshold rows route through searchBatch automatically
+    * (same results — the paths differ only in how the scan prunes).
     */
   def search(spark: SparkSession, path: String, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
              nprobe: Int = Knn.IvfNprobe): DataFrame = {
+    val small =
+      queries.select(col(idCol)).limit(SearchBatchThreshold + 1).count() <= SearchBatchThreshold
+    if (!small) return searchBatch(spark, path, queries, idCol, vecCol, k, nprobe)
     val centroids = readCentroids(spark, path)
     val qProbe = probeFrame(queries, idCol, vecCol, centroids, nprobe)
     val probedCids = qProbe.select("pcid").distinct().collect().map(_.getInt(0)).toSeq
@@ -236,18 +313,21 @@ object IvfIndexStore {
 object PqIndexStore {
   import graft.operators.Knn
 
-  /** Train codebooks on the frame (sample-trained, deterministic init)
-    * and persist codes + codebooks. The code table holds ONE row per
+  /** Persist codes + codebooks. The code table holds ONE row per
     * vector with all M codes as an array — the faiss code-blob layout:
     * an 8-element tinyint array per vector instead of 8 exploded rows,
-    * so the search scan reads n rows, not 8n.
+    * so the search scan reads n rows, not 8n. Pass `model` when
+    * trained codebooks already exist (the session registry): encoding
+    * is then the write's only pass over the corpus — a store build
+    * never repeats a training pass the session already paid for.
+    * Without `model` the codebooks sample-train here.
     */
-  def write(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+  def write(df: DataFrame, idCol: String, vecCol: String, path: String,
+            model: Option[Array[Array[Array[Double]]]] = None): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-      .transform(graft.Materialize.forceCached)
-    val books = Knn.trainPqBooks(e)
+    val books = model.getOrElse(Knn.trainPqBooks(e))
     e.select(col("vec_id"), Knn.pqCodesCol(books).as("codes"))
       .write.mode("overwrite").parquet(s"$path.codes")
     books.zipWithIndex.flatMap { case (perM, m) =>

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ImageDecode, ImagePipeline, Knn}
+import graft.sources.{IndexStore, IvfIndexStore, StoreMaintenance}
+
+/** Round-7 invariants: bounded-sample IVF training, the SQ8
+  * codes-array plan shape, real image decode, store compaction, and
+  * size-aware persisted-index search routing.
+  */
+class Round7Spec extends SparkSpec {
+
+  test("trainIvf: centroids depend only on the vec_id < IvfTrainSample prefix") {
+    // vectors at/after the sample bound get pathological values; a
+    // trainer that still scans the full corpus would move every mean
+    import spark.implicits._
+    val dim = 64
+    def vec(seed: Int): Seq[Double] =
+      Seq.tabulate(dim)(d => ((seed * 31 + d * 7) % 100) / 100.0 + 0.01)
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+    val garbage = (Knn.IvfTrainSample until Knn.IvfTrainSample + 200)
+      .map(i => (i.toLong, Seq.fill(dim)(1e9)))
+    def frame(rows: Seq[(Long, Seq[Double])]) =
+      rows.toDF("vec_id", "v").withColumn("nrm", sqrt(aggregate(
+        col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val onSample = Knn.trainIvf(frame(base))
+    val withGarbage = Knn.trainIvf(frame(base ++ garbage))
+    assert(onSample.map(_._1).sameElements(withGarbage.map(_._1)))
+    onSample.zip(withGarbage).foreach { case ((_, a), (_, b)) =>
+      assert(a.sameElements(b),
+        "training must ignore rows outside the fixed sample prefix")
+    }
+  }
+
+  test("v_scalar_quant plan shape: top-k window + ordering are the only exchanges") {
+    // regression pin for the r7 codes-array rework: codes are ONE
+    // map-side array projection and distance a per-row fold, so the
+    // plan must not re-grow the exploded per-dim join + groupBy
+    // re-merge (each added hash exchanges) — same pin as the PQ ADC one
+    val df = SparkEntry.queries("v_scalar_quant")(spark, sf)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hash|range|RoundRobin|SinglePartition)".r
+      .findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"v_scalar_quant should shuffle only for the top-k window (+ final ordering), got $exchanges:\n$plan")
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("ImageDecode: PNG payload → pixel frame → γ-LUT over a bbox crop, integer-exact") {
+    import spark.implicits._
+    val (w, h) = (8, 6)
+    val imgs = Seq((1L, ImageDecode.syntheticPng(w, h, seed = 10)),
+      (2L, ImageDecode.syntheticPng(w, h, seed = 100))).toDF("doc_id", "payload")
+    val frame = ImageDecode.pixelFrame(imgs, "doc_id", "payload")
+    assert(frame.count() === 2L * w * h)
+    // decoded values equal the generator's formula (gray(v,v,v) == v)
+    val lut = ImagePipeline.gammaLut()
+    val got = frame
+      .filter(col("x") >= 2 && col("x") < 5 && col("y") >= 1 && col("y") < 4) // bbox crop
+      .withColumn("g", element_at(typedLit(lut.toSeq), col("px") + 1))
+      .groupBy("doc_id")
+      .agg(sum("g").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def expected(seed: Int): Long =
+      (for (y <- 1 until 4; x <- 2 until 5)
+        yield lut((seed + 7 * y + 13 * x) % 256).toLong).sum
+    assert(got === Array((1L, expected(10), 9L), (2L, expected(100), 9L)))
+  }
+
+  test("StoreMaintenance.compact: file count drops after appends, search hash unchanged") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("compact").toString + "/idx"
+    val first = emb.filter(col("vec_id") < 200)
+    IndexStore.write(first, "vec_id", "embedding", path, dim = 64)
+    for (lo <- Seq(200, 300, 400)) // 3 incremental appends → small files
+      IndexStore.append(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 100),
+        "vec_id", "embedding", path, dim = 64)
+    val queries = emb.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+    def result(): Array[String] =
+      IndexStore.search(IndexStore.read(spark, path), queries, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rnk").collect().map(_.toString)
+    val beforeRes = result()
+    val (before, after) = StoreMaintenance.compact(spark, path)
+    assert(after < before, s"compaction should shrink file count, got $before -> $after")
+    assert(result().sameElements(beforeRes),
+      "compaction must not change search results")
+  }
+
+  test("IvfIndexStore.search: large query sets auto-route to the DPP batch path") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivf_route").toString + "/idx"
+    IvfIndexStore.write(emb, "vec_id", "embedding", path,
+      model = Some(Knn.trainIvf(
+        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))))))
+    // a query TABLE (200 rows — above SearchBatchThreshold; a filter
+    // on the probe side is what makes DPP worthwhile AND what Spark's
+    // PartitionPruning rule requires to insert the pruning subquery)
+    val bulk = emb.filter(col("vec_id") < 200).select(col("vec_id"), col("embedding"))
+    val routed = IvfIndexStore.search(spark, path, bulk, "vec_id", "embedding", k = 3)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"search() on a bulk query table must take the DPP batch path; plan:\n$plan")
+    // and a small set still takes the static-IN path: the scan's
+    // partition filters carry the literal probed-cid IN list (Spark
+    // may stack a DPP expression on top — harmless, both prune)
+    val tiny = emb.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    val static = IvfIndexStore.search(spark, path, tiny, "vec_id", "embedding", k = 3)
+    val staticPlan = static.queryExecution.executedPlan.toString.toLowerCase
+    assert("cid#\\d+ in \\(".r.findFirstIn(staticPlan).isDefined,
+      s"small query sets must keep the literal static IN partition filter; plan:\n$staticPlan")
+    // the two paths agree where they overlap
+    val a = routed.filter(col("query_id") < 3).orderBy("query_id", "rnk")
+      .collect().map(_.toString)
+    val b = static.orderBy("query_id", "rnk").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+}
