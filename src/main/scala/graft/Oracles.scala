@@ -333,7 +333,7 @@ object Oracles {
     * Ends with `pcodes` (full-corpus codes), `pdt` (ADC table), and
     * `pqtop` (per-query ADC top-5).
     */
-  private def pqCteBody: String = {
+  private def pqCteBody(src: String = "n"): String = {
     import graft.operators.Knn.{PqSubspaces, PqCodes, PqIters, NumQueries, DefaultK}
     val dsub = 64 / PqSubspaces
     def fold(expr: String): String =
@@ -351,7 +351,7 @@ object Oracles {
       pqms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
       psub AS (SELECT vec_id, m, v[m * $dsub + 1 : m * $dsub + $dsub] AS sv,
                  ${fold(s"v[m * $dsub + ii] * v[m * $dsub + ii]")} AS svn
-               FROM n CROSS JOIN pqms),
+               FROM $src CROSS JOIN pqms),
       ptrain AS (SELECT * FROM psub WHERE vec_id < 500),
       pbooks0 AS (SELECT m,
                     CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) AS k,
@@ -405,12 +405,34 @@ object Oracles {
 
   val vector: Map[String, String] = Map(
     "v_pq" -> s"""
-      WITH $normsCte, $pqCteBody
+      WITH $normsCte, ${pqCteBody()}
+      SELECT query_id, rnk, neighbor_id, adc_dist FROM pqtop
+      ORDER BY query_id, rnk""",
+
+    // OPQ-style rotated PQ: the normalized Hadamard rotation replays
+    // Spark's 6-stage BUTTERFLY (Knn.withHadamard) stage by stage —
+    // each stage is 2-term integer-indexed arithmetic both engines
+    // compute bit-equally, and the stage order fixes the fp summation
+    // order. Everything downstream is the standard PQ replay over the
+    // rotated frame (pqCteBody parameterized by source).
+    "v_opq" -> s"""
+      WITH $normsCte,
+      nr0 AS (SELECT vec_id, v FROM n),
+      ${(0 until 6).map { s =>
+        val bit = 1 << s
+        s"""nr${s + 1} AS (SELECT vec_id,
+           list_transform(generate_series(1, 64), i ->
+             CASE WHEN ((i - 1) & $bit) = 0 THEN v[i] + v[i + $bit]
+                  ELSE v[i - $bit] - v[i] END) AS v
+         FROM nr$s)"""
+      }.mkString(",\n      ")},
+      nrot AS (SELECT vec_id, list_transform(v, x -> x / 8.0) AS v FROM nr6),
+      ${pqCteBody("nrot")}
       SELECT query_id, rnk, neighbor_id, adc_dist FROM pqtop
       ORDER BY query_id, rnk""",
 
     "v_pq_recall" -> s"""
-      WITH $normsCte, $pqCteBody, $exactL2Cte
+      WITH $normsCte, ${pqCteBody()}, $exactL2Cte
       SELECT e.query_id,
         CAST(COUNT(p.neighbor_id) AS BIGINT) AS hits,
         ROUND(COUNT(p.neighbor_id) / 5.0, 6) AS recall
@@ -419,7 +441,7 @@ object Oracles {
       GROUP BY e.query_id ORDER BY e.query_id""",
 
     "v_ivf_pq" -> s"""
-      WITH $ivfCte, $pqCteBody,
+      WITH $ivfCte, ${pqCteBody()},
       ipcand AS (SELECT p.query_id AS cq, a.vec_id AS cv
                  FROM ivfprobe p JOIN ivfasg a
                    ON a.cid = p.pcid AND a.vec_id <> p.query_id),
@@ -438,7 +460,7 @@ object Oracles {
       ORDER BY query_id, rnk""",
 
     "v_ivf_pq_recall" -> s"""
-      WITH $ivfCte, $pqCteBody, $exactL2Cte,
+      WITH $ivfCte, ${pqCteBody()}, $exactL2Cte,
       ipcand AS (SELECT p.query_id AS cq, a.vec_id AS cv
                  FROM ivfprobe p JOIN ivfasg a
                    ON a.cid = p.pcid AND a.vec_id <> p.query_id),
@@ -763,6 +785,23 @@ object Oracles {
                    FROM tk2) u)
       SELECT bigram, COUNT(*) AS n FROM bg
       GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
+
+    "t_rep_ngrams" -> """
+      WITH tk AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t <> '') AS toks
+             FROM documents),
+      tr AS (SELECT doc_id, CAST(len(toks) - 2 AS BIGINT) AS n_tri,
+               toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tri
+             FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                   FROM tk WHERE len(toks) >= 3) u),
+      cnt AS (SELECT doc_id, n_tri, tri, COUNT(*) AS c
+              FROM tr GROUP BY doc_id, n_tri, tri),
+      top AS (SELECT doc_id, n_tri, MAX(c) AS top_n FROM cnt GROUP BY doc_id, n_tri)
+      SELECT doc_id, n_tri, CAST(top_n AS BIGINT) AS top_n,
+        ROUND(top_n / CAST(n_tri AS DOUBLE), 6) AS rep_ratio,
+        top_n / CAST(n_tri AS DOUBLE) > 0.2 AS repetitive
+      FROM top ORDER BY doc_id""",
 
     "t_fingerprint" -> s"""
       WITH $shinglesCte,
@@ -1837,7 +1876,7 @@ object Oracles {
       WITH t AS (SELECT COUNT(*) AS total FROM events)
       SELECT event_type, COUNT(*) AS n, TRUE AS in_sketch
       FROM events CROSS JOIN t
-      GROUP BY event_type, total HAVING COUNT(*) >= total * 0.15
+      GROUP BY event_type, total HAVING COUNT(*) > total * 0.15
       ORDER BY event_type""",
 
     // the persisted index paths share their in-session twins' oracles:

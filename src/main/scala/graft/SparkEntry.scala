@@ -70,6 +70,7 @@ object SparkEntry {
     "v_mips"          -> (Knn.vMips _),
     "v_knn_custom"    -> (Knn.vKnnCustom _),
     "v_pq"            -> (Knn.vPq _),
+    "v_opq"           -> (Knn.vOpq _),
     "v_ivf_pq"        -> (Knn.vIvfPq _),
     "v_recall"        -> (Knn.vRecall _),
     "v_ivf_recall"    -> (Knn.vIvfRecall _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "t_langid"        -> (TextAnalysis.tLangid _),
     "t_fingerprint"   -> (TextAnalysis.tFingerprint _),
     "t_ngrams"        -> (TextAnalysis.tNgrams _),
+    "t_rep_ngrams"    -> (TextAnalysis.tRepNgrams _),
     "t_bpe_tokens"    -> (TextAnalysis.tBpeTokens _),
     "t_tfidf"         -> (TextAnalysis.tTfidf _),
     "t_pipeline"      -> (TextAnalysis.tPipeline _),

@@ -46,5 +46,16 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Spark never auto-deletes reliable checkpoints, and the v_*_store
+    // gates leave per-applicationId index dirs under target/ — clean
+    // both so repeated verify runs don't accumulate disk
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    rmTree(new java.io.File(s"$outDir.ckpt"))
+    Option(new java.io.File("target").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("(ivf|pq|flat)_store_.*"))
+      .foreach(rmTree)
   }
 }

@@ -127,6 +127,17 @@ object BatchInference {
       val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
       val vec = new org.apache.arrow.vector.VarBinaryVector("payload", alloc)
       val model = ld.load()
+      // Arrow buffers are OFF-HEAP: the completing() wrapper alone
+      // fires only when the consumer drains the iterator, so an
+      // early-terminating plan (limit/take) or a task failure would
+      // leak the allocation — tie release to task end as well (the
+      // guard makes the double close a no-op on the normal path)
+      var closed = false
+      def closeAll(): Unit = if (!closed) {
+        closed = true; model.close(); vec.close(); alloc.close()
+      }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
       val out = it.grouped(bs).flatMap { batch =>
         vec.reset()
         vec.setInitialCapacity(batch.length)
@@ -138,7 +149,7 @@ object BatchInference {
         val vecs = model.embedBatch(vec)
         batch.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v.toSeq))
       }
-      completing(out) { model.close(); vec.close(); alloc.close() }
+      completing(out)(closeAll())
     }(Encoders.row(schema))
   }
 

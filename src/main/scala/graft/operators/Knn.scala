@@ -394,6 +394,17 @@ object Knn {
     * unaffected. The cached values are tiny (k×dim doubles / M×K×dsub
     * codebooks), the cluster-scale analog being the persisted
     * IndexStore/PqIndexStore sidecars.
+    *
+    * ASSUMPTION: a corpus dir is immutable for the lifetime of the
+    * session that trained on it (true for this engine's read-only
+    * parquet corpora; a pipeline that rewrites a corpus in place
+    * mid-session must clearModelCache() first — the key is the path,
+    * not a content fingerprint, because fingerprinting would cost the
+    * very full-corpus scan the registry exists to avoid). Entries are
+    * keyed by applicationId so models never leak ACROSS sessions;
+    * entries from stopped sessions are a few KB each and bounded by
+    * the number of (session, corpus) pairs a JVM ever sees — ~10 in
+    * the longest test run, so no eviction is wired.
     */
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
@@ -697,6 +708,91 @@ object Knn {
     // re-deriving them per query — exactly what a persisted PQ index
     // gives a cluster; scoring is then a pure lookup projection and
     // the only shuffle left is the top-k window's
+    val coded = e.select(col("vec_id"), pqCodesCol(books).as("codes"))
+      .transform(graft.Materialize.forceCached)
+    val qdt = pqQueryTables(spark,
+      e.filter(col("vec_id") < NumQueries).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
+      books)
+    val scored = coded.join(qdt, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcDistCol.as("adc_dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Normalized Walsh–Hadamard rotation, x'ᵢ = (Σⱼ sᵢⱼ·xⱼ)/√64 with
+    * sᵢⱼ = (−1)^popcount(i AND j): a fixed ORTHONORMAL rotation, so
+    * L2 distances and inner products in the rotated space equal the
+    * originals exactly (up to fp). This is the deterministic stand-in
+    * for OPQ's learned rotation (faiss OPQMatrix; "random rotation
+    * before PQ" is the standard baseline OPQ is measured against):
+    * it spreads each input dimension's energy across every subspace,
+    * decorrelating the subvector blocks PQ quantizes independently —
+    * the failure mode plain PQ has when adjacent dims are correlated.
+    * Unlike learned OPQ (iterated SVD — not oracle-replayable), the
+    * Hadamard signs are pure integer arithmetic both engines compute
+    * identically, and the ascending-j left-fold sum keeps the doubles
+    * bit-equal to DuckDB's list_reduce. /√64 = /8 is exact in binary
+    * fp. One map-side projection; no training, no shuffle.
+    */
+  private[graft] def hadamardCol(v: Column): Column =
+    array((0 until 64).map { i =>
+      val sum = (0 until 64).map { j =>
+        if (Integer.bitCount(i & j) % 2 == 1) -element_at(v, j + 1)
+        else element_at(v, j + 1)
+      }.reduce(_ + _)
+      sum / lit(8.0)
+    }: _*)
+
+  /** The same rotation as hadamardCol, computed as the O(d·log d)
+    * BUTTERFLY (fast Walsh–Hadamard transform): 6 staged projections
+    * of 2 terms per element instead of one 64-term sum per element —
+    * 768 adds/vector instead of 4096, and each stage is a small
+    * expression that stays comfortably inside whole-stage codegen
+    * (the direct form is a ~260k-node projection that blows past the
+    * generated-method limits). Each stage lands as its own Project on
+    * the frame; Catalyst keeps them staged because collapsing would
+    * duplicate the non-cheap array expression. The butterfly's fp
+    * summation ORDER differs from the direct sum's, so the oracle
+    * replays the same 6 stages (bit-equal per stage), not the row-sum
+    * formula. Stage s, 0-based i:
+    *   lower (bit s of i clear): y[i] = x[i] + x[i + 2^s]
+    *   upper (bit s of i set):   y[i] = x[i − 2^s] − x[i]
+    * — the Sylvester ordering, Σ-equal to H[i][j] = (−1)^popcount(i&j).
+    */
+  private[graft] def withHadamard(df: DataFrame, in: String, out: String): DataFrame = {
+    var d = df.withColumn(out, col(in))
+    for (s <- 0 until 6) {
+      val bit = 1 << s
+      d = d.withColumn(out, array((0 until 64).map { i =>
+        if ((i & bit) == 0) element_at(col(out), i + 1) + element_at(col(out), i + bit + 1)
+        else element_at(col(out), (i ^ bit) + 1) - element_at(col(out), i + 1)
+      }: _*))
+    }
+    d.withColumn(out, transform(col(out), x => x / lit(8.0)))
+  }
+
+  /** v_opq: OPQ-style rotated product quantization — the accuracy
+    * upgrade to v_pq from the faiss lineage (OPQ pre-rotation before
+    * the subspace split), with the deterministic Hadamard rotation
+    * standing in for the learned matrix (see hadamardCol). Pipeline:
+    * rotate (map-side) → sample-train codebooks IN THE ROTATED SPACE
+    * (cached under a rotated-space registry key — the books differ
+    * from v_pq's) → encode to one codes array per vector → map-side
+    * ADC against broadcast per-query tables. Because the rotation is
+    * orthonormal, rotated-space ADC approximates ORIGINAL L2 — same
+    * contract as v_pq, better subspace balance. Scale shape identical
+    * to v_pq: the rotation adds one projection to the encode pass and
+    * nothing to search.
+    */
+  def vOpq(spark: SparkSession, dir: String): DataFrame = {
+    val e = withHadamard(corpus(spark, dir).select(col("vec_id"), col("v")), "v", "vr")
+      .select(col("vec_id"), col("vr").as("v"))
+      .transform(graft.Materialize.forceCached)
+    val books = pqCache.computeIfAbsent(modelKey(spark, dir) + "#opq",
+      _ => trainPqBooks(e))
     val coded = e.select(col("vec_id"), pqCodesCol(books).as("codes"))
       .transform(graft.Materialize.forceCached)
     val qdt = pqQueryTables(spark,

@@ -294,9 +294,13 @@ object Relational {
     val ev = Tables.events(spark, dir)
     val sketch = ev.stat.freqItems(Array("event_type"), support)
       .select(explode(col("event_type_freqItems")).as("item"))
+    // STRICT >: KPS only guarantees items strictly above the support
+    // threshold appear in the sketch — a key landing exactly on the
+    // boundary may legitimately be absent, which would fail the
+    // literal-TRUE gate on correct sketch behavior
     val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
       .join(broadcast(ev.agg(count(lit(1)).as("total"))))
-      .filter(col("n") >= col("total") * support)
+      .filter(col("n") > col("total") * support)
       .select(col("event_type"), col("n"))
     exact.join(broadcast(sketch), col("event_type") === col("item"), "left")
       .select(col("event_type"), col("n"), col("item").isNotNull.as("in_sketch"))

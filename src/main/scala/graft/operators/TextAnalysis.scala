@@ -72,9 +72,9 @@ object TextAnalysis {
     * shingle hashes; the eval side is tiny and broadcast, so the
     * detector is an inverted-index equi-join on the hash — never a
     * text-to-text comparison. Reports each (train doc, eval doc) pair
-    * sharing ≥ 20 shingles with its containment ratio
-    * (shared / |eval shingle set|), the metric a pipeline thresholds
-    * on before dropping contaminated documents. At 100 TB the eval
+    * with containment ratio (shared / |eval shingle set|) ≥ 0.6 —
+    * the metric a pipeline thresholds on before dropping
+    * contaminated documents. At 100 TB the eval
     * side stays broadcastable by construction (benchmarks are small);
     * the corpus side is one explode + one shuffle-free broadcast join
     * + one group-by.
@@ -163,6 +163,38 @@ object TextAnalysis {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
+
+  /** t_rep_ngrams: intra-document repetition score — the fraction of
+    * a document's token 3-grams occupied by its single most repeated
+    * 3-gram, with the drop flag a pipeline thresholds on (the
+    * Gopher-style repetition filter: boilerplate, scraped menus and
+    * loop-generated text score high and are removed before training;
+    * this is the within-document complement of the cross-document
+    * dedup suite). Trigram generation is one map-side array zip (no
+    * self-join, no explode-join); the only shuffle is the
+    * (doc, trigram) count group-by, partial-aggregated and bounded by
+    * document length — partitions by doc at any corpus size.
+    */
+  def tRepNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .withColumn("toks", toks(col("text")))
+      .filter(size(col("toks")) >= 3)
+    val tri = t.select(col("doc_id"),
+      (size(col("toks")) - 2).cast("long").as("n_tri"),
+      explode(zip_with(
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 2),
+          slice(col("toks"), lit(2), size(col("toks")) - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(col("toks"), lit(3), size(col("toks")) - 2),
+        (ab, c) => concat(ab, lit(" "), c))).as("tri"))
+    tri.groupBy("doc_id", "n_tri", "tri").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tri").agg(max(col("c")).as("top_n"))
+      .select(col("doc_id"), col("n_tri"), col("top_n"),
+        round(col("top_n") / col("n_tri").cast("double"), 6).as("rep_ratio"),
+        (col("top_n") / col("n_tri").cast("double") > 0.2).as("repetitive"))
+      .orderBy("doc_id")
+  }
 
   /** t_tfidf: top-3 terms per document by tf·idf (idf = ln(N/df)).
     * Scale shape: tf is a (doc, term) group-by; the df table is a

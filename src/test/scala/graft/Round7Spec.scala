@@ -48,6 +48,35 @@ class Round7Spec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("hadamardCol: orthonormal — rotation preserves norms and inner products") {
+    import spark.implicits._
+    val vecs = Seq.tabulate(4)(s =>
+      (s.toLong, Seq.tabulate(64)(d => ((s * 31 + d * 7) % 100) / 100.0 - 0.4)))
+      .toDF("vec_id", "v")
+    val rot = vecs.select(col("vec_id"), Knn.hadamardCol(col("v")).as("r"), col("v"))
+    def dot(a: String, b: String) =
+      aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val rows = rot.select(dot("v", "v").as("n0"), dot("r", "r").as("n1")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+      s"rotation must preserve the norm: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    // pairwise inner products preserved too (full orthonormality)
+    val a = rot.select(col("vec_id").as("ia"), col("v").as("va"), col("r").as("ra"))
+    val b = rot.select(col("vec_id").as("ib"), col("v").as("vb"), col("r").as("rb"))
+    a.join(b, col("ia") < col("ib"))
+      .select(dot("va", "vb").as("d0"), dot("ra", "rb").as("d1"))
+      .collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+    // and the O(d log d) butterfly computes the SAME rotation as the
+    // direct O(d²) row-sum form (up to fp reassociation)
+    Knn.withHadamard(vecs, "v", "bf")
+      .select(col("vec_id"), col("bf"), Knn.hadamardCol(col("v")).as("dr"))
+      .collect().foreach { r =>
+        val bf = r.getSeq[Double](1); val dr = r.getSeq[Double](2)
+        bf.zip(dr).foreach { case (x, y) =>
+          assert(math.abs(x - y) < 1e-9, s"butterfly $x vs direct $y") }
+      }
+  }
+
   test("ImageDecode: PNG payload → pixel frame → γ-LUT over a bbox crop, integer-exact") {
     import spark.implicits._
     val (w, h) = (8, 6)
