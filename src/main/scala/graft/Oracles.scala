@@ -391,6 +391,40 @@ object Oracles {
   /** Exact L2 top-5 (the recall reference for the PQ paths); assumes
     * `n` in scope. Ends with `exl2` (query_id, neighbor_id).
     */
+  /** Binary-quantized sign codes + Hamming candidate ranking — replays
+    * Knn.bqWordCol/vBq: two positive 32-bit sign words per vector (one
+    * word would need 1<<63, which DuckDB's checked shift rejects),
+    * Hamming via integer xor + bit_count (exact on both engines), top-R
+    * candidates tie-broken on neighbor_id.
+    */
+  private def bqCte: String = s"""
+      bqp AS (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i FROM n),
+      bq AS (SELECT vec_id,
+               bit_or(CASE WHEN i <= 32 AND v[i] > 0
+                 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END) AS code_lo,
+               bit_or(CASE WHEN i > 32 AND v[i] > 0
+                 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END) AS code_hi
+             FROM bqp GROUP BY vec_id),
+      bham AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(bit_count(xor(c.code_lo, q.code_lo))
+                   + bit_count(xor(c.code_hi, q.code_hi)) AS BIGINT) AS hamming
+               FROM bq c CROSS JOIN (SELECT * FROM bq WHERE vec_id < 10) q
+               WHERE c.vec_id <> q.vec_id),
+      bcand AS (SELECT query_id, neighbor_id, hamming FROM (
+                  SELECT query_id, neighbor_id, hamming,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY hamming ASC, neighbor_id ASC) AS hrnk
+                  FROM bham) t WHERE hrnk <= 20),
+      brr AS (SELECT c.query_id, c.neighbor_id, c.hamming,
+                ROUND(list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm), 6) AS sim
+              FROM bcand c
+              JOIN n qn ON qn.vec_id = c.query_id
+              JOIN n nn ON nn.vec_id = c.neighbor_id),
+      btop AS (SELECT query_id, neighbor_id, hamming, sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+               FROM brr)"""
+
   private def exactL2Cte: String = """
       exl2_s AS (SELECT q2.vec_id AS query_id, n.vec_id AS neighbor_id,
                    ROUND(sqrt(GREATEST(q2.nrm * q2.nrm + n.nrm * n.nrm
@@ -430,6 +464,30 @@ object Oracles {
       ${pqCteBody("nrot")}
       SELECT query_id, rnk, neighbor_id, adc_dist FROM pqtop
       ORDER BY query_id, rnk""",
+
+    "v_bq" -> s"""
+      WITH $normsCte, $bqCte
+      SELECT query_id, rnk, neighbor_id, hamming, sim
+      FROM btop WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "v_bq_recall" -> s"""
+      WITH $normsCte, $bqCte,
+      ex_s AS (SELECT q2.query_id, n.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(q2.qv, n.v) / (q2.qn * n.nrm), 6) AS sim
+               FROM n CROSS JOIN (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                                  FROM n WHERE vec_id < 10) q2
+               WHERE n.vec_id <> q2.query_id),
+      ex5 AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rnk
+                FROM ex_s) t WHERE rnk <= 5)
+      SELECT e.query_id,
+        CAST(COUNT(b.neighbor_id) AS BIGINT) AS hits,
+        ROUND(COUNT(b.neighbor_id) / 5.0, 6) AS recall
+      FROM ex5 e LEFT JOIN (SELECT query_id, neighbor_id FROM btop WHERE rnk <= 5) b
+        ON b.query_id = e.query_id AND b.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id ORDER BY e.query_id""",
 
     "v_pq_recall" -> s"""
       WITH $normsCte, ${pqCteBody()}, $exactL2Cte
@@ -638,6 +696,38 @@ object Oracles {
   )
 
   val dedup: Map[String, String] = Map(
+    // fixed-k word-span dedup: replays Dedup.dSpanDedup — distinct
+    // 5-word-span md5 hashes per doc, corpus-wide occurrence count,
+    // per-doc duplicated fraction
+    "d_span_dedup" -> s"""
+      WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sp0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+              FROM wt WHERE len(w) >= 5),
+      sp AS (SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15))
+                 AS BIGINT) % ${H.P31} AS h
+             FROM sp0),
+      dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2)
+      SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        CAST(COUNT(d.h) AS BIGINT) AS n_dup,
+        ROUND(CAST(COUNT(d.h) AS DOUBLE) / COUNT(*), 6) AS dup_frac,
+        (CAST(COUNT(d.h) AS DOUBLE) / COUNT(*)) > 0.5 AS drop_flag
+      FROM sp s LEFT JOIN dup d ON d.h = s.h
+      GROUP BY s.doc_id ORDER BY s.doc_id""",
+
+    // per-source frequency cap: Spark's two-phase salted selection is
+    // provably equal to this single window (phase 1 keeps a superset)
+    "d_source_cap" -> """
+      WITH r AS (SELECT doc_id, source,
+               CAST(('0x' || substr(md5('cap_' || doc_id), 1, 15)) AS BIGINT) AS ord
+             FROM documents),
+      k AS (SELECT doc_id, source,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY ord, doc_id) AS BIGINT) AS keep_rank
+            FROM r)
+      SELECT doc_id, source, keep_rank FROM k
+      WHERE keep_rank <= 15 ORDER BY doc_id""",
+
     "d_exact" -> """
       SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
@@ -729,6 +819,34 @@ object Oracles {
   )
 
   val text: Map[String, String] = Map(
+    // Gopher rule set: integer token-array sums + one double division
+    // per feature, written exactly as TextAnalysis.tGopherQuality
+    "t_gopher_quality" -> """
+      WITH tk AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t <> '') AS w
+             FROM documents),
+      f AS (SELECT doc_id,
+              CAST(len(w) AS BIGINT) AS n_words,
+              ROUND(CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+                / len(w), 6) AS mean_wlen,
+              CAST(len(list_filter(w,
+                t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')))
+                AS BIGINT) AS stop_count,
+              ROUND(CAST(len(list_filter(w,
+                t -> regexp_matches(t, '^[a-z]+$'))) AS DOUBLE)
+                / len(w), 6) AS alpha_frac
+            FROM tk)
+      SELECT doc_id, n_words, mean_wlen, stop_count, alpha_frac,
+        (n_words >= 30 AND n_words <= 5000) AS flag_words,
+        (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS flag_wlen,
+        (stop_count >= 2) AS flag_stop,
+        (alpha_frac >= 0.8) AS flag_alpha,
+        (n_words >= 30 AND n_words <= 5000
+          AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+          AND stop_count >= 2 AND alpha_frac >= 0.8) AS keep
+      FROM f ORDER BY doc_id""",
+
     "t_tokens" -> s"""
       WITH $tokensCte
       SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct,

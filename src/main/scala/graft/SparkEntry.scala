@@ -71,6 +71,8 @@ object SparkEntry {
     "v_knn_custom"    -> (Knn.vKnnCustom _),
     "v_pq"            -> (Knn.vPq _),
     "v_opq"           -> (Knn.vOpq _),
+    "v_bq"            -> (Knn.vBq _),
+    "v_bq_recall"     -> (Knn.vBqRecall _),
     "v_ivf_pq"        -> (Knn.vIvfPq _),
     "v_recall"        -> (Knn.vRecall _),
     "v_ivf_recall"    -> (Knn.vIvfRecall _),
@@ -98,6 +100,8 @@ object SparkEntry {
     "d_cdc_chunks"    -> (Dedup.dCdcChunks _),
     "d_chunk_dedup"   -> (Dedup.dChunkDedup _),
     "d_pipeline"      -> (Dedup.dPipeline _),
+    "d_span_dedup"    -> (Dedup.dSpanDedup _),
+    "d_source_cap"    -> (Dedup.dSourceCap _),
     // D. text analysis
     "t_tokens"        -> (TextAnalysis.tTokens _),
     "t_pack"          -> (TextAnalysis.tPack _),
@@ -107,6 +111,7 @@ object SparkEntry {
     "t_fingerprint"   -> (TextAnalysis.tFingerprint _),
     "t_ngrams"        -> (TextAnalysis.tNgrams _),
     "t_rep_ngrams"    -> (TextAnalysis.tRepNgrams _),
+    "t_gopher_quality" -> (TextAnalysis.tGopherQuality _),
     "t_bpe_tokens"    -> (TextAnalysis.tBpeTokens _),
     "t_tfidf"         -> (TextAnalysis.tTfidf _),
     "t_pipeline"      -> (TextAnalysis.tPipeline _),

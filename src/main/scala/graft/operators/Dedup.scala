@@ -467,4 +467,79 @@ object Dedup {
       .orderBy(col("sim").desc, col("id1").asc, col("id2").asc)
       .limit(50)
   }
+
+  /** Word-span length for d_span_dedup: 5 consecutive tokens. */
+  val SpanK = 5
+
+  /** d_span_dedup: exact duplicated-SPAN reporting (Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * substring-level dedup, approximated at fixed k-word granularity).
+    * Per document: how many of its distinct 5-word spans also occur in
+    * at least one other document, as a fraction — the signal a pipeline
+    * thresholds on to drop boilerplate-heavy documents that exact and
+    * near-dup (whole-document) passes both miss.
+    *
+    * Scale shape: spans are hashed in ONE map-side projection per doc
+    * (sequence/slice/md5 — no explode before the hash), the corpus-wide
+    * occurrence count is a group-by on the span hash, and the
+    * join-back reuses that same hash partitioning — two shuffles of
+    * (doc_id, h) pairs total, never text. A suffix array would find
+    * variable-length repeats but cannot be expressed as a distributed
+    * dataflow; fixed-k spans are the standard scalable surrogate.
+    */
+  def dSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = SpanK
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => H.md5Long(array_join(slice(col("w"), i, lit(k)), " "), 15) % H.P31))).as("h"))
+    // spans are distinct per doc, so count(*) per h == #docs containing it
+    val dup = spans.groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("h").as("dh"))
+    spans.join(dup, col("h") === col("dh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), count(col("dh")).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_spans"), 6))
+      .withColumn("drop_flag",
+        col("n_dup").cast("double") / col("n_spans") > 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Max documents kept per source by d_source_cap. */
+  val SourceCap = 15
+
+  /** d_source_cap: per-source frequency capping — keep at most
+    * SourceCap documents per source, chosen by a deterministic hash
+    * order (a uniform random-but-reproducible sample per domain). The
+    * standard mix-balancing step before training-set assembly: one
+    * over-crawled domain must not dominate the corpus.
+    *
+    * Skew is the scale hazard (one domain can be 10⁹ documents), so
+    * selection is two-phase like q_salted_agg: phase 1 caps within
+    * (source, salt) shards — 16 parallel reducers per hot domain, each
+    * keeping ≤ cap rows — and phase 2 re-ranks only the ≤ 16·cap
+    * survivors per source. Phase 1 never discards a global-top-cap row
+    * (a row in the per-source top-cap is a fortiori in its shard's
+    * top-cap), so the result equals the single-window plan the oracle
+    * runs, while no reducer ever sorts a whole domain.
+    */
+  def dSourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val ord = H.md5Long(concat(lit("cap_"), col("doc_id").cast("string")), 15)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), ord.as("ord"))
+    val wSalt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(16)))
+      .orderBy(col("ord"), col("doc_id"))
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("ord"), col("doc_id"))
+    docs.withColumn("rn1", row_number().over(wSalt))
+      .filter(col("rn1") <= SourceCap)
+      .withColumn("keep_rank", row_number().over(wFinal).cast("long"))
+      .filter(col("keep_rank") <= SourceCap)
+      .select("doc_id", "source", "keep_rank")
+      .orderBy("doc_id")
+  }
 }

@@ -807,6 +807,86 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** Powers of two for one 32-dim half of a binary-quantized vector.
+    * 64 dims pack into TWO int64 words (lo = dims 1-32, hi = 33-64)
+    * rather than one, because the oracle side (DuckDB) overflow-checks
+    * `1::BIGINT << 63` where the JVM would silently wrap — two positive
+    * halves keep both engines in exactly representable territory.
+    */
+  private val bqPows: Seq[Long] = (0 until 32).map(d => 1L << d)
+
+  /** One packed sign word for dims [offset+1, offset+32]: bit d set iff
+    * component > 0. A single codegen'd projection (zip_with against the
+    * literal power table + bitwise-OR fold) — 64 floats become 16 bytes
+    * at scan time, before anything is joined or shuffled.
+    */
+  def bqWords(v: Column, offset: Int): Column =
+    aggregate(
+      zip_with(slice(v, offset + 1, 32), typedLit(bqPows),
+        (x, p) => when(x > lit(0.0), p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** v_bq: 1-bit binary quantization + Hamming search + exact rerank —
+    * the most compressed ANN tier (64× smaller than float32; the
+    * "binary quantization" mode vector stores ship for cold corpora).
+    * Two-phase plan chosen for the 100 TB shuffle bill:
+    *   1. Hamming phase: the corpus joins only its two packed words
+    *      against the broadcast query codes — per-candidate state
+    *      through the top-R window shuffle is (query_id, neighbor_id,
+    *      hamming) ≈ 24 bytes, never the 512-byte float vector. XOR +
+    *      bit_count is integer-exact, so both engines rank identically.
+    *   2. Rerank phase: the ≤ R·|Q| survivors broadcast back against
+    *      the corpus to fetch real vectors for exact cosine — full
+    *      floats are touched for 20 rows per query, not the corpus.
+    * Ties (equal hamming) break on neighbor_id, so the candidate set
+    * is deterministic and the DuckDB oracle replays it bit-for-bit.
+    */
+  def vBq(spark: SparkSession, dir: String): DataFrame = {
+    val rerankR = 20
+    val e = corpus(spark, dir)
+    val codes = e.select(col("vec_id"),
+      bqWords(col("v"), 0).as("code_lo"), bqWords(col("v"), 32).as("code_hi"))
+    val qCodes = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("code_lo").as("qlo"), col("code_hi").as("qhi"))
+    val ham = codes.join(broadcast(qCodes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("code_lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("code_hi").bitwiseXOR(col("qhi")))).cast("long").as("hamming"))
+    val wH = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val cand = ham.withColumn("hrnk", row_number().over(wH))
+      .filter(col("hrnk") <= rerankR)
+      .select("query_id", "neighbor_id", "hamming")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val reranked = e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val wS = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    reranked.withColumn("rnk", row_number().over(wS).cast("long"))
+      .filter(col("rnk") <= DefaultK)
+      .select("query_id", "rnk", "neighbor_id", "hamming", "sim")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_bq_recall: recall@5 of the Hamming+rerank path against exact
+    * cosine top-5 — the quality gate that tells a user what the 64×
+    * compression costs on THEIR data (same driver-visible contract as
+    * v_ivf_recall / v_pq_recall).
+    */
+  def vBqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBase(spark, dir, DefaultK).select(col("query_id"), col("neighbor_id"))
+    val bq = vBq(spark, dir)
+      .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
+    exact.join(bq, col("query_id") === col("bq") && col("neighbor_id") === col("bn"), "left")
+      .groupBy("query_id")
+      .agg(count(col("bn")).as("hits"),
+        round(count(col("bn")) / lit(5.0), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** v_ivf_pq: the full two-stage ANN index — IVF coarse quantizer
     * prunes each query to its nprobe nearest centroid lists, PQ ADC
     * ranks only within the probed lists (faiss IndexIVFPQ). At 100 TB

@@ -384,4 +384,44 @@ object TextAnalysis {
           1, 4)).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
       .orderBy("doc_id", "pos")
+
+  /** t_gopher_quality: the Gopher rule set (Rae et al. 2021, §A1.1) as
+    * one map-side projection — the document-level quality gate a
+    * pretraining pipeline runs on every crawl shard. Per document:
+    * word count bounds, mean word length bounds, stop-word floor, and
+    * alphabetic-word floor, each as an explicit flag plus the combined
+    * keep decision. (The repetition rule lives in t_rep_ngrams; the
+    * symbol-ratio rules collapse to alpha_frac on this corpus.)
+    *
+    * Scale shape: zero joins, zero shuffles before the output sort —
+    * every feature is a higher-order expression over the token array
+    * computed once per row inside whole-stage codegen. All arithmetic
+    * is integer sums + one double division, written identically in the
+    * DuckDB oracle so flags and fractions hash-match exactly.
+    */
+  def tGopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val en = stopwords("en")
+    val wlenSum = aggregate(transform(col("w"), t => length(t)),
+      lit(0), (acc, x) => acc + x)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("mean_wlen",
+        round(wlenSum.cast("double") / col("n_words"), 6))
+      .withColumn("stop_count",
+        size(filter(col("w"), t => t.isin(en: _*))).cast("long"))
+      .withColumn("alpha_frac",
+        round(size(filter(col("w"), t => t.rlike("^[a-z]+$"))).cast("double")
+          / col("n_words"), 6))
+      .withColumn("flag_words",
+        col("n_words") >= 30 && col("n_words") <= 5000)
+      .withColumn("flag_wlen", col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
+      .withColumn("flag_stop", col("stop_count") >= 2)
+      .withColumn("flag_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("keep",
+        col("flag_words") && col("flag_wlen") && col("flag_stop") && col("flag_alpha"))
+      .select("doc_id", "n_words", "mean_wlen", "stop_count", "alpha_frac",
+        "flag_words", "flag_wlen", "flag_stop", "flag_alpha", "keep")
+      .orderBy("doc_id")
+  }
 }

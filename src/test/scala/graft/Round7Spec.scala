@@ -147,4 +147,39 @@ class Round7Spec extends SparkSpec {
     val b = static.orderBy("query_id", "rnk").collect().map(_.toString)
     assert(a.sameElements(b))
   }
+
+  test("v_bq: sign packing is exact and the Hamming shuffle never carries floats") {
+    import spark.implicits._
+    // packing unit check: a vector with a known sign pattern must land
+    // on the exact two words computed independently on the JVM side
+    val pattern = Array.tabulate(64)(d => if (d % 3 == 0) 0.5f else -0.25f)
+    var lo = 0L; var hi = 0L
+    for (d <- 0 until 64 if pattern(d) > 0) {
+      if (d < 32) lo |= 1L << d else hi |= 1L << (d - 32)
+    }
+    val one = Seq((0L, pattern.toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val packed = one.select(
+      Knn.bqWords(col("v"), 0).as("lo"), Knn.bqWords(col("v"), 32).as("hi")).head()
+    assert(packed.getLong(0) == lo && packed.getLong(1) == hi,
+      s"expected ($lo,$hi) got $packed")
+
+    // plan pin: phase 1 ranks candidates on 16-byte codes — if a
+    // refactor ever routes the 64-double vector through the top-R
+    // window shuffle, the whole point of the binary tier is gone.
+    // Formatted explain lists each Exchange's Input columns; none of
+    // the shuffle exchanges may carry an array column (v/qv/w).
+    val df = SparkEntry.queries("v_bq")(spark, sf)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val sections = fmt.split("\\n\\n")
+    val exchangeInputs = sections.filter(_.matches("(?s)\\(\\d+\\) Exchange.*"))
+      .flatMap(_.linesIterator.filter(_.startsWith("Input")))
+    assert(exchangeInputs.nonEmpty, s"no Exchange sections found in:\n$fmt")
+    exchangeInputs.foreach { in =>
+      assert(!in.matches(".*\\b(v|qv|w)#\\d+.*"),
+        s"a shuffle exchange carries a vector payload: $in\n$fmt")
+    }
+  }
 }
