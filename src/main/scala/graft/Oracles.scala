@@ -391,6 +391,24 @@ object Oracles {
   /** Exact L2 top-5 (the recall reference for the PQ paths); assumes
     * `n` in scope. Ends with `exl2` (query_id, neighbor_id).
     */
+  /** The normalized Hadamard rotation as unrolled SQL: replays Spark's
+    * 6-stage butterfly (Knn.withHadamard) stage by stage — each stage
+    * is 2-term integer-indexed arithmetic both engines compute
+    * bit-equally, and the stage order fixes the fp summation order.
+    * Output CTE `nrot` = rotated vectors, consumed by pqCteBody.
+    */
+  private def opqRotCte: String = s"""
+      nr0 AS (SELECT vec_id, v FROM n),
+      ${(0 until 6).map { s =>
+        val bit = 1 << s
+        s"""nr${s + 1} AS (SELECT vec_id,
+           list_transform(generate_series(1, 64), i ->
+             CASE WHEN ((i - 1) & $bit) = 0 THEN v[i] + v[i + $bit]
+                  ELSE v[i - $bit] - v[i] END) AS v
+         FROM nr$s)"""
+      }.mkString(",\n      ")},
+      nrot AS (SELECT vec_id, list_transform(v, x -> x / 8.0) AS v FROM nr6)"""
+
   /** Binary-quantized sign codes + Hamming candidate ranking — replays
     * Knn.bqWordCol/vBq: two positive 32-bit sign words per vector (one
     * word would need 1<<63, which DuckDB's checked shift rejects),
@@ -450,20 +468,20 @@ object Oracles {
     // order. Everything downstream is the standard PQ replay over the
     // rotated frame (pqCteBody parameterized by source).
     "v_opq" -> s"""
-      WITH $normsCte,
-      nr0 AS (SELECT vec_id, v FROM n),
-      ${(0 until 6).map { s =>
-        val bit = 1 << s
-        s"""nr${s + 1} AS (SELECT vec_id,
-           list_transform(generate_series(1, 64), i ->
-             CASE WHEN ((i - 1) & $bit) = 0 THEN v[i] + v[i + $bit]
-                  ELSE v[i - $bit] - v[i] END) AS v
-         FROM nr$s)"""
-      }.mkString(",\n      ")},
-      nrot AS (SELECT vec_id, list_transform(v, x -> x / 8.0) AS v FROM nr6),
+      WITH $normsCte, $opqRotCte,
       ${pqCteBody("nrot")}
       SELECT query_id, rnk, neighbor_id, adc_dist FROM pqtop
       ORDER BY query_id, rnk""",
+
+    "v_opq_recall" -> s"""
+      WITH $normsCte, $opqRotCte,
+      ${pqCteBody("nrot")}, $exactL2Cte
+      SELECT e.query_id,
+        CAST(COUNT(p.neighbor_id) AS BIGINT) AS hits,
+        ROUND(COUNT(p.neighbor_id) / 5.0, 6) AS recall
+      FROM exl2 e LEFT JOIN pqtop p
+        ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id ORDER BY e.query_id""",
 
     "v_bq" -> s"""
       WITH $normsCte, $bqCte
@@ -805,6 +823,32 @@ object Oracles {
       JOIN tc b ON b.doc_id = c.doc2
       LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
       ORDER BY c.doc1, c.doc2""",
+
+    // SemDeDup: same banded pairs + cosine as d_embed_near, thresholded
+    // into edges, components via recursive reachability (the oracle
+    // twin of the engine's pointer-jumping loop), singletons coalesced
+    "d_semdedup" -> s"""
+      WITH RECURSIVE $lshBandsCte,
+      cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+               FROM bands a JOIN bands b
+                 ON a.vec_id < b.vec_id
+                AND (a.band0 = b.band0 OR a.band1 = b.band1)),
+      sims AS (SELECT id1, id2,
+                 ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS sim
+               FROM cand JOIN n x ON x.vec_id = id1 JOIN n y ON y.vec_id = id2),
+      und AS (SELECT DISTINCT id1 AS doc1, id2 AS doc2 FROM sims WHERE sim >= 0.45),
+      edges AS (SELECT doc1 AS a, doc2 AS b FROM und
+                UNION SELECT doc2, doc1 FROM und),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lbl AS (SELECT a AS ld, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
+      SELECT e.vec_id, COALESCE(l.label, e.vec_id) AS component,
+        CAST(CASE WHEN COALESCE(l.label, e.vec_id) = e.vec_id
+          THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      FROM embeddings e LEFT JOIN lbl l ON l.ld = e.vec_id
+      ORDER BY e.vec_id""",
 
     "d_embed_near" -> s"""
       WITH $lshBandsCte,

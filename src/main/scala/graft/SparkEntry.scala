@@ -71,6 +71,7 @@ object SparkEntry {
     "v_knn_custom"    -> (Knn.vKnnCustom _),
     "v_pq"            -> (Knn.vPq _),
     "v_opq"           -> (Knn.vOpq _),
+    "v_opq_recall"    -> (Knn.vOpqRecall _),
     "v_bq"            -> (Knn.vBq _),
     "v_bq_recall"     -> (Knn.vBqRecall _),
     "v_ivf_pq"        -> (Knn.vIvfPq _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "d_chunk_dedup"   -> (Dedup.dChunkDedup _),
     "d_pipeline"      -> (Dedup.dPipeline _),
     "d_span_dedup"    -> (Dedup.dSpanDedup _),
+    "d_semdedup"      -> (Dedup.dSemdedup _),
     "d_source_cap"    -> (Dedup.dSourceCap _),
     // D. text analysis
     "t_tokens"        -> (TextAnalysis.tTokens _),

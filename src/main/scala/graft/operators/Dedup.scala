@@ -290,7 +290,20 @@ object Dedup {
       .select(col("doc_id").as("doc1"))
       .filter(col("doc1") % 10 === 0)
       .withColumn("doc2", col("doc1") + 1)
-    val undirected = est.union(fallback).distinct()
+    connectedComponents(est.union(fallback).distinct())
+      .select(col("doc").as("doc_id"), col("label").as("component"),
+        when(col("doc") === col("label"), 1L).otherwise(0L).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** Pointer-jumping connected components over an undirected edge list
+    * (cols doc1, doc2) → (doc, label) with label = min node id of the
+    * component. Only nodes that appear in an edge are returned —
+    * callers coalesce singletons back in. Shared by d_components
+    * (MinHash graph) and d_semdedup (embedding graph); see
+    * d_components for the convergence/lineage design notes.
+    */
+  private[operators] def connectedComponents(undirected: DataFrame): DataFrame = {
     // hash-partitioned by the join key BEFORE the one-time checkpoint:
     // localCheckpoint preserves outputPartitioning, so every
     // superstep's edge-side exchange disappears from the plan
@@ -333,9 +346,6 @@ object Dedup {
       iters += 1
     }
     labels
-      .select(col("doc").as("doc_id"), col("label").as("component"),
-        when(col("doc") === col("label"), 1L).otherwise(0L).as("is_keeper"))
-      .orderBy("doc_id")
   }
 
   /** d_pipeline: the end-to-end dedup pipeline as ONE declarative
@@ -438,7 +448,19 @@ object Dedup {
     * engines derive identical buckets), exact cosine on candidates,
     * top-50. Blocking keys make this an equi-join at any scale.
     */
-  def dEmbedNear(spark: SparkSession, dir: String): DataFrame = {
+  def dEmbedNear(spark: SparkSession, dir: String): DataFrame =
+    embedPairs(spark, dir)
+      .orderBy(col("sim").desc, col("id1").asc, col("id2").asc)
+      .limit(50)
+
+  /** LSH-blocked embedding candidate pairs with exact cosine — the
+    * shared front half of d_embed_near (top-50 report) and d_semdedup
+    * (threshold + components). Union of two shuffle equi-joins on band
+    * keys instead of an OR-condition nested loop: hash-joinable, so it
+    * scales out on the bucket key (second join excludes band0 matches
+    * → disjoint union).
+    */
+  private def embedPairs(spark: SparkSession, dir: String): DataFrame = {
     val dim = 64
     val signs = Array.tabulate(Knn.LshBits)(j =>
       Array.tabulate(dim)(d => H.hyperplaneSign(j, d + 1)))
@@ -455,17 +477,42 @@ object Dedup {
       col("band0").as("a0"), col("band1").as("a1"))
     val r = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"),
       col("band0").as("b0"), col("band1").as("b1"))
-    // union of two shuffle equi-joins on band keys instead of an
-    // OR-condition nested loop: hash-joinable, so it scales out on the
-    // bucket key (second join excludes band0 matches → disjoint union)
     val pairs0 = l.join(r, col("a0") === col("b0") && col("id1") < col("id2"))
     val pairs1 = l.join(r, col("a1") === col("b1") && col("id1") < col("id2") &&
       col("a0") =!= col("b0"))
     pairs0.union(pairs1)
       .select(col("id1"), col("id2"),
         round(V.cosinePre(V.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6).as("sim"))
-      .orderBy(col("sim").desc, col("id1").asc, col("id2").asc)
-      .limit(50)
+  }
+
+  /** Cosine threshold above which two embeddings are semantic dups. */
+  val SemThreshold = 0.45
+
+  /** d_semdedup: SemDeDup (Abbas et al. 2023) — semantic deduplication
+    * in EMBEDDING space: LSH-blocked candidate pairs above a cosine
+    * threshold become edges, connected components group the semantic
+    * duplicates transitively, and the minimum vec_id of each cluster
+    * is the keeper. The embedding-space twin of d_components (which
+    * groups by MinHash/lexical similarity): catches paraphrases and
+    * re-encodings that share no surface text. Composes the engine's
+    * own blocks — embedPairs ∘ connectedComponents — into one plan;
+    * singleton vectors (no near neighbor) coalesce back in as their
+    * own keepers via a left join.
+    */
+  def dSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val edges = embedPairs(spark, dir)
+      .filter(col("sim") >= SemThreshold)
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+      .distinct()
+    val labels = connectedComponents(edges)
+      .select(col("doc").as("ld"), col("label"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(labels, col("vec_id") === col("ld"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("component"),
+        when(coalesce(col("label"), col("vec_id")) === col("vec_id"), 1L)
+          .otherwise(0L).as("is_keeper"))
+      .orderBy("vec_id")
   }
 
   /** Word-span length for d_span_dedup: 5 consecutive tokens. */
@@ -489,12 +536,16 @@ object Dedup {
     */
   def dSpanDedup(spark: SparkSession, dir: String): DataFrame = {
     val k = SpanK
-    val spans = Tables.documents(spark, dir)
+    // materialized once: the (doc_id, h) span table feeds BOTH the
+    // occurrence count and the join-back probe — without the barrier
+    // the md5 pass over every span runs twice (16 B/span cached vs a
+    // second full hash scan; same trade the PQ encode path makes)
+    val spans = graft.Materialize.forceCached(Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("w")) - (k - 1)),
-          i => H.md5Long(array_join(slice(col("w"), i, lit(k)), " "), 15) % H.P31))).as("h"))
+          i => H.md5Long(array_join(slice(col("w"), i, lit(k)), " "), 15) % H.P31))).as("h")))
     // spans are distinct per doc, so count(*) per h == #docs containing it
     val dup = spans.groupBy("h").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2).select(col("h").as("dh"))

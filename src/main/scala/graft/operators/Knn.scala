@@ -807,6 +807,22 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_opq_recall: recall@5 of rotated-PQ ADC against exact L2 top-5 —
+    * the quality gate that shows what the Hadamard pre-rotation buys
+    * over plain PQ on the same codebook budget (compare with
+    * v_pq_recall in the same run).
+    */
+  def vOpqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = vKnnL2(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val opq = vOpq(spark, dir)
+      .select(col("query_id").as("oq"), col("neighbor_id").as("on_"))
+    exact.join(opq, col("query_id") === col("oq") && col("neighbor_id") === col("on_"), "left")
+      .groupBy("query_id")
+      .agg(count(col("on_")).as("hits"),
+        round(count(col("on_")) / lit(5.0), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Powers of two for one 32-dim half of a binary-quantized vector.
     * 64 dims pack into TWO int64 words (lo = dims 1-32, hi = 33-64)
     * rather than one, because the oracle side (DuckDB) overflow-checks
