@@ -891,6 +891,19 @@ object Oracles {
           AND stop_count >= 2 AND alpha_frac >= 0.8) AS keep
       FROM f ORDER BY doc_id""",
 
+    // feature hashing: dim = md5-hash % 32, sign = parity of the next
+    // hash bit, weight = signed count — one (doc, dim) group-by
+    "t_hash_embed" -> s"""
+      WITH $tokensCte,
+      hx AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+             FROM tk)
+      SELECT doc_id, h % 32 AS dim,
+        CAST(SUM(CASE WHEN CAST(floor(h / 32) AS BIGINT) % 2 = 0
+          THEN 1 ELSE -1 END) AS BIGINT) AS weight
+      FROM hx GROUP BY doc_id, h % 32
+      ORDER BY doc_id, dim""",
+
     "t_tokens" -> s"""
       WITH $tokensCte
       SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct,

@@ -399,6 +399,31 @@ object TextAnalysis {
     * is integer sums + one double division, written identically in the
     * DuckDB oracle so flags and fractions hash-match exactly.
     */
+  /** Dimensionality of the feature-hashed document embedding. */
+  val HashEmbedDim = 32
+
+  /** t_hash_embed: feature-hashing document embeddings (the hashing
+    * trick, Weinberger et al. 2009) — each token lands in dimension
+    * md5(token) % 32 with a ±1 sign drawn from the next hash bit, and
+    * the document's embedding is the signed count per dimension. The
+    * zero-vocabulary bridge from the text tables into the engine's
+    * vector operators: deterministic, needs no fitted dictionary, and
+    * at 100 TB is exactly one explode + one (doc, dim) sum — the same
+    * shuffle as a token count. Emitted in long (doc_id, dim, weight)
+    * form; dims a document never touches are implicit zeros.
+    */
+  def tHashEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.HashFns.tokenHash32(col("tok"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), (h % HashEmbedDim).as("dim"),
+        when(floor(h / lit(HashEmbedDim)) % 2 === 0, 1L)
+          .otherwise(-1L).as("sign"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("sign")).as("weight"))
+      .orderBy("doc_id", "dim")
+  }
+
   def tGopherQuality(spark: SparkSession, dir: String): DataFrame = {
     val en = stopwords("en")
     val wlenSum = aggregate(transform(col("w"), t => length(t)),
