@@ -891,6 +891,62 @@ object Oracles {
           AND stop_count >= 2 AND alpha_frac >= 0.8) AS keep
       FROM f ORDER BY doc_id""",
 
+    // the r7 curation funnel: Gopher keep (rounded-feature flags, as
+    // t_gopher_quality) ∘ span-dup drop (as d_span_dedup) ∘ per-source
+    // cap (as d_source_cap), reported per source
+    "t_curation_pipeline" -> """
+      WITH gt AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t <> '') AS w
+             FROM documents),
+      gf AS (SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               ROUND(CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+                 / len(w), 6) AS mean_wlen,
+               CAST(len(list_filter(w,
+                 t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')))
+                 AS BIGINT) AS stop_count,
+               ROUND(CAST(len(list_filter(w,
+                 t -> regexp_matches(t, '^[a-z]+$'))) AS DOUBLE)
+                 / len(w), 6) AS alpha_frac
+             FROM gt),
+      keepq AS (SELECT doc_id,
+                  (n_words >= 30 AND n_words <= 5000
+                    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+                    AND stop_count >= 2 AND alpha_frac >= 0.8) AS keep
+                FROM gf),
+      swt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      ssp0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+               FROM swt WHERE len(w) >= 5),
+      ssp AS (SELECT DISTINCT doc_id,
+                CAST(('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15))
+                  AS BIGINT) % 2147483647 AS h
+              FROM ssp0),
+      sdup AS (SELECT h FROM ssp GROUP BY h HAVING COUNT(*) >= 2),
+      sd AS (SELECT s.doc_id,
+               (CAST(COUNT(d.h) AS DOUBLE) / COUNT(*)) > 0.5 AS drop_flag
+             FROM ssp s LEFT JOIN sdup d ON d.h = s.h GROUP BY s.doc_id),
+      st AS (SELECT dd.doc_id, dd.source,
+               CAST(('0x' || substr(md5('cap_' || dd.doc_id), 1, 15)) AS BIGINT) AS ord,
+               k.keep, COALESCE(sd.drop_flag, FALSE) AS dropf
+             FROM documents dd
+             JOIN keepq k ON k.doc_id = dd.doc_id
+             LEFT JOIN sd ON sd.doc_id = dd.doc_id),
+      rk AS (SELECT source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY ord, doc_id) AS rn
+             FROM st WHERE keep AND NOT dropf),
+      cap AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_survive,
+                CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              FROM rk GROUP BY source),
+      base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+               FROM st GROUP BY source)
+      SELECT b.source, b.n_docs, b.n_quality,
+        COALESCE(c.n_survive, 0) AS n_survive,
+        COALESCE(c.n_kept, 0) AS n_kept
+      FROM base b LEFT JOIN cap c ON c.source = b.source
+      ORDER BY b.source""",
+
     // feature hashing: dim = md5-hash % 32, sign = parity of the next
     // hash bit, weight = signed count — one (doc, dim) group-by
     "t_hash_embed" -> s"""

@@ -115,6 +115,7 @@ object SparkEntry {
     "t_rep_ngrams"    -> (TextAnalysis.tRepNgrams _),
     "t_gopher_quality" -> (TextAnalysis.tGopherQuality _),
     "t_hash_embed"    -> (TextAnalysis.tHashEmbed _),
+    "t_curation_pipeline" -> (TextAnalysis.tCurationPipeline _),
     "t_bpe_tokens"    -> (TextAnalysis.tBpeTokens _),
     "t_tfidf"         -> (TextAnalysis.tTfidf _),
     "t_pipeline"      -> (TextAnalysis.tPipeline _),

@@ -399,6 +399,43 @@ object TextAnalysis {
     * is integer sums + one double division, written identically in the
     * DuckDB oracle so flags and fractions hash-match exactly.
     */
+  /** t_curation_pipeline: the r7 curation stages composed into ONE
+    * declarative plan — the per-source funnel report a training-data
+    * run produces: raw docs → Gopher quality gate → span-dedup drop →
+    * per-source cap. Quality flags are computed inline in the base
+    * scan (map-side, no join); the only joins are the span-dup
+    * flag (equi-join on doc_id against d_span_dedup's output) and the
+    * capping window over survivors. Catalyst pipelines all stages off
+    * shared scans — the curation twin of t_pipeline / d_pipeline /
+    * m_pipeline.
+    */
+  def tCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val quality = tGopherQuality(spark, dir).select(col("doc_id"), col("keep"))
+    val spanDrop = Dedup.dSpanDedup(spark, dir)
+      .select(col("doc_id").as("sd_id"), col("drop_flag"))
+    val ord = graft.functions.HashFns
+      .md5Long(concat(lit("cap_"), col("doc_id").cast("string")), 15)
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), ord.as("ord"))
+      .join(quality, "doc_id")
+      .join(spanDrop, col("doc_id") === col("sd_id"), "left")
+      .withColumn("survives", col("keep") && !coalesce(col("drop_flag"), lit(false)))
+    val w = Window.partitionBy("source").orderBy(col("ord"), col("doc_id"))
+    val capped = staged.filter(col("survives"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_survive"),
+        sum(when(col("rn") <= Dedup.SourceCap, 1L).otherwise(0L)).as("n_kept"))
+    staged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"))
+      .join(capped, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_quality"),
+        coalesce(col("n_survive"), lit(0L)).as("n_survive"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Dimensionality of the feature-hashed document embedding. */
   val HashEmbedDim = 32
 
