@@ -2115,6 +2115,7 @@ object Oracles {
     "v_ivf_store" -> vector("v_ivf"),
     "v_pq_store" -> vector("v_pq"),
     "v_flat_store" -> vector("v_knn_exact"),
+    "v_bq_store" -> vector("v_bq"),
 
     // benchmark decontamination: distinct-shingle inverted-index join
     // of the corpus against the (broadcastable) eval set

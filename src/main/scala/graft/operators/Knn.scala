@@ -1250,6 +1250,24 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_bq_store: the persisted binary tier inside the correctness
+    * gate — sign codes written to disk (16 B/vector), Hamming scan
+    * over the loaded store + exact rerank against the source table,
+    * hash-matched against v_bq's oracle. Completes the store family:
+    * flat (exact), IVF (pruned), PQ (compressed), BQ (scan-tier).
+    */
+  def vBqStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/bq_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.BqIndexStore.write(emb, "vec_id", "embedding", path)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.BqIndexStore
+      .search(spark, path, emb, queries, "vec_id", "embedding", DefaultK)
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_centroid_label: per-label centroid statistics via exact integer
     * sums of quantized components (order-independent → oracle-safe).
     */

@@ -385,3 +385,77 @@ object PqIndexStore {
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
   }
 }
+
+/** Binary-quantization store: the cheapest persisted tier — 1 bit per
+  * dimension, two int64 sign words per vector (16 bytes, 64× smaller
+  * than float32). Deliberately UNpartitioned: Hamming distance admits
+  * no equality blocking for k-NN (no radius is known up front), so the
+  * binary tier's contract is "the full scan is affordable" — at 100 TB
+  * of float32 the code table is 1.6 TB, a scan-tier read, and the
+  * shuffle after it carries only (query, id, hamming) candidates.
+  * Refinement joins the tiny survivor set back to the caller's SOURCE
+  * table for exact cosine — point lookups, never a second corpus scan
+  * of floats through the ranking shuffle. Mirrors Knn.vBq so the
+  * persisted path shares v_bq's oracle.
+  */
+object BqIndexStore {
+  import graft.operators.Knn
+
+  /** Persist sign codes: one row = (id, code_lo, code_hi). */
+  def write(df: DataFrame, idCol: String, vecCol: String, path: String): Unit =
+    codesOf(df, idCol, vecCol).write.mode("overwrite").parquet(path)
+
+  /** Incremental add — codes are structure-free, so append is a plain
+    * dynamic append with no global state to rewrite.
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit =
+    codesOf(df, idCol, vecCol).write.mode("append").parquet(path)
+
+  private def codesOf(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"),
+        Knn.bqWords(col("v"), 0).as("code_lo"),
+        Knn.bqWords(col("v"), 32).as("code_hi"))
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Hamming scan over the stored codes + exact-cosine rerank against
+    * `source` (the table the index was built from, or any table
+    * sharing the id space). Same two-phase shape as Knn.vBq: the only
+    * corpus-wide movement is 24-byte candidate rows into the top-R
+    * window; floats are touched for `rerank` rows per query via
+    * broadcast point-lookups.
+    */
+  def search(spark: SparkSession, path: String, source: DataFrame,
+             queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, rerank: Int = 20): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", V.norm2(col("qv")))
+      .withColumn("qlo", Knn.bqWords(col("qv"), 0))
+      .withColumn("qhi", Knn.bqWords(col("qv"), 32))
+    val qCodes = q.select(col("query_id"), col("qlo"), col("qhi"))
+    val ham = read(spark, path).join(broadcast(qCodes), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (bit_count(col("code_lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("code_hi").bitwiseXOR(col("qhi")))).cast("long").as("hamming"))
+    val wH = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val cand = ham.withColumn("hrnk", row_number().over(wH))
+      .filter(col("hrnk") <= rerank)
+      .select("query_id", "neighbor_id", "hamming")
+    val src = source
+      .select(col(idCol).as("sid"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", V.norm2(col("v")))
+    val qv = q.select(col("query_id").as("rq"), col("qv"), col("qn"))
+    val rr = src.join(broadcast(cand), col("sid") === col("neighbor_id"))
+      .join(broadcast(qv), col("query_id") === col("rq"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val wS = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    rr.withColumn("rnk", row_number().over(wS).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "hamming", "sim")
+  }
+}

@@ -148,6 +148,21 @@ class Round7Spec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("BqIndexStore: two-wave append equals a single write, search hash-stable") {
+    import graft.sources.BqIndexStore
+    val emb = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("bq_store").toString
+    BqIndexStore.write(emb, "vec_id", "embedding", s"$base/one")
+    BqIndexStore.write(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", s"$base/two")
+    BqIndexStore.append(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", s"$base/two")
+    val q = emb.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    def res(p: String) = BqIndexStore
+      .search(spark, p, emb, q, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rnk").collect().map(_.toString)
+    assert(res(s"$base/one").sameElements(res(s"$base/two")),
+      "appended store must rank identically to a one-shot write")
+  }
+
   test("v_bq: sign packing is exact and the Hamming shuffle never carries floats") {
     import spark.implicits._
     // packing unit check: a vector with a known sign pattern must land
