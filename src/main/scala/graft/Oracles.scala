@@ -1061,6 +1061,25 @@ object Oracles {
         w_abs, h_abs
       FROM a ORDER BY doc_id""",
 
+    // real decode in the gate: the oracle evaluates the closed pixel
+    // form directly; the engine must reproduce it through an actual
+    // PNG encode -> javax.imageio decode -> BT.601 luma round-trip
+    "m_decode_lut" -> """
+      WITH dxs AS (SELECT unnest(generate_series(0, 15)) AS x),
+      dys AS (SELECT unnest(generate_series(0, 11)) AS y),
+      dids AS (SELECT doc_id FROM documents WHERE doc_id < 8),
+      dpx AS (SELECT doc_id, y, x,
+                ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
+              FROM dids CROSS JOIN dxs CROSS JOIN dys),
+      dl AS (SELECT doc_id, px,
+               CAST(trunc(pow(px / 255.0, 1.0 / 1.5) * 255) AS BIGINT) AS lut
+             FROM dpx)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+        CAST(SUM(lut) AS BIGINT) AS sum_lut,
+        CAST(MIN(px) AS BIGINT) AS min_px,
+        CAST(MAX(px) AS BIGINT) AS max_px
+      FROM dl GROUP BY doc_id ORDER BY doc_id""",
+
     "m_gamma_lut" -> """
       SELECT intensity,
         CAST(trunc(pow(intensity / 255.0, 1.0 / 1.5) * 255) AS BIGINT) AS lut

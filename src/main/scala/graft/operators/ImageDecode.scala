@@ -4,7 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** REAL pixel decode for the multimodal pipeline — `javax.imageio`
@@ -72,6 +72,37 @@ object ImageDecode {
         for (y <- 0 until h; x <- 0 until w) yield (id, y, x, px(y * w + x))
       }
       .toDF(idCol, "y", "x", "px")
+  }
+
+  /** m_decode_lut: REAL image decode inside the oracle gate. Synthetic
+    * PNGs are generated from the closed form px(x,y) = (seed + 7y +
+    * 13x) mod 256 (seed = 31·doc_id + 5), pushed through the actual
+    * javax.imageio decode (PNG is lossless and BT.601 luma of a gray
+    * pixel is the identity, so decode ∘ encode is exactly the closed
+    * form), then the reference's γ=1.5 LUT and a per-image summary.
+    * The DuckDB oracle never decodes an image — it evaluates the
+    * closed form directly — so a hash match proves the whole
+    * encode → decode → LUT path is bit-exact. Payload generation is a
+    * fixture map (same per-row codec boundary class as the decode
+    * itself); everything after pixelFrame is declarative.
+    */
+  def mDecodeLut(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val payloads = graft.Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 8)
+      .as[Long]
+      .map(id => (id, syntheticPng(16, 12, seed = (31 * id + 5).toInt)))
+      .toDF("doc_id", "payload")
+    pixelFrame(payloads, "doc_id", "payload")
+      .withColumn("lut",
+        (pow(col("px") / lit(255.0), lit(1.0) / lit(1.5)) * 255).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_px"),
+        sum(col("lut")).as("sum_lut"),
+        min(col("px")).cast("long").as("min_px"),
+        max(col("px")).cast("long").as("max_px"))
+      .orderBy("doc_id")
   }
 
   /** Deterministic synthetic PNG (spec/dev helper): pixel (x, y) has
