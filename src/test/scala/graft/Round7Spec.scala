@@ -148,6 +148,32 @@ class Round7Spec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("plan budgets: headline queries stay within their shuffle budget") {
+    // a regression net over the plans the engine's scale story rests
+    // on: each budget is today's count for a representative query of
+    // each family — an extra Exchange sneaking into one of these is
+    // exactly the class of change that benches fine at sf0.1 and
+    // melts at 100 TB. Budgets are per-query (not a global cap) so a
+    // failure names the regressed operator.
+    val budgets = Map(
+      "q1_pricing" -> 2, "q3_topn" -> 1, "q5_multijoin" -> 2,
+      "q_salted_join" -> 2, "q_events_hourly" -> 2,
+      "v_knn_exact" -> 2, "v_pq" -> 2, "v_ivf_pq" -> 2, "v_bq" -> 3,
+      "d_minhash_pairs" -> 2, "d_span_dedup" -> 3,
+      "t_gopher_quality" -> 1, "t_hash_embed" -> 2, "t_tokens" -> 1,
+      "src_bucketed" -> 1)
+    val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.write.format("noop").mode("overwrite").save() // finalize AQE
+      val shuffles = "Exchange (hash|range|RoundRobin|SinglePartition)".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+      spark.sharedState.cacheManager.clearCache()
+      if (shuffles > budget) Some(s"$name: $shuffles > $budget") else None
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    assert(over.isEmpty, s"shuffle budget exceeded: ${over.mkString(", ")}")
+  }
+
   test("BqIndexStore: two-wave append equals a single write, search hash-stable") {
     import graft.sources.BqIndexStore
     val emb = Tables.embeddings(spark, sf)
