@@ -534,18 +534,34 @@ object Dedup {
     * variable-length repeats but cannot be expressed as a distributed
     * dataflow; fixed-k spans are the standard scalable surrogate.
     */
-  def dSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+  def dSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanReport(spanHashes(Tables.documents(spark, dir)))
+
+  /** The distinct (doc_id, span-hash) table — one map-side projection,
+    * the ONLY pass that ever touches text. Shared by the batch
+    * operator and the streaming ingest (EventStreams.runSpanIngest
+    * appends exactly these rows per ingested batch, so old documents
+    * are never re-hashed).
+    */
+  def spanHashes(docs: DataFrame): DataFrame = {
     val k = SpanK
-    // materialized once: the (doc_id, h) span table feeds BOTH the
-    // occurrence count and the join-back probe — without the barrier
-    // the md5 pass over every span runs twice (16 B/span cached vs a
-    // second full hash scan; same trade the PQ encode path makes)
-    val spans = graft.Materialize.forceCached(Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("w")) - (k - 1)),
-          i => H.md5Long(array_join(slice(col("w"), i, lit(k)), " "), 15) % H.P31))).as("h")))
+          i => H.md5Long(array_join(slice(col("w"), i, lit(k)), " "), 15) % H.P31))).as("h"))
+  }
+
+  /** Duplicated-span report from a (doc_id, h) span table. Counts are
+    * additive over appends, so running this over an incrementally
+    * maintained span store reproduces the batch operator exactly.
+    */
+  def spanReport(spanDf: DataFrame): DataFrame = {
+    // materialized once: the span table feeds BOTH the occurrence
+    // count and the join-back probe — without the barrier the md5/scan
+    // pass runs twice (16 B/span cached vs a second full pass; same
+    // trade the PQ encode path makes)
+    val spans = graft.Materialize.forceCached(spanDf)
     // spans are distinct per doc, so count(*) per h == #docs containing it
     val dup = spans.groupBy("h").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2).select(col("h").as("dh"))

@@ -326,6 +326,45 @@ object EventStreams {
     q
   }
 
+  /** Incremental span-dedup maintenance — the streaming twin of
+    * d_span_dedup. Each AvailableNow batch of NEW documents is hashed
+    * ONCE into distinct (doc_id, span-hash) rows (Dedup.spanHashes,
+    * the only pass that touches text) and appended to the span store;
+    * the checkpointed file source guarantees old documents are never
+    * re-read or re-hashed. Because span occurrence counts are
+    * additive over appends, `spanDedupReport` over the store
+    * reproduces the batch operator's output exactly (spec-asserted,
+    * two waves) — nightly corpus drops keep dedup current for the
+    * cost of hashing only the delta.
+    */
+  def runSpanIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                    storePath: String): StreamingQuery = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream
+      .schema(docSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        graft.operators.Dedup.spanHashes(batch.toDF())
+          .write.mode("append").parquet(storePath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** d_span_dedup's report from an incrementally maintained span
+    * store — no text, no hashing, just the count + join-back.
+    */
+  def spanDedupReport(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Dedup.spanReport(spark.read.parquet(storePath))
+
   /** Reader-side resolution for the foreachBatch target: latest
     * batch_id per key wins.
     */

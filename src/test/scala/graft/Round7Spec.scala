@@ -189,6 +189,27 @@ class Round7Spec extends SparkSpec {
       "appended store must rank identically to a one-shot write")
   }
 
+  test("runSpanIngest: two-wave incremental span store reproduces batch d_span_dedup") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("span_ingest").toString
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/spans")
+    docs.filter(col("doc_id") < 250).write.parquet(src)
+    graft.streaming.EventStreams.runSpanIngest(spark, src, ckpt, store)
+    val wave1 = spark.read.parquet(store).count()
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runSpanIngest(spark, src, ckpt, store)
+    assert(spark.read.parquet(store).count() > wave1,
+      "wave 2 must append its own span rows")
+    val incremental = graft.streaming.EventStreams.spanDedupReport(spark, store)
+      .collect().map(_.toString).sorted
+    val batch = operators.Dedup.dSpanDedup(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(incremental.sameElements(batch),
+      "report over the incrementally built store must equal the batch operator")
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("v_bq: sign packing is exact and the Hamming shuffle never carries floats") {
     import spark.implicits._
     // packing unit check: a vector with a known sign pattern must land
