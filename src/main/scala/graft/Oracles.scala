@@ -2135,6 +2135,7 @@ object Oracles {
     "v_pq_store" -> vector("v_pq"),
     "v_flat_store" -> vector("v_knn_exact"),
     "v_bq_store" -> vector("v_bq"),
+    "v_filtered_store" -> round3("v_filtered_knn"),
 
     // benchmark decontamination: distinct-shingle inverted-index join
     // of the corpus against the (broadcastable) eval set

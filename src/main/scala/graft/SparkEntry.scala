@@ -75,6 +75,7 @@ object SparkEntry {
     "v_bq"            -> (Knn.vBq _),
     "v_bq_recall"     -> (Knn.vBqRecall _),
     "v_bq_store"      -> (Knn.vBqStore _),
+    "v_filtered_store" -> (Knn.vFilteredStore _),
     "v_ivf_pq"        -> (Knn.vIvfPq _),
     "v_recall"        -> (Knn.vRecall _),
     "v_ivf_recall"    -> (Knn.vIvfRecall _),

@@ -1268,6 +1268,25 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_filtered_store: attribute-filtered search on the persisted
+    * index — label stored INLINE with the vectors, the filter part of
+    * the probe join, hash-matched against v_filtered_knn's oracle
+    * (the store-side twin of the reference's per-class lookup).
+    */
+  def vFilteredStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/filt_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.IndexStore.write(emb, "vec_id", "embedding", path,
+      dim = 64, metaCols = Seq("label"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    graft.sources.IndexStore
+      .searchFiltered(graft.sources.IndexStore.read(spark, path), queries,
+        "vec_id", "embedding", k = 3, matchCols = Seq("label"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_centroid_label: per-label centroid statistics via exact integer
     * sums of quantized components (order-independent → oracle-safe).
     */

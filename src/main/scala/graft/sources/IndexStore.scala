@@ -38,11 +38,17 @@ object IndexStore {
   }
 
   /** Build + persist the index from any frame with an id and a vector
-    * column (array<float> or array<double>).
+    * column (array<float> or array<double>). `metaCols` are payload
+    * attributes stored INLINE with the vectors (label/tenant/source —
+    * the columns filtered searches predicate on): colocating them in
+    * the index row means an attribute filter applies at the scan,
+    * with no sidecar join on the 100 TB side.
     */
-  def write(df: DataFrame, idCol: String, vecCol: String, path: String, dim: Int): Unit =
+  def write(df: DataFrame, idCol: String, vecCol: String, path: String, dim: Int,
+            metaCols: Seq[String] = Nil): Unit =
     withBands(
-      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      df.select(col(idCol).as("id") +: col(vecCol).cast("array<double>").as("v")
+          +: metaCols.map(col): _*)
         .withColumn("nrm", V.norm2(col("v"))), dim)
       .write.mode("overwrite").partitionBy("band0").parquet(path)
 
@@ -86,6 +92,35 @@ object IndexStore {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "sim")
+  }
+
+  /** Attribute-filtered exact search: neighbors must agree with the
+    * query row on every column in `matchCols` (the vector-DB "search
+    * with filter" — per-tenant / per-class lookups). The equality is
+    * part of the broadcast-join condition, so out-of-filter rows are
+    * discarded at probe time and the top-k heap never sees them. For
+    * a STATIC predicate, pre-filter the index frame instead
+    * (`search(read(spark, path).filter(p), …)`) — simple comparisons
+    * on inline meta columns push into the parquet scan
+    * (PushedFilters, spec-asserted).
+    */
+  def searchFiltered(index: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, matchCols: Seq[String]): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id")
+          +: col(vecCol).cast("array<double>").as("qv")
+          +: matchCols.map(c => col(c).as(s"q_$c")): _*)
+        .withColumn("qn", V.norm2(col("qv"))))
+    val cond = matchCols.map(c => col(c) === col(s"q_$c"))
+      .foldLeft(col("id") =!= col("query_id"))(_ && _)
+    val sims = index.join(q, cond)
+      .select(col("query_id") +: matchCols.map(col)
+        :+ col("id").as("neighbor_id")
+        :+ round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"): _*)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select(col("query_id") +: matchCols.map(col)
+        :+ col("rnk") :+ col("neighbor_id") :+ col("sim"): _*)
   }
 
   /** ANN top-k: queries are banded with the same hyperplanes, then the

@@ -189,6 +189,23 @@ class Round7Spec extends SparkSpec {
       "appended store must rank identically to a one-shot write")
   }
 
+  test("IndexStore: static filter on an inline meta column pushes into the store scan") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("filt_store").toString + "/idx"
+    IndexStore.write(emb, "vec_id", "embedding", path, dim = 64, metaCols = Seq("label"))
+    val filtered = IndexStore.read(spark, path).filter(col("label") === 1)
+    val q = emb.filter(col("vec_id") < 2).select(col("vec_id"), col("embedding"))
+    val res = IndexStore.search(filtered, q, "vec_id", "embedding", k = 3)
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*label[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"the label predicate must reach the parquet scan, not a post-scan Filter:\n$plan")
+    val l1 = emb.filter(col("label") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val out = res.select("neighbor_id").collect().map(_.getLong(0))
+    assert(out.nonEmpty && out.forall(l1.contains),
+      "every neighbor must satisfy the pushed attribute filter")
+  }
+
   test("runSpanIngest: two-wave incremental span store reproduces batch d_span_dedup") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val base = java.nio.file.Files.createTempDirectory("span_ingest").toString
