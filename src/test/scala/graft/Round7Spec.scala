@@ -227,6 +227,25 @@ class Round7Spec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("round-7 operators are result-identical under cluster-safe materialization") {
+    // the ops that lean on Materialize (span table, CC supersteps in
+    // d_semdedup) — exactly the surface where the replicated strategy
+    // diverged from local in r6
+    val qs = Seq("d_span_dedup", "d_semdedup", "t_curation_pipeline")
+    def run(q: String): Array[String] =
+      SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted
+    val local = qs.map(q => q -> run(q)).toMap
+    spark.conf.set(Materialize.ConfKey, "replicated")
+    try qs.foreach { q =>
+      assert(run(q).sameElements(local(q)),
+        s"$q must not change under replicated (cluster-safe) materialization")
+    } finally {
+      spark.conf.unset(Materialize.ConfKey)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+  }
+
   test("v_bq: sign packing is exact and the Hamming shuffle never carries floats") {
     import spark.implicits._
     // packing unit check: a vector with a known sign pattern must land
