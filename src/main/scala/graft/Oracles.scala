@@ -1080,6 +1080,34 @@ object Oracles {
         CAST(MAX(px) AS BIGINT) AS max_px
       FROM dl GROUP BY doc_id ORDER BY doc_id""",
 
+    // decode-fed blur: the 5x5 integer stencil over the closed pixel
+    // form (the engine must reproduce it through the real decode)
+    "m_decode_blur" -> """
+      WITH bxs AS (SELECT unnest(generate_series(0, 15)) AS x),
+      bys AS (SELECT unnest(generate_series(0, 11)) AS y),
+      bids AS (SELECT doc_id FROM documents WHERE doc_id < 8),
+      bpx AS (SELECT doc_id, y, x,
+                ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
+              FROM bids CROSS JOIN bxs CROSS JOIN bys),
+      bdy AS (SELECT unnest(generate_series(-2, 2)) AS dy),
+      bdx AS (SELECT unnest(generate_series(-2, 2)) AS dx),
+      boffs AS (SELECT dy, dx,
+                  (CASE abs(dy) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END)
+                  * (CASE abs(dx) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END) AS wgt
+                FROM bdy CROSS JOIN bdx),
+      bconv AS (SELECT doc_id, y + dy AS yo, x + dx AS xo,
+                  SUM(wgt * px) AS b256
+                FROM bpx CROSS JOIN boffs
+                WHERE y + dy >= 0 AND y + dy < 12
+                  AND x + dx >= 0 AND x + dx < 16
+                GROUP BY doc_id, y + dy, x + dx),
+      bb AS (SELECT doc_id, b256 // 256 AS b FROM bconv)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+        CAST(SUM(b) AS BIGINT) AS sum_b,
+        CAST(MIN(b) AS BIGINT) AS min_b,
+        CAST(MAX(b) AS BIGINT) AS max_b
+      FROM bb GROUP BY doc_id ORDER BY doc_id""",
+
     "m_gamma_lut" -> """
       SELECT intensity,
         CAST(trunc(pow(intensity / 255.0, 1.0 / 1.5) * 255) AS BIGINT) AS lut

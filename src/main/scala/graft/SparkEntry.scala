@@ -134,6 +134,7 @@ object SparkEntry {
     "m_pipeline"      -> (BatchInference.mPipeline _),
     "m_pipeline_ann"  -> (BatchInference.mPipelineAnn _),
     "m_decode_lut"    -> (ImageDecode.mDecodeLut _),
+    "m_decode_blur"   -> (ImageDecode.mDecodeBlur _),
     "m_gamma_lut"     -> (ImagePipeline.mGammaLut _),
     "m_frame_sample"  -> (ImagePipeline.mFrameSample _),
     "m_clahe_hist"    -> (ImagePipeline.mClaheHist _),

@@ -86,15 +86,22 @@ object ImageDecode {
     * fixture map (same per-row codec boundary class as the decode
     * itself); everything after pixelFrame is declarative.
     */
-  def mDecodeLut(spark: SparkSession, dir: String): DataFrame = {
+  /** Decoded pixel frames for the gate queries: 8 synthetic 16×12
+    * PNGs (seed 31·doc_id + 5) through the REAL decode path.
+    */
+  private def decodedFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.functions._
     val payloads = graft.Tables.documents(spark, dir)
       .select(col("doc_id")).filter(col("doc_id") < 8)
       .as[Long]
       .map(id => (id, syntheticPng(16, 12, seed = (31 * id + 5).toInt)))
       .toDF("doc_id", "payload")
     pixelFrame(payloads, "doc_id", "payload")
+  }
+
+  def mDecodeLut(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    decodedFrames(spark, dir)
       .withColumn("lut",
         (pow(col("px") / lit(255.0), lit(1.0) / lit(1.5)) * 255).cast("long"))
       .groupBy("doc_id")
@@ -102,6 +109,37 @@ object ImageDecode {
         sum(col("lut")).as("sum_lut"),
         min(col("px")).cast("long").as("min_px"),
         max(col("px")).cast("long").as("max_px"))
+      .orderBy("doc_id")
+  }
+
+  /** m_decode_blur: the reference's Gaussian blur
+    * (build_faiss_db.py:79) over REAL decoded pixels — same
+    * integer 5×5 stencil as m_gauss_blur (broadcast offset join,
+    * out-of-bounds contributions dropped, /256 integer scale), fed by
+    * the actual PNG decode instead of md5-synthesized pixels. With
+    * m_decode_lut this puts both preprocessing stages of the
+    * reference's decode path inside the oracle gate; the oracle blurs
+    * the closed pixel form directly.
+    */
+  def mDecodeBlur(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (w, h) = (16, 12)
+    val w1 = Map(0 -> 6L, 1 -> 4L, 2 -> 1L)
+    val offs = (for (dy <- -2 to 2; dx <- -2 to 2)
+      yield (dy, dx, w1(math.abs(dy)) * w1(math.abs(dx)))).toSeq
+      .toDF("dy", "dx", "wgt")
+    decodedFrames(spark, dir)
+      .join(broadcast(offs))
+      .select(col("doc_id"), (col("y") + col("dy")).as("yo"),
+        (col("x") + col("dx")).as("xo"), (col("wgt") * col("px")).as("contrib"))
+      .filter(col("yo") >= 0 && col("yo") < h && col("xo") >= 0 && col("xo") < w)
+      .groupBy("doc_id", "yo", "xo")
+      .agg(sum(col("contrib")).as("b256"))
+      .select(col("doc_id"), expr("b256 div 256").as("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_px"), sum(col("b")).as("sum_b"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
       .orderBy("doc_id")
   }
 
