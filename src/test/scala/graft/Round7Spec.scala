@@ -158,10 +158,15 @@ class Round7Spec extends SparkSpec {
     val budgets = Map(
       "q1_pricing" -> 2, "q3_topn" -> 1, "q5_multijoin" -> 2,
       "q_salted_join" -> 2, "q_events_hourly" -> 2,
+      "q_asof_join" -> 2, "q_range_join" -> 3, "q_sessionize" -> 2,
+      "q_percentiles" -> 3, "q_histogram" -> 3,
       "v_knn_exact" -> 2, "v_pq" -> 2, "v_ivf_pq" -> 2, "v_bq" -> 3,
+      "v_ivf" -> 2, "v_filtered_store" -> 2,
       "d_minhash_pairs" -> 2, "d_span_dedup" -> 3,
+      "d_exact" -> 2, "d_minhash" -> 2, "d_source_cap" -> 3,
       "t_gopher_quality" -> 1, "t_hash_embed" -> 2, "t_tokens" -> 1,
-      "src_bucketed" -> 1)
+      "t_tfidf" -> 6, "t_curation_pipeline" -> 5,
+      "m_decode_lut" -> 2, "src_bucketed" -> 1)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
