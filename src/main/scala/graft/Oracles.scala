@@ -2164,6 +2164,7 @@ object Oracles {
     "v_flat_store" -> vector("v_knn_exact"),
     "v_bq_store" -> vector("v_bq"),
     "v_filtered_store" -> round3("v_filtered_knn"),
+    "v_opq_store" -> vector("v_opq"),
 
     // benchmark decontamination: distinct-shingle inverted-index join
     // of the corpus against the (broadcastable) eval set

@@ -76,6 +76,7 @@ object SparkEntry {
     "v_bq_recall"     -> (Knn.vBqRecall _),
     "v_bq_store"      -> (Knn.vBqStore _),
     "v_filtered_store" -> (Knn.vFilteredStore _),
+    "v_opq_store"     -> (Knn.vOpqStore _),
     "v_ivf_pq"        -> (Knn.vIvfPq _),
     "v_recall"        -> (Knn.vRecall _),
     "v_ivf_recall"    -> (Knn.vIvfRecall _),

@@ -1268,6 +1268,32 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_opq_store: the persisted rotated-PQ path — the Hadamard
+    * rotation applied at WRITE time (one extra projection in the
+    * encode pass), rotated-space codebooks from the session registry,
+    * rotated queries at search time; everything between is the stock
+    * PqIndexStore lifecycle, and the ranking hash-matches v_opq's
+    * oracle. Demonstrates the OPQ contract at the store level: the
+    * rotation is part of the index schema, invisible to search
+    * callers beyond the same query projection.
+    */
+  def vOpqStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/opq_store_$tag/idx").getAbsolutePath
+    val rotated = withHadamard(corpus(spark, dir).select(col("vec_id"), col("v")), "v", "vr")
+      .select(col("vec_id"), col("vr").as("v"))
+      .transform(graft.Materialize.forceCached)
+    val books = pqCache.computeIfAbsent(modelKey(spark, dir) + "#opq",
+      _ => trainPqBooks(rotated))
+    graft.sources.PqIndexStore.write(rotated, "vec_id", "v", path,
+      model = Some(books))
+    val queries = rotated.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v"))
+    graft.sources.PqIndexStore
+      .search(spark, path, queries, "vec_id", "v", DefaultK)
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_filtered_store: attribute-filtered search on the persisted
     * index — label stored INLINE with the vectors, the filter part of
     * the probe join, hash-matched against v_filtered_knn's oracle
