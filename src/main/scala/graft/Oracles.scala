@@ -250,6 +250,31 @@ object Oracles {
                   SUM(CASE WHEN j >= 4 THEN bit << (j - 4) ELSE 0 END) AS band1
                 FROM bits GROUP BY vec_id)"""
 
+  /** Matryoshka prefix-search replay: coarse cosine over dims 1-16
+    * with prefix norms, top-20 candidates by (psim DESC, neighbor_id),
+    * then exact full-dim cosine on the survivors. Requires `n`
+    * (normsCte) in scope; ends with `mrer` (query_id, neighbor_id,
+    * psim, sim).
+    */
+  private val mrlCte: String = """
+      mp AS (SELECT vec_id, v[1:16] AS vp,
+               sqrt(list_dot_product(v[1:16], v[1:16])) AS np FROM n),
+      mqp AS (SELECT vec_id AS query_id, vp AS qvp, np AS qnp
+              FROM mp WHERE vec_id < 10),
+      mcoarse AS (SELECT query_id, mp.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qvp, mp.vp) / (qnp * mp.np), 6) AS psim
+             FROM mp CROSS JOIN mqp WHERE mp.vec_id <> query_id),
+      mcand AS (SELECT query_id, neighbor_id, psim FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY psim DESC, neighbor_id) AS crnk FROM mcoarse) t
+             WHERE crnk <= 20),
+      mqf AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+              FROM n WHERE vec_id < 10),
+      mrer AS (SELECT c.query_id, c.neighbor_id, c.psim,
+               ROUND(list_dot_product(f.qv, y.v) / (f.qn * y.nrm), 6) AS sim
+             FROM mcand c JOIN n y ON y.vec_id = c.neighbor_id
+               JOIN mqf f ON f.query_id = c.query_id)"""
+
   /** Exact cosine top-5 for queries vec_id<10 (rnk ≤ 5). */
   private val knnCte: String = s"""$normsCte,
       q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
@@ -482,6 +507,33 @@ object Oracles {
       FROM exl2 e LEFT JOIN pqtop p
         ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
       GROUP BY e.query_id ORDER BY e.query_id""",
+
+    // Matryoshka prefix search: coarse cosine over dims 1-16 with
+    // PREFIX norms (each nesting level normalized at its own length),
+    // top-20 candidates, exact full-dim rerank — both phases replayed
+    // (mrlCte ends with mrer = query_id, neighbor_id, psim, sim).
+    "v_matryoshka" -> s"""
+      WITH $normsCte, $mrlCte,
+      mr2 AS (SELECT query_id, neighbor_id, psim, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM mrer)
+      SELECT query_id, rnk, neighbor_id, psim, sim FROM mr2 WHERE rnk <= 5
+      ORDER BY query_id, rnk""",
+
+    "v_matryoshka_recall" -> s"""
+      WITH $knnCte, $mrlCte,
+      mtop AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM mrer) t WHERE rnk <= 5)
+      SELECT t.query_id,
+        CAST(COUNT(m.neighbor_id) AS BIGINT) AS hits,
+        ROUND(COUNT(m.neighbor_id) / 5.0, 6) AS recall
+      FROM top5 t LEFT JOIN mtop m
+        ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id ORDER BY t.query_id""",
 
     "v_bq" -> s"""
       WITH $normsCte, $bqCte

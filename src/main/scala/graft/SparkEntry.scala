@@ -72,6 +72,8 @@ object SparkEntry {
     "v_pq"            -> (Knn.vPq _),
     "v_opq"           -> (Knn.vOpq _),
     "v_opq_recall"    -> (Knn.vOpqRecall _),
+    "v_matryoshka"    -> (Knn.vMatryoshka _),
+    "v_matryoshka_recall" -> (Knn.vMatryoshkaRecall _),
     "v_bq"            -> (Knn.vBq _),
     "v_bq_recall"     -> (Knn.vBqRecall _),
     "v_bq_store"      -> (Knn.vBqStore _),

@@ -823,6 +823,69 @@ object Knn {
       .orderBy("query_id")
   }
 
+  /** v_matryoshka: Matryoshka (MRL) prefix search + full-dim rerank —
+    * the ANN tier for nested-representation embeddings (Kusupati et
+    * al. 2022), where the first d' components of a trained embedding
+    * are themselves a usable lower-dim embedding. Two-phase plan with
+    * the same 100 TB shuffle bill as v_bq:
+    *   1. Coarse phase: cosine over the FIRST 16 of 64 dims only —
+    *      4× less arithmetic per candidate, and the per-candidate
+    *      state through the top-R window shuffle is (query_id,
+    *      neighbor_id, psim) ≈ 24 bytes, never a vector. (A real MRL
+    *      store would keep the prefix as its own column/file so the
+    *      coarse scan reads 16 floats, not 64 — here both live in one
+    *      parquet column, so the win measured is compute + shuffle.)
+    *   2. Rerank phase: the ≤ R·|Q| survivors broadcast back against
+    *      the corpus for full 64-dim cosine — exactly v_refine's
+    *      precision tier.
+    * Prefix cosine normalizes by the PREFIX norms (the standard MRL
+    * serving contract: each nesting level is L2-normalized at its own
+    * length), so coarse scores are true cosines in the 16-dim space.
+    */
+  def vMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val prefixDim = 16
+    val rerankR = 20
+    val e = corpus(spark, dir)
+    val pre = e.select(col("vec_id"), slice(col("v"), 1, prefixDim).as("vp"))
+      .withColumn("np", V.norm2(col("vp")))
+    val qp = pre.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("vp").as("qvp"), col("np").as("qnp"))
+    val coarse = pre.join(broadcast(qp), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qvp"), col("vp")), col("qnp"), col("np")), 6).as("psim"))
+    val wC = Window.partitionBy("query_id").orderBy(col("psim").desc, col("neighbor_id").asc)
+    val cand = coarse.withColumn("crnk", row_number().over(wC))
+      .filter(col("crnk") <= rerankR)
+      .select("query_id", "neighbor_id", "psim")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val reranked = e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("psim"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val wS = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    reranked.withColumn("rnk", row_number().over(wS).cast("long"))
+      .filter(col("rnk") <= DefaultK)
+      .select("query_id", "rnk", "neighbor_id", "psim", "sim")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_matryoshka_recall: recall@5 of the 16-dim-prefix + rerank tier
+    * against exact full-dim cosine top-5 — the quality gate that
+    * quantifies what truncating to the first quarter of the embedding
+    * costs (compare with v_recall / v_bq_recall in the same run).
+    */
+  def vMatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = vKnnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val mrl = vMatryoshka(spark, dir)
+      .select(col("query_id").as("mq"), col("neighbor_id").as("mn"))
+    exact.join(mrl, col("query_id") === col("mq") && col("neighbor_id") === col("mn"), "left")
+      .groupBy("query_id")
+      .agg(count(col("mn")).as("hits"),
+        round(count(col("mn")) / lit(5.0), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Powers of two for one 32-dim half of a binary-quantized vector.
     * 64 dims pack into TWO int64 words (lo = dims 1-32, hi = 33-64)
     * rather than one, because the oracle side (DuckDB) overflow-checks
