@@ -2256,6 +2256,20 @@ object Oracles {
     // the oracle sees only the SEMANTICS (month-filtered join+agg);
     // the partition layout and the DynamicPruningExpression on the
     // fact scan are asserted plan-side in Round6Spec
+    // Z-order rectangle: the oracle scans the RAW table with the same
+    // rectangle predicate — a hash match proves the engine's zone-map
+    // file skipping admitted every needed file. Bounds replicate the
+    // Scala integer arithmetic (// is integer division in DuckDB).
+    "src_zorder" -> s"""
+      WITH b AS (SELECT min(user_id) AS umin, max(user_id) AS umax FROM events)
+      SELECT event_type, COUNT(*) AS n, ${msum("value")} AS sum_value
+      FROM events, b
+      WHERE user_id >= umin + (umax - umin + 1) // 5
+        AND user_id <= umin + (umax - umin + 1) * 3 // 10
+        AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY event_type ORDER BY event_type""",
+
     "src_partitioned" -> s"""
       WITH f AS (SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS o_month,
                    o_orderpriority, o_totalprice

@@ -155,7 +155,8 @@ object SparkEntry {
     "src_json"        -> (graft.sources.Formats.srcJson _),
     "src_orc"         -> (graft.sources.Formats.srcOrc _),
     "src_bucketed"    -> (graft.sources.Formats.srcBucketedJoin _),
-    "src_partitioned" -> (graft.sources.Formats.srcPartitioned _)
+    "src_partitioned" -> (graft.sources.Formats.srcPartitioned _),
+    "src_zorder"      -> (graft.sources.Formats.srcZorder _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -100,6 +100,79 @@ object Formats {
       .orderBy("o_month", "o_orderpriority")
   }
 
+  /** Morton interleave of two 8-bit bucket columns: bit i of `a` lands
+    * at position 2i+1, bit i of `b` at 2i — a single codegen'd integer
+    * projection (16 shift/mask terms OR-folded).
+    */
+  private def morton8(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  /** Z-order clustered events store + zone-map file skipping — the
+    * multi-dimensional half of the layout story (src_partitioned
+    * prunes on ONE partition column; Z-order gives range pruning on
+    * TWO correlated-access columns from a single sort key, the Delta
+    * `OPTIMIZE ZORDER BY` idea). Both dimensions are scaled to 8-bit
+    * value-order buckets via exact integer arithmetic, bit-interleaved
+    * into a 16-bit Morton key, and the table is range-partitioned +
+    * sorted by that key, so every file covers a small rectangle in
+    * (user_id, ts) space instead of a thin slab in one dimension. The
+    * zone map (per-file min/max of both columns — what Delta/Iceberg
+    * keep in their manifests, and parquet keeps per row group) is then
+    * enough to skip most files for a rectangle predicate. Returns the
+    * rectangle aggregate plus (files kept, files total) for the spec;
+    * the oracle checks the aggregate against a full scan of the raw
+    * table — a hash match proves the skip logic admits every needed
+    * file (no false negatives), and the spec asserts kept < total
+    * (pruning actually bites).
+    */
+  private[graft] def zorderRect(spark: SparkSession, dir: String): (DataFrame, Int, Int) = {
+    val out = tmpDir(spark, "zord")
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val r = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
+    val (umin, umax, tmin, tmax) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val ub = (col("user_id") - umin) * 256L / (umax - umin + 1)
+    val tb = (col("ts").cast("long") - tmin) * 256L / (tmax - tmin + 1)
+    ev.withColumn("z", morton8(ub, tb))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(out)
+    val manifest = spark.read.parquet(out)
+      .groupBy(input_file_name().as("path"))
+      .agg(min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
+        min(col("ts").cast("long")).as("t_lo"), max(col("ts").cast("long")).as("t_hi"))
+      .collect()
+    // rectangle: ~10% of the user range × 5 of 30 days
+    val uLo = umin + (umax - umin + 1) / 5
+    val uHi = umin + (umax - umin + 1) * 3 / 10
+    val zone = java.time.ZoneOffset.UTC // session timeZone is UTC (Tables.scala)
+    def sec(d: Int) = java.time.LocalDateTime.of(2024, 1, d, 0, 0).toEpochSecond(zone)
+    val (tLo, tHi) = (sec(10), sec(15))
+    val kept = manifest.filter { f =>
+      f.getLong(2) >= uLo && f.getLong(1) <= uHi &&
+        f.getLong(4) >= tLo && f.getLong(3) < tHi
+    }.map(_.getString(0))
+    val agg = spark.read.parquet(kept: _*)
+      .filter(col("user_id").between(uLo, uHi) &&
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + lit(0.5)).cast("long")) / lit(100.0))
+          .as("sum_value"))
+      .orderBy("event_type")
+    (agg, kept.length, manifest.length)
+  }
+
+  def srcZorder(spark: SparkSession, dir: String): DataFrame =
+    zorderRect(spark, dir)._1
+
   /** src_bucketed: co-located join via bucketing — both fact tables
     * written bucketed+sorted on the join key, then joined through the
     * catalog. The join reads bucket files pairwise: NO shuffle of

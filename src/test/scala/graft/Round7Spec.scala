@@ -148,6 +148,13 @@ class Round7Spec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("src_zorder: zone-map file skipping prunes files without losing rows") {
+    val (agg, kept, total) = graft.sources.Formats.zorderRect(spark, sf)
+    assert(total == 16, s"range partitioning should land 16 files, got $total")
+    assert(kept < total, s"zone maps should prune the rectangle scan, kept=$kept of $total")
+    assert(agg.count() > 0, "rectangle must select rows (else the skip check is vacuous)")
+  }
+
   test("plan budgets: headline queries stay within their shuffle budget") {
     // a regression net over the plans the engine's scale story rests
     // on: each budget is today's count for a representative query of
