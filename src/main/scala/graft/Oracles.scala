@@ -766,6 +766,45 @@ object Oracles {
   )
 
   val dedup: Map[String, String] = Map(
+    // Bloom-filter membership: replays Dedup.dBloom — m = 16n bits,
+    // k = 4 double-hashed md5 probes, 32-bit words (1 << 63 would
+    // overflow-check here), cohort gates computed by the same SQL
+    "d_bloom" -> """
+      WITH ins AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      par AS (SELECT CAST(COUNT(*) AS BIGINT) AS nins FROM ins),
+      mb AS (SELECT 32 * ((16 * nins + 31) // 32) AS mbits FROM par),
+      keys AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5('bloomA_' || text), 1, 15)) AS BIGINT)
+                   % mbits AS ha,
+                 CAST(('0x' || substr(md5('bloomB_' || text), 1, 15)) AS BIGINT)
+                   % (mbits - 1) + 1 AS hb,
+                 mbits
+               FROM documents, mb),
+      pos AS (SELECT doc_id, (ha + i * hb) % mbits AS p
+              FROM keys CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g),
+      words AS (SELECT p // 32 AS word,
+                  bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+                FROM pos WHERE doc_id % 5 <> 0 GROUP BY p // 32),
+      hit AS (SELECT pr.doc_id,
+                MIN(CASE WHEN (w.bits >> CAST(pr.p % 32 AS INT)) & 1 = 1
+                    THEN 1 ELSE 0 END) AS inb
+              FROM pos pr LEFT JOIN words w ON w.word = pr.p // 32
+              GROUP BY pr.doc_id),
+      cohorts AS (SELECT d.doc_id,
+                    CASE WHEN d.doc_id % 5 <> 0 THEN 'inserted'
+                      WHEN EXISTS (SELECT 1 FROM ins i WHERE i.text = d.text)
+                        THEN 'dup_of_inserted'
+                      ELSE 'new' END AS cohort
+                  FROM documents d),
+      agg AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(inb) AS BIGINT) AS hits
+              FROM cohorts JOIN hit USING (doc_id) GROUP BY cohort)
+      SELECT cohort, n, hits,
+        ROUND(CAST(hits AS DOUBLE) / n, 6) AS hit_rate,
+        CASE WHEN cohort = 'new' THEN CAST(hits AS DOUBLE) / n <= 0.02
+          ELSE hits = n END AS ok
+      FROM agg ORDER BY cohort""",
+
     // fixed-k word-span dedup: replays Dedup.dSpanDedup — distinct
     // 5-word-span md5 hashes per doc, corpus-wide occurrence count,
     // per-doc duplicated fraction

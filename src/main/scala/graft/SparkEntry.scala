@@ -106,6 +106,7 @@ object SparkEntry {
     "d_cdc_chunks"    -> (Dedup.dCdcChunks _),
     "d_chunk_dedup"   -> (Dedup.dChunkDedup _),
     "d_pipeline"      -> (Dedup.dPipeline _),
+    "d_bloom"         -> (Dedup.dBloom _),
     "d_span_dedup"    -> (Dedup.dSpanDedup _),
     "d_semdedup"      -> (Dedup.dSemdedup _),
     "d_source_cap"    -> (Dedup.dSourceCap _),

@@ -609,4 +609,63 @@ object Dedup {
       .select("doc_id", "source", "keep_rank")
       .orderBy("doc_id")
   }
+
+  /** d_bloom: Bloom-filter membership — the cross-batch "have we
+    * already ingested this document" check a streaming curation
+    * pipeline runs before the expensive dedup stages (a new batch
+    * probes yesterday's filter; only misses proceed to MinHash/CC).
+    * Fully deterministic and oracle-replayed: the filter is m = 16n
+    * bits (k = 4 double-hashed md5 probes, positions (hA + i·hB) mod
+    * m), built as a (word, bits) table via bit_or over 32-bit words —
+    * 32, not 64, because DuckDB overflow-checks `1::BIGINT << 63`
+    * where the JVM would wrap (same constraint as v_bq's packing).
+    *
+    * "Inserted" = doc_id % 5 ≠ 0 (yesterday's 80%); every doc probes.
+    * Cohort gates computed identically by both engines:
+    *   - inserted         → hits = n  (a Bloom filter has NO false negatives)
+    *   - dup_of_inserted  → hits = n  (held-out text equal to an inserted
+    *                        one maps to the same positions — a TRUE positive:
+    *                        exactly the dup the production check exists to catch)
+    *   - new              → fp rate ≤ 2% (theory: (1−e^(−1/4))⁴ ≈ 0.24%)
+    *
+    * Scale shape: the filter build is one explode + group-by on word
+    * (m/32 ≈ n/2 rows); the probe is an equi-join on word. Neither
+    * side ever holds the whole filter in one task, and the filter
+    * table itself shards — unlike a driver-side
+    * `DataFrameStatFunctions.bloomFilter`, which must fit in one heap.
+    */
+  def dBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val nIns = docs.filter(col("doc_id") % 5 =!= 0).count()
+    val mBits = 32L * ((16L * nIns + 31L) / 32L)
+    val keyed = docs.select(col("doc_id"),
+      (H.md5Long(concat(lit("bloomA_"), col("text")), 15) % mBits).as("ha"),
+      (H.md5Long(concat(lit("bloomB_"), col("text")), 15) % (mBits - 1) + 1).as("hb"))
+    val pos = keyed.select(col("doc_id"),
+        explode(array((0 until 4).map(i => (col("ha") + lit(i.toLong) * col("hb")) % mBits): _*))
+          .as("p"))
+      .select(col("doc_id"), (col("p") / 32).cast("long").as("word"),
+        (col("p") % 32).cast("int").as("bit"))
+    val words = pos.filter(col("doc_id") % 5 =!= 0)
+      .groupBy("word")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+    val inb = pos.join(words, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(min(when(expr("shiftright(bits, bit) & 1") === 1, 1).otherwise(0)).as("inb"))
+    val insTexts = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("text").as("ins_text")).distinct()
+    val cohorts = docs.join(insTexts, col("text") === col("ins_text"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 =!= 0, "inserted")
+          .when(col("ins_text").isNotNull, "dup_of_inserted")
+          .otherwise("new").as("cohort"))
+    cohorts.join(inb, "doc_id")
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"), sum(col("inb")).as("hits"))
+      .select(col("cohort"), col("n"), col("hits"),
+        round(col("hits").cast("double") / col("n"), 6).as("hit_rate"),
+        when(col("cohort") === "new", col("hits").cast("double") / col("n") <= 0.02)
+          .otherwise(col("hits") === col("n")).as("ok"))
+      .orderBy("cohort")
+  }
 }
