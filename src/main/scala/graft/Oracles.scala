@@ -953,6 +953,28 @@ object Oracles {
       ORDER BY sim DESC, id1 ASC, id2 ASC LIMIT 50"""
   )
 
+  /** Corpus bigram LM replay (TextAnalysis.docBigrams + tBigramLm):
+    * whitespace tokens → bigrams → corpus-wide bigram log-probs →
+    * per-doc sorted log-prob lists. Ends with `ag` (doc_id, n_bigrams,
+    * lps). Plain (non-interpolated) literal — the regex backslash must
+    * not pass through an s-interpolator.
+    */
+  private val bigramLmCte: String = """
+      tk2 AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t <> '') AS toks
+             FROM documents),
+      bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+             FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                   FROM tk2) u),
+      st AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM st),
+      sc AS (SELECT doc_id, bg.bigram, ln(cnt / CAST(n_total AS DOUBLE)) AS lp
+             FROM bg JOIN st ON bg.bigram = st.bigram CROSS JOIN tot),
+      ag AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+               list(lp ORDER BY bigram, lp) AS lps
+             FROM sc GROUP BY doc_id)"""
+
   val text: Map[String, String] = Map(
     // Gopher rule set: integer token-array sums + one double division
     // per feature, written exactly as TextAnalysis.tGopherQuality
@@ -1957,24 +1979,29 @@ object Oracles {
         COUNT(DISTINCT (user_id || '_' || strftime(ts, '%Y-%m-%d'))) AS n_user_days
       FROM events GROUP BY event_type ORDER BY event_type""",
 
-    "t_bigram_lm" -> """
-      WITH tk2 AS (SELECT doc_id,
-               list_filter(regexp_split_to_array(trim(text), '\s+'),
-                           t -> t <> '') AS toks
-             FROM documents),
-      bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
-             FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
-                   FROM tk2) u),
-      st AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
-      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM st),
-      sc AS (SELECT doc_id, bg.bigram, ln(cnt / CAST(n_total AS DOUBLE)) AS lp
-             FROM bg JOIN st ON bg.bigram = st.bigram CROSS JOIN tot),
-      ag AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-               list(lp ORDER BY bigram, lp) AS lps
-             FROM sc GROUP BY doc_id)
+    "t_bigram_lm" -> s"""
+      WITH $bigramLmCte
       SELECT doc_id, n_bigrams,
         ROUND(list_reduce(lps, (a, b) -> a + b) / n_bigrams, 6) AS avg_logprob
       FROM ag ORDER BY doc_id""",
+
+    // perplexity filter: bottom decile of the bigram-LM score PER
+    // LANGUAGE (CCNet-style; the per-lang window keeps each sort
+    // sharded). Replays t_bigram_lm, then rank vs n_lang // 10.
+    "t_ppl_filter" -> s"""
+      WITH $bigramLmCte,
+      lm AS (SELECT doc_id,
+               ROUND(list_reduce(lps, (a, b) -> a + b) / n_bigrams, 6) AS avg_logprob
+             FROM ag),
+      j AS (SELECT lm.doc_id, d.lang, avg_logprob
+            FROM lm JOIN documents d USING (doc_id)),
+      r AS (SELECT *,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY avg_logprob, doc_id) AS rn,
+              COUNT(*) OVER (PARTITION BY lang) AS n_lang FROM j)
+      SELECT doc_id, lang, ROUND(exp(-avg_logprob), 6) AS ppl,
+        rn <= n_lang // 10 AS flagged
+      FROM r ORDER BY doc_id""",
 
     "q_scd2" -> """
       WITH ch AS (SELECT user_id, event_id, ts, event_type,

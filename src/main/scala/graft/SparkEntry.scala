@@ -129,6 +129,7 @@ object SparkEntry {
     "t_readability"   -> (TextAnalysis.tReadability _),
     "t_entropy"       -> (TextAnalysis.tEntropy _),
     "t_bigram_lm"     -> (TextAnalysis.tBigramLm _),
+    "t_ppl_filter"    -> (TextAnalysis.tPplFilter _),
     // E. multimodal (stubs per SURVEY §2.E — no image libs in env)
     "m_bbox"          -> (ImagePipeline.mBbox _),
     "m_fake_embed"    -> (ImagePipeline.mFakeEmbed _),

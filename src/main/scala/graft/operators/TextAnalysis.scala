@@ -352,6 +352,31 @@ object TextAnalysis {
     * deterministically (sorted list, 0.0-seeded left fold ≡ DuckDB
     * list_reduce — same trick as t_entropy).
     */
+  /** t_ppl_filter: perplexity filter — the classic CCNet-style quality
+    * cut: score every document by the corpus bigram LM (t_bigram_lm's
+    * mean log-prob), convert to perplexity, and flag the WORST DECILE
+    * PER LANGUAGE (per-lang cuts are the production norm — a uniform
+    * global threshold just drops whichever language the LM models
+    * worst). Scale shape: the ranking window partitions by lang, so
+    * each shard sorts in parallel and no global sort exists; the cut
+    * rank n_lang/10 comes from a count window over the same partition
+    * (no driver pass, no second scan).
+    */
+  def tPplFilter(spark: SparkSession, dir: String): DataFrame = {
+    val lm = tBigramLm(spark, dir).select("doc_id", "avg_logprob")
+    val langs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_logprob").asc, col("doc_id").asc)
+    val wLang = Window.partitionBy("lang")
+    lm.join(langs, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_lang", count(lit(1)).over(wLang))
+      .select(col("doc_id"), col("lang"),
+        round(exp(-col("avg_logprob")), 6).as("ppl"),
+        (col("rn") <= floor(col("n_lang") / 10)).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   def tBigramLm(spark: SparkSession, dir: String): DataFrame = {
     val bg = docBigrams(spark, dir)
     val stats = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
