@@ -2167,6 +2167,28 @@ object Oracles {
       ORDER BY hamming, doc1, doc2 LIMIT 20"""
     },
 
+    // linear-interp resample replay: identical expression order keeps
+    // the doubles bit-equal; sums run over integer-quantized samples
+    "m_audio_resample" -> """
+      WITH js AS (SELECT unnest(generate_series(0, 319)) AS j),
+      ds AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+      pos AS (SELECT doc_id, j, (j * 511) / 319.0 AS p FROM ds CROSS JOIN js),
+      ip AS (SELECT doc_id, j, p, CAST(floor(p) AS BIGINT) AS i0,
+               p - CAST(floor(p) AS BIGINT) AS fr FROM pos),
+      sm AS (SELECT doc_id, j, fr,
+               CAST(('0x' || substr(md5('pcm_' || doc_id || '_' || i0), 1, 2))
+                 AS BIGINT) - 128 AS s0,
+               CAST(('0x' || substr(md5('pcm_' || doc_id || '_' ||
+                   LEAST(i0 + 1, 511)), 1, 2)) AS BIGINT) - 128 AS s1
+             FROM ip),
+      o AS (SELECT doc_id,
+              CAST(ROUND((s0 * (1.0 - fr) + s1 * fr) * 1000, 0) AS BIGINT) AS q
+            FROM sm)
+      SELECT doc_id, COUNT(*) AS n_out, CAST(SUM(q) AS BIGINT) AS checksum,
+        CAST(SUM(q * q) AS BIGINT) AS sumsq,
+        ROUND(sqrt(CAST(SUM(q * q) AS DOUBLE) / COUNT(*)) / 1000, 6) AS rms
+      FROM o GROUP BY doc_id ORDER BY doc_id""",
+
     "m_audio_energy" -> """
       WITH fr AS (SELECT unnest(generate_series(0, 7)) AS frame),
       ss AS (SELECT unnest(generate_series(0, 63)) AS i),

@@ -203,6 +203,42 @@ object ImagePipeline {
     * (asset, frame) — partition-local when assets are the partition
     * key.
     */
+  /** m_audio_resample: linear-interpolation sample-rate conversion —
+    * the audio twin of m_resize (the preprocessing step that puts
+    * heterogeneous-rate audio on the model's fixed input rate). Each
+    * doc's 512-sample synthetic PCM clip (same md5 source as
+    * m_audio_energy) resamples to 320 samples: output j reads source
+    * position p = j·511/319, out = s₀·(1−frac) + s₁·frac. One
+    * codegen'd projection per output sample — sequence/explode, two
+    * md5 taps, no shuffle until the per-doc aggregate. Results fold
+    * to integer-quantized checksums (q = round(out·1000)) so the
+    * per-doc sums are order-independent exact int64 arithmetic — the
+    * same fp-ambiguity dodge as m_audio_energy's integer energy.
+    */
+  def mAudioResample(spark: SparkSession, dir: String): DataFrame = {
+    val nIn = 512
+    val nOut = 320
+    def sampleAt(doc: Column, i: Column): Column =
+      (H.md5Long(concat(lit("pcm_"), doc.cast("string"), lit("_"),
+        i.cast("string")), 2) - 128).cast("double")
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(nOut - 1))).as("j"))
+      .withColumn("p", col("j") * lit(nIn - 1) / lit((nOut - 1).toDouble))
+      .withColumn("i0", floor(col("p")).cast("long"))
+      .withColumn("fr", col("p") - col("i0"))
+      .withColumn("out",
+        sampleAt(col("doc_id"), col("i0")) * (lit(1.0) - col("fr")) +
+          sampleAt(col("doc_id"), least(col("i0") + 1, lit(nIn - 1).cast("long"))) * col("fr"))
+      .withColumn("q", round(col("out") * 1000, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_out"), sum(col("q")).as("checksum"),
+        sum(col("q") * col("q")).as("sumsq"))
+      .select(col("doc_id"), col("n_out"), col("checksum"), col("sumsq"),
+        round(sqrt(col("sumsq").cast("double") / col("n_out")) / 1000, 6).as("rms"))
+      .orderBy("doc_id")
+  }
+
   def mAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
     val frames = 8
     val spf = 64 // samples per frame
