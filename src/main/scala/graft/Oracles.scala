@@ -766,6 +766,56 @@ object Oracles {
   )
 
   val dedup: Map[String, String] = Map(
+    // URL-canonicalization dedup: derives the identical messy URL
+    // from (doc_id, source), then replays every canonicalizer step
+    // with split-at-delimiter parsing (no regex, no backslashes)
+    "d_url_dedup" -> """
+      WITH u AS (SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+          (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+          source || '.Example.COM' ||
+          '/docs/' || (doc_id % 50) ||
+          (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+          (CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0
+                  THEN '?utm_source=feed&page=' || (doc_id % 3)
+                WHEN doc_id % 2 = 0
+                  THEN '?utm_source=feed&utm_campaign=c' || (doc_id % 4)
+                WHEN doc_id % 5 = 0 THEN '?page=' || (doc_id % 3)
+                ELSE '' END) ||
+          (CASE WHEN doc_id % 3 = 1 THEN '#sec' || (doc_id % 4) ELSE '' END)
+            AS url
+        FROM documents),
+      p2 AS (SELECT doc_id,
+               split_part(split_part(url, '#', 1), '://', 2) AS body FROM u),
+      p3 AS (SELECT doc_id, body,
+               lower(split_part(body, '/', 1)) AS host0 FROM p2),
+      p4 AS (SELECT doc_id,
+               CASE WHEN starts_with(host0, 'www.') THEN substr(host0, 5)
+                 ELSE host0 END AS host,
+               substr(body, length(host0) + 1) AS tail FROM p3),
+      p5 AS (SELECT doc_id, host, tail,
+               split_part(tail, '?', 1) AS path0 FROM p4),
+      p6 AS (SELECT doc_id, host, path0,
+               CASE WHEN length(tail) > length(path0)
+                 THEN substr(tail, length(path0) + 2) ELSE '' END AS query
+             FROM p5),
+      p7 AS (SELECT doc_id, host, path0,
+               -- array_to_string([]) is NULL in DuckDB, '' in Spark
+               coalesce(array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '')
+                 AS params
+             FROM p6),
+      canon AS (SELECT doc_id,
+          'https://' || host ||
+          (CASE WHEN path0 <> '/' AND ends_with(path0, '/')
+                THEN substr(path0, 1, length(path0) - 1) ELSE path0 END) ||
+          (CASE WHEN params = '' THEN '' ELSE '?' || params END)
+            AS canonical_url
+        FROM p7)
+      SELECT canonical_url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+      FROM canon GROUP BY canonical_url ORDER BY canonical_url""",
+
     // Bloom-filter membership: replays Dedup.dBloom — m = 16n bits,
     // k = 4 double-hashed md5 probes, 32-bit words (1 << 63 would
     // overflow-check here), cohort gates computed by the same SQL

@@ -610,6 +610,75 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** URL canonicalizer: lowercase scheme/host, strip `www.`, drop the
+    * fragment, drop `utm_*` tracking params, sort surviving params,
+    * strip one trailing slash on non-root paths, normalize the scheme
+    * to https. Pure string/array expressions (split-at-delimiter
+    * parsing, no regex — keeps the DuckDB twin backslash-free and the
+    * two engines' semantics trivially identical); one codegen'd
+    * projection per row, no shuffle.
+    */
+  private[graft] def canonicalUrl(u: Column): Column = {
+    val noFrag = substring_index(u, "#", 1)
+    val body = substring_index(noFrag, "://", -1)
+    val host0 = lower(substring_index(body, "/", 1))
+    val host = when(startswith(host0, lit("www.")),
+      substring(host0, lit(5), length(host0))).otherwise(host0)
+    val tail = substring(body, length(host0) + 1, length(body)) // starts with '/'
+    val path0 = substring_index(tail, "?", 1)
+    val query = when(length(tail) > length(path0),
+      substring(tail, length(path0) + 2, length(tail))).otherwise(lit(""))
+    val params = array_join(
+      array_sort(filter(split(query, "&"),
+        p => p =!= "" && !startswith(p, lit("utm_")))), "&")
+    val path = when(path0 =!= "/" && endswith(path0, lit("/")),
+      substring(path0, lit(1), length(path0) - 1)).otherwise(path0)
+    concat(lit("https://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
+  /** Deterministic messy URL per document. The documents table has no
+    * URL column, so both engines synthesize the identical string from
+    * (doc_id, source) — the same closed-form-derivation trick as the
+    * synthetic-PNG decode gate (ImageDecode). The derivation exercises
+    * every normalization the canonicalizer performs: scheme case,
+    * `www.`, host case, trailing slash, utm_* tracking params, and
+    * fragments, each keyed off different doc_id residues.
+    */
+  private def messyUrl(doc: Column, source: Column): Column = {
+    val scheme = when(doc % 2 === 0, "https").otherwise("HTTP")
+    val www = when(doc % 3 === 0, "WWW.").otherwise("")
+    val path = concat(lit("/docs/"), (doc % 50).cast("string"),
+      when(doc % 7 === 0, "/").otherwise(""))
+    val q = when(doc % 2 === 0 && doc % 5 === 0,
+        concat(lit("?utm_source=feed&page="), (doc % 3).cast("string")))
+      .when(doc % 2 === 0,
+        concat(lit("?utm_source=feed&utm_campaign=c"), (doc % 4).cast("string")))
+      .when(doc % 5 === 0, concat(lit("?page="), (doc % 3).cast("string")))
+      .otherwise("")
+    val frag = when(doc % 3 === 1,
+      concat(lit("#sec"), (doc % 4).cast("string"))).otherwise("")
+    concat(scheme, lit("://"), www, source, lit(".Example.COM"), path, q, frag)
+  }
+
+  /** d_url_dedup: URL-canonicalization dedup — the crawl-side dedup
+    * that runs BEFORE any content hashing (the same page fetched as
+    * http://WWW.Site.com/a/?utm_source=feed#top and
+    * https://site.com/a is one document; CommonCrawl-style pipelines
+    * collapse these first because it needs no text at all). Groups by
+    * canonicalUrl and keeps the smallest doc_id per group. One
+    * map-side canonicalization projection + one group-by on the
+    * canonical key — at 100 TB this is a plain hash-shuffled
+    * aggregate, no pair space, no skew beyond genuinely-hot URLs.
+    */
+  def dUrlDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        canonicalUrl(messyUrl(col("doc_id"), col("source"))).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy("canonical_url")
+
   /** d_bloom: Bloom-filter membership — the cross-batch "have we
     * already ingested this document" check a streaming curation
     * pipeline runs before the expensive dedup stages (a new batch
