@@ -19,6 +19,35 @@ object Oracles {
     s"SUM(CAST(FLOOR(($expr) * 100 + 0.5) AS BIGINT)) / 100.0"
 
   val relational: Map[String, String] = Map(
+    "q6_forecast" -> s"""
+      SELECT ${msum("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q14_promo" -> s"""
+      SELECT l_month, promo_rev, total_rev,
+        ROUND(promo_rev * 100.0 / total_rev, 6) AS promo_pct
+      FROM (
+        SELECT substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS l_month,
+          SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+              AS BIGINT) ELSE 0 END) / 100.0 AS promo_rev,
+          ${msum("l_extendedprice * (1 - l_discount)")} AS total_rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1) t ORDER BY l_month""",
+
+    "q18_bigorders" -> """
+      WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                   FROM lineitem GROUP BY l_orderkey
+                   HAVING SUM(l_quantity) > 300)
+      SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+      FROM orders JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     "q1_pricing" -> s"""
       SELECT l_returnflag, l_linestatus,
         ${msum("l_quantity")} AS sum_qty,

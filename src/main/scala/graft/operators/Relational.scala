@@ -91,6 +91,66 @@ object Relational {
   }
 
   /** Returned-item customer ranking (TPC-H Q10 shape), top-20. */
+  /** q6_forecast (TPC-H Q6 shape): revenue-change forecast — a pure
+    * filter + scalar aggregate. The whole query is one scan with every
+    * predicate pushed to parquet (date range, discount band, quantity
+    * cap) and a map-side partial sum; no shuffle carries more than one
+    * row per task. The canonical "does the engine push down and
+    * prune" probe.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** q14_promo (TPC-H Q14 shape): promotion revenue share per month —
+    * the part dimension broadcasts, revenue folds as exact integer
+    * cents (both the promo-only and total sums), and the share is a
+    * division of the two cents sums, so the ratio is fp-unambiguous.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("l_month"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO",
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .otherwise(lit(0L))) / lit(100.0)).as("promo_rev"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_rev"))
+      .select(col("l_month"), col("promo_rev"), col("total_rev"),
+        round(col("promo_rev") * 100.0 / col("total_rev"), 6).as("promo_pct"))
+      .orderBy("l_month")
+  }
+
+  /** q18_bigorders (TPC-H Q18 shape): large-volume customers — the
+    * quantity group-by prunes to the few qualifying orders BEFORE any
+    * join (map-side partial sums; HAVING > 300 keeps a handful), then
+    * the tiny survivor set drives broadcast joins against orders and
+    * customer. At 100 TB the only big shuffle is the l_orderkey
+    * aggregate; the joins never move the fact table.
+    */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
   def q10Returned(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val nation = Tables.nation(spark, dir)
