@@ -2246,6 +2246,28 @@ object Oracles {
       ORDER BY hamming, doc1, doc2 LIMIT 20"""
     },
 
+    // shot-boundary replay: per-bin rows + LAG instead of the engine's
+    // array zip — the L1 sums are exact int64 either way
+    "m_shot_detect" -> """
+      WITH fr AS (SELECT doc_id,
+               unnest(generate_series(0, doc_id % 60 + 29)) AS frame
+             FROM documents WHERE doc_id < 30),
+      sc AS (SELECT doc_id, frame, frame // (doc_id % 5 + 8) AS scene FROM fr),
+      bs AS (SELECT unnest(generate_series(0, 7)) AS b),
+      bins AS (SELECT doc_id, frame, b,
+                 CAST(('0x' || substr(md5('hist_' || doc_id || '_' || scene
+                   || '_' || b), 1, 2)) AS BIGINT) +
+                 CAST(('0x' || substr(md5('nz_' || doc_id || '_' || frame
+                   || '_' || b), 1, 1)) AS BIGINT) % 8 AS h
+               FROM sc CROSS JOIN bs),
+      d AS (SELECT doc_id, frame, b, h,
+              LAG(h) OVER (PARTITION BY doc_id, b ORDER BY frame) AS hp
+            FROM bins),
+      l1 AS (SELECT doc_id, frame, CAST(SUM(ABS(h - hp)) AS BIGINT) AS l1_dist
+             FROM d WHERE hp IS NOT NULL GROUP BY doc_id, frame)
+      SELECT doc_id, frame, l1_dist FROM l1 WHERE l1_dist > 200
+      ORDER BY doc_id, frame""",
+
     // linear-interp resample replay: identical expression order keeps
     // the doubles bit-equal; sums run over integer-quantized samples
     "m_audio_resample" -> """

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{HashFns => H}
 
@@ -143,6 +144,47 @@ object ImagePipeline {
     * sequence+explode shape is the real Spark-side plumbing a frame
     * extractor UDF batches over; only the decode is a stub.
     */
+  /** m_shot_detect: video shot-boundary detection — consecutive-frame
+    * histogram differencing, the standard first pass of any video
+    * curation pipeline (split into shots, then sample/caption per
+    * shot). Each synthetic "video" (doc_id < 30, n = doc_id%60+30
+    * frames, shot length doc_id%5+8) carries an 8-bin gray histogram
+    * per frame: a per-SCENE md5 base + small per-frame md5 noise, so
+    * within a shot the L1 distance between consecutive histograms is
+    * ≤ 56 while across a cut it is ~680 — threshold 200 separates
+    * them exactly, keeping the detector oracle-checkable (the oracle
+    * recomputes the same closed form; the ground-truth scene id never
+    * reaches the detector, only the histograms do).
+    *
+    * Scale shape: histograms are one map-side array projection; the
+    * only shuffle is the per-video lag window (partitioned by doc_id,
+    * like q_sessionize — each video sorts independently); the L1 fold
+    * is exact int64 arithmetic.
+    */
+  def mShotDetect(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("doc_id") % 60 + 29)).as("frame"))
+      .withColumn("scene",
+        floor(col("frame") / (col("doc_id") % 5 + 8)).cast("long"))
+    val hist = frames.withColumn("hist",
+      transform(sequence(lit(0), lit(7)), b =>
+        H.md5Long(concat(lit("hist_"), col("doc_id").cast("string"), lit("_"),
+          col("scene").cast("string"), lit("_"), b.cast("string")), 2) +
+        H.md5Long(concat(lit("nz_"), col("doc_id").cast("string"), lit("_"),
+          col("frame").cast("string"), lit("_"), b.cast("string")), 1) % 8))
+    val w = Window.partitionBy("doc_id").orderBy("frame")
+    hist.withColumn("prev", lag(col("hist"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("l1_dist",
+        aggregate(zip_with(col("hist"), col("prev"), (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .filter(col("l1_dist") > 200)
+      .select(col("doc_id"), col("frame"), col("l1_dist"))
+      .orderBy("doc_id", "frame")
+  }
+
   def mFrameSample(spark: SparkSession, dir: String): DataFrame = {
     val fps = 30
     Tables.documents(spark, dir)
