@@ -2406,6 +2406,7 @@ object Oracles {
     "v_bq_store" -> vector("v_bq"),
     "v_filtered_store" -> round3("v_filtered_knn"),
     "v_opq_store" -> vector("v_opq"),
+    "v_ivf_pq_store" -> vector("v_ivf_pq"),
 
     // benchmark decontamination: distinct-shingle inverted-index join
     // of the corpus against the (broadcastable) eval set

@@ -1298,6 +1298,26 @@ object Knn {
     * codes + codebook sidecar written to disk, ADC search over the
     * loaded index, hash-matched against v_pq's oracle.
     */
+  /** v_ivf_pq_store: lifecycle gate for the persisted IVF-PQ index —
+    * write (both models from the session registry, never retrained)
+    * then search; shares v_ivf_pq's oracle, so a hash match proves
+    * the list-partitioned code layout + dual sidecars reproduce the
+    * in-session combined tier exactly.
+    */
+  def vIvfPqStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/ivfpq_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.IvfPqIndexStore.write(emb, "vec_id", "embedding", path,
+      ivfModel = Some(ivfCentroids(spark, dir)),
+      pqModel = Some(pqBooksFor(spark, dir)))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.IvfPqIndexStore
+      .search(spark, path, queries, "vec_id", "embedding", DefaultK)
+      .orderBy("query_id", "rnk")
+  }
+
   def vPqStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     val path = new java.io.File(s"target/pq_store_$tag/idx").getAbsolutePath

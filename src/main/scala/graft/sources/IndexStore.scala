@@ -262,9 +262,13 @@ object IvfIndexStore {
     * lists ranked per query against the literal centroid set (sorted
     * (desc sim, asc cid) structs — the ivfProbe formula).
     */
-  private def probeFrame(queries: DataFrame, idCol: String, vecCol: String,
-                         centroids: Array[(Int, Array[Double])],
-                         nprobe: Int): DataFrame = {
+  /** Probe rows for an already-prepared (vec_id, v, nrm) query frame —
+    * shared with IvfPqIndexStore, which prunes the same way but scores
+    * by ADC.
+    */
+  private[sources] def probeOf(q: DataFrame,
+                               centroids: Array[(Int, Array[Double])],
+                               nprobe: Int): DataFrame = {
     val cands = array_sort(array(centroids.map { case (cid, cv) =>
       val cn = math.sqrt(cv.map(x => x * x).sum)
       struct(
@@ -272,11 +276,15 @@ object IvfIndexStore {
           .as("nsim"),
         lit(cid).as("cid"))
     }: _*))
-    prepared(queries, idCol, vecCol)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    q.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       .withColumn("pcid", explode(transform(
         slice(cands, 1, nprobe), s => s.getField("cid"))))
   }
+
+  private def probeFrame(queries: DataFrame, idCol: String, vecCol: String,
+                         centroids: Array[(Int, Array[Double])],
+                         nprobe: Int): DataFrame =
+    probeOf(prepared(queries, idCol, vecCol), centroids, nprobe)
 
   private def rescored(index: DataFrame, qProbe: DataFrame, k: Int): DataFrame = {
     val scored = index.join(broadcast(qProbe),
@@ -414,6 +422,94 @@ object PqIndexStore {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val qdt = Knn.pqQueryTables(spark, qs, books)
     val scored = coded.join(qdt, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), Knn.adcDistCol.as("adc_dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
+}
+
+/** Persistent IVF-PQ index — the production faiss shape (IndexIVFPQ):
+  * coarse lists for PRUNING and compressed codes for SCAN ECONOMY in
+  * one layout. Rows are (vec_id, codes) PARTITIONED BY cid; two tiny
+  * sidecars hold the coarse quantizer ($path.centroids — the
+  * IvfIndexStore format) and the ADC codebooks ($path.books — the
+  * PqIndexStore format). A probe therefore reads only its nprobe
+  * list directories AND those reads are 8-byte code blobs, not
+  * 512-byte floats: corpus · nprobe/nlist · (8B/512B) bytes per
+  * query batch — the two orthogonal savings faiss composes, composed
+  * the same way. Codes quantize the RAW vectors (not residuals),
+  * mirroring Knn.vIvfPq exactly, so the persisted path shares
+  * v_ivf_pq's oracle.
+  */
+object IvfPqIndexStore {
+  import graft.operators.Knn
+
+  private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", V.norm2(col("v")))
+
+  /** Persist list-partitioned codes + both sidecars. Pass the models
+    * from the session registry when they exist — a write never repeats
+    * a training pass the session already paid for (train once, serve
+    * and persist many).
+    */
+  def write(df: DataFrame, idCol: String, vecCol: String, path: String,
+            ivfModel: Option[Array[(Int, Array[Double])]] = None,
+            pqModel: Option[Array[Array[Array[Double]]]] = None): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = prepared(df, idCol, vecCol)
+    val centroids = ivfModel.getOrElse(Knn.trainIvf(e))
+    val books = pqModel.getOrElse(Knn.trainPqBooks(e.select(col("vec_id"), col("v"))))
+    Knn.withCid(e, centroids)
+      .select(col("vec_id"), col("cid"), Knn.pqCodesCol(books).as("codes"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    centroids.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$path.centroids")
+    books.zipWithIndex.flatMap { case (perM, m) =>
+      perM.zipWithIndex.map { case (cv, k) => (m, k, cv.toSeq) }
+    }.toSeq.toDF("m", "k", "cv")
+      .write.mode("overwrite").parquet(s"$path.books")
+  }
+
+  /** faiss add(): assign new vectors with the FROZEN coarse quantizer,
+    * encode with the FROZEN codebooks, dynamic-append into the list
+    * directories — no retrain, no rewrite, probes cover the union.
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val centroids = IvfIndexStore.readCentroids(spark, path)
+    val books = PqIndexStore.readBooks(spark, path)
+    Knn.withCid(prepared(df, idCol, vecCol), centroids)
+      .select(col("vec_id"), col("cid"), Knn.pqCodesCol(books).as("codes"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
+  /** nprobe-pruned ADC top-k: probed list ids apply to the scan as a
+    * static IN filter (file-level pruning — the small-query contract,
+    * like IvfIndexStore.search), per-query ADC lookup tables ride the
+    * broadcast, distance is a per-row fold over the codes array, and
+    * the top-k window is the only shuffle.
+    */
+  def search(spark: SparkSession, path: String, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             nprobe: Int = Knn.IvfNprobe): DataFrame = {
+    val centroids = IvfIndexStore.readCentroids(spark, path)
+    val books = PqIndexStore.readBooks(spark, path)
+    val q = prepared(queries, idCol, vecCol)
+    val qProbe = IvfIndexStore.probeOf(q, centroids, nprobe)
+      .select("query_id", "pcid")
+    val qs = q.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qdt = Knn.pqQueryTables(spark, qs, books)
+    val probes = qProbe.join(qdt, "query_id")
+    val probedCids = qProbe.select("pcid").distinct().collect().map(_.getInt(0)).toSeq
+    val coded = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids: _*)) // static file-level pruning
+    val scored = coded.join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), Knn.adcDistCol.as("adc_dist"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)

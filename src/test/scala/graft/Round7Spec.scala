@@ -186,6 +186,24 @@ class Round7Spec extends SparkSpec {
     assert(over.isEmpty, s"shuffle budget exceeded: ${over.mkString(", ")}")
   }
 
+  test("IvfPqIndexStore: frozen-model append equals a single write") {
+    import graft.sources.IvfPqIndexStore
+    val emb = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_store").toString
+    IvfPqIndexStore.write(emb, "vec_id", "embedding", s"$base/one")
+    // wave 1 trains both models; wave 2 assigns + encodes FROZEN
+    IvfPqIndexStore.write(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", s"$base/two",
+      ivfModel = Some(graft.sources.IvfIndexStore.readCentroids(spark, s"$base/one")),
+      pqModel = Some(graft.sources.PqIndexStore.readBooks(spark, s"$base/one")))
+    IvfPqIndexStore.append(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", s"$base/two")
+    val q = emb.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    def res(p: String) = IvfPqIndexStore
+      .search(spark, p, q, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rnk").collect().map(_.toString)
+    assert(res(s"$base/one").sameElements(res(s"$base/two")),
+      "appended IVF-PQ store must rank identically to a one-shot write")
+  }
+
   test("BqIndexStore: two-wave append equals a single write, search hash-stable") {
     import graft.sources.BqIndexStore
     val emb = Tables.embeddings(spark, sf)
