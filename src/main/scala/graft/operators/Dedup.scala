@@ -703,21 +703,37 @@ object Dedup {
     * table itself shards — unlike a driver-side
     * `DataFrameStatFunctions.bloomFilter`, which must fit in one heap.
     */
-  def dBloom(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val nIns = docs.filter(col("doc_id") % 5 =!= 0).count()
-    val mBits = 32L * ((16L * nIns + 31L) / 32L)
-    val keyed = docs.select(col("doc_id"),
-      (H.md5Long(concat(lit("bloomA_"), col("text")), 15) % mBits).as("ha"),
-      (H.md5Long(concat(lit("bloomB_"), col("text")), 15) % (mBits - 1) + 1).as("hb"))
-    val pos = keyed.select(col("doc_id"),
+  /** The k = 4 double-hashed probe positions of every row's text, as
+    * (doc_id, word, bit) against an m-bit filter — shared by the batch
+    * gate and the streaming ingest twin.
+    */
+  private[graft] def bloomPositions(docs: DataFrame, mBits: Long): DataFrame =
+    docs.select(col("doc_id"),
+        (H.md5Long(concat(lit("bloomA_"), col("text")), 15) % mBits).as("ha"),
+        (H.md5Long(concat(lit("bloomB_"), col("text")), 15) % (mBits - 1) + 1).as("hb"))
+      .select(col("doc_id"),
         explode(array((0 until 4).map(i => (col("ha") + lit(i.toLong) * col("hb")) % mBits): _*))
           .as("p"))
       .select(col("doc_id"), (col("p") / 32).cast("long").as("word"),
         (col("p") % 32).cast("int").as("bit"))
-    val words = pos.filter(col("doc_id") % 5 =!= 0)
+
+  /** One (word, bits) filter shard per touched 32-bit word. bit_or is
+    * associative/commutative, so shards from independent batches MERGE
+    * by re-aggregating — the property the streaming ingest twin leans
+    * on (a log-structured filter: append word contributions, OR at
+    * read time, compact by rewriting the group-by).
+    */
+  private[graft] def bloomWords(docs: DataFrame, mBits: Long): DataFrame =
+    bloomPositions(docs, mBits)
       .groupBy("word")
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+
+  def dBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val nIns = docs.filter(col("doc_id") % 5 =!= 0).count()
+    val mBits = 32L * ((16L * nIns + 31L) / 32L)
+    val pos = bloomPositions(docs, mBits)
+    val words = bloomWords(docs.filter(col("doc_id") % 5 =!= 0), mBits)
     val inb = pos.join(words, Seq("word"), "left")
       .groupBy("doc_id")
       .agg(min(when(expr("shiftright(bits, bit) & 1") === 1, 1).otherwise(0)).as("inb"))

@@ -337,6 +337,49 @@ object EventStreams {
     * two waves) — nightly corpus drops keep dedup current for the
     * cost of hashing only the delta.
     */
+  /** Incremental Bloom-filter maintenance — the streaming twin of
+    * d_bloom (new document batches arrive; the membership filter must
+    * cover them before the NEXT batch probes it). Each micro-batch
+    * appends its own (word, bits) contributions; the serving filter
+    * is the bit_or re-aggregation over all appended shards
+    * (mergedBloom) — a log-structured filter exploiting bit_or's
+    * associativity, so ingest never reads existing state (no
+    * read-modify-write race, pure dynamic append) and compaction is
+    * the usual group-by rewrite. mBits is fixed at filter creation —
+    * a Bloom filter cannot resize without rehashing, so the streaming
+    * contract sizes it for the expected corpus up front.
+    */
+  def runBloomIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                     storePath: String, mBits: Long): StreamingQuery = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream
+      .schema(docSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        graft.operators.Dedup.bloomWords(batch.toDF(), mBits)
+          .write.mode("append").parquet(storePath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** The serving-side merge of an ingested filter store: OR the
+    * per-batch shards per word. Equal by construction to the filter a
+    * single batch build produces over the union of the batches.
+    */
+  def mergedBloom(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy("word")
+      .agg(org.apache.spark.sql.functions.expr("bit_or(bits)").as("bits"))
+
   def runSpanIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                     storePath: String): StreamingQuery = {
     val docSchema = StructType(Seq(

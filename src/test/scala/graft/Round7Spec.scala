@@ -236,6 +236,23 @@ class Round7Spec extends SparkSpec {
       "every neighbor must satisfy the pushed attribute filter")
   }
 
+  test("runBloomIngest: two-wave incremental filter equals the batch-built filter") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val mBits = 32L * ((16L * docs.count() + 31L) / 32L)
+    val base = java.nio.file.Files.createTempDirectory("bloom_ingest").toString
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/words")
+    docs.filter(col("doc_id") < 250).write.parquet(src)
+    graft.streaming.EventStreams.runBloomIngest(spark, src, ckpt, store, mBits)
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runBloomIngest(spark, src, ckpt, store, mBits)
+    val merged = graft.streaming.EventStreams.mergedBloom(spark, store)
+      .collect().map(_.toString).sorted
+    val batch = operators.Dedup.bloomWords(docs, mBits)
+      .collect().map(_.toString).sorted
+    assert(merged.sameElements(batch),
+      "bit_or merge of per-batch shards must equal the one-shot filter")
+  }
+
   test("runSpanIngest: two-wave incremental span store reproduces batch d_span_dedup") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val base = java.nio.file.Files.createTempDirectory("span_ingest").toString
