@@ -173,7 +173,11 @@ class Round7Spec extends SparkSpec {
       "d_exact" -> 2, "d_minhash" -> 2, "d_source_cap" -> 3,
       "t_gopher_quality" -> 1, "t_hash_embed" -> 2, "t_tokens" -> 1,
       "t_tfidf" -> 6, "t_curation_pipeline" -> 5,
-      "m_decode_lut" -> 2, "src_bucketed" -> 1)
+      "m_decode_lut" -> 2, "src_bucketed" -> 1,
+      "q6_forecast" -> 1, "q18_bigorders" -> 2,
+      "v_matryoshka" -> 3, "d_url_dedup" -> 2,
+      "m_shot_detect" -> 2, "m_audio_resample" -> 2,
+      "src_zorder" -> 2, "d_bloom" -> 6)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
