@@ -19,6 +19,31 @@ object Oracles {
     s"SUM(CAST(FLOOR(($expr) * 100 + 0.5) AS BIGINT)) / 100.0"
 
   val relational: Map[String, String] = Map(
+    // MERGE INTO replay: identical derived changeset, FULL OUTER join,
+    // delete-filter + update-projection, cents-exact sums
+    "q_merge_cdc" -> s"""
+      WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      mx AS (SELECT MAX(o_orderkey) AS mk FROM base),
+      upd AS (SELECT o_orderkey AS k, 'U' AS op,
+                (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) + 500) / 100.0
+                  AS new_price
+              FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0),
+      del AS (SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS new_price
+              FROM base WHERE o_orderkey % 13 = 0),
+      ins AS (SELECT o_orderkey + mk + 1 AS k, 'I' AS op,
+                100.0 + (o_orderkey % 900) AS new_price
+              FROM base, mx WHERE o_orderkey % 11 = 0),
+      delta AS (SELECT * FROM upd UNION ALL SELECT * FROM del
+                UNION ALL SELECT * FROM ins),
+      m AS (SELECT coalesce(b.o_orderstatus, 'N') AS status,
+              CASE WHEN d.op = 'U' THEN d.new_price
+                ELSE coalesce(b.o_totalprice, d.new_price) END AS price,
+              d.op
+            FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.k)
+      SELECT status, COUNT(*) AS n, ${msum("price")} AS total
+      FROM m WHERE op IS NULL OR op <> 'D'
+      GROUP BY status ORDER BY status""",
+
     "q6_forecast" -> s"""
       SELECT ${msum("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n
       FROM lineitem
@@ -2063,6 +2088,35 @@ object Oracles {
       SELECT doc_id, n_bigrams,
         ROUND(list_reduce(lps, (a, b) -> a + b) / n_bigrams, 6) AS avg_logprob
       FROM ag ORDER BY doc_id""",
+
+    // DSIR importance weights: hashed-bigram bucket counts for the
+    // 'en' target vs the whole corpus, add-1-smoothed log ratio,
+    // per-doc sorted-fold mean (bigramLmCte supplies tk2/bg; its
+    // further CTEs are unused here)
+    "t_dsir" -> s"""
+      WITH $bigramLmCte,
+      lg AS (SELECT doc_id, lang FROM documents),
+      feat AS (SELECT bg.doc_id, lang,
+                 CAST(('0x' || substr(md5(bigram), 1, 8)) AS BIGINT) % 1024
+                   AS bucket
+               FROM bg JOIN lg ON bg.doc_id = lg.doc_id),
+      cnt AS (SELECT bucket, COUNT(*) AS r_cnt,
+                SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+              FROM feat GROUP BY bucket),
+      dtot AS (SELECT CAST(SUM(r_cnt) AS BIGINT) AS r_tot,
+                 CAST(SUM(t_cnt) AS BIGINT) AS t_tot FROM cnt),
+      sc2 AS (SELECT doc_id, bucket,
+                ln((t_cnt + 1) / CAST(t_tot + 1024 AS DOUBLE)) -
+                ln((r_cnt + 1) / CAST(r_tot + 1024 AS DOUBLE)) AS lr
+              FROM feat JOIN cnt USING (bucket) CROSS JOIN dtot),
+      ag2 AS (SELECT doc_id, COUNT(*) AS n_feats,
+                list(lr ORDER BY bucket, lr) AS lrs
+              FROM sc2 GROUP BY doc_id)
+      SELECT doc_id, n_feats,
+        ROUND(list_reduce(lrs, (a, b) -> a + b) / n_feats, 6) AS avg_logratio,
+        ROUND(list_reduce(lrs, (a, b) -> a + b) / n_feats, 6) > 0
+          AS dsir_selected
+      FROM ag2 ORDER BY doc_id""",
 
     // perplexity filter: bottom decile of the bigram-LM score PER
     // LANGUAGE (CCNet-style; the per-lang window keeps each sort

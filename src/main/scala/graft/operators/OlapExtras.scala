@@ -447,4 +447,44 @@ object OlapExtras {
         (floor(col("value") * 100 + 0.5).cast("long") / 100.0).as("last_value"))
       .orderBy("user_id", "event_type")
   }
+
+  /** q_merge_cdc: MERGE INTO semantics — apply a CDC delta
+    * (inserts + updates + deletes) to a base table in one pass, the
+    * lakehouse upsert every warehouse sync runs (q_dedup_latest
+    * compacts an append LOG; this applies an op-tagged CHANGESET).
+    * The delta derives deterministically from the base (update keys
+    * ≡0 mod 7 with +$5 in exact cents, delete keys ≡0 mod 13 —
+    * deletes win over updates, inserts at keys above max), so both
+    * engines merge identical changesets. Shape: ONE shuffled
+    * full-outer equi-join on the key — delete = filter, update =
+    * projection, insert = the delta-only side; nothing is
+    * driver-resident and the only movement is the join's hash
+    * partitioning (what Delta/Iceberg MERGE compiles to before
+    * file-level pruning).
+    */
+  def qMergeCdc(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val upd = base.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        ((floor(col("o_totalprice") * 100 + lit(0.5)).cast("long") + 500) / lit(100.0))
+          .as("new_price"))
+    val del = base.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("k"), lit("D").as("op"),
+        lit(null).cast("double").as("new_price"))
+    val mx = base.agg(max(col("o_orderkey")).as("mk"))
+    val ins = base.filter(col("o_orderkey") % 11 === 0).crossJoin(broadcast(mx))
+      .select((col("o_orderkey") + col("mk") + 1).as("k"), lit("I").as("op"),
+        (lit(100.0) + (col("o_orderkey") % 900).cast("double")).as("new_price"))
+    val delta = upd.unionByName(del).unionByName(ins)
+    base.join(delta, col("o_orderkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(coalesce(col("o_orderstatus"), lit("N")).as("status"),
+        when(col("op") === "U", col("new_price"))
+          .otherwise(coalesce(col("o_totalprice"), col("new_price"))).as("price"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("price") * 100 + lit(0.5)).cast("long")) / lit(100.0)).as("total"))
+      .orderBy("status")
+  }
 }

@@ -352,6 +352,44 @@ object TextAnalysis {
     * deterministically (sorted list, 0.0-seeded left fold ≡ DuckDB
     * list_reduce — same trick as t_entropy).
     */
+  /** t_dsir: DSIR-style importance weighting (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling") —
+    * score every document by how target-like its hashed n-gram
+    * distribution is. Features are bigrams hashed into 1024 buckets
+    * (the hashing trick — vocabulary-free, so the feature space is
+    * fixed no matter the corpus); the target distribution is the
+    * English subset, the raw distribution the whole corpus; a doc's
+    * weight is the mean add-1-smoothed log p_target/p_raw over its
+    * bigram occurrences, and docs with positive weight are selected.
+    * Scale shape: one bucket-keyed count aggregate (1024 groups — the
+    * "LM" is a broadcastable table by construction), joined back to
+    * the bigram stream; the per-doc mean folds a sorted list (the
+    * t_bigram_lm fp-determinism trick).
+    */
+  def tDsir(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = 1024
+    val langs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val feat = docBigrams(spark, dir).join(langs, "doc_id")
+      .withColumn("bucket", H.md5Long(col("bigram"), 8) % buckets)
+    val cnt = feat.groupBy("bucket")
+      .agg(count(lit(1)).as("r_cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"))
+    val tot = cnt.agg(sum(col("r_cnt")).as("r_tot"), sum(col("t_cnt")).as("t_tot"))
+    val scored = feat.join(cnt, "bucket").crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("bucket"),
+        (log((col("t_cnt") + 1) / (col("t_tot") + buckets).cast("double")) -
+          log((col("r_cnt") + 1) / (col("r_tot") + buckets).cast("double"))).as("lr"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        transform(array_sort(collect_list(struct(col("bucket"), col("lr")))),
+          s => s.getField("lr")).as("lrs"))
+      .select(col("doc_id"), col("n_feats"),
+        round(aggregate(col("lrs"), lit(0.0), (acc, x) => acc + x)
+          / col("n_feats"), 6).as("avg_logratio"))
+      .withColumn("dsir_selected", col("avg_logratio") > 0)
+      .orderBy("doc_id")
+  }
+
   /** t_ppl_filter: perplexity filter — the classic CCNet-style quality
     * cut: score every document by the corpus bigram LM (t_bigram_lm's
     * mean log-prob), convert to perplexity, and flag the WORST DECILE
