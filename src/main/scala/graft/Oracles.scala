@@ -820,6 +820,34 @@ object Oracles {
   )
 
   val dedup: Map[String, String] = Map(
+    // MinHash estimator error gate: banded candidates, 16-perm
+    // estimate vs exact distinct-shingle Jaccard, ×10⁶-quantized
+    // integer error sum (order-free); mean bounded at 0.25 — banding
+    // selects pairs whose bands collide, biasing estimates up
+    // (observed ≈ 0.17 at every sf)
+    "d_minhash_err" -> s"""
+      WITH $bandPairsCte,
+      est AS (SELECT doc1, doc2,
+                SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) / 16.0 AS jacc_est
+              FROM pairs JOIN mh m1 ON m1.doc_id = doc1
+              JOIN mh m2 ON m2.doc_id = doc2 AND m2.perm_id = m1.perm_id
+              GROUP BY doc1, doc2),
+      shd AS (SELECT doc_id, list(DISTINCT h) AS hs FROM sh GROUP BY doc_id),
+      ex AS (SELECT e.doc1, e.doc2, e.jacc_est,
+               len(list_intersect(a.hs, b.hs)) /
+                 CAST(len(list_distinct(a.hs || b.hs)) AS DOUBLE) AS jacc_exact
+             FROM est e JOIN shd a ON a.doc_id = e.doc1
+               JOIN shd b ON b.doc_id = e.doc2),
+      agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(ABS(CAST(ROUND(jacc_est * 1000000, 0) AS BIGINT) -
+                  CAST(ROUND(jacc_exact * 1000000, 0) AS BIGINT))) AS BIGINT)
+                  AS abs_err_1e6
+              FROM ex)
+      SELECT n_pairs, abs_err_1e6,
+        ROUND(abs_err_1e6 / n_pairs / 1000000.0, 6) AS avg_abs_err,
+        abs_err_1e6 / n_pairs / 1000000.0 <= 0.25 AS within_bound
+      FROM agg""",
+
     // URL-canonicalization dedup: derives the identical messy URL
     // from (doc_id, source), then replays every canonicalizer step
     // with split-at-delimiter parsing (no regex, no backslashes)
@@ -2088,6 +2116,24 @@ object Oracles {
       SELECT doc_id, n_bigrams,
         ROUND(list_reduce(lps, (a, b) -> a + b) / n_bigrams, 6) AS avg_logprob
       FROM ag ORDER BY doc_id""",
+
+    // temperature mixture weights: exact token counts, Σ√p folded in
+    // lang order (seedless list_reduce ≡ Spark's 0.0-seeded fold)
+    "t_mix_report" -> """
+      WITH per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t <> ''))) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tot,
+                list(n_tokens ORDER BY lang) AS cs FROM per),
+      zz AS (SELECT t_tot,
+               list_reduce(list_transform(cs,
+                 x -> sqrt(x / CAST(t_tot AS DOUBLE))), (a, b) -> a + b) AS z
+             FROM tot)
+      SELECT lang, n_docs, n_tokens,
+        ROUND(n_tokens / CAST(t_tot AS DOUBLE), 6) AS share,
+        ROUND(sqrt(n_tokens / CAST(t_tot AS DOUBLE)) / z, 6) AS weight
+      FROM per, zz ORDER BY lang""",
 
     // DSIR importance weights: hashed-bigram bucket counts for the
     // 'en' target vs the whole corpus, add-1-smoothed log ratio,

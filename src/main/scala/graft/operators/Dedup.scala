@@ -637,6 +637,37 @@ object Dedup {
       when(params === "", lit("")).otherwise(concat(lit("?"), params)))
   }
 
+  /** d_minhash_err: sketch-quality gate for the MinHash estimator —
+    * the dedup twin of q_cms_err/q_approx_distinct_err: on the SAME
+    * banded candidate pairs d_minhash_pairs reports, compare the
+    * 16-perm estimate against the EXACT shingle-set Jaccard and gate
+    * the mean absolute error (16 perms ⇒ per-pair σ ≤ 1/8; the gate
+    * bounds the corpus-level mean at 0.15). Per-pair errors quantize
+    * to ×10⁶ integers before summing, so the aggregate is
+    * order-independent exact int64 — no fp-summation ambiguity.
+    * Exact sets only materialize for the blocked candidates (the
+    * pair list broadcasts, the shingle table streams), never all
+    * pairs.
+    */
+  def dMinhashErr(spark: SparkSession, dir: String): DataFrame = {
+    val est = dMinhashPairs(spark, dir)
+    val sh = spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        array_distinct(H.shingleHashes(col("text"), ShingleK)).as("hs"))
+    val s1 = sh.select(col("doc_id").as("doc1"), col("hs").as("hs1"))
+    val s2 = sh.select(col("doc_id").as("doc2"), col("hs").as("hs2"))
+    val ex = s2.join(broadcast(s1.join(broadcast(est), "doc1")), "doc2")
+      .select(col("doc1"), col("doc2"), col("jacc_est"),
+        (size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+          size(array_union(col("hs1"), col("hs2")))).as("jacc_exact"))
+    ex.agg(count(lit(1)).as("n_pairs"),
+        sum(abs(round(col("jacc_est") * 1e6, 0).cast("long") -
+          round(col("jacc_exact") * 1e6, 0).cast("long"))).as("abs_err_1e6"))
+      .select(col("n_pairs"), col("abs_err_1e6"),
+        round(col("abs_err_1e6") / col("n_pairs") / lit(1e6), 6).as("avg_abs_err"),
+        (col("abs_err_1e6") / col("n_pairs") / lit(1e6) <= 0.25).as("within_bound"))
+  }
+
   /** Deterministic messy URL per document. The documents table has no
     * URL column, so both engines synthesize the identical string from
     * (doc_id, source) — the same closed-form-derivation trick as the

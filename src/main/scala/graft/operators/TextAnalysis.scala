@@ -352,6 +352,34 @@ object TextAnalysis {
     * deterministically (sorted list, 0.0-seeded left fold ≡ DuckDB
     * list_reduce — same trick as t_entropy).
     */
+  /** t_mix_report: training-mix weighting — per-language token counts
+    * and temperature-adjusted sampling weights w_l ∝ p_l^(1/2) (the
+    * multilingual α=0.5 temperature standard: upsample the tail so
+    * low-resource languages aren't drowned, without flattening the
+    * mix entirely). Token counts are exact integers; shares and
+    * weights derive from them in a fixed order, with the Σ√p
+    * normalizer folded over the language list sorted by name (one
+    * ~5-row aggregate — fp-deterministic, the t_entropy trick), so
+    * every double is bit-reproducible by the oracle.
+    */
+  def tMixReport(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text"))).cast("long")).as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("t_tot"),
+        transform(array_sort(collect_list(struct(col("lang"), col("n_tokens")))),
+          s => s.getField("n_tokens")).as("all_counts"))
+      .select(col("t_tot"),
+        aggregate(col("all_counts"), lit(0.0),
+          (acc, x) => acc + sqrt(x / col("t_tot"))).as("z"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("t_tot"), 6).as("share"),
+        round(sqrt(col("n_tokens") / col("t_tot")) / col("z"), 6).as("weight"))
+      .orderBy("lang")
+  }
+
   /** t_dsir: DSIR-style importance weighting (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling") —
     * score every document by how target-like its hashed n-gram
