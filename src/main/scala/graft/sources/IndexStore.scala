@@ -515,6 +515,40 @@ object IvfPqIndexStore {
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
   }
+
+  /** Batch-serving variant: the probe set AND the per-query ADC lookup
+    * tables stay DISTRIBUTED — no driver collect anywhere. The scan
+    * prunes through dynamic partition pruning from the broadcast probe
+    * join on the cid partition column (IvfIndexStore.searchBatch's
+    * pruning), and each query row carries its 8×16 distance table as
+    * one map-side projection against the literal codebooks (the same
+    * ascending (a−b)² fold as the driver-side Knn.l2sq, so ranks are
+    * identical to search()'s). Use when the query set is itself a
+    * table, not a handful of uploads.
+    */
+  def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  nprobe: Int = Knn.IvfNprobe): DataFrame = {
+    val centroids = IvfIndexStore.readCentroids(spark, path)
+    val books = PqIndexStore.readBooks(spark, path)
+    val qProbe = IvfIndexStore.probeOf(prepared(queries, idCol, vecCol), centroids, nprobe)
+    val dsub = 64 / Knn.PqSubspaces
+    val qdtCol = array((0 until Knn.PqSubspaces).map { m =>
+      array((0 until Knn.PqCodes).map { kk =>
+        aggregate(
+          zip_with(slice(col("qv"), m * dsub + 1, dsub), typedLit(books(m)(kk).toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+    }: _*)
+    val probes = qProbe.select(col("query_id"), col("pcid"), qdtCol.as("qdt"))
+    val scored = spark.read.parquet(path).join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), Knn.adcDistCol.as("adc_dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
 }
 
 /** Binary-quantization store: the cheapest persisted tier — 1 bit per

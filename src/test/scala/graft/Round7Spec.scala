@@ -208,6 +208,23 @@ class Round7Spec extends SparkSpec {
       "appended IVF-PQ store must rank identically to a one-shot write")
   }
 
+  test("IvfPqIndexStore.searchBatch: DPP-pruned, result-equal to the collect path") {
+    import graft.sources.IvfPqIndexStore
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_dpp").toString + "/idx"
+    IvfPqIndexStore.write(emb, "vec_id", "embedding", path)
+    val queries = emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val batch = IvfPqIndexStore.searchBatch(spark, path, queries,
+      "vec_id", "embedding", operators.Knn.DefaultK)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected DynamicPruningExpression on the cid-partitioned code scan; plan:\n${plan.take(4000)}")
+    val viaCollect = IvfPqIndexStore.search(spark, path, queries,
+      "vec_id", "embedding", operators.Knn.DefaultK).collect().map(_.toString).sorted
+    assert(batch.collect().map(_.toString).sorted.sameElements(viaCollect),
+      "distributed ADC tables must rank identically to the driver-built ones")
+  }
+
   test("BqIndexStore: two-wave append equals a single write, search hash-stable") {
     import graft.sources.BqIndexStore
     val emb = Tables.embeddings(spark, sf)
