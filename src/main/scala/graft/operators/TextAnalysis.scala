@@ -334,7 +334,7 @@ object TextAnalysis {
 
   /** Per-doc token bigrams, long format (doc_id, bigram). */
   private def docBigrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Dedup.spread(Tables.documents(spark, dir))
       .withColumn("toks", toks(col("text")))
       .select(col("doc_id"),
         explode(when(size(col("toks")) < 2, array().cast("array<string>"))
@@ -397,8 +397,11 @@ object TextAnalysis {
   def tDsir(spark: SparkSession, dir: String): DataFrame = {
     val buckets = 1024
     val langs = Tables.documents(spark, dir).select("doc_id", "lang")
-    val feat = docBigrams(spark, dir).join(langs, "doc_id")
-      .withColumn("bucket", H.md5Long(col("bigram"), 8) % buckets)
+    // feeds both the count aggregate and the score join — materialize
+    // so the bigram hashing runs once (see Dedup.forceCached)
+    val feat = graft.Materialize.forceCached(
+      docBigrams(spark, dir).join(langs, "doc_id")
+        .withColumn("bucket", H.md5Long(col("bigram"), 8) % buckets))
     val cnt = feat.groupBy("bucket")
       .agg(count(lit(1)).as("r_cnt"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"))
