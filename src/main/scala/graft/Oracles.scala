@@ -820,6 +820,21 @@ object Oracles {
   )
 
   val dedup: Map[String, String] = Map(
+    // edit-distance verification on the banded candidates: identical
+    // classic Levenshtein both engines, unrounded relative filter
+    "d_edit_near" -> s"""
+      WITH $bandPairsCte,
+      tx AS (SELECT doc_id, text FROM documents),
+      ed AS (SELECT doc1, doc2,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+               CAST(GREATEST(length(a.text), length(b.text)) AS BIGINT) AS max_len
+             FROM pairs JOIN tx a ON a.doc_id = doc1
+               JOIN tx b ON b.doc_id = doc2)
+      SELECT doc1, doc2, edit_dist, max_len,
+        ROUND(edit_dist / CAST(max_len AS DOUBLE), 6) AS rel_dist
+      FROM ed WHERE edit_dist / CAST(max_len AS DOUBLE) <= 0.4
+      ORDER BY doc1, doc2""",
+
     // MinHash estimator error gate: banded candidates, 16-perm
     // estimate vs exact distinct-shingle Jaccard, ×10⁶-quantized
     // integer error sum (order-free); mean bounded at 0.25 — banding

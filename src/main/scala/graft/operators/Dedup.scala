@@ -637,6 +637,32 @@ object Dedup {
       when(params === "", lit("")).otherwise(concat(lit("?"), params)))
   }
 
+  /** d_edit_near: edit-distance near-dup verification — the precision
+    * tier after MinHash recall: Levenshtein distance is the
+    * gold-standard "how different are these texts really" measure,
+    * but it is O(len²) per pair, so it only ever runs on BLOCKED
+    * candidates (the band join's survivors — the pair list broadcasts,
+    * the text table streams; the quadratic cost never meets the
+    * quadratic pair space). Pairs within 40% relative edit distance
+    * of the longer text are confirmed near-dups. Both engines ship
+    * the same classic Levenshtein (integer-exact), so the oracle
+    * checks distances verbatim.
+    */
+  def dEditNear(spark: SparkSession, dir: String): DataFrame = {
+    val cands = bandCandidates(spark, dir)
+    val txt = spread(Tables.documents(spark, dir)).select(col("doc_id"), col("text"))
+    val t1 = txt.select(col("doc_id").as("doc1"), col("text").as("text1"))
+    val t2 = txt.select(col("doc_id").as("doc2"), col("text").as("text2"))
+    t2.join(broadcast(t1.join(broadcast(cands), "doc1")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        levenshtein(col("text1"), col("text2")).cast("long").as("edit_dist"),
+        greatest(length(col("text1")), length(col("text2"))).cast("long").as("max_len"))
+      .filter(col("edit_dist").cast("double") / col("max_len") <= 0.4)
+      .select(col("doc1"), col("doc2"), col("edit_dist"), col("max_len"),
+        round(col("edit_dist").cast("double") / col("max_len"), 6).as("rel_dist"))
+      .orderBy("doc1", "doc2")
+  }
+
   /** d_minhash_err: sketch-quality gate for the MinHash estimator —
     * the dedup twin of q_cms_err/q_approx_distinct_err: on the SAME
     * banded candidate pairs d_minhash_pairs reports, compare the
