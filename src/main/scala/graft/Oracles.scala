@@ -820,15 +820,23 @@ object Oracles {
   )
 
   val dedup: Map[String, String] = Map(
-    // edit-distance verification on the banded candidates: identical
-    // classic Levenshtein both engines, unrounded relative filter
+    // edit-distance verification of the sketch's STRONG claims
+    // (estimate ≥ 0.75): identical classic Levenshtein both engines,
+    // unrounded relative filter; the engine's length-difference prune
+    // is result-neutral (levenshtein ≥ |len diff|) so it's absent here
     "d_edit_near" -> s"""
       WITH $bandPairsCte,
+      hi AS (SELECT doc1, doc2 FROM (
+               SELECT doc1, doc2,
+                 SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) / 16.0 AS je
+               FROM pairs JOIN mh m1 ON m1.doc_id = doc1
+               JOIN mh m2 ON m2.doc_id = doc2 AND m2.perm_id = m1.perm_id
+               GROUP BY doc1, doc2) z WHERE je >= 0.75),
       tx AS (SELECT doc_id, text FROM documents),
       ed AS (SELECT doc1, doc2,
                CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
                CAST(GREATEST(length(a.text), length(b.text)) AS BIGINT) AS max_len
-             FROM pairs JOIN tx a ON a.doc_id = doc1
+             FROM hi JOIN tx a ON a.doc_id = doc1
                JOIN tx b ON b.doc_id = doc2)
       SELECT doc1, doc2, edit_dist, max_len,
         ROUND(edit_dist / CAST(max_len AS DOUBLE), 6) AS rel_dist

@@ -640,23 +640,33 @@ object Dedup {
   /** d_edit_near: edit-distance near-dup verification — the precision
     * tier after MinHash recall: Levenshtein distance is the
     * gold-standard "how different are these texts really" measure,
-    * but it is O(len²) per pair, so it only ever runs on BLOCKED
-    * candidates (the band join's survivors — the pair list broadcasts,
-    * the text table streams; the quadratic cost never meets the
-    * quadratic pair space). Pairs within 40% relative edit distance
-    * of the longer text are confirmed near-dups. Both engines ship
-    * the same classic Levenshtein (integer-exact), so the oracle
-    * checks distances verbatim.
+    * but it is O(len²) per pair, so it only runs where the sketch
+    * makes a STRONG claim (band-blocked pairs with estimate ≥ 0.75 —
+    * the candidates a production pipeline would pay to confirm; at
+    * sf0.1 that is ~300 pairs where the raw band join yields ~90k).
+    * Two cheap prunes precede the quadratic step: the estimate filter
+    * (semantic, mirrored by the oracle) and a length-difference lower
+    * bound (levenshtein ≥ |len₁−len₂|, so pairs failing the relative
+    * bound on lengths alone can never pass the final filter —
+    * result-neutral, not in the oracle). Pairs within 40% relative
+    * edit distance of the longer text are confirmed; both engines
+    * ship the same classic Levenshtein, distances checked verbatim.
     */
   def dEditNear(spark: SparkSession, dir: String): DataFrame = {
-    val cands = bandCandidates(spark, dir)
+    val cands = dMinhashPairs(spark, dir)
+      .filter(col("jacc_est") >= 0.75)
+      .select("doc1", "doc2")
     val txt = spread(Tables.documents(spark, dir)).select(col("doc_id"), col("text"))
     val t1 = txt.select(col("doc_id").as("doc1"), col("text").as("text1"))
     val t2 = txt.select(col("doc_id").as("doc2"), col("text").as("text2"))
     t2.join(broadcast(t1.join(broadcast(cands), "doc1")), "doc2")
+      .withColumn("max_len",
+        greatest(length(col("text1")), length(col("text2"))).cast("long"))
+      .filter(abs(length(col("text1")) - length(col("text2"))).cast("double")
+        / col("max_len") <= 0.4)
       .select(col("doc1"), col("doc2"),
         levenshtein(col("text1"), col("text2")).cast("long").as("edit_dist"),
-        greatest(length(col("text1")), length(col("text2"))).cast("long").as("max_len"))
+        col("max_len"))
       .filter(col("edit_dist").cast("double") / col("max_len") <= 0.4)
       .select(col("doc1"), col("doc2"), col("edit_dist"), col("max_len"),
         round(col("edit_dist").cast("double") / col("max_len"), 6).as("rel_dist"))

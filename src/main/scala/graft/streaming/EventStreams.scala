@@ -337,6 +337,41 @@ object EventStreams {
     * two waves) — nightly corpus drops keep dedup current for the
     * cost of hashing only the delta.
     */
+  /** Streaming ANN serving — the query-side twin of runEmbedIngest
+    * (that one maintains the index from a stream; this one ANSWERS a
+    * stream of queries against a persisted index): each micro-batch
+    * of query vectors broadcasts against the loaded flat store and
+    * appends its exact top-k to the result sink. The index is read
+    * once per batch from its persisted layout (no driver-resident
+    * state beyond the path), so the serving job restarts from its
+    * checkpoint with no warm-up, and scaling the corpus only changes
+    * the scan each batch joins against — the micro-batch plan is
+    * byte-identical to the batch IndexStore.search.
+    */
+  def runKnnServe(spark: SparkSession, srcDir: String, checkpoint: String,
+                  storePath: String, outPath: String, k: Int = 5): StreamingQuery = {
+    val qSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream
+      .schema(qSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        graft.sources.IndexStore
+          .search(graft.sources.IndexStore.read(spark, storePath),
+            batch.toDF(), "vec_id", "embedding", k)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Incremental Bloom-filter maintenance — the streaming twin of
     * d_bloom (new document batches arrive; the membership filter must
     * cover them before the NEXT batch probes it). Each micro-batch

@@ -257,6 +257,24 @@ class Round7Spec extends SparkSpec {
       "every neighbor must satisfy the pushed attribute filter")
   }
 
+  test("runKnnServe: two-wave streamed queries equal one batch search") {
+    import graft.sources.IndexStore
+    val emb = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("knn_serve").toString
+    val (src, ckpt, idx, out) = (s"$base/in", s"$base/ckpt", s"$base/idx", s"$base/out")
+    IndexStore.write(emb, "vec_id", "embedding", idx, dim = 64)
+    val queries = emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+    queries.filter(col("vec_id") < 5).write.parquet(src)
+    graft.streaming.EventStreams.runKnnServe(spark, src, ckpt, idx, out)
+    queries.filter(col("vec_id") >= 5).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runKnnServe(spark, src, ckpt, idx, out)
+    val streamed = spark.read.parquet(out).collect().map(_.toString).sorted
+    val batch = IndexStore.search(IndexStore.read(spark, idx),
+      queries, "vec_id", "embedding", 5).collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch),
+      "streamed micro-batch serving must reproduce the batch search exactly")
+  }
+
   test("runBloomIngest: two-wave incremental filter equals the batch-built filter") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val mBits = 32L * ((16L * docs.count() + 31L) / 32L)
