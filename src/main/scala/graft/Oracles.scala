@@ -2369,6 +2369,34 @@ object Oracles {
       ORDER BY hamming, doc1, doc2 LIMIT 20"""
     },
 
+    // video near-dup replay: same content-keyed frame hashes, overlap
+    // via the frame-hash equi-join, unrounded jaccard filter
+    "m_video_dedup" -> """
+      WITH f AS (SELECT doc_id, doc_id % 20 AS content,
+               (doc_id % 20) * 7 + 30 + (doc_id // 20) * 3 AS n_frames
+             FROM documents WHERE doc_id < 40),
+      s AS (SELECT doc_id, content, n_frames,
+              GREATEST(1, n_frames // 8) AS step FROM f),
+      x AS (SELECT doc_id, content,
+              unnest(generate_series(0, n_frames - 1, step)) AS idx FROM s),
+      sig AS (SELECT doc_id,
+                CAST(('0x' || substr(md5('vf_' || content || '_' || idx), 1, 15))
+                  AS BIGINT) AS fh
+              FROM x),
+      cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf
+              FROM sig GROUP BY doc_id),
+      shared AS (SELECT l.doc_id AS doc1, r.doc_id AS doc2,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+                 FROM sig l JOIN sig r
+                   ON l.fh = r.fh AND l.doc_id < r.doc_id
+                 GROUP BY 1, 2),
+      j AS (SELECT doc1, doc2, n_shared, a.nf AS n1, b.nf AS n2,
+              n_shared / CAST(a.nf + b.nf - n_shared AS DOUBLE) AS jac
+            FROM shared JOIN cnt a ON a.doc_id = doc1
+              JOIN cnt b ON b.doc_id = doc2)
+      SELECT doc1, doc2, n_shared, n1, n2, ROUND(jac, 6) AS jaccard
+      FROM j WHERE jac >= 0.3 ORDER BY doc1, doc2""",
+
     // shot-boundary replay: per-bin rows + LAG instead of the engine's
     // array zip — the L1 sums are exact int64 either way
     "m_shot_detect" -> """

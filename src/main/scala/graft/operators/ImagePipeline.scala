@@ -185,6 +185,46 @@ object ImagePipeline {
       .orderBy("doc_id", "frame")
   }
 
+  /** m_video_dedup: video near-dup detection by sampled-frame
+    * signature overlap — the video twin of d_minhash: sample ~8
+    * frames per video, hash each frame's CONTENT, and two videos are
+    * near-dups when their frame-hash sets overlap (the re-upload /
+    * re-encode case: same footage, slightly different length). The
+    * synthetic corpus has 20 contents × 2 copies (content =
+    * doc_id % 20, copies drift by 3 frames), so copy pairs overlap
+    * heavily and cross-content pairs share nothing. Scale shape: the
+    * pair space comes from an equi-join on the frame hash (inverted
+    * index — only videos sharing a frame ever meet), then per-pair
+    * counts; never an all-pairs product.
+    */
+  def mVideoDedup(spark: SparkSession, dir: String): DataFrame = {
+    val content = col("doc_id") % 20
+    val frames = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), content.as("content"),
+        (content * 7 + 30 + floor(col("doc_id") / 20).cast("long") * 3).as("n_frames"))
+      .withColumn("step", greatest(lit(1L), floor(col("n_frames") / 8)))
+      .select(col("doc_id"), col("content"),
+        explode(sequence(lit(0L), col("n_frames") - 1, col("step"))).as("idx"))
+    val sig = frames.select(col("doc_id"),
+      H.md5Long(concat(lit("vf_"), col("content").cast("string"), lit("_"),
+        col("idx").cast("string")), 15).as("fh"))
+    val cnt = sig.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val shared = sig.select(col("doc_id").as("doc1"), col("fh"))
+      .join(sig.select(col("doc_id").as("doc2"), col("fh").as("fh2")),
+        col("fh") === col("fh2") && col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(cnt.select(col("doc_id").as("doc1"), col("nf").as("n1")), "doc1")
+      .join(cnt.select(col("doc_id").as("doc2"), col("nf").as("n2")), "doc2")
+      .filter(col("n_shared").cast("double")
+        / (col("n1") + col("n2") - col("n_shared")) >= 0.3)
+      .select(col("doc1"), col("doc2"), col("n_shared"), col("n1"), col("n2"),
+        round(col("n_shared").cast("double")
+          / (col("n1") + col("n2") - col("n_shared")), 6).as("jaccard"))
+      .orderBy("doc1", "doc2")
+  }
+
   def mFrameSample(spark: SparkSession, dir: String): DataFrame = {
     val fps = 30
     Tables.documents(spark, dir)
