@@ -177,7 +177,9 @@ class Round7Spec extends SparkSpec {
       "q6_forecast" -> 1, "q18_bigorders" -> 2,
       "v_matryoshka" -> 3, "d_url_dedup" -> 2,
       "m_shot_detect" -> 2, "m_audio_resample" -> 2,
-      "src_zorder" -> 2, "d_bloom" -> 6)
+      "src_zorder" -> 2, "d_bloom" -> 6,
+      "q_merge_cdc" -> 5, "t_dsir" -> 6, "d_minhash_err" -> 4,
+      "d_edit_near" -> 4, "m_video_dedup" -> 4, "t_ppl_filter" -> 9)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
