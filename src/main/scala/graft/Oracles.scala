@@ -73,6 +73,90 @@ object Oracles {
       FROM orders JOIN big ON o_orderkey = l_orderkey
         JOIN customer ON o_custkey = c_custkey
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    // Q13 shape: zero-inclusive order-count distribution (left join +
+    // double aggregation); COUNT coalesces to 0 for order-less customers
+    "q13_custdist" -> """
+      WITH oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+                  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey)
+      SELECT coalesce(n_orders, 0) AS c_count, COUNT(*) AS custdist
+      FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+      GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+
+    // Q15 shape: scalar MAX subquery over a derived revenue view; the
+    // `= max` equality runs on exact integer cents, never doubles
+    "q15_topsupp" -> """
+      WITH rev AS (SELECT l_suppkey AS supplier_no,
+          CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+            AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_revenue
+      FROM supplier JOIN rev ON s_suppkey = supplier_no
+      WHERE rev_cents = (SELECT MAX(rev_cents) FROM rev)
+      ORDER BY s_suppkey""",
+
+    // Q17 shape: correlated per-part average threshold, rewritten
+    // integer-exactly (q < S/(5n) <=> 5*q_cents*n < S_cents) so both
+    // engines keep identical boundary rows
+    "q17_smallqty" -> """
+      WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+      lp AS (SELECT l_partkey, l_quantity, l_extendedprice
+             FROM lineitem JOIN bp ON l_partkey = p_partkey),
+      st AS (SELECT l_partkey AS pk,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+               COUNT(*) AS nq
+             FROM lp GROUP BY 1)
+      SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          / 700.0 AS avg_yearly,
+        COUNT(*) AS n_small
+      FROM lp JOIN st ON l_partkey = pk
+      WHERE CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) * nq * 5 < sq""",
+
+    // Q22 shape: above-average balances (integer-exact threshold:
+    // bal > S/n <=> bal_cents*n > S_cents) anti-joined against orders
+    "q22_idle" -> s"""
+      WITH qpos AS (SELECT
+          CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+          COUNT(*) AS n
+        FROM customer WHERE c_acctbal > 0.0)
+      SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+        ${msum("c_acctbal")} AS totacctbal
+      FROM customer, qpos
+      WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * n > s
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1997-06-01')
+      GROUP BY 1 ORDER BY 1""",
+
+    // gaps-and-islands: island key = integer day number - row_number,
+    // constant within a consecutive run on both engines
+    "q_gaps_islands" -> """
+      WITH ud AS (SELECT DISTINCT user_id,
+          date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS day_num
+        FROM events WHERE event_type = 'click'),
+      rn AS (SELECT user_id, day_num,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_num) AS rn
+             FROM ud),
+      isl AS (SELECT user_id, day_num - rn AS grp, COUNT(*) AS len
+              FROM rn GROUP BY user_id, day_num - rn)
+      SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest,
+        CAST(SUM(len) AS BIGINT) AS active_days
+      FROM isl GROUP BY user_id ORDER BY user_id""",
+
+    // cohort retention matrix: first-purchase day x day offset,
+    // distinct active users per cell
+    "q_retention" -> """
+      WITH rp AS (SELECT user_id, date_trunc('day', ts) AS d
+                  FROM events WHERE event_type = 'purchase'),
+      rf AS (SELECT user_id, MIN(d) AS cd FROM rp GROUP BY user_id)
+      SELECT strftime(rf.cd, '%Y-%m-%d') AS cohort,
+        date_diff('day', rf.cd, rp.d) AS day_n,
+        CAST(COUNT(DISTINCT rp.user_id) AS BIGINT) AS n_users
+      FROM rp JOIN rf ON rp.user_id = rf.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q1_pricing" -> s"""
       SELECT l_returnflag, l_linestatus,
         ${msum("l_quantity")} AS sum_qty,
@@ -612,6 +696,41 @@ object Oracles {
       FROM ex5 e LEFT JOIN (SELECT query_id, neighbor_id FROM btop WHERE rnk <= 5) b
         ON b.query_id = e.query_id AND b.neighbor_id = e.neighbor_id
       GROUP BY e.query_id ORDER BY e.query_id""",
+
+    // multi-index Hamming radius search: the oracle BRUTE-FORCES the
+    // radius contract over every (query, corpus) pair — the engine
+    // prunes with the 8-block pigeonhole index, so hash equality
+    // proves the pruning lossless. Queries are the first 10 codes
+    // with 5 deterministic bit flips (positions (id + 13j) mod 64).
+    "v_bq_range" -> s"""
+      WITH $normsCte,
+      rqp AS (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i FROM n),
+      rbq AS (SELECT vec_id,
+               bit_or(CASE WHEN i <= 32 AND v[i] > 0
+                 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END) AS code_lo,
+               bit_or(CASE WHEN i > 32 AND v[i] > 0
+                 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END) AS code_hi
+             FROM rqp GROUP BY vec_id),
+      rmsk AS (SELECT vec_id AS query_id,
+                bit_or(CASE WHEN (vec_id + 13 * j) % 64 < 32
+                  THEN (1::BIGINT << CAST((vec_id + 13 * j) % 64 AS INT))
+                  ELSE 0::BIGINT END) AS m_lo,
+                bit_or(CASE WHEN (vec_id + 13 * j) % 64 >= 32
+                  THEN (1::BIGINT << (CAST((vec_id + 13 * j) % 64 AS INT) - 32))
+                  ELSE 0::BIGINT END) AS m_hi
+              FROM (SELECT vec_id FROM rbq WHERE vec_id < 10) rq
+                CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j) rjs
+              GROUP BY vec_id),
+      rqc AS (SELECT m.query_id, xor(b.code_lo, m.m_lo) AS qlo,
+                xor(b.code_hi, m.m_hi) AS qhi
+              FROM rbq b JOIN rmsk m ON b.vec_id = m.query_id)
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        CAST(bit_count(xor(c.code_lo, q.qlo))
+          + bit_count(xor(c.code_hi, q.qhi)) AS BIGINT) AS hamming
+      FROM rbq c CROSS JOIN rqc q
+      WHERE bit_count(xor(c.code_lo, q.qlo))
+          + bit_count(xor(c.code_hi, q.qhi)) <= 7
+      ORDER BY query_id, neighbor_id""",
 
     "v_pq_recall" -> s"""
       WITH $normsCte, ${pqCteBody()}, $exactL2Cte
@@ -1375,6 +1494,40 @@ object Oracles {
         CAST(MIN(b) AS BIGINT) AS min_b,
         CAST(MAX(b) AS BIGINT) AS max_b
       FROM bb GROUP BY doc_id ORDER BY doc_id""",
+
+    // decode-fed pHash: the full separable DCT -> rank-32 median ->
+    // bit-pack derivation over the closed pixel form; the engine must
+    // reproduce it through the real PNG encode -> decode round-trip
+    "m_decode_phash" -> {
+      val basisValues = graft.operators.ImagePipeline.dctBasis
+        .map { case (u, y, c) => s"($u, $y, $c)" }.mkString(", ")
+      s"""
+      WITH pa AS (SELECT doc_id FROM documents WHERE doc_id < 8),
+      pys AS (SELECT unnest(generate_series(0, 15)) AS y),
+      pxs AS (SELECT unnest(generate_series(0, 15)) AS x),
+      ppx AS (SELECT doc_id, y, x,
+                ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
+              FROM pa CROSS JOIN pys CROSS JOIN pxs),
+      pcb AS (SELECT * FROM (VALUES $basisValues) AS t(bu, b_y, cw)),
+      pt1 AS (SELECT doc_id, bu AS u, x, CAST(SUM(cw * px) AS BIGINT) AS t
+             FROM ppx JOIN pcb ON ppx.y = pcb.b_y
+             GROUP BY doc_id, bu, x),
+      pd2 AS (SELECT doc_id, u, c2.bu AS v, CAST(SUM(c2.cw * t) AS BIGINT) AS coef
+             FROM pt1 JOIN pcb c2 ON pt1.x = c2.b_y
+             GROUP BY doc_id, u, c2.bu),
+      pdd AS (SELECT * FROM pd2 WHERE u < 8 AND v < 8 AND NOT (u = 0 AND v = 0)),
+      prk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY coef, u, v) AS rk FROM pdd),
+      pmd AS (SELECT doc_id AS mdid, coef AS median FROM prk WHERE rk = 32)
+      SELECT pdd.doc_id,
+        CAST(SUM(CASE WHEN coef > median
+                 THEN (CAST(1 AS BIGINT) << (u * 8 + v - 1)) ELSE 0 END) AS BIGINT)
+          AS phash,
+        COUNT(*) FILTER (WHERE coef > median) AS n_bits,
+        MAX(median) AS median
+      FROM pdd JOIN pmd ON pdd.doc_id = mdid
+      GROUP BY pdd.doc_id ORDER BY pdd.doc_id"""
+    },
 
     "m_gamma_lut" -> """
       SELECT intensity,
@@ -2558,6 +2711,10 @@ object Oracles {
     "v_filtered_store" -> round3("v_filtered_knn"),
     "v_opq_store" -> vector("v_opq"),
     "v_ivf_pq_store" -> vector("v_ivf_pq"),
+    // store search ≡ in-session search holds with no training at all
+    // here (sign codes are deterministic), and the shared oracle is
+    // itself a brute force — so a match proves round-trip + pruning
+    "v_bq_range_store" -> vector("v_bq_range"),
 
     // benchmark decontamination: distinct-shingle inverted-index join
     // of the corpus against the (broadcastable) eval set

@@ -89,12 +89,13 @@ object ImageDecode {
   /** Decoded pixel frames for the gate queries: 8 synthetic 16×12
     * PNGs (seed 31·doc_id + 5) through the REAL decode path.
     */
-  private def decodedFrames(spark: SparkSession, dir: String): DataFrame = {
+  private def decodedFrames(spark: SparkSession, dir: String,
+                            w: Int = 16, h: Int = 12): DataFrame = {
     import spark.implicits._
     val payloads = graft.Tables.documents(spark, dir)
       .select(col("doc_id")).filter(col("doc_id") < 8)
       .as[Long]
-      .map(id => (id, syntheticPng(16, 12, seed = (31 * id + 5).toInt)))
+      .map(id => (id, syntheticPng(w, h, seed = (31 * id + 5).toInt)))
       .toDF("doc_id", "payload")
     pixelFrame(payloads, "doc_id", "payload")
   }
@@ -142,6 +143,20 @@ object ImageDecode {
         min(col("b")).as("min_b"), max(col("b")).as("max_b"))
       .orderBy("doc_id")
   }
+
+  /** m_decode_phash: the perceptual-hash fingerprint over REAL decoded
+    * pixels — 16×16 synthetic PNGs through the actual javax.imageio
+    * decode, then the exact same separable fixed-point DCT → median →
+    * bit-pack derivation as m_phash (shared ImagePipeline
+    * .phashFromFrame, so decode is the ONLY difference). The oracle
+    * evaluates the closed pixel form and replays the DCT in SQL — a
+    * hash match proves encode → decode → DCT → median → pack bit-exact
+    * end to end. With m_decode_lut and m_decode_blur this puts all
+    * three pixel stages the reference runs (LUT, blur, fingerprint)
+    * behind a real codec inside the gate.
+    */
+  def mDecodePhash(spark: SparkSession, dir: String): DataFrame =
+    ImagePipeline.phashFromFrame(decodedFrames(spark, dir, w = 16, h = 16))
 
   /** Deterministic synthetic PNG (spec/dev helper): pixel (x, y) has
     * gray value ((seed + 7·y + 13·x) mod 256), so every decoded value

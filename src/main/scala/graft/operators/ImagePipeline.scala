@@ -368,8 +368,6 @@ object ImagePipeline {
     * shared by m_phash and m_phash_pairs.
     */
   private def phashTable(spark: SparkSession, dir: String, nDocs: Int): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val n = 16
     val px = Tables.documents(spark, dir)
       .filter(col("doc_id") < nDocs)
@@ -378,6 +376,19 @@ object ImagePipeline {
       .withColumn("px", H.md5Long(
         concat(lit("px_"), col("doc_id").cast("string"), lit("_"),
           col("y").cast("string"), lit("_"), col("x").cast("string")), 2))
+    phashFromFrame(px)
+  }
+
+  /** The pHash derivation proper over any 16×16 (doc_id, y, x, px)
+    * pixel frame — shared by the md5-synthesized path above and the
+    * REAL javax.imageio decode path (ImageDecode.mDecodePhash), so the
+    * fingerprint is identical no matter which decode produced the
+    * pixels.
+    */
+  private[graft] def phashFromFrame(px: DataFrame): DataFrame = {
+    val spark = px.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val basis = dctBasis.toDF("bu", "by", "cw")
     // pass 1: T(u, x) = Σ_y C(u,y)·P(y,x)
     val t = px.join(broadcast(basis), col("y") === col("by"))

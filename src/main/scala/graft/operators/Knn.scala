@@ -27,7 +27,7 @@ object Knn {
   /** Corpus with vector cast to double + precomputed norm (computed once
     * per row, before any join fan-out).
     */
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), V.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", V.norm2(col("v")))
@@ -905,6 +905,36 @@ object Knn {
         (x, p) => when(x > lit(0.0), p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
 
+  /** The 8 byte blocks of a (lo, hi) code pair — the multi-index
+    * Hamming bucket keys (block b = byte b%4 of the lo word for b < 4,
+    * of the hi word otherwise). Shared by the in-session v_bq_range
+    * and the persisted BqIndexStore MIH layout so both sides of any
+    * store round-trip derive identical buckets.
+    */
+  private[graft] def bqBlockVals(lo: Column, hi: Column): Column =
+    array((0 until 8).map { b =>
+      shiftrightunsigned(if (b < 4) lo else hi, (b % 4) * 8).bitwiseAND(lit(255L))
+    }: _*)
+
+  /** The first NumQueries corpus codes with 5 deterministically-chosen
+    * bits flipped (positions (query_id + 13·j) mod 64, j < 5 —
+    * pairwise distinct since 13·Δj ≢ 0 mod 64): a corrupted
+    * fingerprint probing for its source. Expects (vec_id, code_lo,
+    * code_hi); returns (query_id, qlo, qhi).
+    */
+  private[graft] def bqCorruptedQueries(codes: DataFrame): DataFrame = {
+    def maskHalf(lo: Boolean): String = (0 until 5).map { j =>
+      val p = s"pmod(query_id + ${13 * j}, 64)"
+      if (lo) s"(CASE WHEN $p < 32 THEN shiftleft(CAST(1 AS BIGINT), CAST($p AS INT)) ELSE CAST(0 AS BIGINT) END)"
+      else s"(CASE WHEN $p >= 32 THEN shiftleft(CAST(1 AS BIGINT), CAST($p AS INT) - 32) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" | ")
+    codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("code_lo"), col("code_hi"))
+      .select(col("query_id"),
+        col("code_lo").bitwiseXOR(expr(maskHalf(lo = true))).as("qlo"),
+        col("code_hi").bitwiseXOR(expr(maskHalf(lo = false))).as("qhi"))
+  }
+
   /** v_bq: 1-bit binary quantization + Hamming search + exact rerank —
     * the most compressed ANN tier (64× smaller than float32; the
     * "binary quantization" mode vector stores ship for cold corpora).
@@ -964,6 +994,48 @@ object Knn {
       .agg(count(col("bn")).as("hits"),
         round(count(col("bn")) / lit(5.0), 6).as("recall"))
       .orderBy("query_id")
+  }
+
+  /** v_bq_range: radius-bounded Hamming search over the binary codes
+    * via MULTI-INDEX pigeonhole pruning (the faiss IndexBinaryMultiHash
+    * / "MIH" structure). The 64-bit code splits into 8 byte blocks; if
+    * hamming(q, c) ≤ 7 then at least one of the 8 blocks matches
+    * EXACTLY (pigeonhole: 8 blocks can absorb at most 7 differing bits
+    * without one staying clean), so candidate generation is a pure
+    * equi-join on (block_index, block_value) — never a corpus scan per
+    * query, never a distance to a non-candidate. Queries are the first
+    * 10 corpus codes with 5 deterministically-chosen bits flipped
+    * (positions (query_id + 13·j) mod 64, j < 5 — pairwise distinct
+    * since 13·Δj ≢ 0 mod 64), modeling a slightly-corrupted
+    * fingerprint probing for its source. The DuckDB oracle
+    * brute-forces the same radius contract over all (query, corpus)
+    * pairs, so a hash match PROVES the pigeonhole pruning lossless.
+    * At 100 TB the exploded (blk, bval, id) index is the persisted
+    * layout (partition by (blk, bval) — probes touch 8 buckets per
+    * query at the file level) and verification moves two int64 words
+    * per candidate, never vectors.
+    */
+  def vBqRange(spark: SparkSession, dir: String): DataFrame = {
+    val radius = 7
+    val e = corpus(spark, dir)
+    val codes = e.select(col("vec_id"),
+        bqWords(col("v"), 0).as("code_lo"), bqWords(col("v"), 32).as("code_hi"))
+      .transform(graft.Materialize.forceCached) // feeds the block index AND the probe set
+    val qCodes = bqCorruptedQueries(codes)
+    val cIdx = codes.select(col("vec_id"), col("code_lo"), col("code_hi"),
+      posexplode(bqBlockVals(col("code_lo"), col("code_hi"))).as(Seq("blk", "bval")))
+    val qIdx = qCodes.select(col("query_id"), col("qlo"), col("qhi"),
+      posexplode(bqBlockVals(col("qlo"), col("qhi"))).as(Seq("qblk", "qbval")))
+    cIdx.join(broadcast(qIdx), col("blk") === col("qblk") && col("bval") === col("qbval"))
+      .select(col("query_id"), col("vec_id"), col("code_lo"), col("code_hi"),
+        col("qlo"), col("qhi"))
+      .distinct() // a candidate may match in several blocks
+      .withColumn("hamming",
+        (bit_count(col("code_lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("code_hi").bitwiseXOR(col("qhi")))).cast("long"))
+      .filter(col("hamming") <= radius)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("hamming"))
+      .orderBy("query_id", "neighbor_id")
   }
 
   /** v_ivf_pq: the full two-stage ANN index — IVF coarse quantizer
@@ -1349,6 +1421,27 @@ object Knn {
     graft.sources.BqIndexStore
       .search(spark, path, emb, queries, "vec_id", "embedding", DefaultK)
       .orderBy("query_id", "rnk")
+  }
+
+  /** v_bq_range_store: the radius contract on the PERSISTED multi-index
+    * layout — BqIndexStore.writeMih lands each vector in its 8
+    * (block, value) buckets as physical partitions, and searchRadius
+    * reads only the ≤ 8·|Q| probed buckets at the file level (the
+    * on-disk faiss IndexBinaryMultiHash). Same corrupted-fingerprint
+    * query construction as v_bq_range, whose brute-force oracle this
+    * query hash-shares: a match proves the store round-trip AND the
+    * bucket pruning both lossless.
+    */
+  def vBqRangeStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/mih_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.BqIndexStore.writeMih(emb, "vec_id", "embedding", path)
+    val codes = corpus(spark, dir).select(col("vec_id"),
+      bqWords(col("v"), 0).as("code_lo"), bqWords(col("v"), 32).as("code_hi"))
+    graft.sources.BqIndexStore
+      .searchRadius(spark, path, bqCorruptedQueries(codes), radius = 7)
+      .orderBy("query_id", "neighbor_id")
   }
 
   /** v_opq_store: the persisted rotated-PQ path — the Hadamard

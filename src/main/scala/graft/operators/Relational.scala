@@ -400,4 +400,145 @@ object Relational {
               coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
               col("n"), col("total"))
       .orderBy("status", "priority")
+
+  /** q13_custdist (TPC-H Q13 shape): order-count distribution over
+    * customers, including the zero-order bucket. The classic left
+    * outer join + double aggregation — but shaped so the fact table
+    * never carries customer payload: orders pre-aggregates to one
+    * (custkey, count) row map-side-partially, and only that compact
+    * counts table joins customer. At 100 TB both inputs shuffle once
+    * on custkey and the second aggregate's domain is tiny (distinct
+    * order counts), so it collapses to a near-free partial agg.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q15_topsupp (TPC-H Q15 shape): the top revenue supplier(s) over a
+    * quarter — a scalar MAX subquery against a derived revenue view.
+    * Revenue folds as exact integer cents, so the `= max` equality is
+    * integer-exact on both engines (double equality would be an fp
+    * coin-flip). The revenue view aggregates the filtered fact once;
+    * the 1-row max broadcasts back against it; supplier is a broadcast
+    * dim. The fact table shuffles once, on l_suppkey.
+    */
+  def q15TopSupp(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev_cents"))
+    val mx = rev.agg(max(col("rev_cents")).as("max_cents"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    rev.join(broadcast(mx)).filter(col("rev_cents") === col("max_cents"))
+      .join(broadcast(supp), col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_cents") / lit(100.0)).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q17_smallqty (TPC-H Q17 shape): average yearly revenue lost to
+    * small-quantity orders of one brand — the correlated-average
+    * pattern (l_quantity < 0.2·avg(l_quantity) per part). The fp
+    * threshold is rewritten integer-exactly: q < S/(5n) ⇔ 5·q·n < S
+    * with q, S in cents — so both engines keep or drop the same
+    * boundary rows. The brand filter broadcasts into the fact scan
+    * first; the per-part stats aggregate over only the surviving
+    * rows, then rejoin on partkey (one shuffle, brand-pruned).
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val bp = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#11").select("p_partkey")
+    val lp = Tables.lineitem(spark, dir)
+      .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val st = lp.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(cents(col("l_quantity"))).as("sq"), count(lit(1)).as("nq"))
+    lp.join(st, col("l_partkey") === col("pk"))
+      .filter(cents(col("l_quantity")) * col("nq") * 5 < col("sq"))
+      .agg((sum(cents(col("l_extendedprice"))) / lit(700.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** q22_idle (TPC-H Q22 shape): high-balance customers with no recent
+    * urgent order, grouped by nation — anti-join against the filtered
+    * fact plus a scalar-average threshold. The average test is
+    * integer-exact: bal > S/n ⇔ cents(bal)·n > S with S = Σ cents over
+    * positive balances (double-sum ordering differences between
+    * engines can never flip a row). The 1-row stats frame broadcasts;
+    * the anti-join is the only fact-side shuffle and its build side is
+    * pre-filtered at the scan (priority + date pushed to parquet), so
+    * it carries only the surviving o_custkey column.
+    */
+  def q22Idle(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val pos = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(cents(col("c_acctbal"))).as("s"), count(lit(1)).as("n"))
+    val rich = cust.join(broadcast(pos))
+      .filter(cents(col("c_acctbal")) * col("n") > col("s"))
+    val recentUrgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+      .select("o_custkey")
+    rich.join(recentUrgent,
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntry"))
+      .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntry")
+  }
+
+  /** q_gaps_islands: consecutive-day activity streaks per user (the
+    * gaps-and-islands pattern): distinct active days → row_number per
+    * user → island key = day_number − row_number (constant within a
+    * consecutive run, computed as integer days from a fixed epoch so
+    * both engines group identically). One shuffle on user_id covers
+    * the distinct, the window, and both aggregates — everything after
+    * the exchange is partition-local.
+    */
+  def qGapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")),
+          lit("2024-01-01").cast("timestamp")).cast("long").as("day_num"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day_num")
+    val isl = ud.withColumn("grp", col("day_num") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+    isl.groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest"),
+        sum(col("len")).as("active_days"))
+      .orderBy("user_id")
+  }
+
+  /** q_retention: cohort retention matrix over the events stream — the
+    * product-analytics staple (cohort = day of first purchase, cell =
+    * distinct users active n days later). Two shuffles, both on
+    * user_id: the first-touch aggregate and the self-join back to the
+    * activity rows — co-partitioned, so at 100 TB the join is
+    * shuffle-free after the first exchange; the final (cohort, day)
+    * aggregate's domain is days², tiny at any scale.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+    val f = p.groupBy("user_id").agg(min(col("d")).as("cd"))
+    p.join(f, "user_id")
+      .groupBy(date_format(col("cd"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("d"), col("cd")).cast("long").as("day_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "day_n")
+  }
 }

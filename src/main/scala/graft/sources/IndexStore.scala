@@ -585,6 +585,68 @@ object BqIndexStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Multi-index (MIH) layout: each vector lands in its 8 byte-block
+    * buckets, partitioned on disk by (blk, bval) — the persisted
+    * analog of faiss IndexBinaryMultiHash's hash tables. The code
+    * words ride INSIDE every bucket row (16 bytes × 8 buckets per
+    * vector), so a probe verifies candidates without any join back to
+    * a primary store; a radius-r search (r < 8 blocks) touches at
+    * most 8 bucket directories per query at the FILE level, never the
+    * corpus. The 8× row fan-out is one narrow projection at write
+    * time — the classic read-amplification-for-write trade every MIH
+    * deployment makes.
+    */
+  def writeMih(df: DataFrame, idCol: String, vecCol: String, path: String): Unit =
+    mihRows(df, idCol, vecCol)
+      .write.partitionBy("blk", "bval").mode("overwrite").parquet(path)
+
+  /** Incremental MIH add — bucket rows are self-contained (codes ride
+    * inline), so an append is a plain dynamic-partition append with no
+    * global state to rewrite; StoreMaintenance-style periodic
+    * compaction absorbs the per-batch small files exactly as on the
+    * banded store.
+    */
+  def appendMih(df: DataFrame, idCol: String, vecCol: String, path: String): Unit =
+    mihRows(df, idCol, vecCol)
+      .write.partitionBy("blk", "bval").mode("append").parquet(path)
+
+  private def mihRows(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    codesOf(df, idCol, vecCol)
+      .select(col("id"), col("code_lo"), col("code_hi"),
+        posexplode(Knn.bqBlockVals(col("code_lo"), col("code_hi")))
+          .as(Seq("blk", "bval")))
+
+  /** Radius-bounded Hamming search over the MIH store. `queries` is a
+    * packed-code frame (query_id, qlo, qhi); radius must stay below
+    * the 8-block pigeonhole bound so candidate generation is lossless.
+    * The probed (blk, bval) pairs — ≤ 8 per query, tiny by the
+    * fingerprint-lookup contract, same static-pruning justification
+    * as IvfIndexStore.search's IN-list — compile into a partition
+    * filter, so the scan reads ONLY the probed bucket directories.
+    */
+  def searchRadius(spark: SparkSession, path: String, queries: DataFrame,
+                   radius: Int): DataFrame = {
+    require(radius < 8, s"radius $radius breaks the 8-block pigeonhole bound")
+    val probes = queries.select(col("query_id"), col("qlo"), col("qhi"),
+      posexplode(Knn.bqBlockVals(col("qlo"), col("qhi"))).as(Seq("qblk", "qbval")))
+    val pairs = probes.select(col("qblk"), col("qbval")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val prune = pairs.map { case (b, v) =>
+      col("blk") === b && col("bval") === v
+    }.reduce(_ || _)
+    read(spark, path).filter(prune)
+      .join(broadcast(probes),
+        col("blk") === col("qblk") && col("bval") === col("qbval"))
+      .select(col("query_id"), col("id"), col("code_lo"), col("code_hi"),
+        col("qlo"), col("qhi"))
+      .distinct() // a candidate may match in several blocks
+      .withColumn("hamming",
+        (bit_count(col("code_lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("code_hi").bitwiseXOR(col("qhi")))).cast("long"))
+      .filter(col("hamming") <= radius)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("hamming"))
+  }
+
   /** Hamming scan over the stored codes + exact-cosine rerank against
     * `source` (the table the index was built from, or any table
     * sharing the id space). Same two-phase shape as Knn.vBq: the only

@@ -179,7 +179,10 @@ class Round7Spec extends SparkSpec {
       "m_shot_detect" -> 2, "m_audio_resample" -> 2,
       "src_zorder" -> 2, "d_bloom" -> 6,
       "q_merge_cdc" -> 5, "t_dsir" -> 6, "d_minhash_err" -> 4,
-      "d_edit_near" -> 4, "m_video_dedup" -> 4, "t_ppl_filter" -> 9)
+      "d_edit_near" -> 4, "m_video_dedup" -> 4, "t_ppl_filter" -> 9,
+      "q13_custdist" -> 3, "q15_topsupp" -> 4, "q17_smallqty" -> 3,
+      "q22_idle" -> 3, "q_retention" -> 4, "v_bq_range" -> 2,
+      "m_decode_phash" -> 7)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
@@ -366,6 +369,107 @@ class Round7Spec extends SparkSpec {
     exchangeInputs.foreach { in =>
       assert(!in.matches(".*\\b(v|qv|w)#\\d+.*"),
         s"a shuffle exchange carries a vector payload: $in\n$fmt")
+    }
+  }
+
+  test("v_bq_range: pigeonhole pruning is lossless and the plan has no nested-loop join") {
+    // independent brute force: same codes + same 5-bit corruption, but
+    // candidates from an explicit cross join — the multi-index result
+    // must match EXACTLY (radius 7 < 8 blocks guarantees a clean block)
+    val e = Knn.corpus(spark, sf)
+    val codes = e.select(col("vec_id"),
+      Knn.bqWords(col("v"), 0).as("code_lo"), Knn.bqWords(col("v"), 32).as("code_hi"))
+    def maskHalf(lo: Boolean): String = (0 until 5).map { j =>
+      val p = s"pmod(query_id + ${13 * j}, 64)"
+      if (lo) s"(CASE WHEN $p < 32 THEN shiftleft(CAST(1 AS BIGINT), CAST($p AS INT)) ELSE CAST(0 AS BIGINT) END)"
+      else s"(CASE WHEN $p >= 32 THEN shiftleft(CAST(1 AS BIGINT), CAST($p AS INT) - 32) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" | ")
+    val q = codes.filter(col("vec_id") < Knn.NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("code_lo").bitwiseXOR(expr(maskHalf(lo = true))).as("qlo"),
+        col("code_hi").bitwiseXOR(expr(maskHalf(lo = false))).as("qhi"))
+    val brute = codes.crossJoin(q)
+      .withColumn("hamming",
+        (bit_count(col("code_lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("code_hi").bitwiseXOR(col("qhi")))).cast("long"))
+      .filter(col("hamming") <= 7)
+      .select("query_id", "vec_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val df = SparkEntry.queries("v_bq_range")(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"multi-index result diverges from brute force: " +
+      s"missing=${brute -- got} extra=${got -- brute}")
+    assert(got.nonEmpty, "corrupted queries must find their source codes")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"candidate generation must be a pure equi-join on (block, value):\n$plan")
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("BqIndexStore MIH: persisted radius search matches in-session, scan prunes buckets") {
+    val got = SparkEntry.queries("v_bq_range_store")(spark, sf)
+    val want = SparkEntry.queries("v_bq_range")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == want, "store radius search must equal the in-session contract")
+    // the probed (blk, bval) pairs must land in the scan's PARTITION
+    // filters — bucket pruning at the file level is the point of MIH
+    val plan = got.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*blk[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"probe buckets must prune as partition filters:\n$plan")
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("BqIndexStore MIH: two-wave append equals a single write") {
+    import graft.sources.BqIndexStore
+    val emb = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("mih_store").toString
+    BqIndexStore.writeMih(emb, "vec_id", "embedding", s"$base/one")
+    BqIndexStore.writeMih(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", s"$base/two")
+    BqIndexStore.appendMih(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", s"$base/two")
+    val codes = Knn.corpus(spark, sf).select(col("vec_id"),
+      Knn.bqWords(col("v"), 0).as("code_lo"), Knn.bqWords(col("v"), 32).as("code_hi"))
+    val q = Knn.bqCorruptedQueries(codes)
+    def res(p: String): Set[(Long, Long, Long)] =
+      BqIndexStore.searchRadius(spark, s"$base/$p", q, radius = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res("two") == res("one"),
+      "incrementally appended MIH store must search identically to a single write")
+  }
+
+  test("m_decode_phash: decode-fed fingerprint equals the closed-form pixel fingerprint") {
+    // the decode path (PNG encode -> javax.imageio -> BT.601) must be
+    // pixel-identical to the closed form, so the SAME phashFromFrame
+    // over a formula-built frame is the ground truth for the whole
+    // decode -> DCT -> median -> pack chain
+    import spark.implicits._
+    val formula = (for {
+      id <- 0L until 8L; y <- 0 until 16; x <- 0 until 16
+    } yield (id, y, x, ((31 * id + 5) + 7 * y + 13 * x) % 256))
+      .toDF("doc_id", "y", "x", "px")
+    val want = ImagePipeline.phashFromFrame(formula)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = ImageDecode.mDecodePhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sameElements(want),
+      "real-decode pHash must be bit-equal to the closed-form pHash")
+    assert(got.length == 8)
+  }
+
+  test("q_retention: day-0 cell is the cohort size and bounds every later cell") {
+    val rows = SparkEntry.queries("q_retention")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "day offsets are non-negative by construction")
+    rows.groupBy(_._1).foreach { case (cohort, cells) =>
+      val day0 = cells.find(_._2 == 0L)
+      assert(day0.isDefined, s"cohort $cohort must have a day-0 cell (first purchase)")
+      assert(cells.forall(_._3 <= day0.get._3),
+        s"cohort $cohort: no retention cell can exceed the day-0 cohort size")
     }
   }
 }
