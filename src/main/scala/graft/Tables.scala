@@ -56,6 +56,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver-generated parquet stores naive timestamp[us]; read it as
+      // a session-TZ (UTC) instant, not TIMESTAMP_NTZ, so time
+      // arithmetic (unix_millis, casts, intervals) behaves identically
+      // to the nanos-era data and to DuckDB's naive reading
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // default 100 entries evicts the big dedup plans' generated
       // classes while 40+ other queries run, forcing a 10-20s janino
       // recompile when they're hit again (static conf — set pre-start)

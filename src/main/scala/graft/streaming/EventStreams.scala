@@ -31,13 +31,14 @@ case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_
   */
 object EventStreams {
 
-  /** The parquet carries TIMESTAMP(NANOS) which Spark reads as a nanos
-    * long (see Tables.events); the stream source declares it as long
-    * and converts to a µs timestamp first thing.
+  /** The driver parquet carries naive timestamp[us]; the declared
+    * TimestampType reads it as a session-TZ (UTC) instant — same
+    * normalization as the batch Tables loader, and INT96-compatible
+    * for files the engine writes itself.
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -49,7 +50,6 @@ object EventStreams {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -87,7 +87,7 @@ object EventStreams {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ts_ms"))
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
       .as[SessionEvent]
 
     def fold(user: Long, events: Iterator[SessionEvent],
@@ -128,8 +128,7 @@ object EventStreams {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_ms", unix_millis(col("ts")))
       .withWatermark("ts", "10 minutes")
       .select(col("user_id"), col("event_id"), col("ts_ms"), col("ts"))
       .as[SessionEventT]
@@ -180,7 +179,6 @@ object EventStreams {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
@@ -196,7 +194,6 @@ object EventStreams {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .filter(col("event_type") === t)
     val views = side("view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -245,7 +242,6 @@ object EventStreams {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"))
     val q = counts.writeStream
@@ -274,7 +270,6 @@ object EventStreams {
     val q = spark.readStream
       .schema(eventsSchema)
       .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
