@@ -130,6 +130,216 @@ object Oracles {
           AND o_orderdate >= TIMESTAMP '1997-06-01')
       GROUP BY 1 ORDER BY 1""",
 
+    // Q4 shape: per-priority count of quarter orders with a late
+    // lineitem (correlated EXISTS; lateness = ship-lag > 90 days)
+    "q4_priority" -> """
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o_orderdate < TIMESTAMP '1996-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      GROUP BY 1 ORDER BY 1""",
+
+    // Q12 shape: 1997 late shipments split into high-/low-priority
+    // counts per line status
+    "q12_latemode" -> """
+      SELECT l_linestatus,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      GROUP BY 1 ORDER BY 1""",
+
+    // Q19 shape: disjunction of three brand/size/quantity clauses over
+    // the part join, revenue in exact cents
+    "q19_disjunct" -> s"""
+      SELECT ${msum("l_extendedprice * (1 - l_discount)")} AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 50
+             AND l_quantity BETWEEN 20 AND 30)""",
+
+    // Q21 shape: the EXISTS/NOT-EXISTS pair folded into one per-order
+    // aggregation (>=2 suppliers, exactly 1 late, blame = the late one)
+    "q21_waiting" -> """
+      WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders
+                  WHERE o_orderstatus = 'F'),
+      ll AS (SELECT l_orderkey, l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                 THEN l_suppkey END AS late_supp
+             FROM lineitem JOIN fo ON l_orderkey = o_orderkey),
+      po AS (SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT late_supp) AS n_late,
+               MIN(late_supp) AS blame
+             FROM ll GROUP BY 1)
+      SELECT s_suppkey, s_name, COUNT(*) AS numwait
+      FROM po JOIN supplier ON blame = s_suppkey
+      WHERE n_supp >= 2 AND n_late = 1
+      GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20""",
+
+    // bitmap-shard distinct is EXACT: the oracle is the plain
+    // COUNT(DISTINCT) the bit_or/popcount pipeline must reproduce
+    "q_bitmap_distinct" -> """
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    // sketch rollup gate: the merged per-day HLL union must land
+    // within 5% of exact — literal-TRUE flags, as with the other
+    // sketch error gates
+    "q_hll_rollup" -> """
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        TRUE AS within_5pct
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    // Q2 shape: correlated MIN subquery — per part, the EU suppliers
+    // at the minimum observed price (integer-cents equality)
+    "q2_mincost" -> """
+      WITH ep AS (SELECT p_partkey FROM part
+                  WHERE p_type = 'STANDARD' AND p_size <= 5),
+      es AS (SELECT s_suppkey, s_name, s_acctbal
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'EUROPE'),
+      cost AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                 MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_cents
+               FROM lineitem JOIN ep ON l_partkey = p_partkey
+                 JOIN es ON l_suppkey = s_suppkey
+               GROUP BY 1, 2),
+      mn AS (SELECT pk AS mpk, MIN(cost_cents) AS m FROM cost GROUP BY 1)
+      SELECT pk AS p_partkey, s_suppkey, s_name, s_acctbal,
+        cost_cents / 100.0 AS cost
+      FROM cost JOIN mn ON pk = mpk AND cost_cents = m
+        JOIN es ON sk = s_suppkey
+      ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100""",
+
+    // Q11 shape: HAVING against a scalar subquery, integer
+    // cross-multiplied (value*1000 > total)
+    "q11_important" -> """
+      WITH asp AS (SELECT s_suppkey FROM supplier
+                   JOIN nation ON s_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+                   WHERE r_name = 'ASIA'),
+      v AS (SELECT l_partkey,
+              CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS value_cents
+            FROM lineitem JOIN asp ON l_suppkey = s_suppkey
+            GROUP BY 1)
+      SELECT l_partkey AS p_partkey, value_cents / 100.0 AS value
+      FROM v, (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM v) t
+      WHERE value_cents * 1000 > total_cents
+      ORDER BY value_cents DESC, l_partkey""",
+
+    // Q16 shape: distinct supplier count per (brand, type, size) with
+    // brand/type exclusions and a complaints anti-join
+    "q16_suppcnt" -> """
+      WITH pf AS (SELECT p_partkey, p_brand, p_type, p_size FROM part
+                  WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+                    AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)),
+      pairs AS (SELECT DISTINCT l_partkey, l_suppkey
+                FROM lineitem JOIN pf ON l_partkey = p_partkey
+                WHERE l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'))
+      SELECT p_brand, p_type, p_size,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM pairs JOIN pf ON l_partkey = p_partkey
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    // Q20 shape: nested semi-joins — suppliers moving >30 units of a
+    // red part in 1996, restricted to one region
+    "q20_excess" -> """
+      WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+      movers AS (SELECT l_suppkey FROM lineitem
+                   JOIN rp ON l_partkey = p_partkey
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+                 GROUP BY l_suppkey, l_partkey
+                 HAVING CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) > 3000)
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'
+        AND s_suppkey IN (SELECT l_suppkey FROM movers)
+      ORDER BY s_suppkey""",
+
+    // Q7 shape: two-nation shipping volume, both directions, by ship
+    // year, revenue in exact cents
+    "q7_volume" -> s"""
+      WITH nat AS (SELECT n_nationkey, n_name FROM nation
+                   WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')),
+      sp AS (SELECT s_suppkey, n_name AS supp_nation
+             FROM supplier JOIN nat ON s_nationkey = n_nationkey),
+      cu AS (SELECT c_custkey, n_name AS cust_nation
+             FROM customer JOIN nat ON c_nationkey = n_nationkey),
+      oc AS (SELECT o_orderkey, cust_nation
+             FROM orders JOIN cu ON o_custkey = c_custkey)
+      SELECT supp_nation, cust_nation,
+        CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        ${msum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem JOIN sp ON l_suppkey = s_suppkey
+        JOIN oc ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+        AND supp_nation <> cust_nation
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // Q8 shape: market share as a ratio of two integer cents sums
+    // folded in one aggregation pass
+    "q8_share" -> """
+      WITH ep AS (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY'),
+      ac AS (SELECT c_custkey FROM customer
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'AMERICA'),
+      sp AS (SELECT s_suppkey, n_name AS supp_nation
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      oc AS (SELECT o_orderkey,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year
+             FROM orders JOIN ac ON o_custkey = c_custkey
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1998-01-01'),
+      agg AS (SELECT o_year,
+          CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+            THEN CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+              AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_cents,
+          CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+            AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem JOIN ep ON l_partkey = p_partkey
+          JOIN sp ON l_suppkey = s_suppkey
+          JOIN oc ON l_orderkey = o_orderkey
+        GROUP BY 1)
+      SELECT o_year, CAST(nation_cents AS DOUBLE) / total_cents AS mkt_share,
+        total_cents / 100.0 AS total_rev
+      FROM agg ORDER BY o_year""",
+
+    // Q9 shape: profit folded in milli-units (10*rev_cents -
+    // retail_cents*qty), per supplier nation per order year
+    "q9_profit" -> """
+      WITH gp AS (SELECT p_partkey, p_retailprice FROM part
+                  WHERE p_name LIKE '%gear%'),
+      sp AS (SELECT s_suppkey, n_name AS nation
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+      SELECT nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        CAST(SUM(
+          CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) * 10
+          - CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+            * CAST(l_quantity AS BIGINT)) AS BIGINT) / 1000.0 AS sum_profit
+      FROM lineitem JOIN gp ON l_partkey = p_partkey
+        JOIN sp ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+
     // gaps-and-islands: island key = integer day number - row_number,
     // constant within a consecutive run on both engines
     "q_gaps_islands" -> """
@@ -1591,6 +1801,62 @@ object Oracles {
         CAST(MIN(m) AS BIGINT) AS min_m, CAST(MAX(m) AS BIGINT) AS max_m
       FROM cmap GROUP BY doc_id, y ORDER BY doc_id, y""",
 
+    // decode-fed CLAHE: the full clip-redistribute adaptation over the
+    // closed pixel form — the engine must reproduce it through the real
+    // PNG encode -> decode round-trip (same replay as m_clahe, only the
+    // pixel source differs)
+    "m_decode_clahe" -> """
+      WITH cxs AS (SELECT unnest(generate_series(0, 31)) AS x),
+      cys AS (SELECT unnest(generate_series(0, 31)) AS y),
+      cds AS (SELECT doc_id FROM documents WHERE doc_id < 2),
+      cpx AS (SELECT doc_id, y, x,
+                ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
+              FROM cds CROSS JOIN cys CROSS JOIN cxs),
+      chist AS (SELECT doc_id, (y // 8) * 4 + (x // 8) AS t, px AS intensity,
+                  COUNT(*) AS n, LEAST(COUNT(*), 5) AS c
+                FROM cpx GROUP BY 1, 2, 3),
+      ctiles AS (SELECT doc_id, t, CAST(SUM(n - c) AS BIGINT) AS excess
+                 FROM chist GROUP BY 1, 2),
+      ccum AS (SELECT doc_id, t, intensity,
+                 CAST(SUM(c) OVER (PARTITION BY doc_id, t ORDER BY intensity) AS BIGINT)
+                   AS cumc
+               FROM chist),
+      cis AS (SELECT unnest(generate_series(0, 255)) AS i),
+      cluts AS (SELECT lb.doc_id, lb.t, lb.i,
+                  ((COALESCE(c.cumc, 0) + (lb.i + 1) * (lb.excess // 256)) * 255) // 64 AS m
+                FROM (SELECT ti.doc_id, ti.t, ti.excess, ii.i
+                      FROM ctiles ti CROSS JOIN cis ii) lb
+                ASOF LEFT JOIN ccum c
+                  ON lb.doc_id = c.doc_id AND lb.t = c.t AND lb.i >= c.intensity),
+      ccorn AS (SELECT doc_id, y, x, px,
+                  LEAST(GREATEST(x * 2 - 7, 0), 48) AS pcx,
+                  LEAST(GREATEST(y * 2 - 7, 0), 48) AS pcy
+                FROM cpx),
+      cc2 AS (SELECT doc_id, y, x, px,
+                pcx // 16 AS tx0, pcx % 16 AS qx,
+                pcy // 16 AS ty0, pcy % 16 AS qy,
+                LEAST(pcx // 16 + 1, 3) AS tx1, LEAST(pcy // 16 + 1, 3) AS ty1
+              FROM ccorn),
+      cm4 AS (SELECT c2.doc_id, c2.y, c2.qx, c2.qy,
+                tl.m AS mtl, tr.m AS mtr, bl.m AS mbl, br.m AS mbr
+              FROM cc2 c2
+              JOIN cluts tl ON tl.doc_id = c2.doc_id
+                AND tl.t = c2.ty0 * 4 + c2.tx0 AND tl.i = c2.px
+              JOIN cluts tr ON tr.doc_id = c2.doc_id
+                AND tr.t = c2.ty0 * 4 + c2.tx1 AND tr.i = c2.px
+              JOIN cluts bl ON bl.doc_id = c2.doc_id
+                AND bl.t = c2.ty1 * 4 + c2.tx0 AND bl.i = c2.px
+              JOIN cluts br ON br.doc_id = c2.doc_id
+                AND br.t = c2.ty1 * 4 + c2.tx1 AND br.i = c2.px),
+      cmap AS (SELECT doc_id, y,
+                 (mtl * (16 - qx) * (16 - qy) + mtr * qx * (16 - qy)
+                  + mbl * (16 - qx) * qy + mbr * qx * qy) // 256 AS m
+               FROM cm4)
+      SELECT doc_id, CAST(y AS BIGINT) AS y, COUNT(*) AS n_px,
+        CAST(SUM(m) AS BIGINT) AS sum_m,
+        CAST(MIN(m) AS BIGINT) AS min_m, CAST(MAX(m) AS BIGINT) AS max_m
+      FROM cmap GROUP BY doc_id, y ORDER BY doc_id, y""",
+
     // same formula as m_fake_embed, but the Spark side produces it
     // through the pluggable batched-inference scaffold (mapPartitions
     // + per-partition model load) instead of a Catalyst expression
@@ -1812,6 +2078,49 @@ object Oracles {
       SELECT doc_id, component,
         CAST(CASE WHEN doc_id = component THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
       FROM lbl ORDER BY doc_id""",
+
+    // PageRank in exact ppm integer arithmetic: the same edge CTEs as
+    // d_components, then the 3-superstep trajectory unrolled (contrib
+    // = r // deg, damping = 150000 + (850000*s) // 10^6 — all floor
+    // divisions, so the replay is bit-identical to the Spark loop)
+    "d_pagerank" -> s"""
+      WITH RECURSIVE $bandPairsCte,
+      je AS (SELECT doc1, doc2,
+               SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) / 16.0 AS jacc_est
+             FROM pairs
+             JOIN mh m1 ON m1.doc_id = doc1
+             JOIN mh m2 ON m2.doc_id = doc2 AND m2.perm_id = m1.perm_id
+             GROUP BY doc1, doc2),
+      fb AS (SELECT doc_id AS doc1, doc_id + 1 AS doc2 FROM documents
+             WHERE doc_id % 10 = 0),
+      -- explicit DISTINCT: inside WITH RECURSIVE DuckDB does NOT
+      -- deduplicate a plain UNION in a CTE body, and duplicate edges
+      -- would double-count degrees
+      und AS (SELECT DISTINCT doc1, doc2 FROM (
+                SELECT doc1, doc2 FROM je WHERE jacc_est >= 0.25
+                UNION ALL SELECT doc1, doc2 FROM fb) uu),
+      edges AS (SELECT DISTINCT a, b FROM (
+                SELECT doc1 AS a, doc2 AS b FROM und
+                UNION ALL SELECT doc2 AS a, doc1 AS b FROM und) ee),
+      deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+      r0 AS (SELECT a AS doc, deg, CAST(1000000 AS BIGINT) AS r FROM deg),
+      s1 AS (SELECT e.b AS doc, CAST(SUM(r // deg) AS BIGINT) AS s
+             FROM edges e JOIN r0 ON e.a = r0.doc GROUP BY e.b),
+      r1 AS (SELECT d.a AS doc, d.deg,
+               150000 + (850000 * s) // 1000000 AS r
+             FROM deg d JOIN s1 ON d.a = s1.doc),
+      s2 AS (SELECT e.b AS doc, CAST(SUM(r // deg) AS BIGINT) AS s
+             FROM edges e JOIN r1 ON e.a = r1.doc GROUP BY e.b),
+      r2 AS (SELECT d.a AS doc, d.deg,
+               150000 + (850000 * s) // 1000000 AS r
+             FROM deg d JOIN s2 ON d.a = s2.doc),
+      s3 AS (SELECT e.b AS doc, CAST(SUM(r // deg) AS BIGINT) AS s
+             FROM edges e JOIN r2 ON e.a = r2.doc GROUP BY e.b),
+      r3 AS (SELECT d.a AS doc, d.deg,
+               150000 + (850000 * s) // 1000000 AS r
+             FROM deg d JOIN s3 ON d.a = s3.doc)
+      SELECT doc AS doc_id, CAST(r AS BIGINT) AS rank_ppm
+      FROM r3 ORDER BY doc""",
 
     "d_ngram_jacc" -> s"""
       WITH p3 AS (SELECT doc_id, text,

@@ -296,6 +296,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d_pagerank: PageRank over the same near-dup candidate graph as
+    * d_components — the "which document is the canonical center of
+    * its duplicate cluster" signal (rank-weighted keeper selection is
+    * what production dedup uses when clusters are star-shaped). The
+    * iteration runs in exact PARTS-PER-MILLION integer arithmetic:
+    * contrib = rank div degree, damping as (850000·Σ) div 10^6 — all
+    * floor divisions on longs, so a fixed 3-superstep run is
+    * bit-identical under any partitioning and the oracle can replay
+    * the trajectory as three unrolled SQL CTEs (the same
+    * oracle-replay trick as the deterministic Lloyd trainer).
+    *
+    * Scale shape: edges are pre-partitioned on the join key and
+    * materialized once (the d_components lesson); each superstep is
+    * one edge⋈rank join + one groupBy on the SAME key — partial aggs
+    * bound the shuffle at |V| rows — and superseded rank states are
+    * released per superstep. Only edge-touched nodes are ranked
+    * (same convention as connectedComponents).
+    */
+  def dPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val est = dMinhashPairs(spark, dir).filter(col("jacc_est") >= 0.25)
+      .select("doc1", "doc2")
+    val fallback = Tables.documents(spark, dir)
+      .select(col("doc_id").as("doc1"))
+      .filter(col("doc1") % 10 === 0)
+      .withColumn("doc2", col("doc1") + 1)
+    val und = est.union(fallback).distinct()
+    val edges = und
+      .union(und.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+      .select(col("doc1").as("a"), col("doc2").as("b"))
+      .distinct()
+      .repartition(col("a"))
+      .transform(graft.Materialize.forceCached)
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+      .transform(graft.Materialize.forceCached)
+    var state = deg.select(col("a").as("doc"), col("deg"),
+      lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val sums = edges.join(state, edges("a") === state("doc"))
+        .select(col("b").as("doc"), expr("r div deg").as("c"))
+        .groupBy("doc").agg(sum(col("c")).as("s"))
+      val next = deg.select(col("a").as("doc"), col("deg"))
+        .join(sums, "doc")
+        .select(col("doc"), col("deg"),
+          (lit(150000L) + expr("(850000 * s) div 1000000")).as("r"))
+        .transform(graft.Materialize.forceCached)
+      graft.Materialize.release(state)
+      state = next
+    }
+    val out = state.select(col("doc").as("doc_id"), col("r").as("rank_ppm"))
+      .orderBy("doc_id")
+    // the final state is materialized, so the loop's static inputs can
+    // drop their blocks before the caller consumes `out`
+    graft.Materialize.release(edges)
+    graft.Materialize.release(deg)
+    out
+  }
+
   /** Pointer-jumping connected components over an undirected edge list
     * (cols doc1, doc2) → (doc, label) with label = min node id of the
     * component. Only nodes that appear in an edge are returned —

@@ -90,10 +90,11 @@ object ImageDecode {
     * PNGs (seed 31·doc_id + 5) through the REAL decode path.
     */
   private def decodedFrames(spark: SparkSession, dir: String,
-                            w: Int = 16, h: Int = 12): DataFrame = {
+                            w: Int = 16, h: Int = 12,
+                            nDocs: Int = 8): DataFrame = {
     import spark.implicits._
     val payloads = graft.Tables.documents(spark, dir)
-      .select(col("doc_id")).filter(col("doc_id") < 8)
+      .select(col("doc_id")).filter(col("doc_id") < nDocs)
       .as[Long]
       .map(id => (id, syntheticPng(w, h, seed = (31 * id + 5).toInt)))
       .toDF("doc_id", "payload")
@@ -157,6 +158,22 @@ object ImageDecode {
     */
   def mDecodePhash(spark: SparkSession, dir: String): DataFrame =
     ImagePipeline.phashFromFrame(decodedFrames(spark, dir, w = 16, h = 16))
+
+  /** m_decode_clahe: the reference's CLAHE preprocess (app.py:60-66)
+    * over REAL decoded pixels — 32×32 synthetic PNGs through the
+    * actual javax.imageio decode, then the exact same clip-limited
+    * tile histograms → integer LUTs → bilinear corner blend as
+    * m_clahe (shared ImagePipeline.claheFromFrame, so decode is the
+    * ONLY difference). This closes the last md5-fed pixel stage: all
+    * four pixel transforms the reference runs (γ-LUT, blur, CLAHE,
+    * fingerprint) are now decode-fed inside the oracle gate. The
+    * DuckDB oracle evaluates the closed pixel form and replays the
+    * adaptation in SQL — hash equality proves encode → decode →
+    * histogram → blend bit-exact end to end.
+    */
+  def mDecodeClahe(spark: SparkSession, dir: String): DataFrame =
+    ImagePipeline.claheFromFrame(
+      decodedFrames(spark, dir, w = 32, h = 32, nDocs = 2))
 
   /** Deterministic synthetic PNG (spec/dev helper): pixel (x, y) has
     * gray value ((seed + 7·y + 13·x) mod 256), so every decoded value

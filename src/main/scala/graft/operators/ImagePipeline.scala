@@ -472,14 +472,22 @@ object ImagePipeline {
     * equi-joins + a map-side projection. Output: per-row intensity
     * stats after equalization.
     */
-  def mClahe(spark: SparkSession, dir: String): DataFrame = {
-    val px = Tables.documents(spark, dir).filter(col("doc_id") < 2).select("doc_id")
-      .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("y"))
-      .select(col("doc_id"), col("y"), explode(sequence(lit(0), lit(31))).as("x"))
-      .withColumn("px", H.md5Long(
-        concat(lit("cl_"), col("doc_id").cast("string"), lit("_"),
-          col("y").cast("string"), lit("_"), col("x").cast("string")), 2))
-      .withColumn("t", expr("(y div 8) * 4 + (x div 8)"))
+  def mClahe(spark: SparkSession, dir: String): DataFrame =
+    claheFromFrame(
+      Tables.documents(spark, dir).filter(col("doc_id") < 2).select("doc_id")
+        .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("y"))
+        .select(col("doc_id"), col("y"), explode(sequence(lit(0), lit(31))).as("x"))
+        .withColumn("px", H.md5Long(
+          concat(lit("cl_"), col("doc_id").cast("string"), lit("_"),
+            col("y").cast("string"), lit("_"), col("x").cast("string")), 2)))
+
+  /** CLAHE core over any 32×32 (doc_id, y, x, px) frame — factored so
+    * the md5-synthesized gate (m_clahe) and the REAL-decode gate
+    * (m_decode_clahe, ImageDecode) run the identical adaptation: only
+    * where the pixels came from differs.
+    */
+  def claheFromFrame(frame: DataFrame): DataFrame = {
+    val px = frame.withColumn("t", expr("(y div 8) * 4 + (x div 8)"))
     val tiles = px
       .groupBy("doc_id", "t", "px").agg(count(lit(1)).as("n"))
       .withColumn("clipped", least(col("n"), lit(5L)))

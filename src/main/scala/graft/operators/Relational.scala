@@ -541,4 +541,397 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("cohort", "day_n")
   }
+
+  /** q4_priority (TPC-H Q4 shape): order-priority checking — orders in
+    * one quarter having at least one LATE lineitem (shipped > 90 days
+    * after the order date; this schema carries no commit/receipt
+    * dates, so lateness is ship-lag), counted per priority. The EXISTS
+    * compiles to ONE left-semi equi-join on orderkey with the
+    * non-equi lateness predicate riding the join; both sides project
+    * to ≤3 columns before the single orderkey shuffle, and the
+    * quarter filter is pushed to the orders scan so the semi-join's
+    * probe side is already pruned at the files.
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q12_latemode (TPC-H Q12 shape): late-shipment accounting per
+    * line status (the schema's stand-in for ship mode) — for 1997
+    * shipments more than 60 days after their order date, how many
+    * belonged to high- vs low-priority orders. The fact and orders
+    * both shuffle ONCE on orderkey (orders is 1:4 of lineitem — too
+    * big to broadcast at 100 TB); orders projects to (key, date,
+    * priority) before the exchange and the priority split is a
+    * map-side conditional sum after the join.
+    */
+  def q12LateMode(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_shipdate", "l_linestatus")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** q19_disjunct (TPC-H Q19 shape): discounted revenue under a
+    * DISJUNCTION of three brand/size/quantity clauses — the classic
+    * OR-predicate probe. Catalyst extracts the common `l_partkey =
+    * p_partkey` equi-condition so the plan is one BROADCAST hash join
+    * (part is the dim side) with the disjunction evaluated as a
+    * post-join filter, never a nested-loop; the quantity bounds the
+    * clauses share (1..30) are pushed to the fact scan as a
+    * conjunctive envelope.
+    */
+  def q19Disjunct(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#7" && col("p_size").between(1, 50) &&
+          col("l_quantity").between(20, 30)))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q21_waiting (TPC-H Q21 shape): suppliers who single-handedly held
+    * up multi-supplier orders — the reference formulation is an
+    * EXISTS + NOT-EXISTS pair of lineitem self-joins; here both
+    * collapse into ONE aggregation per order (n distinct suppliers,
+    * n distinct LATE suppliers, and — when exactly one — its key via
+    * min-over-late), which is the shape that survives 100 TB: the
+    * fact shuffles once on orderkey instead of three times, and the
+    * blame condition (≥2 suppliers, exactly 1 late) is a filter over
+    * the per-order aggregate. Late = shipped > 60 days after the
+    * order date (no receipt/commit dates in this schema); orders
+    * restricted to finished ('F') status, supplier names broadcast.
+    */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val fo = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val ll = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(fo, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late_supp",
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          col("l_suppkey")))
+    val perOrder = ll.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("late_supp")).as("n_late"),
+        min(col("late_supp")).as("blame"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    perOrder.groupBy("blame").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supp), col("blame") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** Region-filtered suppliers (nation ⋈ region broadcast chain) —
+    * shared by the Q2/Q7/Q8/Q11/Q20 shapes. Both dims are tiny at any
+    * scale (25 nations, 5 regions), so the chain collapses into the
+    * supplier scan as two broadcast hash joins.
+    */
+  private def suppliersIn(spark: SparkSession, dir: String,
+                          region: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === region)), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+  }
+
+  /** q2_mincost (TPC-H Q2 shape): for each qualifying part, the
+    * EU supplier(s) offering it at the minimum observed price — the
+    * correlated-MIN-subquery pattern. No partsupp table exists in
+    * this schema, so "offer price" is the minimum observed
+    * l_extendedprice per (part, supplier), in exact cents (the `=
+    * min` equality is integer, never an fp coin-flip). The part
+    * filter is a few-row broadcast that prunes the fact BEFORE its
+    * only shuffle (groupBy part+supplier); the per-part min then
+    * re-joins the tiny aggregated cost table — a second exchange over
+    * rows whose count is bounded by (parts × suppliers), independent
+    * of fact size.
+    */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val ep = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 5)
+      .select("p_partkey")
+    val es = suppliersIn(spark, dir, "EUROPE")
+      .select("s_suppkey", "s_name", "s_acctbal")
+    val cost = Tables.lineitem(spark, dir)
+      .join(broadcast(ep), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(es.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(min(cents(col("l_extendedprice"))).as("cost_cents"))
+    val mn = cost.groupBy(col("pk").as("mpk")).agg(min(col("cost_cents")).as("m"))
+    cost.join(mn, col("pk") === col("mpk") && col("cost_cents") === col("m"))
+      .join(broadcast(es), col("sk") === col("s_suppkey"))
+      .select(col("pk").as("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), (col("cost_cents") / lit(100.0)).as("cost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** q11_important (TPC-H Q11 shape): parts whose revenue through one
+    * region's suppliers exceeds a fixed fraction of that region's
+    * total — GROUP BY + HAVING against a scalar subquery. The
+    * threshold test is integer cross-multiplied (value·1000 > total)
+    * so both engines keep identical boundary parts; the global total
+    * is a 1-row broadcast re-aggregated from the per-part sums (one
+    * fact shuffle on partkey, region suppliers broadcast into the
+    * scan).
+    */
+  def q11Important(spark: SparkSession, dir: String): DataFrame = {
+    val as = suppliersIn(spark, dir, "ASIA").select("s_suppkey")
+    val value = Tables.lineitem(spark, dir)
+      .join(broadcast(as), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("value_cents"))
+    val total = value.agg(sum(col("value_cents")).as("total_cents"))
+    value.join(broadcast(total))
+      .filter(col("value_cents") * 1000 > col("total_cents"))
+      .select(col("l_partkey").as("p_partkey"),
+        (col("value_cents") / lit(100.0)).as("value"))
+      .orderBy(col("value_cents").desc, col("p_partkey"))
+  }
+
+  /** q16_suppcnt (TPC-H Q16 shape): how many distinct suppliers offer
+    * each (brand, type, size) — with a brand/type exclusion and an
+    * anti-join against a "complaints" supplier set (name ending in 7;
+    * this schema has no comment column). Part-supplier pairs come
+    * from a DISTINCT over the fact projected to two key columns —
+    * the one corpus-wide shuffle, combining map-side — then the part
+    * attributes broadcast in and the count-distinct runs over the
+    * already-distinct pairs (a cheap re-key on the tiny pair set).
+    */
+  def q16SuppCnt(spark: SparkSession, dir: String): DataFrame = {
+    val pf = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val complaints = Tables.supplier(spark, dir)
+      .filter(col("s_name").endsWith("7")).select("s_suppkey")
+    val pairs = Tables.lineitem(spark, dir)
+      .join(broadcast(pf.select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+    pairs.join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** q20_excess (TPC-H Q20 shape): American suppliers who moved more
+    * than 30 units of some red part in 1996 — the nested-semi-join
+    * pattern (parts semi into the fact, per-(supplier, part) volume
+    * threshold, survivors semi into supplier). The fact is pruned by
+    * BOTH broadcast semis before its single (suppkey, partkey)
+    * shuffle; the threshold filter runs on the aggregate, and the
+    * final semi-join is against the tiny distinct-supplier set.
+    */
+  def q20Excess(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("red ")).select("p_partkey")
+    val amSupp = suppliersIn(spark, dir, "AMERICA")
+      .select("s_suppkey", "s_name")
+    val movers = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(cents(col("l_quantity"))).as("qty_cents"))
+      .filter(col("qty_cents") > 30 * 100L)
+      .select("l_suppkey").distinct()
+    amSupp.join(movers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** q7_volume (TPC-H Q7 shape): shipping volume between the nations
+    * of a fixed set, by direction pair and ship year. Customer and
+    * supplier are both pre-filtered to the set — each collapses to a small
+    * broadcast that prunes its fact side BEFORE the single
+    * orderkey shuffle joining lineitem to orders; the (supp_nation,
+    * cust_nation) anti-symmetry filter and year bucketing are
+    * map-side. Revenue folds as exact cents.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q8_share (TPC-H Q8 shape): one nation's market share inside a
+    * region's market for one part type, per order year. Share =
+    * ratio of two exact integer cents sums folded in the SAME
+    * aggregation pass (conditional numerator), so no second scan and
+    * the division is the only double arithmetic. Part and customer
+    * prunes broadcast into the two fact scans before the orderkey
+    * shuffle; supplier nation rides as a broadcast dim.
+    */
+  def q8Share(spark: SparkSession, dir: String): DataFrame = {
+    val ecoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val amCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+            .filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(amCust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(ecoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3",
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .otherwise(0L)).as("nation_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_cents"))
+      .select(col("o_year"),
+        (col("nation_cents").cast("double") / col("total_cents")).as("mkt_share"),
+        (col("total_cents") / lit(100.0)).as("total_rev"))
+      .orderBy("o_year")
+  }
+
+  /** q9_profit (TPC-H Q9 shape): profit per supplier nation per order
+    * year over a part-name class. No supplycost column exists, so
+    * cost is modeled as 10% of retail per unit; profit folds in
+    * MILLI-units (10·rev_cents − retail_cents·qty — all longs, qty is
+    * integral in this data) so the subtraction is exact on both
+    * engines. Part and supplier broadcast into the fact; the only
+    * big shuffle is lineitem ⋈ orders on orderkey; the (nation,
+    * year) aggregate domain is tiny.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val gp = Tables.part(spark, dir)
+      .filter(col("p_name").contains("gear"))
+      .select("p_partkey", "p_retailprice")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(gp), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "o_year")
+      .agg((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10
+        - cents(col("p_retailprice")) * col("l_quantity").cast("long"))
+        / lit(1000.0)).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** q_bitmap_distinct: EXACT distinct counting via bitmap shards —
+    * the ClickHouse/Druid bitmap-index pattern, and the exact
+    * alternative to HLL when the key domain is dense integers. Each
+    * user lands as one bit in a (event_type, user_id div 32) bucket;
+    * buckets fold with bit_or (associative + idempotent → map-side
+    * partial agg absorbs ALL row-level duplicates before the
+    * shuffle, so the exchange carries at most |domain|/32 longs per
+    * type regardless of row count — the same reaggregation property
+    * sketches have, with no error). Bits stay below 2^32 so the
+    * shifted value never touches the sign bit (the v_bq two-word
+    * lesson). The per-type popcount sum is a near-free second agg
+    * over the tiny bucket table.
+    */
+  def qBitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+      .groupBy(col("event_type"), expr("user_id div 32").as("bucket"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 32 as int)))").as("bits"))
+      .groupBy("event_type")
+      .agg(sum(bit_count(col("bits"))).cast("long").as("n_users"))
+      .orderBy("event_type")
+
+  /** q_hll_rollup: MERGEABLE sketch rollup — per-(type, day) HLL
+    * sketches built once, then UNIONED upward to the per-type level
+    * (hll_union_agg) without rescanning rows. This is the capability
+    * plain approx_count_distinct lacks: at 100 TB you persist the
+    * daily sketch table (kilobytes per group) and answer any
+    * coarser-grained distinct query by merging sketches, never
+    * re-reading the corpus. Gate: the merged estimate must land
+    * within 5% of the exact count — the oracle expects literal-TRUE
+    * flags, same contract as q_approx_distinct_err.
+    */
+  def qHllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (col("est") >= col("n_exact") * 0.95 &&
+          col("est") <= col("n_exact") * 1.05).as("within_5pct"))
+      .orderBy("event_type")
+  }
 }

@@ -401,6 +401,40 @@ object EventStreams {
     q
   }
 
+  /** Incremental multi-index-hash maintenance — the streaming twin of
+    * BqIndexStore.writeMih (the radius tier's online contract: new
+    * fingerprint vectors must answer radius probes before the next
+    * batch lands). Each AvailableNow micro-batch sign-packs ONLY the
+    * delta and dynamic-partition-appends its (blk, bval) bucket rows;
+    * bucket rows are self-contained (codes ride inline), so ingest
+    * never reads existing state — the same log-structured no-RMW shape
+    * as runBloomIngest, and searchRadius over the store is equal by
+    * construction to a single batch build over the union of the
+    * waves (spec-asserted, two waves). Small-file growth is absorbed
+    * by the usual StoreMaintenance compaction pass.
+    */
+  def runMihIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                   storePath: String): StreamingQuery = {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream
+      .schema(vecSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        graft.sources.BqIndexStore
+          .appendMih(batch.toDF(), "vec_id", "embedding", storePath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** The serving-side merge of an ingested filter store: OR the
     * per-batch shards per word. Equal by construction to the filter a
     * single batch build produces over the union of the batches.

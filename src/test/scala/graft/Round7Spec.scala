@@ -297,6 +297,28 @@ class Round7Spec extends SparkSpec {
       "bit_or merge of per-batch shards must equal the one-shot filter")
   }
 
+  test("runMihIngest: two-wave streamed MIH store answers radius probes like one write") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("mih_ingest").toString
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/mih")
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(src)
+    graft.streaming.EventStreams.runMihIngest(spark, src, ckpt, store)
+    emb.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runMihIngest(spark, src, ckpt, store)
+    val batchStore = s"$base/batch"
+    sources.BqIndexStore.writeMih(emb, "vec_id", "embedding", batchStore)
+    val codes = operators.Knn.corpus(spark, sf).select(col("vec_id"),
+      operators.Knn.bqWords(col("v"), 0).as("code_lo"),
+      operators.Knn.bqWords(col("v"), 32).as("code_hi"))
+    val q = operators.Knn.bqCorruptedQueries(codes)
+    def res(p: String): Set[(Long, Long, Long)] =
+      sources.BqIndexStore.searchRadius(spark, p, q, radius = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res(store) == res(batchStore),
+      "streamed two-wave MIH store must search identically to a single batch write")
+    assert(res(store).nonEmpty, "corrupted-fingerprint probes must find their sources")
+  }
+
   test("runSpanIngest: two-wave incremental span store reproduces batch d_span_dedup") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val base = java.nio.file.Files.createTempDirectory("span_ingest").toString
@@ -458,6 +480,25 @@ class Round7Spec extends SparkSpec {
     assert(got.sameElements(want),
       "real-decode pHash must be bit-equal to the closed-form pHash")
     assert(got.length == 8)
+  }
+
+  test("m_decode_clahe: decode-fed CLAHE equals the closed-form pixel CLAHE") {
+    // same ground-truth trick as m_decode_phash: claheFromFrame over a
+    // formula-built 32x32 frame is what the decode path must reproduce
+    import spark.implicits._
+    val formula = (for {
+      id <- 0L until 2L; y <- 0 until 32; x <- 0 until 32
+    } yield (id, y, x, ((31 * id + 5) + 7 * y + 13 * x) % 256))
+      .toDF("doc_id", "y", "x", "px")
+    val want = ImagePipeline.claheFromFrame(formula)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val got = ImageDecode.mDecodeClahe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.sameElements(want),
+      "real-decode CLAHE must be bit-equal to the closed-form CLAHE")
+    assert(got.length == 64, "2 docs x 32 rows of per-row stats")
   }
 
   test("q_retention: day-0 cell is the cohort size and bounds every later cell") {
