@@ -187,6 +187,49 @@ object Oracles {
       WHERE n_supp >= 2 AND n_late = 1
       GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20""",
 
+    // the custom top-k aggregate must equal the window row_number
+    // formulation exactly (value DESC, id ASC)
+    "q_topk_agg" -> """
+      WITH r AS (SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS item_id,
+                   l_extendedprice,
+                   ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                     ORDER BY l_extendedprice DESC,
+                       l_orderkey * 10 + l_linenumber) AS rn
+                 FROM lineitem)
+      SELECT l_suppkey, CAST(rn AS BIGINT) AS rnk, item_id,
+        l_extendedprice AS price
+      FROM r WHERE rn <= 3 ORDER BY l_suppkey, rnk""",
+
+    // the KMV sketch is deterministic (md5 hash + k-smallest), so the
+    // ESTIMATE itself replays bit-equal — full hash oracle, no band
+    "q_kmv_jaccard" -> """
+      WITH va AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'view'),
+      pb AS (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase'),
+      ha AS (SELECT user_id,
+               CAST(('0x' || substr(md5('kmv_' || user_id), 1, 15)) AS BIGINT) AS h
+             FROM va),
+      hb AS (SELECT user_id,
+               CAST(('0x' || substr(md5('kmv_' || user_id), 1, 15)) AS BIGINT) AS h
+             FROM pb),
+      ska AS (SELECT h FROM ha ORDER BY h, user_id LIMIT 64),
+      skb AS (SELECT h FROM hb ORDER BY h, user_id LIMIT 64),
+      un AS (SELECT DISTINCT h FROM
+               (SELECT h FROM ska UNION ALL SELECT h FROM skb) u
+             ORDER BY h LIMIT 64),
+      est AS (SELECT CAST(COUNT(*) AS BIGINT) AS est_common FROM un
+              WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+      ix AS (SELECT CAST(COUNT(*) AS BIGINT) AS inter_exact
+             FROM va JOIN pb USING (user_id)),
+      up AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS union_exact
+             FROM (SELECT user_id FROM va UNION ALL SELECT user_id FROM pb) x)
+      SELECT CAST(64 AS BIGINT) AS k, est_common,
+        ROUND(est_common / 64.0, 6) AS jacc_est,
+        inter_exact, union_exact,
+        ROUND(CAST(inter_exact AS DOUBLE) / union_exact, 6) AS jacc_exact
+      FROM est, ix, up""",
+
     // bitmap-shard distinct is EXACT: the oracle is the plain
     // COUNT(DISTINCT) the bit_or/popcount pipeline must reproduce
     "q_bitmap_distinct" -> """

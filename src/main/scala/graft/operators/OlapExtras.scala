@@ -487,4 +487,28 @@ object OlapExtras {
         (sum(floor(col("price") * 100 + lit(0.5)).cast("long")) / lit(100.0)).as("total"))
       .orderBy("status")
   }
+  /** q_topk_agg: per-group top-k through the engine's custom Catalyst
+    * AGGREGATE function (graft.expressions.TopKAgg) instead of a
+    * window — per supplier, the 3 priciest lineitems. The window
+    * formulation must shuffle EVERY fact row to its group before
+    * discarding; the k-bounded aggregate buffer discards inside the
+    * scan (partial agg keeps ≤ k pairs per group per map task), so
+    * the exchange carries k·|groups| tiny rows at any corpus size —
+    * the CosineTopKExec bounded-heap idea as a reusable declarative
+    * aggregate. Item ids fold orderkey and linenumber into one long
+    * tiebreak; the oracle replays the semantics as a row_number
+    * window, proving the heap path exact.
+    */
+  def qTopkAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("item_id"),
+        col("l_extendedprice"))
+      .groupBy("l_suppkey")
+      .agg(graft.expressions.TopKAgg.topK(
+        col("l_extendedprice"), col("item_id"), 3).as("topk"))
+      .select(col("l_suppkey"), posexplode(col("topk")).as(Seq("i", "s")))
+      .select(col("l_suppkey"), (col("i") + 1).cast("long").as("rnk"),
+        col("s.id").as("item_id"), col("s.v").as("price"))
+      .orderBy("l_suppkey", "rnk")
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.{HashFns => H}
 
 /** Relational / OLAP core over the TPC-H-ish tables.
   *
@@ -933,5 +934,45 @@ object Relational {
         (col("est") >= col("n_exact") * 0.95 &&
           col("est") <= col("n_exact") * 1.05).as("within_5pct"))
       .orderBy("event_type")
+  }
+  /** q_kmv_jaccard: k-minimum-values set-similarity sketch between two
+    * user cohorts (viewers vs purchasers) — the DETERMINISTIC
+    * mergeable sketch family (Beyer et al.): keep the k smallest
+    * md5-hash values per set; the union sketch is the k smallest of
+    * the sketch union, and Jaccard ≈ |union-sketch members present in
+    * both input sketches| / k. Because the hash is md5 (bit-equal on
+    * both engines) and "k smallest" is order-deterministic, the
+    * ESTIMATE itself is oracle-checkable by full hash equality — no
+    * tolerance band, unlike HLL. Scale shape: each k-smallest runs as
+    * TakeOrdered (map-side top-k, no corpus shuffle); sketches are
+    * 64-row broadcasts; only the exact-comparison columns (kept for
+    * context) pay a distinct-join. At 100 TB you'd persist per-source
+    * KMV sketches and estimate any pairwise overlap from kilobytes.
+    */
+  def qKmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val ev = Tables.events(spark, dir)
+    def users(t: String): DataFrame =
+      ev.filter(col("event_type") === t).select("user_id").distinct()
+    def sketch(df: DataFrame): DataFrame = df
+      .withColumn("h",
+        H.md5Long(concat(lit("kmv_"), col("user_id").cast("string")), 15))
+      .orderBy("h", "user_id").limit(k).select("h")
+    val ska = sketch(users("view"))
+    val skb = sketch(users("purchase"))
+    val un = ska.union(skb).distinct().orderBy("h").limit(k)
+    val est = un.join(broadcast(ska), Seq("h"), "left_semi")
+      .join(broadcast(skb), Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("est_common"))
+    val ix = users("view").join(users("purchase"), "user_id")
+      .agg(count(lit(1)).as("inter_exact"))
+    val up = users("view").union(users("purchase")).distinct()
+      .agg(count(lit(1)).as("union_exact"))
+    est.crossJoin(broadcast(ix)).crossJoin(broadcast(up))
+      .select(lit(64L).as("k"), col("est_common"),
+        round(col("est_common") / lit(64.0), 6).as("jacc_est"),
+        col("inter_exact"), col("union_exact"),
+        round(col("inter_exact").cast("double") / col("union_exact"), 6)
+          .as("jacc_exact"))
   }
 }

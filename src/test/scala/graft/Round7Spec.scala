@@ -182,7 +182,12 @@ class Round7Spec extends SparkSpec {
       "d_edit_near" -> 4, "m_video_dedup" -> 4, "t_ppl_filter" -> 9,
       "q13_custdist" -> 3, "q15_topsupp" -> 4, "q17_smallqty" -> 3,
       "q22_idle" -> 3, "q_retention" -> 4, "v_bq_range" -> 2,
-      "m_decode_phash" -> 7)
+      "m_decode_phash" -> 7,
+      "q2_mincost" -> 5, "q4_priority" -> 2, "q7_volume" -> 4,
+      "q8_share" -> 4, "q9_profit" -> 2, "q11_important" -> 4,
+      "q12_latemode" -> 2, "q16_suppcnt" -> 4, "q19_disjunct" -> 1,
+      "q20_excess" -> 4, "q21_waiting" -> 3,
+      "q_bitmap_distinct" -> 3, "q_hll_rollup" -> 5, "q_topk_agg" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
@@ -480,6 +485,23 @@ class Round7Spec extends SparkSpec {
     assert(got.sameElements(want),
       "real-decode pHash must be bit-equal to the closed-form pHash")
     assert(got.length == 8)
+  }
+
+  test("q_topk_agg: custom aggregate partial-aggregates before the exchange") {
+    // the whole point of the TypedImperativeAggregate is map-side
+    // discarding: the plan must show TWO aggregate operators (partial
+    // below the exchange, final above), and the fact must reach the
+    // exchange already k-bounded — no window, no full-row shuffle
+    val df = SparkEntry.queries("q_topk_agg")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("topk_agg".r.findAllIn(plan).size >= 2,
+      s"expected partial+final topk_agg aggregates:\n$plan")
+    assert(!plan.contains("Window"),
+      "the aggregate formulation must not fall back to a window")
+    val aggExchanges = "Exchange hashpartitioning\\(l_suppkey".r
+      .findAllIn(plan).size
+    assert(aggExchanges == 1, s"exactly one group exchange:\n$plan")
   }
 
   test("m_decode_clahe: decode-fed CLAHE equals the closed-form pixel CLAHE") {
