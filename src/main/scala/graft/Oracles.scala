@@ -1844,6 +1844,22 @@ object Oracles {
         CAST(MIN(m) AS BIGINT) AS min_m, CAST(MAX(m) AS BIGINT) AS max_m
       FROM cmap GROUP BY doc_id, y ORDER BY doc_id, y""",
 
+    // decode-fed resize: 2x2 floor box-mean over the closed pixel form
+    "m_decode_resize" -> """
+      WITH rxs AS (SELECT unnest(generate_series(0, 15)) AS x),
+      rys AS (SELECT unnest(generate_series(0, 15)) AS y),
+      rid AS (SELECT doc_id FROM documents WHERE doc_id < 8),
+      rpx AS (SELECT doc_id, y, x,
+                ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
+              FROM rid CROSS JOIN rys CROSS JOIN rxs),
+      rb AS (SELECT doc_id, y // 2 AS yo, x // 2 AS xo,
+               CAST(SUM(px) AS BIGINT) // 4 AS p
+             FROM rpx GROUP BY 1, 2, 3)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+        CAST(SUM(p) AS BIGINT) AS sum_p,
+        CAST(MIN(p) AS BIGINT) AS min_p, CAST(MAX(p) AS BIGINT) AS max_p
+      FROM rb GROUP BY doc_id ORDER BY doc_id""",
+
     // decode-fed CLAHE: the full clip-redistribute adaptation over the
     // closed pixel form — the engine must reproduce it through the real
     // PNG encode -> decode round-trip (same replay as m_clahe, only the

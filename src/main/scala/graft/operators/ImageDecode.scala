@@ -175,6 +175,21 @@ object ImageDecode {
     ImagePipeline.claheFromFrame(
       decodedFrames(spark, dir, w = 32, h = 32, nDocs = 2))
 
+  /** m_decode_resize: the 2×2 box-average downsample over REAL decoded
+    * pixels (the resize step before the CNN; m_resize keeps the
+    * md5-synthesized variant). Same floor-mean derivation, decode is
+    * the only difference — with LUT, blur, CLAHE and pHash this makes
+    * every pixel transform in the engine available decode-fed.
+    */
+  def mDecodeResize(spark: SparkSession, dir: String): DataFrame =
+    decodedFrames(spark, dir, w = 16, h = 16)
+      .groupBy(col("doc_id"), expr("y div 2").as("yo"), expr("x div 2").as("xo"))
+      .agg(expr("sum(px) div 4").as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_px"), sum(col("p")).as("sum_p"),
+        min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+      .orderBy("doc_id")
+
   /** Deterministic synthetic PNG (spec/dev helper): pixel (x, y) has
     * gray value ((seed + 7·y + 13·x) mod 256), so every decoded value
     * is predictable driver-side without any image library.

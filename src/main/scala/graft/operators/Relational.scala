@@ -902,10 +902,25 @@ object Relational {
     * over the tiny bucket table.
     */
   def qBitmapDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(col("event_type"), col("user_id"))
-      .groupBy(col("event_type"), expr("user_id div 32").as("bucket"))
+    bitmapCount(bitmapShards(
+      Tables.events(spark, dir).select(col("event_type"), col("user_id"))))
+
+  /** (event_type, user_id) rows → (event_type, bucket, bits) bitmap
+    * shards. bit_or is associative AND idempotent, so shards built
+    * over any partition of the rows re-merge losslessly — the property
+    * both the batch distinct and the streaming ingest twin
+    * (EventStreams.runBitmapIngest) rely on.
+    */
+  private[graft] def bitmapShards(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"), expr("user_id div 32").as("bucket"))
       .agg(expr("bit_or(shiftleft(1L, cast(user_id % 32 as int)))").as("bits"))
+
+  /** Shards (possibly overlapping, e.g. from incremental appends) →
+    * exact per-type distinct count: re-OR per bucket, then popcount.
+    */
+  private[graft] def bitmapCount(shards: DataFrame): DataFrame =
+    shards.groupBy("event_type", "bucket")
+      .agg(expr("bit_or(bits)").as("bits"))
       .groupBy("event_type")
       .agg(sum(bit_count(col("bits"))).cast("long").as("n_users"))
       .orderBy("event_type")

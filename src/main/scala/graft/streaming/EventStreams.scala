@@ -435,6 +435,43 @@ object EventStreams {
     q
   }
 
+  /** Incremental exact-distinct maintenance — the streaming twin of
+    * q_bitmap_distinct: each AvailableNow batch appends its OWN bitmap
+    * shards (event_type, bucket, bits); because bit_or is associative
+    * and idempotent, re-ORing the appended shards at read time equals
+    * the one-shot batch bitmap even when batches overlap in users —
+    * the same log-structured no-read-modify-write shape as
+    * runBloomIngest, but for an EXACT count. At 100 TB this is how a
+    * daily exact-distinct dashboard avoids rescanning history: the
+    * store grows by delta-shards, the serving query is a tiny re-agg.
+    */
+  def runBitmapIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                      storePath: String): StreamingQuery = {
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        graft.operators.Relational
+          .bitmapShards(batch.toDF().select(col("event_type"), col("user_id")))
+          .write.mode("append").parquet(storePath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Exact per-type distinct counts from an incrementally built shard
+    * store — equal by construction to q_bitmap_distinct over the
+    * union of the ingested batches.
+    */
+  def bitmapDistinctReport(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Relational.bitmapCount(spark.read.parquet(storePath))
+
   /** The serving-side merge of an ingested filter store: OR the
     * per-batch shards per word. Equal by construction to the filter a
     * single batch build produces over the union of the batches.

@@ -324,6 +324,24 @@ class Round7Spec extends SparkSpec {
     assert(res(store).nonEmpty, "corrupted-fingerprint probes must find their sources")
   }
 
+  test("runBitmapIngest: two-wave overlapping shards equal the batch bitmap distinct") {
+    val ev = Tables.events(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("bitmap_ingest").toString
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/shards")
+    // waves split by EVENT id, so the same user appears in both waves
+    // for some types — exercising bit_or idempotence across appends
+    ev.filter(col("event_id") % 2 === 0).write.parquet(src)
+    graft.streaming.EventStreams.runBitmapIngest(spark, src, ckpt, store)
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runBitmapIngest(spark, src, ckpt, store)
+    val inc = graft.streaming.EventStreams.bitmapDistinctReport(spark, store)
+      .collect().map(_.toString).sorted
+    val batch = SparkEntry.queries("q_bitmap_distinct")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(inc.sameElements(batch),
+      "re-ORed incremental shards must equal the one-shot bitmap distinct")
+  }
+
   test("runSpanIngest: two-wave incremental span store reproduces batch d_span_dedup") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val base = java.nio.file.Files.createTempDirectory("span_ingest").toString
