@@ -66,6 +66,11 @@ object GraftSession {
       // recompile when they're hit again (static conf — set pre-start)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+      // v2 commit: tasks move their files into place directly instead
+      // of the driver sequentially renaming every partition dir at job
+      // end — the many-partition dynamic writes (MIH's 2048 bucket
+      // dirs) are driver-rename-bound under v1
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       // cluster-mode switch for shared-subplan materialization (see
       // graft.Materialize); env override lets the whole Verify/Bench
       // surface run under the replicated/checkpoint strategies

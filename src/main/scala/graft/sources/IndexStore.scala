@@ -586,19 +586,27 @@ object BqIndexStore {
     spark.read.parquet(path)
 
   /** Multi-index (MIH) layout: each vector lands in its 8 byte-block
-    * buckets, partitioned on disk by (blk, bval) — the persisted
-    * analog of faiss IndexBinaryMultiHash's hash tables. The code
-    * words ride INSIDE every bucket row (16 bytes × 8 buckets per
-    * vector), so a probe verifies candidates without any join back to
-    * a primary store; a radius-r search (r < 8 blocks) touches at
-    * most 8 bucket directories per query at the FILE level, never the
-    * corpus. The 8× row fan-out is one narrow projection at write
-    * time — the classic read-amplification-for-write trade every MIH
-    * deployment makes.
+    * buckets — the persisted analog of faiss IndexBinaryMultiHash's
+    * hash tables. On disk: directories partition by `blk` (8 dirs),
+    * and within each dir the rows are RANGE-CLUSTERED by bval into a
+    * few files, so every file's parquet min/max stats cover a narrow
+    * bval band — a probe prunes to its blk dir at the partition
+    * level, then to ~one file per bucket via zone maps (the
+    * src_zorder trick). One dir per (blk, bval) pair would prune the
+    * same rows but costs 2048 directories per write — directory-
+    * commit-bound locally and a listing hazard on object stores; the
+    * range-clustered layout keeps file counts O(tasks), not
+    * O(buckets). The code words ride INSIDE every bucket row (16
+    * bytes × 8 buckets per vector), so a probe verifies candidates
+    * without any join back to a primary store. The 8× row fan-out is
+    * one narrow projection at write time — the classic
+    * read-amplification-for-write trade every MIH deployment makes.
     */
   def writeMih(df: DataFrame, idCol: String, vecCol: String, path: String): Unit =
     mihRows(df, idCol, vecCol)
-      .write.partitionBy("blk", "bval").mode("overwrite").parquet(path)
+      .repartitionByRange(64, col("blk"), col("bval"))
+      .sortWithinPartitions("blk", "bval")
+      .write.partitionBy("blk").mode("overwrite").parquet(path)
 
   /** Incremental MIH add — bucket rows are self-contained (codes ride
     * inline), so an append is a plain dynamic-partition append with no
@@ -608,7 +616,9 @@ object BqIndexStore {
     */
   def appendMih(df: DataFrame, idCol: String, vecCol: String, path: String): Unit =
     mihRows(df, idCol, vecCol)
-      .write.partitionBy("blk", "bval").mode("append").parquet(path)
+      .repartitionByRange(16, col("blk"), col("bval"))
+      .sortWithinPartitions("blk", "bval")
+      .write.partitionBy("blk").mode("append").parquet(path)
 
   private def mihRows(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     codesOf(df, idCol, vecCol)
@@ -621,8 +631,12 @@ object BqIndexStore {
     * the 8-block pigeonhole bound so candidate generation is lossless.
     * The probed (blk, bval) pairs — ≤ 8 per query, tiny by the
     * fingerprint-lookup contract, same static-pruning justification
-    * as IvfIndexStore.search's IN-list — compile into a partition
-    * filter, so the scan reads ONLY the probed bucket directories.
+    * as IvfIndexStore.search's IN-list — compile into TWO filter
+    * layers: a conjunctive `blk IN (...)` that prunes whole
+    * directories (a top-level OR would not be split into a partition
+    * filter), and the exact (blk, bval) disjunction that parquet
+    * evaluates against each file's bval min/max — with the
+    * range-clustered layout that skips to ~one file per bucket.
     */
   def searchRadius(spark: SparkSession, path: String, queries: DataFrame,
                    radius: Int): DataFrame = {
@@ -634,7 +648,8 @@ object BqIndexStore {
     val prune = pairs.map { case (b, v) =>
       col("blk") === b && col("bval") === v
     }.reduce(_ || _)
-    read(spark, path).filter(prune)
+    val blkPrune = col("blk").isin(pairs.map(_._1).distinct.toIndexedSeq: _*)
+    read(spark, path).filter(blkPrune && prune)
       .join(broadcast(probes),
         col("blk") === col("qblk") && col("bval") === col("qbval"))
       .select(col("query_id"), col("id"), col("code_lo"), col("code_hi"),
