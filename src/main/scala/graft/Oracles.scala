@@ -1844,6 +1844,37 @@ object Oracles {
         CAST(MIN(m) AS BIGINT) AS min_m, CAST(MAX(m) AS BIGINT) AS max_m
       FROM cmap GROUP BY doc_id, y ORDER BY doc_id, y""",
 
+    // decode-fed crop: the reference bbox truncation math + pixel-range
+    // crop over the closed pixel form (bounds clamp is implicit — the
+    // frame only has pixels inside it)
+    "m_decode_crop" -> """
+      WITH kxs AS (SELECT unnest(generate_series(0, 31)) AS x),
+      kys AS (SELECT unnest(generate_series(0, 23)) AS y),
+      kid AS (SELECT doc_id FROM documents WHERE doc_id < 8),
+      kpx AS (SELECT doc_id, y, x,
+                ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
+              FROM kid CROSS JOIN kys CROSS JOIN kxs),
+      kc AS (SELECT doc_id,
+               (doc_id % 5 + 3) / 10.0 AS xc, (doc_id % 7 + 2) / 10.0 AS yc,
+               (doc_id % 3 + 2) / 10.0 AS w, (doc_id % 4 + 2) / 10.0 AS h
+             FROM kid),
+      ka AS (SELECT doc_id, xc, yc,
+               CAST(trunc(w * 32) AS BIGINT) AS w_abs,
+               CAST(trunc(h * 24) AS BIGINT) AS h_abs
+             FROM kc),
+      kb AS (SELECT doc_id AS bid,
+               CAST(trunc(xc * 32 - w_abs / 2.0) AS BIGINT) AS x1,
+               CAST(trunc(yc * 24 - h_abs / 2.0) AS BIGINT) AS y1,
+               CAST(trunc(xc * 32 - w_abs / 2.0) AS BIGINT) + w_abs AS x2,
+               CAST(trunc(yc * 24 - h_abs / 2.0) AS BIGINT) + h_abs AS y2
+             FROM ka)
+      SELECT doc_id, x1, y1, x2, y2,
+        CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(px) AS BIGINT) AS sum_px,
+        CAST(MIN(px) AS BIGINT) AS min_px, CAST(MAX(px) AS BIGINT) AS max_px
+      FROM kpx JOIN kb ON doc_id = bid
+      WHERE x >= x1 AND x < x2 AND y >= y1 AND y < y2
+      GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""",
+
     // decode-fed resize: 2x2 floor box-mean over the closed pixel form
     "m_decode_resize" -> """
       WITH rxs AS (SELECT unnest(generate_series(0, 15)) AS x),
@@ -3152,6 +3183,63 @@ object Oracles {
     // boxes (the m_detect math) → crop tag → md5-fake embed (the
     // m_embed_scaffold math) → exact cosine top-5 → majority label
     // vote (ties to the smallest label)
+    // the end-to-end program with REAL decode: the closed pixel form
+    // goes through LUT -> bbox crop -> content-hash embedding, so a
+    // single wrong pixel in the engine's decode path changes the
+    // neighbor ranking and the vote
+    "m_pipeline_decode" -> s"""
+      WITH exs AS (SELECT unnest(generate_series(0, 31)) AS x),
+      eys AS (SELECT unnest(generate_series(0, 23)) AS y),
+      eid AS (SELECT doc_id FROM documents WHERE doc_id < 8),
+      epx AS (SELECT doc_id, y, x,
+                ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
+              FROM eid CROSS JOIN eys CROSS JOIN exs),
+      elut AS (SELECT doc_id, y, x,
+                 CAST(trunc(pow(px / 255.0, 1.0 / 1.5) * 255) AS BIGINT) AS lpx
+               FROM epx),
+      edi AS (SELECT unnest(generate_series(0, 2)) AS i),
+      eraw AS (SELECT doc_id, i,
+          ((doc_id % 5) * 2 + i + 6) / 20.0 AS xc,
+          (doc_id % 7 + 2) / 10.0 AS yc,
+          (doc_id % 3 + 2) / 10.0 AS w,
+          (doc_id % 4 + 2) / 10.0 AS h,
+          (doc_id * 7 + i) % 5 AS label,
+          ROUND(CAST(('0x' || substr(md5('sc_' || doc_id || '_' || i), 1, 8))
+            AS BIGINT) / 4294967296.0, 6) AS score
+        FROM eid CROSS JOIN edi WHERE i <= doc_id % 3),
+      ebox AS (SELECT doc_id, i, label, score,
+          CAST(trunc(xc * 32 - CAST(trunc(w * 32) AS BIGINT) / 2.0) AS BIGINT) AS x1,
+          CAST(trunc(yc * 24 - CAST(trunc(h * 24) AS BIGINT) / 2.0) AS BIGINT) AS y1,
+          CAST(trunc(xc * 32 - CAST(trunc(w * 32) AS BIGINT) / 2.0) AS BIGINT)
+            + CAST(trunc(w * 32) AS BIGINT) AS x2,
+          CAST(trunc(yc * 24 - CAST(trunc(h * 24) AS BIGINT) / 2.0) AS BIGINT)
+            + CAST(trunc(h * 24) AS BIGINT) AS y2
+        FROM eraw),
+      ecrop AS (SELECT b.doc_id * 10 + i AS crop_id, b.doc_id, label, score,
+          md5(string_agg(lpx::VARCHAR, ',' ORDER BY y, x)) AS sig
+        FROM ebox b JOIN elut p ON p.doc_id = b.doc_id
+        WHERE x >= x1 AND x < x2 AND y >= y1 AND y < y2
+        GROUP BY 1, 2, 3, 4),
+      qb AS (SELECT crop_id FROM (
+               SELECT crop_id, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, crop_id) AS rq
+               FROM ecrop WHERE doc_id < 3) z WHERE rq = 1),
+      dd AS (SELECT unnest(generate_series(1, 8)) AS d),
+      embs AS (SELECT crop_id, doc_id, label, d,
+          ROUND(CAST(('0x' || substr(md5(sig || '_' || d), 1, 8)) AS BIGINT)
+            / 4294967296.0, 6) AS f
+        FROM ecrop CROSS JOIN dd),
+      vecs AS (SELECT crop_id, doc_id, label, list(f ORDER BY d) AS v
+               FROM embs GROUP BY crop_id, doc_id, label),
+      nn AS (SELECT crop_id, doc_id, label, v,
+               sqrt(list_dot_product(v, v)) AS nrm FROM vecs),
+      q AS (SELECT nn.crop_id AS query_id, v AS qv, nrm AS qn
+            FROM nn JOIN qb ON qb.crop_id = nn.crop_id),
+      s AS (SELECT query_id, nn.crop_id AS neighbor_id, nn.label AS neighbor_label,
+              ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+            FROM nn CROSS JOIN q WHERE nn.crop_id <> query_id),
+      $mPipelineVote""",
+
     "m_pipeline" -> s"""
       WITH $mPipelineBase,
       q AS (SELECT nn.crop_id AS query_id, v AS qv, nrm AS qn

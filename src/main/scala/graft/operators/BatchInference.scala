@@ -392,6 +392,73 @@ object BatchInference {
     labelVote(spark, hits, path)
   }
 
+  /** m_pipeline_decode: the reference's ENTIRE program with the
+    * pixel stages fed by a REAL codec — synthetic PNGs through
+    * javax.imageio (build_faiss_db.py:72's cv2.imread), the γ=1.5 LUT
+    * over the decoded pixels (build_faiss_db.py:53-55), deterministic
+    * detector boxes through the exact bbox truncation math
+    * (build_faiss_db.py:168-180), a REAL pixel-range crop, and an
+    * embedding derived from the CROPPED PIXEL CONTENT (canonical
+    * row-major pixel string → md5 → 8 dims) — so a single wrong pixel
+    * anywhere in decode → LUT → crop changes the embedding, the
+    * neighbor ranking, and the final label vote. Index persist,
+    * best-confidence-crop query selection (app.py:121), exact top-5,
+    * metadata join and majority vote are the same stages m_pipeline
+    * gates; only the model inference itself remains a fake (no torch
+    * in this environment). The oracle replays the closed pixel form
+    * through every stage in SQL.
+    */
+  def mPipelineDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val dim = 8
+    // stages 0-1: real decode, then the reference's gamma LUT
+    val lutFr = ImageDecode.decodedFrames(spark, dir, w = 32, h = 24, nDocs = 8)
+      .withColumn("lpx",
+        (pow(col("px") / lit(255.0), lit(1.0) / lit(1.5)) * 255).cast("long"))
+      .select("doc_id", "y", "x", "lpx")
+    // stage 2: detector boxes (1-3 per doc; single-division coordinate
+    // derivation so the fp value is identical on both engines) through
+    // the exact normalized→pixel truncation math
+    val det = Tables.documents(spark, dir).filter(col("doc_id") < 8)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), (col("doc_id") % 3).cast("int"))).as("det_id"))
+    val xc = ((col("doc_id") % 5) * 2 + col("det_id") + 6) / lit(20.0)
+    val yc = (col("doc_id") % 7 + 2) / lit(10.0)
+    val w = (col("doc_id") % 3 + 2) / lit(10.0)
+    val h = (col("doc_id") % 4 + 2) / lit(10.0)
+    val boxes = det.select(
+        (col("doc_id") * 10 + col("det_id")).as("crop_id"),
+        col("doc_id").as("bdoc"),
+        ((col("doc_id") * 7 + col("det_id")) % 5).as("label"),
+        round(H.md5Long(concat(lit("sc_"), col("doc_id").cast("string"),
+          lit("_"), col("det_id").cast("string")), 8) / lit(4294967296.0), 6)
+          .as("score"),
+        ImagePipeline.yoloBbox(xc, yc, w, h, lit(32), lit(24)).as("bb"))
+      .select(col("crop_id"), col("bdoc"), col("label"), col("score"),
+        col("bb.x1").as("x1"), col("bb.y1").as("y1"),
+        col("bb.x2").as("x2"), col("bb.y2").as("y2"))
+    // stage 3: real crop + content signature + embedding from pixels
+    val embedded = lutFr
+      .join(broadcast(boxes), col("doc_id") === col("bdoc"))
+      .filter(col("x") >= col("x1") && col("x") < col("x2") &&
+        col("y") >= col("y1") && col("y") < col("y2"))
+      .groupBy("crop_id", "doc_id", "label", "score")
+      .agg(expr("""md5(array_join(transform(
+             array_sort(collect_list(struct(y, x, lpx))),
+             s -> cast(s.lpx as string)), ','))""").as("sig"))
+      .select(col("crop_id"), col("doc_id"), col("label"), col("score"),
+        ImagePipeline.fakeEmbedding(col("sig"), dim).as("embedding"))
+      .transform(graft.Materialize.forceCached)
+    // stages 4-6: persist, best-crop query, exact top-5, label vote
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/m_pipeline_decode_$app/idx").getAbsolutePath
+    IndexStore.write(embedded, "crop_id", "embedding", path, dim)
+    IndexStore.writeMetadata(embedded.select(col("crop_id"), col("label")), path)
+    val hits = IndexStore.search(IndexStore.read(spark, path),
+      bestCropQueries(embedded), "crop_id", "embedding", k = 5)
+    labelVote(spark, hits, path)
+  }
+
   /** m_detect: the pluggable detector path (app.py:112-124's
     * model(image) loop as a batched executor stage), exploded to one
     * row per detection.

@@ -89,9 +89,9 @@ object ImageDecode {
   /** Decoded pixel frames for the gate queries: 8 synthetic 16×12
     * PNGs (seed 31·doc_id + 5) through the REAL decode path.
     */
-  private def decodedFrames(spark: SparkSession, dir: String,
-                            w: Int = 16, h: Int = 12,
-                            nDocs: Int = 8): DataFrame = {
+  private[operators] def decodedFrames(spark: SparkSession, dir: String,
+                                       w: Int = 16, h: Int = 12,
+                                       nDocs: Int = 8): DataFrame = {
     import spark.implicits._
     val payloads = graft.Tables.documents(spark, dir)
       .select(col("doc_id")).filter(col("doc_id") < nDocs)
@@ -189,6 +189,39 @@ object ImageDecode {
       .agg(count(lit(1)).as("n_px"), sum(col("p")).as("sum_p"),
         min(col("p")).as("min_p"), max(col("p")).as("max_p"))
       .orderBy("doc_id")
+
+  /** m_decode_crop: the reference's label→bbox CROP over REAL decoded
+    * pixels (build_faiss_db.py:168-180: normalized YOLO coords →
+    * exact pixel-truncation math → numpy slice). 32×24 PNGs through
+    * the actual decode; boxes derive from doc_id arithmetic through
+    * the SAME yoloBbox expression m_bbox gates; the crop is the
+    * pixel-range join (numpy's implicit bounds clamp falls out of
+    * pixels only existing inside the frame). With preprocess
+    * (LUT/blur/CLAHE), fingerprint and resize, the crop stage
+    * completes the decode-fed set — every pixel operation the
+    * reference performs now runs against a real codec in the gate.
+    */
+  def mDecodeCrop(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val xc = (col("doc_id") % 5 + 3) / lit(10.0)
+    val yc = (col("doc_id") % 7 + 2) / lit(10.0)
+    val w = (col("doc_id") % 3 + 2) / lit(10.0)
+    val h = (col("doc_id") % 4 + 2) / lit(10.0)
+    val boxes = graft.Tables.documents(spark, dir).filter(col("doc_id") < 8)
+      .select(col("doc_id").as("bid"),
+        ImagePipeline.yoloBbox(xc, yc, w, h, lit(32), lit(24)).as("bb"))
+      .select(col("bid"), col("bb.x1").as("x1"), col("bb.y1").as("y1"),
+        col("bb.x2").as("x2"), col("bb.y2").as("y2"))
+    decodedFrames(spark, dir, w = 32, h = 24)
+      .join(broadcast(boxes), col("doc_id") === col("bid"))
+      .filter(col("x") >= col("x1") && col("x") < col("x2") &&
+        col("y") >= col("y1") && col("y") < col("y2"))
+      .groupBy("doc_id", "x1", "y1", "x2", "y2")
+      .agg(count(lit(1)).as("n_px"), sum(col("px")).as("sum_px"),
+        min(col("px")).cast("long").as("min_px"),
+        max(col("px")).cast("long").as("max_px"))
+      .orderBy("doc_id")
+  }
 
   /** Deterministic synthetic PNG (spec/dev helper): pixel (x, y) has
     * gray value ((seed + 7·y + 13·x) mod 256), so every decoded value
