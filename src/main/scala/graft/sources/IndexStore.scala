@@ -621,10 +621,24 @@ object BqIndexStore {
       .write.partitionBy("blk").mode("append").parquet(path)
 
   private def mihRows(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    codesOf(df, idCol, vecCol)
-      .select(col("id"), col("code_lo"), col("code_hi"),
-        posexplode(Knn.bqBlockVals(col("code_lo"), col("code_hi")))
-          .as(Seq("blk", "bval")))
+    mihRowsFromCodes(codesOf(df, idCol, vecCol))
+
+  private def mihRowsFromCodes(codes: DataFrame): DataFrame =
+    codes.select(col("id"), col("code_lo"), col("code_hi"),
+      posexplode(Knn.bqBlockVals(col("code_lo"), col("code_hi")))
+        .as(Seq("blk", "bval")))
+
+  /** MIH append for callers that already hold packed 64-bit codes as
+    * two word columns (id, code_lo, code_hi) — e.g. perceptual hashes
+    * from the image pipeline rather than sign-quantized embeddings.
+    * Same layout and search surface as appendMih.
+    */
+  def appendMihCodes(codes: DataFrame, path: String): Unit =
+    mihRowsFromCodes(codes
+        .select(col("id"), col("code_lo"), col("code_hi")))
+      .repartitionByRange(16, col("blk"), col("bval"))
+      .sortWithinPartitions("blk", "bval")
+      .write.partitionBy("blk").mode("append").parquet(path)
 
   /** Radius-bounded Hamming search over the MIH store. `queries` is a
     * packed-code frame (query_id, qlo, qhi); radius must stay below

@@ -435,6 +435,44 @@ object EventStreams {
     q
   }
 
+  /** Streaming image-fingerprint ingest — the multimodal × streaming
+    * closure of the radius tier: each AvailableNow batch of raw image
+    * payloads runs the REAL decode (javax.imageio via
+    * ImageDecode.pixelFrame) → perceptual-hash fingerprint
+    * (phashFromFrame's fixed-point DCT) → 64-bit code split into two
+    * words → MIH bucket rows appended to the radius store. New images
+    * become radius-searchable (near-duplicate detection under bit
+    * corruption) without touching existing state — cost scales with
+    * the delta, and BqIndexStore.searchRadius serves the result with
+    * the same pigeonhole pruning as the embedding tier.
+    */
+  def runPhashIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                     storePath: String): StreamingQuery = {
+    val imgSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val q = spark.readStream
+      .schema(imgSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val frames = graft.operators.ImageDecode
+          .pixelFrame(batch.toDF(), "doc_id", "payload")
+        val codes = graft.operators.ImagePipeline.phashFromFrame(frames)
+          .select(col("doc_id").as("id"),
+            (col("phash").bitwiseAND(lit(4294967295L))).as("code_lo"),
+            shiftrightunsigned(col("phash"), 32).as("code_hi"))
+        graft.sources.BqIndexStore.appendMihCodes(codes, storePath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Incremental exact-distinct maintenance — the streaming twin of
     * q_bitmap_distinct: each AvailableNow batch appends its OWN bitmap
     * shards (event_type, bucket, bits); because bit_or is associative

@@ -324,6 +324,39 @@ class Round7Spec extends SparkSpec {
     assert(res(store).nonEmpty, "corrupted-fingerprint probes must find their sources")
   }
 
+  test("runPhashIngest: streamed decode→fingerprint→MIH store answers radius probes") {
+    import spark.implicits._
+    import graft.sources.BqIndexStore
+    val payloads = (0L until 8L)
+      .map(id => (id, operators.ImageDecode.syntheticPng(16, 16, (31 * id + 5).toInt)))
+      .toDF("doc_id", "payload")
+    val base = java.nio.file.Files.createTempDirectory("phash_ingest").toString
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/mih")
+    payloads.filter(col("doc_id") < 4).write.parquet(src)
+    graft.streaming.EventStreams.runPhashIngest(spark, src, ckpt, store)
+    payloads.filter(col("doc_id") >= 4).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runPhashIngest(spark, src, ckpt, store)
+    // batch twin: same decode → DCT → split derivation in one pass
+    val codes = operators.ImagePipeline.phashFromFrame(
+        operators.ImageDecode.pixelFrame(payloads, "doc_id", "payload"))
+      .select(col("doc_id").as("id"),
+        col("phash").bitwiseAND(lit(4294967295L)).as("code_lo"),
+        shiftrightunsigned(col("phash"), 32).as("code_hi"))
+    BqIndexStore.appendMihCodes(codes, s"$base/batch")
+    // probes: each fingerprint corrupted by 3 bit flips (0x13)
+    val q = codes.select(col("id").as("query_id"),
+      col("code_lo").bitwiseXOR(lit(0x13L)).as("qlo"), col("code_hi").as("qhi"))
+    def res(p: String): Set[(Long, Long, Long)] =
+      BqIndexStore.searchRadius(spark, p, q, radius = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res(store) == res(s"$base/batch"),
+      "two streamed waves must search identically to the batch-built store")
+    val selfHits = BqIndexStore.searchRadius(spark, store, q, radius = 7)
+      .filter(col("query_id") === col("neighbor_id") && col("hamming") === 3)
+    assert(selfHits.count() == 8,
+      "every corrupted fingerprint must find its source image at hamming 3")
+  }
+
   test("runBitmapIngest: two-wave overlapping shards equal the batch bitmap distinct") {
     val ev = Tables.events(spark, sf)
     val base = java.nio.file.Files.createTempDirectory("bitmap_ingest").toString
