@@ -163,8 +163,15 @@ object StoreMaintenance {
     * rewrite lands in a dot-prefixed sibling temp dir (invisible to
     * parquet discovery), is fully materialized BEFORE any old file is
     * deleted, then swaps in. Returns (files before, files after).
+    *
+    * `recluster`: for stores whose file-level pruning relies on a
+    * sorted data column (the MIH store's bval zone maps), a plain
+    * coalesce would merge appended files into one with a full-range
+    * min/max — pass the column name and the rewrite range-partitions +
+    * sorts on it instead, restoring tight per-file stats.
     */
-  def compact(spark: SparkSession, path: String, targetFiles: Int = 1): (Int, Int) = {
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1,
+              recluster: Option[String] = None): (Int, Int) = {
     val root = new java.io.File(path)
     val parts = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.contains("="))
@@ -177,9 +184,13 @@ object StoreMaintenance {
       before += files.length
       if (files.length > targetFiles) {
         val tmp = new java.io.File(root, s".compact_${pdir.getName}")
-        spark.read.parquet(pdir.getAbsolutePath)
-          .coalesce(targetFiles)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val rows = spark.read.parquet(pdir.getAbsolutePath)
+        val shaped = recluster match {
+          case Some(c) => rows.repartitionByRange(targetFiles, col(c))
+            .sortWithinPartitions(c)
+          case None => rows.coalesce(targetFiles)
+        }
+        shaped.write.mode("overwrite").parquet(tmp.getAbsolutePath)
         val rewritten = dataFiles(tmp)
         files.foreach { f =>
           f.delete()

@@ -357,6 +357,32 @@ class Round7Spec extends SparkSpec {
       "every corrupted fingerprint must find its source image at hamming 3")
   }
 
+  test("compact(recluster=bval): MIH store file count drops, search hash unchanged") {
+    import spark.implicits._
+    import graft.sources.{BqIndexStore, StoreMaintenance}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("mih_compact").toString
+    val store = s"$base/mih"
+    // three appends → three file generations per blk dir
+    (0 until 3).foreach { wave =>
+      BqIndexStore.appendMih(emb.filter(col("vec_id") % 3 === wave),
+        "vec_id", "embedding", store)
+    }
+    val codes = operators.Knn.corpus(spark, sf).select(col("vec_id"),
+      operators.Knn.bqWords(col("v"), 0).as("code_lo"),
+      operators.Knn.bqWords(col("v"), 32).as("code_hi"))
+    val q = operators.Knn.bqCorruptedQueries(codes)
+    def res(): Set[(Long, Long, Long)] =
+      BqIndexStore.searchRadius(spark, store, q, radius = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val beforeRes = res()
+    val (before, after) = StoreMaintenance.compact(spark, store,
+      targetFiles = 2, recluster = Some("bval"))
+    assert(after < before, s"compaction must shrink file count ($before -> $after)")
+    assert(res() == beforeRes,
+      "radius search must be identical after re-clustered compaction")
+  }
+
   test("runBitmapIngest: two-wave overlapping shards equal the batch bitmap distinct") {
     val ev = Tables.events(spark, sf)
     val base = java.nio.file.Files.createTempDirectory("bitmap_ingest").toString
