@@ -435,6 +435,46 @@ object EventStreams {
     q
   }
 
+  /** Incremental sketch maintenance — the streaming twin of
+    * q_hll_rollup: each AvailableNow batch appends ONE HLL sketch row
+    * per event type (kilobytes, regardless of batch size); the
+    * serving estimate is hll_union_agg over the appended shards. HLL
+    * registers are per-value maxima, so the union of per-batch
+    * sketches is STATE-IDENTICAL to one sketch over all rows — the
+    * report equals the batch build exactly (spec-asserted), and
+    * history is never rescanned. This is the persisted-sketch
+    * pattern: a daily distinct-users dashboard at 100 TB reads
+    * kilobytes of shards, not the corpus.
+    */
+  def runHllIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                   storePath: String): StreamingQuery = {
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        batch.toDF().groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+          .write.mode("append").parquet(storePath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Distinct estimates from the incrementally built sketch store —
+    * register-identical to a single batch sketch over the same rows.
+    */
+  def hllDistinctReport(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .orderBy("event_type")
+
   /** Streaming image-fingerprint ingest — the multimodal × streaming
     * closure of the radius tier: each AvailableNow batch of raw image
     * payloads runs the REAL decode (javax.imageio via

@@ -383,6 +383,23 @@ class Round7Spec extends SparkSpec {
       "radius search must be identical after re-clustered compaction")
   }
 
+  test("runHllIngest: unioned per-batch sketches equal the one-shot batch sketch") {
+    val ev = Tables.events(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("hll_ingest").toString
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/sketches")
+    ev.filter(col("event_id") % 2 === 0).write.parquet(src)
+    graft.streaming.EventStreams.runHllIngest(spark, src, ckpt, store)
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runHllIngest(spark, src, ckpt, store)
+    val inc = graft.streaming.EventStreams.hllDistinctReport(spark, store)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val batch = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(inc.sameElements(batch),
+      "HLL registers are per-value maxima — shard union must equal one sketch")
+  }
+
   test("runBitmapIngest: two-wave overlapping shards equal the batch bitmap distinct") {
     val ev = Tables.events(spark, sf)
     val base = java.nio.file.Files.createTempDirectory("bitmap_ingest").toString
