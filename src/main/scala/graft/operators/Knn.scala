@@ -980,6 +980,56 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_ivf_bq: the coarse × binary composition (faiss IndexBinaryIVF's
+    * shape, plus an exact rerank): IVF centroids prune to nprobe lists
+    * up front, Hamming ranking over 1-bit sign codes runs INSIDE the
+    * probed lists only, and exact cosine rescores the top-20
+    * survivors. Completes the tier matrix next to IVF-flat and
+    * IVF-PQ: at 100 TB the probed partitions are read as 16-byte code
+    * rows (64× smaller than floats), the candidate shuffle carries
+    * (query, neighbor, hamming) triples, and the float vectors are
+    * touched only for the 20 broadcast point-lookups per query. Each
+    * corpus vector lives in exactly one list, so candidates are
+    * duplicate-free by construction. Same trained model as every
+    * other IVF consumer (session registry — no second training pass).
+    */
+  def vIvfBq(spark: SparkSession, dir: String): DataFrame = {
+    val rerankR = 20
+    val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+      .transform(graft.Materialize.forceCached)
+    val (inv, centroids) = ivfModel(spark, dir, e)
+    val qProbe = ivfProbe(inv, centroids)
+    val coded = inv.select(col("vec_id"), col("cid"),
+      bqWords(col("v"), 0).as("code_lo"), bqWords(col("v"), 32).as("code_hi"))
+    val qCodes = coded.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qcid"),
+        col("code_lo").as("qlo"), col("code_hi").as("qhi"))
+    val probes = qProbe.select("query_id", "pcid")
+      .join(qCodes, col("query_id") === col("qcid"))
+      .select("query_id", "pcid", "qlo", "qhi")
+    val ham = coded.join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("code_lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("code_hi").bitwiseXOR(col("qhi")))).cast("long").as("hamming"))
+    val wH = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val cand = ham.withColumn("hrnk", row_number().over(wH))
+      .filter(col("hrnk") <= rerankR)
+      .select("query_id", "neighbor_id", "hamming")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("rq"), col("v").as("qv"), col("nrm").as("qn"))
+    val reranked = e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), col("query_id") === col("rq"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val wS = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    reranked.withColumn("rnk", row_number().over(wS).cast("long"))
+      .filter(col("rnk") <= DefaultK)
+      .select("query_id", "rnk", "neighbor_id", "hamming", "sim")
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_bq_recall: recall@5 of the Hamming+rerank path against exact
     * cosine top-5 — the quality gate that tells a user what the 64×
     * compression costs on THEIR data (same driver-visible contract as
