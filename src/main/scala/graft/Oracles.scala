@@ -738,6 +738,35 @@ object Oracles {
     sb.toString
   }
 
+  /** IVF-BQ candidate chain (assumes ivfCte in scope): sign codes,
+    * Hamming inside the probed lists, top-20, exact-cosine rescoring.
+    * Shared by v_ivf_bq and its recall gate.
+    */
+  private val ivfBqCte: String = """
+      ibc AS (SELECT vec_id,
+               bit_or(CASE WHEN i <= 32 AND v[i] > 0
+                 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END) AS code_lo,
+               bit_or(CASE WHEN i > 32 AND v[i] > 0
+                 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END) AS code_hi
+             FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i FROM n) t
+             GROUP BY vec_id),
+      ibh AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                CAST(bit_count(xor(c.code_lo, qc.code_lo))
+                  + bit_count(xor(c.code_hi, qc.code_hi)) AS BIGINT) AS hamming
+              FROM ivfprobe p
+              JOIN ivfasg a ON a.cid = p.pcid AND a.vec_id <> p.query_id
+              JOIN ibc c ON c.vec_id = a.vec_id
+              JOIN ibc qc ON qc.vec_id = p.query_id),
+      ib20 AS (SELECT query_id, neighbor_id, hamming FROM (
+                 SELECT query_id, neighbor_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY hamming, neighbor_id) AS hrnk
+                 FROM ibh) t WHERE hrnk <= 20),
+      ibr AS (SELECT b.query_id, b.neighbor_id, b.hamming,
+                ROUND(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS sim
+              FROM ib20 b JOIN n ON n.vec_id = b.neighbor_id
+              JOIN ivfq q ON q.query_id = b.query_id)"""
+
   /** Deterministic PQ codebook training + ADC search, replayed as
     * unrolled SQL (assumes `n` from normsCte is in scope — composes
     * with normsCte or ivfCte). Mirrors Knn.trainPqBooks exactly: seeds =
@@ -998,35 +1027,36 @@ object Oracles {
     // only, exact rerank of the top-20 — candidates are duplicate-free
     // because every corpus vector lives in exactly one list
     "v_ivf_bq" -> s"""
-      WITH $ivfCte,
-      ibc AS (SELECT vec_id,
-               bit_or(CASE WHEN i <= 32 AND v[i] > 0
-                 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END) AS code_lo,
-               bit_or(CASE WHEN i > 32 AND v[i] > 0
-                 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END) AS code_hi
-             FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i FROM n) t
-             GROUP BY vec_id),
-      ibh AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-                CAST(bit_count(xor(c.code_lo, qc.code_lo))
-                  + bit_count(xor(c.code_hi, qc.code_hi)) AS BIGINT) AS hamming
-              FROM ivfprobe p
-              JOIN ivfasg a ON a.cid = p.pcid AND a.vec_id <> p.query_id
-              JOIN ibc c ON c.vec_id = a.vec_id
-              JOIN ibc qc ON qc.vec_id = p.query_id),
-      ib20 AS (SELECT query_id, neighbor_id, hamming FROM (
-                 SELECT query_id, neighbor_id, hamming,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                     ORDER BY hamming, neighbor_id) AS hrnk
-                 FROM ibh) t WHERE hrnk <= 20),
-      ibr AS (SELECT b.query_id, b.neighbor_id, b.hamming,
-                ROUND(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS sim
-              FROM ib20 b JOIN n ON n.vec_id = b.neighbor_id
-              JOIN ivfq q ON q.query_id = b.query_id)
+      WITH $ivfCte, $ivfBqCte
       SELECT query_id,
         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
         neighbor_id, hamming, sim
       FROM ibr QUALIFY rnk <= 5 ORDER BY query_id, rnk""",
+
+    "v_ivf_bq_recall" -> s"""
+      WITH $ivfCte, $ivfBqCte,
+      ibtop AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rnk
+                  FROM ibr) t WHERE rnk <= 5),
+      ibex_s AS (SELECT q2.query_id, n.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q2.qv, n.v) / (q2.qn * n.nrm), 6) AS sim
+                 FROM n CROSS JOIN (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                                    FROM n WHERE vec_id < 10) q2
+                 WHERE n.vec_id <> q2.query_id),
+      ibex5 AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rnk
+                  FROM ibex_s) t WHERE rnk <= 5)
+      SELECT e.query_id,
+        CAST(COUNT(b.neighbor_id) AS BIGINT) AS hits,
+        ROUND(COUNT(b.neighbor_id) / 5.0, 6) AS recall
+      FROM ibex5 e LEFT JOIN ibtop b
+        ON b.query_id = e.query_id AND b.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id ORDER BY e.query_id""",
 
     "v_ivf_pq" -> s"""
       WITH $ivfCte, ${pqCteBody()},

@@ -1030,6 +1030,22 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_ivf_bq_recall: recall@5 of the coarse×binary tier vs exact
+    * cosine top-5 — what nprobe pruning PLUS 64× compression together
+    * cost, next to v_ivf_recall (pruning alone) and v_bq_recall
+    * (compression alone).
+    */
+  def vIvfBqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBase(spark, dir, DefaultK).select(col("query_id"), col("neighbor_id"))
+    val ib = vIvfBq(spark, dir)
+      .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
+    exact.join(ib, col("query_id") === col("bq") && col("neighbor_id") === col("bn"), "left")
+      .groupBy("query_id")
+      .agg(count(col("bn")).as("hits"),
+        round(count(col("bn")) / lit(5.0), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** v_bq_recall: recall@5 of the Hamming+rerank path against exact
     * cosine top-5 — the quality gate that tells a user what the 64×
     * compression costs on THEIR data (same driver-visible contract as
