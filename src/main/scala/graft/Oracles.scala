@@ -2104,6 +2104,23 @@ object Oracles {
         COALESCE(ts_ms - view_ms, -1) AS gap_ms
       FROM m WHERE tag = 1 ORDER BY event_id""",
 
+    "q_asof_forward" -> """
+      WITH fev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                     CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag
+                   FROM events WHERE event_type IN ('click', 'purchase')),
+      fm AS (SELECT user_id, event_id, ts_ms, tag,
+               FIRST_VALUE(CASE WHEN tag = 1 THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts_ms, tag, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS click_id,
+               FIRST_VALUE(CASE WHEN tag = 1 THEN ts_ms END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts_ms, tag, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS click_ms
+             FROM fev)
+      SELECT event_id, user_id, ts_ms,
+        COALESCE(click_id, -1) AS click_id,
+        COALESCE(click_ms - ts_ms, -1) AS wait_ms
+      FROM fm WHERE tag = 0 ORDER BY event_id""",
+
     "q_range_join" -> """
       WITH iv AS (SELECT i AS interval_id,
                     1704067200000 + i * 129600000 AS start_ms

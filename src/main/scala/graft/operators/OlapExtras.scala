@@ -46,6 +46,34 @@ object OlapExtras {
       .orderBy("event_id")
   }
 
+  /** q_asof_forward: the FORWARD as-of join — for each purchase, the
+    * next click at-or-after it (post-purchase engagement lag; the
+    * mirror of q_asof_join's backward fill, and the other half every
+    * as-of API ships). Same union+window shape — no per-key join
+    * fan-out, one shuffle on user_id — with a
+    * current-row→unbounded-following frame and first-non-null instead
+    * of last. Ties: a click in the same millisecond counts (purchase
+    * tag sorts first), earliest id wins.
+    */
+  def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "tag", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.withColumn("click_id",
+        first(when(col("tag") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ms",
+        first(when(col("tag") === 1, col("ts_ms")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("click_ms") - col("ts_ms"), lit(-1L)).as("wait_ms"))
+      .orderBy("event_id")
+  }
+
   /** Epoch millis of 2024-01-01T00:00:00Z — the events table's epoch. */
   private val Epoch2024: Long = 1704067200000L
   private val HourMs: Long = 3600L * 1000
