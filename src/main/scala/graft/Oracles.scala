@@ -3275,9 +3275,21 @@ object Oracles {
       epx AS (SELECT doc_id, y, x,
                 ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
               FROM eid CROSS JOIN eys CROSS JOIN exs),
-      elut AS (SELECT doc_id, y, x,
-                 CAST(trunc(pow(px / 255.0, 1.0 / 1.5) * 255) AS BIGINT) AS lpx
+      eglut AS (SELECT doc_id, y, x,
+                 CAST(trunc(pow(px / 255.0, 1.0 / 1.5) * 255) AS BIGINT) AS gpx
                FROM epx),
+      edy AS (SELECT unnest(generate_series(-2, 2)) AS dy),
+      edx AS (SELECT unnest(generate_series(-2, 2)) AS dx),
+      eoffs AS (SELECT dy, dx,
+                  (CASE abs(dy) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END)
+                  * (CASE abs(dx) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END) AS wgt
+                FROM edy CROSS JOIN edx),
+      elut AS (SELECT doc_id, y + dy AS y, x + dx AS x,
+                 CAST(SUM(wgt * gpx) AS BIGINT) // 256 AS lpx
+               FROM eglut CROSS JOIN eoffs
+               WHERE y + dy >= 0 AND y + dy < 24
+                 AND x + dx >= 0 AND x + dx < 32
+               GROUP BY doc_id, y + dy, x + dx),
       edi AS (SELECT unnest(generate_series(0, 2)) AS i),
       eraw AS (SELECT doc_id, i,
           ((doc_id % 5) * 2 + i + 6) / 20.0 AS xc,

@@ -395,8 +395,9 @@ object BatchInference {
   /** m_pipeline_decode: the reference's ENTIRE program with the
     * pixel stages fed by a REAL codec — synthetic PNGs through
     * javax.imageio (build_faiss_db.py:72's cv2.imread), the γ=1.5 LUT
-    * over the decoded pixels (build_faiss_db.py:53-55), deterministic
-    * detector boxes through the exact bbox truncation math
+    * AND the 5×5 Gaussian stencil over the decoded pixels (the full
+    * preprocess, in the reference's order — build_faiss_db.py:53-83),
+    * deterministic detector boxes through the exact bbox truncation math
     * (build_faiss_db.py:168-180), a REAL pixel-range crop, and an
     * embedding derived from the CROPPED PIXEL CONTENT (canonical
     * row-major pixel string → md5 → 8 dims) — so a single wrong pixel
@@ -411,11 +412,26 @@ object BatchInference {
   def mPipelineDecode(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexStore
     val dim = 8
-    // stages 0-1: real decode, then the reference's gamma LUT
-    val lutFr = ImageDecode.decodedFrames(spark, dir, w = 32, h = 24, nDocs = 8)
-      .withColumn("lpx",
+    // stages 0-1: real decode, then the reference's FULL preprocess in
+    // order — gamma LUT, then the 5×5 integer Gaussian stencil
+    // (build_faiss_db.py:72-83: imread → LUT → GaussianBlur)
+    val lut = ImageDecode.decodedFrames(spark, dir, w = 32, h = 24, nDocs = 8)
+      .withColumn("gpx",
         (pow(col("px") / lit(255.0), lit(1.0) / lit(1.5)) * 255).cast("long"))
-      .select("doc_id", "y", "x", "lpx")
+      .select("doc_id", "y", "x", "gpx")
+    val offs = {
+      import spark.implicits._
+      val w1 = Map(0 -> 6L, 1 -> 4L, 2 -> 1L)
+      (for (dy <- -2 to 2; dx <- -2 to 2)
+        yield (dy, dx, w1(math.abs(dy)) * w1(math.abs(dx)))).toSeq
+        .toDF("dy", "dx", "wgt")
+    }
+    val lutFr = lut.join(broadcast(offs))
+      .select(col("doc_id"), (col("y") + col("dy")).as("yo"),
+        (col("x") + col("dx")).as("xo"), (col("wgt") * col("gpx")).as("contrib"))
+      .filter(col("yo") >= 0 && col("yo") < 24 && col("xo") >= 0 && col("xo") < 32)
+      .groupBy(col("doc_id"), col("yo").as("y"), col("xo").as("x"))
+      .agg(expr("sum(contrib) div 256").as("lpx"))
     // stage 2: detector boxes (1-3 per doc; single-division coordinate
     // derivation so the fp value is identical on both engines) through
     // the exact normalized→pixel truncation math
