@@ -3191,6 +3191,7 @@ object Oracles {
     "v_filtered_store" -> round3("v_filtered_knn"),
     "v_opq_store" -> vector("v_opq"),
     "v_ivf_pq_store" -> vector("v_ivf_pq"),
+    "v_ivf_bq_store" -> vector("v_ivf_bq"),
     // store search ≡ in-session search holds with no training at all
     // here (sign codes are deterministic), and the shared oracle is
     // itself a brute force — so a match proves round-trip + pruning

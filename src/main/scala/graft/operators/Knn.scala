@@ -1030,6 +1030,27 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_ivf_bq_store: the persisted coarse×binary path inside the gate —
+    * write the list-partitioned sign-code index (centroids from the
+    * session registry, never retrained in the write), search it with
+    * static list pruning + in-list Hamming + exact rerank, hash-match
+    * v_ivf_bq's oracle. Completes the store matrix: every in-session
+    * serving tier (flat/IVF/PQ/OPQ/BQ/IVF-PQ/IVF-BQ) now has an
+    * oracle-gated persisted twin.
+    */
+  def vIvfBqStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/ivf_bq_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.IvfBqIndexStore.write(emb, "vec_id", "embedding", path,
+      model = Some(ivfCentroids(spark, dir)))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.IvfBqIndexStore
+      .search(spark, path, emb, queries, "vec_id", "embedding", DefaultK)
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_ivf_bq_recall: recall@5 of the coarse×binary tier vs exact
     * cosine top-5 — what nprobe pruning PLUS 64× compression together
     * cost, next to v_ivf_recall (pruning alone) and v_bq_recall

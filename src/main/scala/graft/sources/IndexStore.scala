@@ -226,7 +226,7 @@ object StoreMaintenance {
 object IvfIndexStore {
   import graft.operators.Knn
 
-  private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[sources] def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", V.norm2(col("v")))
 
@@ -292,9 +292,9 @@ object IvfIndexStore {
         slice(cands, 1, nprobe), s => s.getField("cid"))))
   }
 
-  private def probeFrame(queries: DataFrame, idCol: String, vecCol: String,
-                         centroids: Array[(Int, Array[Double])],
-                         nprobe: Int): DataFrame =
+  private[sources] def probeFrame(queries: DataFrame, idCol: String, vecCol: String,
+                                  centroids: Array[(Int, Array[Double])],
+                                  nprobe: Int): DataFrame =
     probeOf(prepared(queries, idCol, vecCol), centroids, nprobe)
 
   private def rescored(index: DataFrame, qProbe: DataFrame, k: Int): DataFrame = {
@@ -716,6 +716,94 @@ object BqIndexStore {
       .select(col(idCol).as("sid"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", V.norm2(col("v")))
     val qv = q.select(col("query_id").as("rq"), col("qv"), col("qn"))
+    val rr = src.join(broadcast(cand), col("sid") === col("neighbor_id"))
+      .join(broadcast(qv), col("query_id") === col("rq"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val wS = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    rr.withColumn("rnk", row_number().over(wS).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "hamming", "sim")
+  }
+}
+
+/** Persisted coarse × binary index — faiss IndexBinaryIVF on disk:
+  * (vec_id, code_lo, code_hi) rows PARTITIONED BY list id with the
+  * centroid sidecar, composing the two savings the way IvfPqIndexStore
+  * does for ADC — a probe reads only its nprobe list directories AND
+  * those reads are 16-byte sign codes, not 512-byte floats. Search
+  * mirrors Knn.vIvfBq (Hamming inside the probed lists, exact rerank
+  * of the top-20 against the caller's source table), so the persisted
+  * path shares v_ivf_bq's oracle. Training follows the registry
+  * contract: pass the session model, never retrain in a write.
+  */
+object IvfBqIndexStore {
+  import graft.operators.Knn
+
+  private def codesWithCid(df: DataFrame, idCol: String, vecCol: String,
+                           centroids: Array[(Int, Array[Double])]): DataFrame =
+    Knn.withCid(IvfIndexStore.prepared(df, idCol, vecCol), centroids)
+      .select(col("vec_id"), col("cid"),
+        Knn.bqWords(col("v"), 0).as("code_lo"),
+        Knn.bqWords(col("v"), 32).as("code_hi"))
+
+  def write(df: DataFrame, idCol: String, vecCol: String, path: String,
+            model: Option[Array[(Int, Array[Double])]] = None): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = IvfIndexStore.prepared(df, idCol, vecCol)
+    val centroids = model.getOrElse(Knn.trainIvf(e))
+    codesWithCid(df, idCol, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    centroids.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$path.centroids")
+  }
+
+  /** Frozen-centroid append: new vectors assign against the persisted
+    * sidecar and land in their list directories — no retraining, no
+    * re-encode of existing rows.
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit =
+    codesWithCid(df, idCol, vecCol,
+        IvfIndexStore.readCentroids(df.sparkSession, path))
+      .write.mode("append").partitionBy("cid").parquet(path)
+
+  /** Probe the persisted lists, rank by Hamming INSIDE them, rerank
+    * the top-`rerank` survivors with exact cosine against `source`
+    * (the table the index was built from, or any table sharing the id
+    * space). Static file-level pruning via the probed-cid IN list —
+    * the tiny-uploaded-query contract, as with IvfIndexStore.search.
+    */
+  def search(spark: SparkSession, path: String, source: DataFrame,
+             queries: DataFrame, idCol: String, vecCol: String, k: Int,
+             nprobe: Int = Knn.IvfNprobe, rerank: Int = 20): DataFrame = {
+    val centroids = IvfIndexStore.readCentroids(spark, path)
+    val qProbe = IvfIndexStore.probeFrame(queries, idCol, vecCol, centroids, nprobe)
+    val probedCids = qProbe.select("pcid").distinct().collect().map(_.getInt(0)).toSeq
+    val qCodes = IvfIndexStore.prepared(queries, idCol, vecCol)
+      .select(col("vec_id").as("qcid2"),
+        Knn.bqWords(col("v"), 0).as("qlo"), Knn.bqWords(col("v"), 32).as("qhi"))
+    val probes = qProbe.select(col("query_id"), col("pcid"))
+      .join(qCodes, col("query_id") === col("qcid2"))
+      .select("query_id", "pcid", "qlo", "qhi")
+    val ham = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids: _*)) // static file-level pruning
+      .join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("code_lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("code_hi").bitwiseXOR(col("qhi")))).cast("long").as("hamming"))
+    val wH = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val cand = ham.withColumn("hrnk", row_number().over(wH))
+      .filter(col("hrnk") <= rerank)
+      .select("query_id", "neighbor_id", "hamming")
+    val src = source
+      .select(col(idCol).as("sid"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", V.norm2(col("v")))
+    val qv = IvfIndexStore.prepared(queries, idCol, vecCol)
+      .select(col("vec_id").as("rq"), col("v").as("qv"), col("nrm").as("qn"))
     val rr = src.join(broadcast(cand), col("sid") === col("neighbor_id"))
       .join(broadcast(qv), col("query_id") === col("rq"))
       .select(col("query_id"), col("neighbor_id"), col("hamming"),

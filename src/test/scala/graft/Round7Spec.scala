@@ -543,6 +543,24 @@ class Round7Spec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("IvfBqIndexStore: frozen-centroid append equals a single write") {
+    import graft.sources.IvfBqIndexStore
+    val emb = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("ivfbq_store").toString
+    val model = Some(operators.Knn.ivfCentroids(spark, sf))
+    IvfBqIndexStore.write(emb, "vec_id", "embedding", s"$base/one", model)
+    IvfBqIndexStore.write(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", s"$base/two", model)
+    IvfBqIndexStore.append(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", s"$base/two")
+    val q = emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+    def res(p: String): Array[String] =
+      IvfBqIndexStore.search(spark, s"$base/$p", emb, q,
+        "vec_id", "embedding", k = 5).collect().map(_.toString).sorted
+    assert(res("two").sameElements(res("one")),
+      "append with frozen centroids must search identically to one write")
+  }
+
   test("BqIndexStore MIH: two-wave append equals a single write") {
     import graft.sources.BqIndexStore
     val emb = Tables.embeddings(spark, sf)
