@@ -441,9 +441,11 @@ class Round7Spec extends SparkSpec {
 
   test("round-7 operators are result-identical under cluster-safe materialization") {
     // the ops that lean on Materialize (span table, CC supersteps in
-    // d_semdedup) — exactly the surface where the replicated strategy
-    // diverged from local in r6
-    val qs = Seq("d_span_dedup", "d_semdedup", "t_curation_pipeline")
+    // d_semdedup, d_pagerank's released superstep states) — exactly
+    // the surface where the replicated strategy diverged from local
+    // in r6
+    val qs = Seq("d_span_dedup", "d_semdedup", "t_curation_pipeline",
+      "d_pagerank")
     def run(q: String): Array[String] =
       SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted
     val local = qs.map(q => q -> run(q)).toMap
