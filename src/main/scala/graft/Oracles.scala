@@ -1908,6 +1908,32 @@ object Oracles {
         CAST(MIN(m) AS BIGINT) AS min_m, CAST(MAX(m) AS BIGINT) AS max_m
       FROM cmap GROUP BY doc_id, y ORDER BY doc_id, y""",
 
+    // Haitsma-Kalker audio fingerprint: sign of the time-difference of
+    // the band-difference of integer band energies, 49 bits per asset
+    "m_audio_fp" -> """
+      WITH af AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+      afr AS (SELECT unnest(generate_series(0, 7)) AS frame),
+      ai AS (SELECT unnest(generate_series(0, 63)) AS i),
+      asam AS (SELECT doc_id, frame, i,
+                 CAST(('0x' || substr(md5('pcm_' || doc_id || '_'
+                   || (frame * 64 + i)), 1, 2)) AS BIGINT) - 128 AS s
+               FROM af CROSS JOIN afr CROSS JOIN ai),
+      aen AS (SELECT doc_id, frame, i // 8 AS band,
+                CAST(SUM(s * s) AS BIGINT) AS en
+              FROM asam GROUP BY 1, 2, 3),
+      ad AS (SELECT a.doc_id, a.frame, a.band, a.en - b.en AS dd
+             FROM aen a JOIN aen b ON a.doc_id = b.doc_id
+               AND a.frame = b.frame AND b.band = a.band + 1),
+      abits AS (SELECT c.doc_id, c.frame, c.band,
+                  CASE WHEN c.dd - p.dd > 0 THEN 1 ELSE 0 END AS bit
+                FROM ad c JOIN ad p ON c.doc_id = p.doc_id
+                  AND p.frame = c.frame - 1 AND p.band = c.band)
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN bit = 1
+          THEN (1::BIGINT << ((frame - 1) * 7 + band)) ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(bit) AS BIGINT) AS n_bits
+      FROM abits GROUP BY doc_id ORDER BY doc_id""",
+
     // decode-fed crop: the reference bbox truncation math + pixel-range
     // crop over the closed pixel form (bounds clamp is implicit — the
     // frame only has pixels inside it)

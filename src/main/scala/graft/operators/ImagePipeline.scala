@@ -341,6 +341,46 @@ object ImagePipeline {
       .orderBy("doc_id", "frame")
   }
 
+  /** m_audio_fp: the Haitsma–Kalker robust audio fingerprint (the
+    * published Philips algorithm behind broadcast-monitoring /
+    * audio-dedup systems) over the synthetic PCM frames: per frame,
+    * 8 band energies (integer Σs² over 8-sample bands); bit(f, b) =
+    * sign of the TIME-DIFFERENCE of the BAND-DIFFERENCE,
+    * (E(f,b)−E(f,b+1)) − (E(f−1,b)−E(f−1,b+1)) > 0 — 7 frame pairs ×
+    * 7 band pairs = 49 bits packed into one long per asset. All
+    * integer arithmetic, so the fingerprint is engine-exact and the
+    * oracle replays it bit-for-bit; near-dup audio lookup is then
+    * Hamming over these words (the m_phash_pairs / MIH machinery
+    * applies unchanged). Scale shape: one (doc, frame, band)
+    * aggregation, two tiny window passes, one per-doc fold — a single
+    * shuffle on doc_id at any corpus size.
+    */
+  def mAudioFp(spark: SparkSession, dir: String): DataFrame = {
+    val frames = 8
+    val spf = 64
+    val e = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(frames - 1))).as("frame"))
+      .select(col("doc_id"), col("frame"),
+        explode(sequence(lit(0), lit(spf - 1))).as("i"))
+      .withColumn("s", H.md5Long(
+        concat(lit("pcm_"), col("doc_id").cast("string"), lit("_"),
+          (col("frame") * spf + col("i")).cast("string")), 2) - 128)
+      .groupBy(col("doc_id"), col("frame"), expr("i div 8").as("band"))
+      .agg(sum(col("s") * col("s")).as("en"))
+    val wB = Window.partitionBy("doc_id", "frame").orderBy("band")
+    val d = e.withColumn("dd", col("en") - lead(col("en"), 1).over(wB))
+      .filter(col("band") < 7)
+    val wF = Window.partitionBy("doc_id", "band").orderBy("frame")
+    d.withColumn("bit",
+        when(col("dd") - lag(col("dd"), 1).over(wF) > 0, 1L).otherwise(0L))
+      .filter(col("frame") >= 1)
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(bit, cast((frame - 1) * 7 + band as int))")).as("fp"),
+        sum(col("bit")).as("n_bits"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed-point DCT-II basis: C(u,y) = round(cos(π·(2y+1)·u/32)·10⁴)
     * for a 16-point transform. Computed once driver-side and inlined
     * as literals into BOTH the Spark plan and the SQL oracle, so no
