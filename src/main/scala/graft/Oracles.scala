@@ -3156,6 +3156,53 @@ object Oracles {
       nn AS (SELECT crop_id, doc_id, label, v,
                sqrt(list_dot_product(v, v)) AS nrm FROM vecs)"""
 
+  /** Shared CTE prefix of the REAL-DECODE pipelines (m_pipeline_decode
+    * / m_pipeline_real): the closed pixel form through γ-LUT and the
+    * 5×5 stencil, plus the deterministic detector boxes through the
+    * exact normalized→pixel truncation math. Ends with `elut`
+    * (doc_id, y, x, lpx) and `ebox` (doc_id, i, label, score,
+    * x1, y1, x2, y2).
+    */
+  private val mDecodePrefix: String = """exs AS (SELECT unnest(generate_series(0, 31)) AS x),
+      eys AS (SELECT unnest(generate_series(0, 23)) AS y),
+      eid AS (SELECT doc_id FROM documents WHERE doc_id < 8),
+      epx AS (SELECT doc_id, y, x,
+                ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
+              FROM eid CROSS JOIN eys CROSS JOIN exs),
+      eglut AS (SELECT doc_id, y, x,
+                 CAST(trunc(pow(px / 255.0, 1.0 / 1.5) * 255) AS BIGINT) AS gpx
+               FROM epx),
+      edy AS (SELECT unnest(generate_series(-2, 2)) AS dy),
+      edx AS (SELECT unnest(generate_series(-2, 2)) AS dx),
+      eoffs AS (SELECT dy, dx,
+                  (CASE abs(dy) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END)
+                  * (CASE abs(dx) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END) AS wgt
+                FROM edy CROSS JOIN edx),
+      elut AS (SELECT doc_id, y + dy AS y, x + dx AS x,
+                 CAST(SUM(wgt * gpx) AS BIGINT) // 256 AS lpx
+               FROM eglut CROSS JOIN eoffs
+               WHERE y + dy >= 0 AND y + dy < 24
+                 AND x + dx >= 0 AND x + dx < 32
+               GROUP BY doc_id, y + dy, x + dx),
+      edi AS (SELECT unnest(generate_series(0, 2)) AS i),
+      eraw AS (SELECT doc_id, i,
+          ((doc_id % 5) * 2 + i + 6) / 20.0 AS xc,
+          (doc_id % 7 + 2) / 10.0 AS yc,
+          (doc_id % 3 + 2) / 10.0 AS w,
+          (doc_id % 4 + 2) / 10.0 AS h,
+          (doc_id * 7 + i) % 5 AS label,
+          ROUND(CAST(('0x' || substr(md5('sc_' || doc_id || '_' || i), 1, 8))
+            AS BIGINT) / 4294967296.0, 6) AS score
+        FROM eid CROSS JOIN edi WHERE i <= doc_id % 3),
+      ebox AS (SELECT doc_id, i, label, score,
+          CAST(trunc(xc * 32 - CAST(trunc(w * 32) AS BIGINT) / 2.0) AS BIGINT) AS x1,
+          CAST(trunc(yc * 24 - CAST(trunc(h * 24) AS BIGINT) / 2.0) AS BIGINT) AS y1,
+          CAST(trunc(xc * 32 - CAST(trunc(w * 32) AS BIGINT) / 2.0) AS BIGINT)
+            + CAST(trunc(w * 32) AS BIGINT) AS x2,
+          CAST(trunc(yc * 24 - CAST(trunc(h * 24) AS BIGINT) / 2.0) AS BIGINT)
+            + CAST(trunc(h * 24) AS BIGINT) AS y2
+        FROM eraw)"""
+
   /** Query flow + label vote over any candidate CTE `s` (query_id,
     * neighbor_id, neighbor_label, sim): top-5 rank, majority vote.
     */
@@ -3296,45 +3343,7 @@ object Oracles {
     // single wrong pixel in the engine's decode path changes the
     // neighbor ranking and the vote
     "m_pipeline_decode" -> s"""
-      WITH exs AS (SELECT unnest(generate_series(0, 31)) AS x),
-      eys AS (SELECT unnest(generate_series(0, 23)) AS y),
-      eid AS (SELECT doc_id FROM documents WHERE doc_id < 8),
-      epx AS (SELECT doc_id, y, x,
-                ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
-              FROM eid CROSS JOIN eys CROSS JOIN exs),
-      eglut AS (SELECT doc_id, y, x,
-                 CAST(trunc(pow(px / 255.0, 1.0 / 1.5) * 255) AS BIGINT) AS gpx
-               FROM epx),
-      edy AS (SELECT unnest(generate_series(-2, 2)) AS dy),
-      edx AS (SELECT unnest(generate_series(-2, 2)) AS dx),
-      eoffs AS (SELECT dy, dx,
-                  (CASE abs(dy) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END)
-                  * (CASE abs(dx) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END) AS wgt
-                FROM edy CROSS JOIN edx),
-      elut AS (SELECT doc_id, y + dy AS y, x + dx AS x,
-                 CAST(SUM(wgt * gpx) AS BIGINT) // 256 AS lpx
-               FROM eglut CROSS JOIN eoffs
-               WHERE y + dy >= 0 AND y + dy < 24
-                 AND x + dx >= 0 AND x + dx < 32
-               GROUP BY doc_id, y + dy, x + dx),
-      edi AS (SELECT unnest(generate_series(0, 2)) AS i),
-      eraw AS (SELECT doc_id, i,
-          ((doc_id % 5) * 2 + i + 6) / 20.0 AS xc,
-          (doc_id % 7 + 2) / 10.0 AS yc,
-          (doc_id % 3 + 2) / 10.0 AS w,
-          (doc_id % 4 + 2) / 10.0 AS h,
-          (doc_id * 7 + i) % 5 AS label,
-          ROUND(CAST(('0x' || substr(md5('sc_' || doc_id || '_' || i), 1, 8))
-            AS BIGINT) / 4294967296.0, 6) AS score
-        FROM eid CROSS JOIN edi WHERE i <= doc_id % 3),
-      ebox AS (SELECT doc_id, i, label, score,
-          CAST(trunc(xc * 32 - CAST(trunc(w * 32) AS BIGINT) / 2.0) AS BIGINT) AS x1,
-          CAST(trunc(yc * 24 - CAST(trunc(h * 24) AS BIGINT) / 2.0) AS BIGINT) AS y1,
-          CAST(trunc(xc * 32 - CAST(trunc(w * 32) AS BIGINT) / 2.0) AS BIGINT)
-            + CAST(trunc(w * 32) AS BIGINT) AS x2,
-          CAST(trunc(yc * 24 - CAST(trunc(h * 24) AS BIGINT) / 2.0) AS BIGINT)
-            + CAST(trunc(h * 24) AS BIGINT) AS y2
-        FROM eraw),
+      WITH $mDecodePrefix,
       ecrop AS (SELECT b.doc_id * 10 + i AS crop_id, b.doc_id, label, score,
           md5(string_agg(lpx::VARCHAR, ',' ORDER BY y, x)) AS sig
         FROM ebox b JOIN elut p ON p.doc_id = b.doc_id
@@ -3396,7 +3405,64 @@ object Oracles {
       $mPipelineVote"""
   )
 
+  /** Round-8 additions: the REAL convnet forward pass replayed layer
+    * by layer in SQL.
+    */
+  val round8: Map[String, String] = Map(
+    // the reference program with actual tensor math in the inference
+    // seat: decode → LUT → blur → clamped crop → nearest-resize 8×8 →
+    // 3×3 conv ×4 → ReLU → 2×2 max-pool → dense 36→8 (+bias) →
+    // cosine top-5 → majority vote. Weight formulas are the literal
+    // closed forms of ConvNet.convW / ConvNet.fcW; a hash match
+    // proves every activation of the engine's batched Arrow-columnar
+    // forward pass.
+    "m_pipeline_real" -> s"""
+      WITH $mDecodePrefix,
+      ecb AS (SELECT doc_id * 10 + i AS crop_id, doc_id, label, score,
+          GREATEST(x1, 0) AS cx1, GREATEST(y1, 0) AS cy1,
+          LEAST(x2, 32) - GREATEST(x1, 0) AS cw,
+          LEAST(y2, 24) - GREATEST(y1, 0) AS ch
+        FROM ebox),
+      t8 AS (SELECT unnest(generate_series(0, 7)) AS t),
+      eresz AS (SELECT c.crop_id, ty.t AS ty, tx.t AS tx, p.lpx AS px
+        FROM ecb c CROSS JOIN t8 ty CROSS JOIN t8 tx
+        JOIN elut p ON p.doc_id = c.doc_id
+          AND p.y = c.cy1 + (ty.t * c.ch) // 8
+          AND p.x = c.cx1 + (tx.t * c.cw) // 8),
+      k3 AS (SELECT unnest(generate_series(0, 2)) AS k),
+      f4 AS (SELECT unnest(generate_series(0, 3)) AS f),
+      o6 AS (SELECT unnest(generate_series(0, 5)) AS o),
+      conv AS (SELECT crop_id, f.f AS f, oy.o AS oy, ox.o AS ox,
+          GREATEST(0, SUM((((f.f * 9 + ky.k * 3 + kx.k) * 5) % 7 - 3) * r.px)) AS a
+        FROM f4 f CROSS JOIN o6 oy CROSS JOIN o6 ox
+        CROSS JOIN k3 ky CROSS JOIN k3 kx
+        JOIN eresz r ON r.ty = oy.o + ky.k AND r.tx = ox.o + kx.k
+        GROUP BY crop_id, f.f, oy.o, ox.o),
+      pool AS (SELECT crop_id, f, oy // 2 AS py, ox // 2 AS px2, MAX(a) AS a
+        FROM conv GROUP BY crop_id, f, oy // 2, ox // 2),
+      o8 AS (SELECT unnest(generate_series(0, 7)) AS o),
+      emb AS (SELECT crop_id, o, o + 1 +
+          SUM((((o * 36 + f * 9 + py * 3 + px2) * 3) % 5 - 2) * a) AS e
+        FROM pool CROSS JOIN o8 GROUP BY crop_id, o),
+      vecs AS (SELECT e2.crop_id, c.doc_id, c.label,
+          list(CAST(e AS DOUBLE) ORDER BY o) AS v
+        FROM emb e2 JOIN ecb c ON c.crop_id = e2.crop_id
+        GROUP BY e2.crop_id, c.doc_id, c.label),
+      nn AS (SELECT crop_id, doc_id, label, v,
+               sqrt(list_dot_product(v, v)) AS nrm FROM vecs),
+      qb AS (SELECT crop_id FROM (
+               SELECT crop_id, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, crop_id) AS rq
+               FROM ecb WHERE doc_id < 3) z WHERE rq = 1),
+      q AS (SELECT nn.crop_id AS query_id, v AS qv, nrm AS qn
+            FROM nn JOIN qb ON qb.crop_id = nn.crop_id),
+      s AS (SELECT query_id, nn.crop_id AS neighbor_id, nn.label AS neighbor_label,
+              ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+            FROM nn CROSS JOIN q WHERE nn.crop_id <> query_id),
+      $mPipelineVote"""
+  )
+
   def all: Map[String, String] =
     relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming ++
-      round2 ++ round3 ++ round6
+      round2 ++ round3 ++ round6 ++ round8
 }

@@ -395,8 +395,10 @@ object BatchInference {
   /** m_pipeline_decode: the reference's ENTIRE program with the
     * pixel stages fed by a REAL codec — synthetic PNGs through
     * javax.imageio (build_faiss_db.py:72's cv2.imread), the γ=1.5 LUT
-    * AND the 5×5 Gaussian stencil over the decoded pixels (the full
-    * preprocess, in the reference's order — build_faiss_db.py:53-83),
+    * AND a Gaussian stencil over the decoded pixels (the preprocess
+    * stages in the reference's order — build_faiss_db.py:53-83; the
+    * blur is the engine's 5×5 binomial /256 stencil shared with
+    * m_gauss_blur, not the reference's exact 3×3 cv2 kernel),
     * deterministic detector boxes through the exact bbox truncation math
     * (build_faiss_db.py:168-180), a REAL pixel-range crop, and an
     * embedding derived from the CROPPED PIXEL CONTENT (canonical
@@ -409,12 +411,14 @@ object BatchInference {
     * in this environment). The oracle replays the closed pixel form
     * through every stage in SQL.
     */
-  def mPipelineDecode(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.IndexStore
-    val dim = 8
-    // stages 0-1: real decode, then the reference's FULL preprocess in
-    // order — gamma LUT, then the 5×5 integer Gaussian stencil
-    // (build_faiss_db.py:72-83: imread → LUT → GaussianBlur)
+  /** Stages 0-1 of the decode-fed pipelines: real PNG decode, then the
+    * reference's preprocess in order — the γ=1.5 LUT and the engine's
+    * 5×5 integer Gaussian stencil (build_faiss_db.py:72-83's imread →
+    * LUT → GaussianBlur; the stencil is m_gauss_blur's 5×5 binomial,
+    * not the reference's exact 3×3 kernel — see m_gauss_blur).
+    * Returns the blurred (doc_id, y, x, lpx) frame.
+    */
+  private def decodeLutBlurFrame(spark: SparkSession, dir: String): DataFrame = {
     val lut = ImageDecode.decodedFrames(spark, dir, w = 32, h = 24, nDocs = 8)
       .withColumn("gpx",
         (pow(col("px") / lit(255.0), lit(1.0) / lit(1.5)) * 255).cast("long"))
@@ -426,15 +430,20 @@ object BatchInference {
         yield (dy, dx, w1(math.abs(dy)) * w1(math.abs(dx)))).toSeq
         .toDF("dy", "dx", "wgt")
     }
-    val lutFr = lut.join(broadcast(offs))
+    lut.join(broadcast(offs))
       .select(col("doc_id"), (col("y") + col("dy")).as("yo"),
         (col("x") + col("dx")).as("xo"), (col("wgt") * col("gpx")).as("contrib"))
       .filter(col("yo") >= 0 && col("yo") < 24 && col("xo") >= 0 && col("xo") < 32)
       .groupBy(col("doc_id"), col("yo").as("y"), col("xo").as("x"))
       .agg(expr("sum(contrib) div 256").as("lpx"))
-    // stage 2: detector boxes (1-3 per doc; single-division coordinate
-    // derivation so the fp value is identical on both engines) through
-    // the exact normalized→pixel truncation math
+  }
+
+  /** Stage 2 of the decode-fed pipelines: detector boxes (1-3 per doc;
+    * single-division coordinate derivation so the fp value is identical
+    * on both engines) through the exact normalized→pixel truncation
+    * math. Returns (crop_id, bdoc, label, score, x1, y1, x2, y2).
+    */
+  private def decodeBoxes(spark: SparkSession, dir: String): DataFrame = {
     val det = Tables.documents(spark, dir).filter(col("doc_id") < 8)
       .select(col("doc_id"),
         explode(sequence(lit(0), (col("doc_id") % 3).cast("int"))).as("det_id"))
@@ -442,7 +451,7 @@ object BatchInference {
     val yc = (col("doc_id") % 7 + 2) / lit(10.0)
     val w = (col("doc_id") % 3 + 2) / lit(10.0)
     val h = (col("doc_id") % 4 + 2) / lit(10.0)
-    val boxes = det.select(
+    det.select(
         (col("doc_id") * 10 + col("det_id")).as("crop_id"),
         col("doc_id").as("bdoc"),
         ((col("doc_id") * 7 + col("det_id")) % 5).as("label"),
@@ -453,6 +462,13 @@ object BatchInference {
       .select(col("crop_id"), col("bdoc"), col("label"), col("score"),
         col("bb.x1").as("x1"), col("bb.y1").as("y1"),
         col("bb.x2").as("x2"), col("bb.y2").as("y2"))
+  }
+
+  def mPipelineDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val dim = 8
+    val lutFr = decodeLutBlurFrame(spark, dir)
+    val boxes = decodeBoxes(spark, dir)
     // stage 3: real crop + content signature + embedding from pixels
     val embedded = lutFr
       .join(broadcast(boxes), col("doc_id") === col("bdoc"))
@@ -469,6 +485,63 @@ object BatchInference {
     val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     val path = new java.io.File(s"target/m_pipeline_decode_$app/idx").getAbsolutePath
     IndexStore.write(embedded, "crop_id", "embedding", path, dim)
+    IndexStore.writeMetadata(embedded.select(col("crop_id"), col("label")), path)
+    val hits = IndexStore.search(IndexStore.read(spark, path),
+      bestCropQueries(embedded), "crop_id", "embedding", k = 5)
+    labelVote(spark, hits, path)
+  }
+
+  /** m_pipeline_real: the reference program with REAL TENSOR MATH in
+    * the inference seat — decode → γ-LUT → blur → detector boxes →
+    * real pixel crop, then the crop travels through the
+    * BatchInference scaffold (per-partition model load, Arrow-columnar
+    * batches, no shuffle) into an ACTUAL convnet forward pass
+    * (ConvNet: nearest-resize 8×8 → 3×3 conv ×4 → ReLU → 2×2 max-pool
+    * → dense 36→8), mirroring build_faiss_db.py:110-135's
+    * transform+resnet18 at fixed integer weights. Index persist,
+    * best-confidence-crop query selection (app.py:121), exact top-5,
+    * metadata join and majority vote complete the program. Every
+    * activation of the forward pass is integer arithmetic on
+    * closed-form weights, so the DuckDB oracle replays resize → conv →
+    * ReLU → pool → dense in SQL — a hash match proves the scaffolded
+    * batched inference computed the exact network output for every
+    * crop, and Round8Spec separately pins the Arrow path bit-equal to
+    * a driver-side forward of the same payloads.
+    */
+  def mPipelineReal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val lutFr = decodeLutBlurFrame(spark, dir)
+    // clamp boxes to the frame: the model sees the pixels that exist
+    // (numpy's implicit slice clamp, build_faiss_db.py:178-182)
+    val boxes = decodeBoxes(spark, dir).select(
+      col("crop_id"), col("bdoc"), col("label"), col("score"),
+      greatest(col("x1"), lit(0L)).as("cx1"),
+      greatest(col("y1"), lit(0L)).as("cy1"),
+      (least(col("x2"), lit(32L)) - greatest(col("x1"), lit(0L))).as("cw"),
+      (least(col("y2"), lit(24L)) - greatest(col("y1"), lit(0L))).as("ch"))
+    // stage 3: real crop packed as the model wire payload
+    // "w,h:p0,p1,…" (row-major) — pure declarative string packing, so
+    // the payload itself is oracle-replayable
+    val crops = lutFr
+      .join(broadcast(boxes), col("doc_id") === col("bdoc"))
+      .filter(col("x") >= col("cx1") && col("x") < col("cx1") + col("cw") &&
+        col("y") >= col("cy1") && col("y") < col("cy1") + col("ch"))
+      .groupBy("crop_id", "doc_id", "label", "score", "cw", "ch")
+      .agg(expr("""array_join(transform(
+             array_sort(collect_list(struct(y, x, lpx))),
+             s -> cast(s.lpx as string)), ',')""").as("pxs"))
+      .select(col("crop_id"), col("doc_id"), col("label"), col("score"),
+        concat(col("cw").cast("string"), lit(","), col("ch").cast("string"),
+          lit(":"), col("pxs")).cast("binary").as("payload"))
+    // stage 4: the REAL forward pass through the Arrow-columnar
+    // scaffold — the exact boundary a GPU runtime binds to
+    val embedded = embedStageArrow(crops, "payload", new ConvNet.ArrowLoader, batchSize = 8)
+      .select(col("crop_id"), col("doc_id"), col("label"), col("score"), col("embedding"))
+      .transform(graft.Materialize.forceCached)
+    // stages 5-7: persist, best-crop query, exact top-5, label vote
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/m_pipeline_real_$app/idx").getAbsolutePath
+    IndexStore.write(embedded, "crop_id", "embedding", path, ConvNet.Dim)
     IndexStore.writeMetadata(embedded.select(col("crop_id"), col("label")), path)
     val hits = IndexStore.search(IndexStore.read(spark, path),
       bestCropQueries(embedded), "crop_id", "embedding", k = 5)

@@ -1,0 +1,189 @@
+package graft.operators
+
+/** A REAL convolutional network forward pass in pure JVM integer
+  * arithmetic — the executable stand-in for the reference's ResNet-18
+  * featurizer (/root/reference/build_faiss_db.py:110-135) now that the
+  * inference scaffold needs actual tensor math rather than an md5
+  * fake. torch does not exist in this container, so the weights are
+  * small and fixed — but the computation is a genuine convnet:
+  *
+  *   payload (w,h + row-major crop pixels)
+  *     → nearest-neighbor resize to 8×8   (the transform's Resize step)
+  *     → 4 filters of 3×3 valid conv      → 4×6×6
+  *     → ReLU                             (max(0, ·))
+  *     → 2×2 max-pool                     → 4×3×3
+  *     → flatten (36) → dense 36→8 + bias → 8-dim embedding
+  *
+  * Everything is exact integer arithmetic on deterministic closed-form
+  * weights, so the DuckDB oracle replays the ENTIRE forward pass in
+  * SQL (joins over the weight formulas) and the driver gate
+  * hash-verifies every activation end to end. The same layer math at
+  * float precision is what a JNI/ONNX model computes; only `load()`
+  * changes when a real runtime is present.
+  *
+  * Scale shape: the forward runs inside BatchInference's mapPartitions
+  * contract — per-partition model load, caller-sized batches, no
+  * shuffle, no driver involvement. Work is O(pixels) per row with
+  * fixed constants; at 100 TB it scales with input splits exactly like
+  * the reference's per-file featurize loop scales with files.
+  */
+object ConvNet {
+
+  val InSize = 8     // resized input side
+  val K = 3          // conv kernel side
+  val NFilters = 4
+  val ConvOut: Int = InSize - K + 1          // 6 (valid convolution)
+  val PoolOut: Int = ConvOut / 2             // 3 (2×2 max-pool)
+  val Dim = 8        // embedding width
+
+  /** Conv weight for (filter f, kernel row ky, kernel col kx) —
+    * closed-form integers in [-3, 3], replayed verbatim by the SQL
+    * oracle: ((f·9 + ky·3 + kx)·5) mod 7 − 3.
+    */
+  def convW(f: Int, ky: Int, kx: Int): Int =
+    ((f * 9 + ky * 3 + kx) * 5) % 7 - 3
+
+  /** Dense weight for (output o, filter f, pooled row py, pooled col
+    * px): ((o·36 + f·9 + py·3 + px)·3) mod 5 − 2 ∈ [-2, 2].
+    */
+  def fcW(o: Int, f: Int, py: Int, px: Int): Int =
+    ((o * 36 + f * 9 + py * 3 + px) * 3) % 5 - 2
+
+  /** Payload wire format: "w,h:p0,p1,…" (UTF-8), pixels row-major.
+    * The declarative side packs it with pure SQL string functions, so
+    * the payload column itself sits inside the correctness gate.
+    */
+  def parsePayload(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val s = new String(bytes, "UTF-8")
+    val colon = s.indexOf(':')
+    require(colon > 0, "convnet payload must be 'w,h:pixels'")
+    val Array(w, h) = s.substring(0, colon).split(',').map(_.trim.toInt)
+    val px = s.substring(colon + 1).split(',').map(_.trim.toInt)
+    require(px.length == w * h, s"expected ${w * h} pixels, got ${px.length}")
+    (w, h, px)
+  }
+
+  /** Nearest-neighbor resize of a w×h grid to InSize×InSize: source
+    * index (ty·h) div InSize — the exact integer form the oracle joins
+    * on. Matches the semantics of the reference transform's Resize
+    * (build_faiss_db.py:117) at integer precision.
+    */
+  def resize(w: Int, h: Int, px: Array[Int]): Array[Int] = {
+    val out = new Array[Int](InSize * InSize)
+    var ty = 0
+    while (ty < InSize) {
+      val sy = ty * h / InSize
+      var tx = 0
+      while (tx < InSize) {
+        out(ty * InSize + tx) = px(sy * w + tx * w / InSize)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** The full forward pass: resize → conv → ReLU → max-pool → dense.
+    * Returns integer-valued doubles (the embedding the index tier
+    * consumes). The +(o+1) bias keeps the vector from the zero norm
+    * a pathological all-flat crop could otherwise produce.
+    */
+  def forward(w: Int, h: Int, px: Array[Int]): Array[Double] = {
+    val in = resize(w, h, px)
+    // conv + ReLU: 4 × 6 × 6
+    val conv = new Array[Int](NFilters * ConvOut * ConvOut)
+    var f = 0
+    while (f < NFilters) {
+      var oy = 0
+      while (oy < ConvOut) {
+        var ox = 0
+        while (ox < ConvOut) {
+          var s = 0
+          var ky = 0
+          while (ky < K) {
+            var kx = 0
+            while (kx < K) {
+              s += convW(f, ky, kx) * in((oy + ky) * InSize + (ox + kx))
+              kx += 1
+            }
+            ky += 1
+          }
+          conv((f * ConvOut + oy) * ConvOut + ox) = math.max(0, s)
+          ox += 1
+        }
+        oy += 1
+      }
+      f += 1
+    }
+    // 2×2 max-pool: 4 × 3 × 3
+    val pool = new Array[Int](NFilters * PoolOut * PoolOut)
+    f = 0
+    while (f < NFilters) {
+      var py = 0
+      while (py < PoolOut) {
+        var px2 = 0
+        while (px2 < PoolOut) {
+          var m = Int.MinValue
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val v = conv((f * ConvOut + 2 * py + dy) * ConvOut + (2 * px2 + dx))
+              if (v > m) m = v
+              dx += 1
+            }
+            dy += 1
+          }
+          pool((f * PoolOut + py) * PoolOut + px2) = m
+          px2 += 1
+        }
+        py += 1
+      }
+      f += 1
+    }
+    // dense 36 → 8 with bias o+1
+    Array.tabulate(Dim) { o =>
+      var s = o + 1
+      var f2 = 0
+      while (f2 < NFilters) {
+        var py = 0
+        while (py < PoolOut) {
+          var px2 = 0
+          while (px2 < PoolOut) {
+            s += fcW(o, f2, py, px2) * pool((f2 * PoolOut + py) * PoolOut + px2)
+            px2 += 1
+          }
+          py += 1
+        }
+        f2 += 1
+      }
+      s.toDouble
+    }
+  }
+
+  /** Forward from a wire payload — the model-boundary entry point. */
+  def forwardPayload(bytes: Array[Byte]): Array[Double] = {
+    val (w, h, px) = parsePayload(bytes)
+    forward(w, h, px)
+  }
+
+  /** Row-batch loader for BatchInference.embedStage. */
+  final class Loader extends BatchInference.EmbedLoader {
+    val dim: Int = Dim
+    def load(): BatchInference.EmbedModel = new BatchInference.EmbedModel {
+      def embedBatch(payloads: Array[Array[Byte]]): Array[Array[Double]] =
+        payloads.map(forwardPayload)
+    }
+  }
+
+  /** Arrow-columnar loader for BatchInference.embedStageArrow — reads
+    * each payload straight out of the VarBinaryVector's buffers.
+    */
+  final class ArrowLoader extends BatchInference.ArrowEmbedLoader {
+    val dim: Int = Dim
+    def load(): BatchInference.ArrowEmbedModel = new BatchInference.ArrowEmbedModel {
+      def embedBatch(payloads: org.apache.arrow.vector.VarBinaryVector): Array[Array[Double]] =
+        Array.tabulate(payloads.getValueCount)(i => forwardPayload(payloads.get(i)))
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{BatchInference, ConvNet}
+
+/** Round-8 invariants: the REAL convnet forward pass through the
+  * batched inference scaffold.
+  */
+class Round8Spec extends SparkSpec {
+
+  private def payloadOf(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+    s"$w,$h:${px.mkString(",")}".getBytes("UTF-8")
+
+  test("ConvNet.forward: hand-computed network output on a tiny constant input") {
+    // constant input c: every conv activation is c·Σw(f); ReLU keeps
+    // the non-negative filters; pooling over equal values is identity;
+    // the dense output is then exactly derivable by hand
+    val c = 2
+    val px = Array.fill(ConvNet.InSize * ConvNet.InSize)(c)
+    val filterSums = (0 until ConvNet.NFilters).map { f =>
+      (for (ky <- 0 until 3; kx <- 0 until 3) yield ConvNet.convW(f, ky, kx)).sum
+    }
+    val act = filterSums.map(s => math.max(0, c * s))
+    val expected = (0 until ConvNet.Dim).map { o =>
+      (o + 1) + (for (f <- 0 until ConvNet.NFilters;
+                      py <- 0 until ConvNet.PoolOut;
+                      px2 <- 0 until ConvNet.PoolOut)
+        yield ConvNet.fcW(o, f, py, px2) * act(f)).sum
+    }.map(_.toDouble)
+    assert(ConvNet.forward(ConvNet.InSize, ConvNet.InSize, px).toSeq == expected)
+  }
+
+  test("ConvNet.resize: nearest-neighbor source index is (t·src) div 8") {
+    val (w, h) = (5, 3)
+    val px = Array.tabulate(w * h)(identity)
+    val out = ConvNet.resize(w, h, px)
+    for (ty <- 0 until 8; tx <- 0 until 8) {
+      assert(out(ty * 8 + tx) == (ty * h / 8) * w + (tx * w / 8))
+    }
+  }
+
+  test("convnet through the Arrow scaffold is bit-equal to a driver-side forward") {
+    // the gate for the batched path itself: same payloads through
+    // embedStageArrow (per-partition load, columnar batches) and
+    // through a plain driver loop must agree on every bit
+    val payloads = (0 until 13).map { i =>
+      val w = 3 + i % 5
+      val h = 2 + i % 7
+      (i.toLong, payloadOf(w, h, Array.tabulate(w * h)(j => (i * 37 + j * 11) % 256)))
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(payloads.map(p => Row(p._1, p._2)), 3), schema)
+    val got = BatchInference
+      .embedStageArrow(df, "payload", new ConvNet.ArrowLoader, batchSize = 4)
+      .select("id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val rowPath = BatchInference
+      .embedStage(df, "payload", new ConvNet.Loader, batchSize = 4)
+      .select("id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    payloads.foreach { case (id, bytes) =>
+      val want = ConvNet.forwardPayload(bytes).toSeq
+      assert(got(id) == want, s"arrow path diverged for id=$id")
+      assert(rowPath(id) == want, s"row path diverged for id=$id")
+    }
+  }
+
+  test("m_pipeline_real embeds every crop with nonzero norm and votes for each query") {
+    val df = SparkEntry.queries("m_pipeline_real")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val queries = rows.map(_.getLong(0)).distinct
+    assert(queries.length == 3, s"expected 3 query docs, got ${queries.toSeq}")
+    // top-5 per query, rnk dense from 1
+    queries.foreach { q =>
+      val rnks = rows.filter(_.getLong(0) == q).map(_.getLong(1)).sorted.toSeq
+      assert(rnks == (1L to rnks.length).toSeq && rnks.length <= 5)
+    }
+    // sims are finite (a zero-norm embedding would NaN the cosine)
+    assert(rows.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+}
