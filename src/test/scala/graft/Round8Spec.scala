@@ -70,6 +70,44 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  /** Fixed 8×6 JPEG fixture (encoded by this JVM's javax.imageio from
+    * the gray ramp (17 + 7y + 13x) mod 256) and its decoded BT.601
+    * luma grid, precomputed once. JPEG is lossy, so the gate is this
+    * spec (exact decode reproducibility + closeness to the pre-encode
+    * ramp), not a DuckDB oracle — closing the reference's jpg/jpeg
+    * upload format (app.py:100) alongside the PNG/BMP oracle paths.
+    */
+  private val jpegFixtureB64 =
+    "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQwLDBgNDRgyIRwhMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjL/wAARCAAGAAgDASIAAhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElKU1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwDk/C+nJ8nSiiigD//Z"
+
+  private val jpegFixtureLuma = Array(
+    17, 27, 42, 56, 68, 81, 96, 107,
+    24, 34, 49, 63, 75, 88, 103, 114,
+    31, 42, 57, 71, 82, 96, 111, 122,
+    38, 48, 63, 77, 89, 102, 117, 128,
+    45, 55, 70, 84, 96, 109, 124, 135,
+    51, 62, 77, 91, 102, 116, 131, 142)
+
+  test("ImageDecode.pixelFrame decodes the JPEG fixture to the precomputed luma grid") {
+    val bytes = java.util.Base64.getDecoder.decode(jpegFixtureB64)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(7L, bytes)), 1), schema)
+    val got = graft.operators.ImageDecode.pixelFrame(df, "doc_id", "payload")
+      .collect().map(r => ((r.getInt(1), r.getInt(2)), r.getInt(3))).toMap
+    assert(got.size == 48, "8x6 JPEG must decode to 48 pixels")
+    for (y <- 0 until 6; x <- 0 until 8) {
+      assert(got((y, x)) == jpegFixtureLuma(y * 8 + x),
+        s"JPEG decode drifted at ($y,$x)")
+      // lossy but SEMANTIC: every value stays near the pre-encode ramp
+      val ramp = (17 + 7 * y + 13 * x) % 256
+      assert(math.abs(got((y, x)) - ramp) <= 8,
+        s"decoded luma at ($y,$x) strayed ${got((y, x))} vs ramp $ramp")
+    }
+  }
+
   test("m_pipeline_real embeds every crop with nonzero norm and votes for each query") {
     val df = SparkEntry.queries("m_pipeline_real")(spark, sf)
     val rows = df.collect()
