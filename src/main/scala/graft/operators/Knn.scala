@@ -107,30 +107,94 @@ object Knn {
     g
   }
 
-  /** Top-100 most similar pairs, EXACT, with no nested-loop self-join:
-    * the O(n²) pair space is tiled into a G×G upper-triangular grid of
-    * cells. Each side replicates to its cell coordinates via a
-    * broadcast equi-join against the (G(G+1)/2)-row cell table, the
-    * pair join is a shuffle HASH join on the (cell_a, cell_b) key, and
-    * each cell keeps only its local top-100 (WindowGroupLimit) before
-    * the global top-100 merge.
+  /** Cone-bound cell pruning for the exact all-pairs top-100: given the
+    * grouped corpus (v, nrm, grp), compute per-group unit-centroid
+    * directions and max angular radii, take the top-100 over the
+    * DIAGONAL cells only (1/G of the pair volume) to obtain a provable
+    * lower bound τ̂ on the final 100th similarity, and keep an
+    * off-diagonal cell (a, b) only when its cone bound
+    * cos(max(0, θ_ab − r_a − r_b)) can still reach τ̂. By the spherical
+    * triangle inequality no pair in a dropped cell can score ≥ τ̂, and
+    * the diagonal pairs that produced τ̂ are all in kept cells, so the
+    * final top-100 over kept cells is EXACT — the oracle is unchanged.
+    * The 2e-6 margin dominates both the round-to-6 output quantum
+    * (5e-7) and the acos chain's fp error. Returns the kept (a, b)
+    * cells (a ≤ b).
+    */
+  private[graft] def keptPairCells(e: DataFrame, spark: SparkSession): Seq[(Int, Int)] = {
+    // per-group unit centroid (g×dim rows to the driver) and radius
+    val unit = e.select(col("grp"),
+      posexplode(expr("transform(v, (x, i) -> x / nrm)")).as(Seq("d", "u")))
+    val centRows = unit.groupBy("grp", "d").agg(sum("u").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2) / r.getLong(3)))
+    val cent: Map[Int, Array[Double]] = centRows.groupBy(_._1).map { case (grp, rs) =>
+      grp -> rs.sortBy(_._2).map(_._3)
+    }
+    val cnorm: Map[Int, Double] =
+      cent.map { case (grp, c) => grp -> math.sqrt(c.map(x => x * x).sum) }
+    import spark.implicits._
+    val centDf = broadcast(cent.toSeq.map { case (grp, c) => (grp, c, cnorm(grp)) }
+      .toDF("cgrp", "c", "cn"))
+    val minCos = e.join(centDf, col("grp") === col("cgrp"))
+      .select(col("grp"),
+        (V.dot(col("v"), col("c")) / (col("nrm") * col("cn"))).as("ca"))
+      .groupBy("grp").agg(min("ca").as("mc"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+    val radius: Map[Int, Double] = minCos.map { case (grp, mc) =>
+      grp -> (if (cnorm(grp) < 1e-12 || mc.isNaN) math.Pi else math.acos(clamp(mc)))
+    }
+    // τ̂: the 100th similarity over diagonal cells alone — a subset of
+    // the pair space, so the global 100th can only be ≥ it
+    val l = e.select(col("grp"), col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val r = e.select(col("grp"), col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    val diagTop = l.join(r, Seq("grp")).filter(col("id1") < col("id2"))
+      .select(round(V.cosinePre(V.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6).as("sim"))
+      .orderBy(col("sim").desc).limit(100).collect()
+    val grps = cent.keys.toSeq.sorted
+    if (diagTop.length < 100) return for { a <- grps; b <- grps if a <= b } yield (a, b)
+    val tau = diagTop.last.getDouble(0)
+    for {
+      a <- grps; b <- grps if a <= b
+      if a == b || {
+        val theta = math.acos(clamp(
+          cent(a).zip(cent(b)).map { case (x, y) => x * y }.sum / (cnorm(a) * cnorm(b))))
+        math.cos(math.max(0.0, theta - radius(a) - radius(b))) >= tau - 2e-6
+      }
+    } yield (a, b)
+  }
+
+  /** Top-100 most similar pairs, EXACT, with no nested-loop self-join
+    * AND no unconditional O(n²) compare volume: vectors are grouped by
+    * their 4-bit hyperplane-sign bucket (angular locality, so similar
+    * vectors co-locate), the G×G upper-triangular grid of group cells
+    * is PRUNED by a cone bound against a candidate 100th-place
+    * similarity from the diagonal cells (keptPairCells — provably
+    * exact, see there), and only surviving cells run the pair join.
+    * Each side replicates to its kept cell coordinates via a broadcast
+    * equi-join, the pair join is a shuffle HASH join on the
+    * (cell_a, cell_b) key, and each cell keeps its local top-100
+    * (WindowGroupLimit) before the global top-100 merge.
     *
-    * Scale shape: exact all-pairs top-k on structure-less data is
-    * inherently O(n²) compute — what matters is that no single task
-    * owns it. Here parallelism = G(G+1)/2 cells, per-side shuffle
-    * volume = n·(G+1)/2 rows (the replication factor is the price of
-    * exactness, tunable via G), and shuffle OUT of the cells is ≤
-    * 100·cells rows. When the data has real near-dup structure, the
-    * cheap path is the LSH-blocked d_embed_near; this is the exact
-    * engine operator (FAISS-flat-equivalent) that survives a cluster.
+    * Scale shape: on clustered data (the regime where all-pairs output
+    * is meaningful) most off-diagonal cells cannot reach τ̂ and are
+    * never scored — compare volume collapses toward the diagonal's
+    * n²/G. On adversarially uniform data nothing prunes and the
+    * operator degrades to the balanced grid: parallelism = kept cells,
+    * per-side shuffle volume ≤ n·(G+1)/2 rows, shuffle OUT ≤
+    * 100·cells rows. The LSH-blocked d_embed_near stays the cheap
+    * approximate tier; this is the exact engine operator
+    * (FAISS-flat-equivalent) that survives a cluster.
     */
   def vPairsNear(spark: SparkSession, dir: String): DataFrame = {
     val g = pairGridSize(spark)
-    val cells = broadcast(
-      spark.createDataFrame(for { a <- 0 until g; b <- a until g } yield (a, b))
-        .toDF("ga", "gb"))
-    val e = corpus(spark, dir)
-      .withColumn("grp", pmod(col("vec_id"), lit(g)).cast("int"))
+    val dim = 64
+    val e = graft.Materialize.forceCached(
+      withBands(corpus(spark, dir).withColumn("vq", V.quantize(col("v"))), dim)
+        .withColumn("grp", pmod(col("band0"), lit(g)).cast("int"))
+        .select("vec_id", "v", "nrm", "grp"))
+    val kept = keptPairCells(e, spark)
+    val cells = broadcast(spark.createDataFrame(kept).toDF("ga", "gb"))
     val l = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"),
         col("grp").as("g1"))
       .join(cells, col("g1") === col("ga"))

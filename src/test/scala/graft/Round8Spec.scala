@@ -108,6 +108,31 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("keptPairCells prunes cross-cluster cells on structured data, keeps all when τ̂ is unknowable") {
+    import spark.implicits._
+    import graft.operators.Knn
+    def frame(rows: Seq[(Long, Seq[Double], Int)]) =
+      rows.toDF("vec_id", "v", "grp")
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+        .select("vec_id", "v", "nrm", "grp")
+    // two tight orthogonal clusters, >100 diagonal pairs each → τ̂ ≈ 1
+    // and the cross cell's cone bound cannot reach it
+    val clustered = frame(
+      (0 until 60).map(i => (i.toLong, Seq(1.0, i * 1e-4, 0.0, 0.0), 0)) ++
+      (0 until 60).map(i => ((100 + i).toLong, Seq(0.0, 0.0, 1.0, i * 1e-4), 1)))
+    val kept = Knn.keptPairCells(clustered, spark)
+    assert(kept.contains((0, 0)) && kept.contains((1, 1)),
+      "diagonal cells must always survive")
+    assert(!kept.contains((0, 1)),
+      s"the orthogonal cross cell must be pruned, kept=$kept")
+    // too few diagonal pairs to establish τ̂ → every cell is kept
+    val tiny = frame(
+      (0 until 5).map(i => (i.toLong, Seq(1.0, i * 1e-4, 0.0, 0.0), 0)) ++
+      (0 until 5).map(i => ((100 + i).toLong, Seq(0.0, 0.0, 1.0, i * 1e-4), 1)))
+    assert(Knn.keptPairCells(tiny, spark).toSet == Set((0, 0), (0, 1), (1, 1)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("m_pipeline_real embeds every crop with nonzero norm and votes for each query") {
     val df = SparkEntry.queries("m_pipeline_real")(spark, sf)
     val rows = df.collect()
