@@ -3217,10 +3217,16 @@ object Oracles {
       pred AS (SELECT query_id, neighbor_label AS pred_label, nv AS pred_votes,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                    ORDER BY nv DESC, neighbor_label) AS rv
-               FROM votes)
+               FROM votes),
+      cn AS (SELECT * FROM (VALUES (0, 'Glioma Tumor'), (1, 'Meningioma Tumor'),
+               (2, 'No Tumor'), (3, 'Pituitary Tumor'), (4, 'Unknown Tumor'))
+             AS t(label, cname))
       SELECT t.query_id, t.rnk, t.neighbor_id, t.sim, t.neighbor_label,
-        p.pred_label, p.pred_votes
+        n1.cname AS neighbor_name, p.pred_label, n2.cname AS pred_name,
+        p.pred_votes
       FROM top t JOIN pred p ON p.query_id = t.query_id AND p.rv = 1
+      JOIN cn n1 ON n1.label = t.neighbor_label
+      JOIN cn n2 ON n2.label = p.pred_label
       ORDER BY t.query_id, t.rnk"""
 
   /** Round-6 additions: partitioned layout + DPP, the end-to-end

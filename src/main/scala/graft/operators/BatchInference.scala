@@ -327,8 +327,25 @@ object BatchInference {
     (embedded, path)
   }
 
+  /** The reference's class-name dimension (app.py:30's CLASS_NAMES,
+    * presented via `.title()` at app.py:153). The engine's synthetic
+    * label space is [0, 5), one wider than the reference's four
+    * classes, so label 4 carries a placeholder name. Broadcast label
+    * dim — the canonical tiny-dimension join shape.
+    */
+  private def classNameDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(0L -> "glioma tumor", 1L -> "meningioma tumor", 2L -> "no tumor",
+        3L -> "pituitary tumor", 4L -> "unknown tumor")
+      .toDF("cn_label", "cn_raw")
+      .select(col("cn_label"), initcap(col("cn_raw")).as("cn_name"))
+  }
+
   /** Stages 5-6 of the query flow: metadata join + majority label vote
-    * over whatever hit list the index tier produced (app.py:148-160).
+    * over whatever hit list the index tier produced (app.py:148-160),
+    * with each label presented through the class-name dim exactly as
+    * the reference renders it (CLASS_NAMES[class_id].title(),
+    * app.py:153).
     */
   private def labelVote(spark: SparkSession, hits: DataFrame,
                         path: String): DataFrame = {
@@ -346,9 +363,15 @@ object BatchInference {
     val pred = votes.withColumn("rv", row_number().over(wv)).filter(col("rv") === 1)
       .select(col("query_id").as("pq"), col("neighbor_label").as("pred_label"),
         col("nv").as("pred_votes"))
+    val cn = classNameDim(spark)
     labeled.join(broadcast(pred), col("query_id") === col("pq"))
+      .join(broadcast(cn), col("neighbor_label") === col("cn_label"))
+      .withColumn("neighbor_name", col("cn_name")).drop("cn_label", "cn_name")
+      .join(broadcast(cn), col("pred_label") === col("cn_label"))
+      .withColumn("pred_name", col("cn_name"))
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"),
-        col("neighbor_label"), col("pred_label"), col("pred_votes"))
+        col("neighbor_label"), col("neighbor_name"),
+        col("pred_label"), col("pred_name"), col("pred_votes"))
       .orderBy("query_id", "rnk")
   }
 
