@@ -3465,7 +3465,12 @@ object Oracles {
       s AS (SELECT query_id, nn.crop_id AS neighbor_id, nn.label AS neighbor_label,
               ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
             FROM nn CROSS JOIN q WHERE nn.crop_id <> query_id),
-      $mPipelineVote"""
+      $mPipelineVote""",
+
+    // the SQL-only route to a full k-NN shares the Scala API's exact
+    // oracle: graft_cosine must reproduce list_dot_product/(qn*nrm)
+    // bit for bit
+    "v_sql_surface2" -> vector("v_knn_exact")
   )
 
   def all: Map[String, String] =

@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -35,9 +35,17 @@ import org.apache.spark.sql.{GraftShim => ExpressionUtils}
 case class TopKAgg(value: Expression, tie: Expression, k: Int,
                    mutableAggBufferOffset: Int = 0,
                    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
+  with ExpectsInputTypes {
 
   require(k > 0 && k <= 100, s"k must be in 1..100, got $k")
+
+  // analysis-time typing: a non-double value / non-long tie column is
+  // an AnalysisException (with an implicit cast where one is safe),
+  // never an executor-side ClassCastException
+  // (no annotation: AbstractDataType is private[sql] in Spark 4;
+  // Seq[DataType] conforms covariantly)
+  override def inputTypes = Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(value, tie)
   override def nullable: Boolean = false

@@ -361,6 +361,33 @@ object Knn {
       ORDER BY id1""")
   }
 
+  /** v_sql_surface2: a COMPLETE k-NN driven by a SQL-only user — the
+    * registered function family (graft_cosine here, itself composed
+    * from the codegen'd graft_dot) expresses the reference's whole
+    * IndexFlatIP search (app.py:138-146) as one SQL statement:
+    * broadcast the query set, score every (query, corpus) pair, rank
+    * with a window, keep top-5. Shares v_knn_exact's oracle — the SQL
+    * route must produce the exact hash the Scala API produces.
+    */
+  def vSqlSurface2(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("graft_sql_emb")
+    spark.sql(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+                 FROM graft_sql_emb),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id < $NumQueries),
+      s AS (SELECT /*+ BROADCAST(q) */ query_id, e.vec_id AS neighbor_id,
+              ROUND(graft_cosine(qv, v), 6) AS sim
+            FROM e JOIN q ON e.vec_id <> query_id),
+      r AS (SELECT query_id, neighbor_id, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM s)
+      SELECT query_id, rnk, neighbor_id, sim FROM r
+      WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
+  }
+
   /** v_recall: index-quality evaluation as a query — recall@3 of the
     * LSH index against exact cosine top-3 per query. The evaluation
     * joins two small top-k outputs, so it costs two searches plus a

@@ -24,9 +24,32 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sh.forall(_.getInt(0) > 0))
   }
 
+  test("vector/hash family: norm, cosine, hamming match their Scala twins") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_fam_test")
+    val rows = spark.sql("""
+      SELECT a.vec_id,
+        graft_norm(CAST(a.embedding AS ARRAY<DOUBLE>)) AS nrm,
+        graft_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+                     CAST(b.embedding AS ARRAY<DOUBLE>)) AS cos_ab,
+        graft_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+                     CAST(a.embedding AS ARRAY<DOUBLE>)) AS cos_aa
+      FROM emb_fam_test a JOIN emb_fam_test b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 5 ORDER BY a.vec_id""").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getDouble(1) > 0.0))
+    assert(rows.forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-9))
+    assert(rows.forall(r => r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9))
+    // hamming over code words: popcount(xor), long-typed
+    val h = spark.sql(
+      "SELECT graft_hamming(CAST(5 AS BIGINT), CAST(3 AS BIGINT)) AS h").collect()
+    assert(h.head.getLong(0) == 2L) // 101 xor 011 = 110
+  }
+
   test("extensions class injects the same function set") {
     val names = GraftFunctions.all.map(_._1).toSet
-    assert(names == Set("graft_dot", "graft_minhash_sig", "graft_shingle_hashes"))
+    assert(names == Set("graft_dot", "graft_norm", "graft_cosine",
+      "graft_hamming", "graft_minhash_sig", "graft_shingle_hashes"))
     // the extensions route is exercised by constructing the injector
     new GraftExtensions() // must instantiate cleanly for spark.sql.extensions
   }
