@@ -3470,7 +3470,47 @@ object Oracles {
     // the SQL-only route to a full k-NN shares the Scala API's exact
     // oracle: graft_cosine must reproduce list_dot_product/(qn*nrm)
     // bit for bit
-    "v_sql_surface2" -> vector("v_knn_exact")
+    "v_sql_surface2" -> vector("v_knn_exact"),
+
+    // the persisted bitmap store answers from merged shards; the
+    // ground truth is the plain exact distinct (same contract as
+    // q_bitmap_distinct — append + merge + compact must lose nothing)
+    "q_bitmap_store" -> relational("q_bitmap_distinct"),
+
+    // pairwise KMV overlap from the persisted sketches: the oracle
+    // rebuilds each source's k-smallest-distinct-md5 sketch from the
+    // raw table and replays the union-sketch estimate per source pair
+    // — deterministic hashing makes the ESTIMATE hash-checkable
+    "q_kmv_store" -> """
+      WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      hh AS (SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5('kmv_' || user_id), 1, 15)) AS BIGINT) AS h
+             FROM u),
+      sk AS (SELECT event_type, h FROM (
+               SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM hh) t WHERE rn <= 64),
+      srcs AS (SELECT DISTINCT event_type FROM u),
+      pairs AS (SELECT a.event_type AS src_a, b.event_type AS src_b
+                FROM srcs a JOIN srcs b ON a.event_type < b.event_type),
+      und AS (SELECT DISTINCT p.src_a, p.src_b, s.h
+              FROM pairs p JOIN sk s
+                ON s.event_type = p.src_a OR s.event_type = p.src_b),
+      un AS (SELECT src_a, src_b, h FROM (
+               SELECT src_a, src_b, h,
+                 ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+               FROM und) t WHERE rn <= 64),
+      est AS (SELECT u2.src_a, u2.src_b, CAST(COUNT(*) AS BIGINT) AS est_common
+              FROM un u2
+              JOIN sk sa ON sa.event_type = u2.src_a AND sa.h = u2.h
+              JOIN sk sb ON sb.event_type = u2.src_b AND sb.h = u2.h
+              GROUP BY u2.src_a, u2.src_b)
+      SELECT p.src_a, p.src_b, CAST(64 AS BIGINT) AS k,
+        CAST(COALESCE(e.est_common, 0) AS BIGINT) AS est_common,
+        ROUND(COALESCE(e.est_common, 0) / 64.0, 6) AS jacc_est
+      FROM pairs p LEFT JOIN est e
+        ON e.src_a = p.src_a AND e.src_b = p.src_b
+      ORDER BY p.src_a, p.src_b"""
   )
 
   def all: Map[String, String] =

@@ -55,7 +55,8 @@ object Verify {
     }
     rmTree(new java.io.File(s"$outDir.ckpt"))
     Option(new java.io.File("target").listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("(ivf|pq|flat)_store_.*"))
+      .filter(f => f.isDirectory &&
+        f.getName.matches("(ivf|pq|flat|bitmap|kmv)_store_.*"))
       .foreach(rmTree)
   }
 }

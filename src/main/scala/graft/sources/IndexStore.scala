@@ -155,14 +155,96 @@ object IndexStore {
   * lock and no effect on the sidecars — rows, bands/list ids, and
   * search results are unchanged by construction (the spec pins the
   * search hash across a compaction).
+  *
+  * == Crash-consistency contract ==
+  *
+  * The swap protocol makes a crash at ANY point recoverable with no
+  * data loss, because nothing is deleted before a durable manifest of
+  * the intended deletes exists next to a fully-committed rewrite:
+  *
+  *  1. rewrite → `.compact_<part>/` temp dir (dot-prefixed, invisible
+  *     to parquet discovery). Spark's own commit protocol stamps
+  *     `_SUCCESS` only after every part file is durable.
+  *  2. write `.compact_<part>/manifest` — the exact list of OLD data
+  *     files to retire. Its presence asserts step 1 completed.
+  *  3. delete the manifest-listed files, move the rewritten files in,
+  *     remove the temp dir (manifest last).
+  *
+  * Recovery rule (run [[recover]] before serving after a crash): a
+  * leftover temp dir WITH `_SUCCESS` + `manifest` means the swap was
+  * committed — finish it (both delete-by-manifest and move-remaining
+  * are idempotent, so re-running after a mid-step-3 crash is safe); a
+  * temp dir missing either marker means the rewrite never committed —
+  * discard it, the partition is untouched and still authoritative.
+  *
+  * Readers racing a swap: a reader that planned its scan against the
+  * pre-compact file listing may hit FileNotFound when the swap lands
+  * mid-query. That is the documented outcome — compaction never
+  * changes RESULTS, so the recovery is simply re-plan and re-run
+  * (`spark.read` again; the new plan sees the compacted listing).
+  * Already-materialized results (collected, cached with all blocks
+  * resident, or written out) are unaffected.
   */
 object StoreMaintenance {
 
+  private def dataFiles(d: java.io.File): Array[java.io.File] =
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Step 3 of the swap, idempotent: retire manifest-listed files,
+    * move rewritten files into the partition dir, clear the temp dir
+    * (manifest deleted last, so a crash anywhere re-runs cleanly).
+    */
+  private def completeSwap(pdir: java.io.File, tmp: java.io.File): Unit = {
+    val manifest = new java.io.File(tmp, "manifest")
+    java.nio.file.Files.readAllLines(manifest.toPath).forEach { name =>
+      new java.io.File(pdir, name).delete()
+      new java.io.File(pdir, "." + name + ".crc").delete()
+    }
+    dataFiles(tmp).foreach { f =>
+      java.nio.file.Files.move(f.toPath, new java.io.File(pdir, f.getName).toPath)
+      val crc = new java.io.File(tmp, "." + f.getName + ".crc")
+      if (crc.isFile)
+        java.nio.file.Files.move(crc.toPath, new java.io.File(pdir, crc.getName).toPath)
+    }
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName != "manifest").foreach(_.delete())
+    manifest.delete()
+    tmp.delete()
+  }
+
+  /** Finish or discard interrupted compactions under `path` — see the
+    * crash-consistency contract above. Returns (swaps completed,
+    * uncommitted temp dirs discarded).
+    */
+  def recover(path: String): (Int, Int) = {
+    val root = new java.io.File(path)
+    val tmps = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".compact_"))
+    var completed = 0
+    var discarded = 0
+    tmps.foreach { tmp =>
+      val committed = new java.io.File(tmp, "_SUCCESS").isFile &&
+        new java.io.File(tmp, "manifest").isFile
+      if (committed) {
+        completeSwap(new java.io.File(root, tmp.getName.stripPrefix(".compact_")), tmp)
+        completed += 1
+      } else {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(tmp)
+        discarded += 1
+      }
+    }
+    (completed, discarded)
+  }
+
   /** Rewrite every `col=val` partition directory under `path` that has
-    * more than `targetFiles` data files down to `targetFiles`. The
-    * rewrite lands in a dot-prefixed sibling temp dir (invisible to
-    * parquet discovery), is fully materialized BEFORE any old file is
-    * deleted, then swaps in. Returns (files before, files after).
+    * more than `targetFiles` data files down to `targetFiles`, via the
+    * crash-consistent swap documented above. Returns (files before,
+    * files after).
     *
     * `recluster`: for stores whose file-level pruning relies on a
     * sorted data column (the MIH store's bval zone maps), a plain
@@ -171,40 +253,47 @@ object StoreMaintenance {
     * sorts on it instead, restoring tight per-file stats.
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1,
-              recluster: Option[String] = None): (Int, Int) = {
+              recluster: Option[String] = None): (Int, Int) =
+    // a reclustering rewrite must run even when the dir is already at
+    // targetFiles: few-but-unsorted appended files carry full-range
+    // zone maps, and restoring tight per-file stats is the point
+    rewritePartitions(spark, path,
+      n => n > targetFiles || (recluster.isDefined && n > 0),
+      rows => recluster match {
+        case Some(c) => rows.repartitionByRange(targetFiles, col(c))
+          .sortWithinPartitions(c)
+        case None => rows.coalesce(targetFiles)
+      })
+
+  /** The generic crash-consistent partition rewrite behind [[compact]]
+    * and the curation stores' merge-compacts: for each `col=val` dir
+    * whose data-file count satisfies `shouldRewrite`, replace its
+    * contents with `shaper(rows)` via the temp-dir + manifest swap.
+    * `shaper` must be semantics-preserving for the store's reader
+    * (coalesce, recluster, or an idempotent re-merge). Returns (files
+    * before, files after).
+    */
+  private[sources] def rewritePartitions(spark: SparkSession, path: String,
+      shouldRewrite: Int => Boolean,
+      shaper: DataFrame => DataFrame): (Int, Int) = {
     val root = new java.io.File(path)
     val parts = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.contains("="))
     var before = 0
     var after = 0
     parts.foreach { pdir =>
-      def dataFiles(d: java.io.File) =
-        d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
       val files = dataFiles(pdir)
       before += files.length
-      if (files.length > targetFiles) {
+      if (shouldRewrite(files.length)) {
         val tmp = new java.io.File(root, s".compact_${pdir.getName}")
-        val rows = spark.read.parquet(pdir.getAbsolutePath)
-        val shaped = recluster match {
-          case Some(c) => rows.repartitionByRange(targetFiles, col(c))
-            .sortWithinPartitions(c)
-          case None => rows.coalesce(targetFiles)
-        }
-        shaped.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val rewritten = dataFiles(tmp)
-        files.foreach { f =>
-          f.delete()
-          new java.io.File(pdir, "." + f.getName + ".crc").delete()
-        }
-        rewritten.foreach { f =>
-          java.nio.file.Files.move(f.toPath, new java.io.File(pdir, f.getName).toPath)
-          val crc = new java.io.File(tmp, "." + f.getName + ".crc")
-          if (crc.isFile)
-            java.nio.file.Files.move(crc.toPath, new java.io.File(pdir, crc.getName).toPath)
-        }
-        Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-        tmp.delete()
-        after += rewritten.length
+        shaper(spark.read.parquet(pdir.getAbsolutePath))
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        // manifest AFTER the rewrite committed: its presence tells
+        // recovery the temp contents are complete and authoritative
+        java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
+          java.util.Arrays.asList(files.map(_.getName): _*))
+        completeSwap(pdir, tmp)
+        after += dataFiles(pdir).length
       } else after += files.length
     }
     (before, after)

@@ -149,4 +149,116 @@ class Round8Spec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
+
+  // ---- persisted curation sketch stores --------------------------------
+
+  private def eventWaves(n: Int) = {
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+    (0 until n).map(i => ev.filter(col("user_id") % n === i))
+  }
+
+  private def hashRows(df: org.apache.spark.sql.DataFrame): String =
+    df.collect().map(_.toString).sorted.mkString("\n")
+
+  test("BitmapStore: three-append + merge-compact equals the one-shot build") {
+    import graft.sources.BitmapStore
+    val base = java.nio.file.Files.createTempDirectory("bitmap_store").toString
+    val Seq(w0, w1, w2) = eventWaves(3)
+    BitmapStore.write(w0, s"$base/inc")
+    BitmapStore.append(w1, s"$base/inc")
+    BitmapStore.append(w2, s"$base/inc")
+    val (before, after) = BitmapStore.compact(spark, s"$base/inc")
+    assert(after < before, s"merge-compact must shrink files ($before -> $after)")
+    BitmapStore.write(
+      Tables.events(spark, sf).select(col("event_type"), col("user_id")),
+      s"$base/one")
+    assert(hashRows(BitmapStore.report(spark, s"$base/inc")) ==
+      hashRows(BitmapStore.report(spark, s"$base/one")))
+    // post-compact each source dir holds exactly one merged file
+    val dirs = new java.io.File(s"$base/inc").listFiles()
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    assert(dirs.nonEmpty && dirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+  }
+
+  test("KmvStore: three-append + merge-compact equals the one-shot sketch") {
+    import graft.sources.KmvStore
+    val base = java.nio.file.Files.createTempDirectory("kmv_store").toString
+    val Seq(w0, w1, w2) = eventWaves(3)
+    KmvStore.write(w0, s"$base/inc")
+    KmvStore.append(w1, s"$base/inc")
+    KmvStore.append(w2, s"$base/inc")
+    KmvStore.compact(spark, s"$base/inc")
+    KmvStore.write(
+      Tables.events(spark, sf).select(col("event_type"), col("user_id")),
+      s"$base/one")
+    val inc = KmvStore.report(spark, s"$base/inc")
+    assert(hashRows(inc) == hashRows(KmvStore.report(spark, s"$base/one")))
+    // sketch rows are capped at K per source after compact
+    val perSrc = spark.read.parquet(s"$base/inc")
+      .groupBy("event_type").count().collect()
+    assert(perSrc.nonEmpty && perSrc.forall(_.getLong(1) <= KmvStore.K))
+  }
+
+  test("KmvAgg: map-side partial aggregation carries only sketch bytes") {
+    // the aggregate must plan as partial + final (ObjectHashAggregate
+    // pair), proving rows are discarded before the exchange
+    val plan = graft.sources.KmvStore
+      .sketchRows(Tables.events(spark, sf).select(col("event_type"), col("user_id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("kmv_agg"))
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final aggregate pair in:\n$plan")
+  }
+
+  // ---- StoreMaintenance crash consistency ------------------------------
+
+  test("compact survives a stale reader and a crash mid-swap (recover)") {
+    import graft.sources.{BitmapStore, StoreMaintenance}
+    val base = java.nio.file.Files.createTempDirectory("crash_store").toString
+    val path = s"$base/idx"
+    val Seq(w0, w1, w2) = eventWaves(3)
+    BitmapStore.write(w0, path)
+    BitmapStore.append(w1, path)
+    BitmapStore.append(w2, path)
+    val expected = hashRows(BitmapStore.report(spark, path))
+
+    // stale reader: a result materialized BEFORE the swap is
+    // unaffected; a lazy plan over the pre-compact listing must be
+    // re-planned after the swap (the documented recovery is re-read)
+    val stale = spark.read.parquet(path)
+    val staleRows = stale.collect() // materialized pre-compact
+    StoreMaintenance.compact(spark, path)
+    assert(hashRows(BitmapStore.report(spark, path)) == expected)
+    assert(staleRows.length > 0)
+
+    // crash mid-swap: rebuild an interrupted state by hand — a
+    // committed temp rewrite (parquet + _SUCCESS + manifest) next to a
+    // partition dir where the delete phase already removed one file
+    val pdir = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.contains("=")).head
+    BitmapStore.append(w1, path) // un-compact: add a second file again
+    val files = pdir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2)
+    val tmp = new java.io.File(path, s".compact_${pdir.getName}")
+    spark.read.parquet(pdir.getAbsolutePath)
+      .groupBy("bucket").agg(expr("bit_or(bits)").as("bits")).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
+      java.util.Arrays.asList(files.map(_.getName): _*))
+    files.head.delete() // the simulated crash: one retire done, rest pending
+    val (completed, discarded) = StoreMaintenance.recover(path)
+    assert(completed == 1 && discarded == 0)
+    assert(hashRows(BitmapStore.report(spark, path)) == expected,
+      "recovered store must answer exactly as before the crash")
+
+    // uncommitted temp (no _SUCCESS/manifest) is discarded, store intact
+    val junk = new java.io.File(path, s".compact_${pdir.getName}")
+    junk.mkdirs()
+    java.nio.file.Files.write(new java.io.File(junk, "part-junk.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    val (c2, d2) = StoreMaintenance.recover(path)
+    assert(c2 == 0 && d2 == 1 && !junk.exists())
+    assert(hashRows(BitmapStore.report(spark, path)) == expected)
+  }
 }
