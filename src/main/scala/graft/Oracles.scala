@@ -1812,6 +1812,38 @@ object Oracles {
         CAST(MAX(b) AS BIGINT) AS max_b
       FROM bb GROUP BY doc_id ORDER BY doc_id""",
 
+    // decode-fed cv2-exact blur: [1,2,1]/4 ⊗ [1,2,1]/4, reflect-101
+    // borders, round-half-up — (sum + 8) // 16 over reflected taps
+    "m_decode_blur3" -> """
+      WITH gxs AS (SELECT unnest(generate_series(0, 15)) AS x),
+      gys AS (SELECT unnest(generate_series(0, 11)) AS y),
+      gids AS (SELECT doc_id FROM documents WHERE doc_id < 8),
+      gpx AS (SELECT doc_id, y, x,
+                ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
+              FROM gids CROSS JOIN gxs CROSS JOIN gys),
+      gdy AS (SELECT unnest(generate_series(-1, 1)) AS dy),
+      gdx AS (SELECT unnest(generate_series(-1, 1)) AS dx),
+      goffs AS (SELECT dy, dx,
+                  (CASE WHEN dy = 0 THEN 2 ELSE 1 END)
+                  * (CASE WHEN dx = 0 THEN 2 ELSE 1 END) AS wgt
+                FROM gdy CROSS JOIN gdx),
+      gconv AS (SELECT o.doc_id, o.y, o.x,
+                  (CAST(SUM(wgt * g.px) AS BIGINT) + 8) // 16 AS b
+                FROM gpx o CROSS JOIN goffs
+                JOIN gpx g ON g.doc_id = o.doc_id
+                  AND g.y = CASE WHEN o.y + dy < 0 THEN -(o.y + dy)
+                                 WHEN o.y + dy > 11 THEN 22 - (o.y + dy)
+                                 ELSE o.y + dy END
+                  AND g.x = CASE WHEN o.x + dx < 0 THEN -(o.x + dx)
+                                 WHEN o.x + dx > 15 THEN 30 - (o.x + dx)
+                                 ELSE o.x + dx END
+                GROUP BY o.doc_id, o.y, o.x)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+        CAST(SUM(b) AS BIGINT) AS sum_b,
+        CAST(MIN(b) AS BIGINT) AS min_b,
+        CAST(MAX(b) AS BIGINT) AS max_b
+      FROM gconv GROUP BY doc_id ORDER BY doc_id""",
+
     // decode-fed pHash: the full separable DCT -> rank-32 median ->
     // bit-pack derivation over the closed pixel form; the engine must
     // reproduce it through the real PNG encode -> decode round-trip
@@ -3172,18 +3204,23 @@ object Oracles {
       eglut AS (SELECT doc_id, y, x,
                  CAST(trunc(pow(px / 255.0, 1.0 / 1.5) * 255) AS BIGINT) AS gpx
                FROM epx),
-      edy AS (SELECT unnest(generate_series(-2, 2)) AS dy),
-      edx AS (SELECT unnest(generate_series(-2, 2)) AS dx),
+      edy AS (SELECT unnest(generate_series(-1, 1)) AS dy),
+      edx AS (SELECT unnest(generate_series(-1, 1)) AS dx),
       eoffs AS (SELECT dy, dx,
-                  (CASE abs(dy) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END)
-                  * (CASE abs(dx) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END) AS wgt
+                  (CASE WHEN dy = 0 THEN 2 ELSE 1 END)
+                  * (CASE WHEN dx = 0 THEN 2 ELSE 1 END) AS wgt
                 FROM edy CROSS JOIN edx),
-      elut AS (SELECT doc_id, y + dy AS y, x + dx AS x,
-                 CAST(SUM(wgt * gpx) AS BIGINT) // 256 AS lpx
-               FROM eglut CROSS JOIN eoffs
-               WHERE y + dy >= 0 AND y + dy < 24
-                 AND x + dx >= 0 AND x + dx < 32
-               GROUP BY doc_id, y + dy, x + dx),
+      elut AS (SELECT o.doc_id, o.y, o.x,
+                 (CAST(SUM(wgt * g.gpx) AS BIGINT) + 8) // 16 AS lpx
+               FROM eglut o CROSS JOIN eoffs
+               JOIN eglut g ON g.doc_id = o.doc_id
+                 AND g.y = CASE WHEN o.y + dy < 0 THEN -(o.y + dy)
+                                WHEN o.y + dy > 23 THEN 46 - (o.y + dy)
+                                ELSE o.y + dy END
+                 AND g.x = CASE WHEN o.x + dx < 0 THEN -(o.x + dx)
+                                WHEN o.x + dx > 31 THEN 62 - (o.x + dx)
+                                ELSE o.x + dx END
+               GROUP BY o.doc_id, o.y, o.x),
       edi AS (SELECT unnest(generate_series(0, 2)) AS i),
       eraw AS (SELECT doc_id, i,
           ((doc_id % 5) * 2 + i + 6) / 20.0 AS xc,

@@ -418,10 +418,10 @@ object BatchInference {
   /** m_pipeline_decode: the reference's ENTIRE program with the
     * pixel stages fed by a REAL codec — synthetic PNGs through
     * javax.imageio (build_faiss_db.py:72's cv2.imread), the γ=1.5 LUT
-    * AND a Gaussian stencil over the decoded pixels (the preprocess
-    * stages in the reference's order — build_faiss_db.py:53-83; the
-    * blur is the engine's 5×5 binomial /256 stencil shared with
-    * m_gauss_blur, not the reference's exact 3×3 cv2 kernel),
+    * AND cv2's exact 3×3 Gaussian over the decoded pixels (the
+    * preprocess stages in the reference's order and arithmetic —
+    * build_faiss_db.py:53-83; [1,2,1]/4 separable kernel, reflect-101
+    * borders, round-half-up — see ImageDecode.gaussBlur3),
     * deterministic detector boxes through the exact bbox truncation math
     * (build_faiss_db.py:168-180), a REAL pixel-range crop, and an
     * embedding derived from the CROPPED PIXEL CONTENT (canonical
@@ -435,30 +435,20 @@ object BatchInference {
     * through every stage in SQL.
     */
   /** Stages 0-1 of the decode-fed pipelines: real PNG decode, then the
-    * reference's preprocess in order — the γ=1.5 LUT and the engine's
-    * 5×5 integer Gaussian stencil (build_faiss_db.py:72-83's imread →
-    * LUT → GaussianBlur; the stencil is m_gauss_blur's 5×5 binomial,
-    * not the reference's exact 3×3 kernel — see m_gauss_blur).
-    * Returns the blurred (doc_id, y, x, lpx) frame.
+    * reference's preprocess in order and in its EXACT arithmetic —
+    * the γ=1.5 LUT, then cv2's actual 3×3/σ=0 Gaussian
+    * (build_faiss_db.py:72-83's imread → LUT → GaussianBlur):
+    * separable [1,2,1]/4 kernel, reflect-101 borders, fixed-point
+    * round-half-up — ImageDecode.gaussBlur3, the same math
+    * m_decode_blur3 gates standalone. Returns the blurred
+    * (doc_id, y, x, lpx) frame.
     */
   private def decodeLutBlurFrame(spark: SparkSession, dir: String): DataFrame = {
     val lut = ImageDecode.decodedFrames(spark, dir, w = 32, h = 24, nDocs = 8)
       .withColumn("gpx",
         (pow(col("px") / lit(255.0), lit(1.0) / lit(1.5)) * 255).cast("long"))
       .select("doc_id", "y", "x", "gpx")
-    val offs = {
-      import spark.implicits._
-      val w1 = Map(0 -> 6L, 1 -> 4L, 2 -> 1L)
-      (for (dy <- -2 to 2; dx <- -2 to 2)
-        yield (dy, dx, w1(math.abs(dy)) * w1(math.abs(dx)))).toSeq
-        .toDF("dy", "dx", "wgt")
-    }
-    lut.join(broadcast(offs))
-      .select(col("doc_id"), (col("y") + col("dy")).as("yo"),
-        (col("x") + col("dx")).as("xo"), (col("wgt") * col("gpx")).as("contrib"))
-      .filter(col("yo") >= 0 && col("yo") < 24 && col("xo") >= 0 && col("xo") < 32)
-      .groupBy(col("doc_id"), col("yo").as("y"), col("xo").as("x"))
-      .agg(expr("sum(contrib) div 256").as("lpx"))
+    ImageDecode.gaussBlur3(lut, w = 32, h = 24, pxCol = "gpx", outCol = "lpx")
   }
 
   /** Stage 2 of the decode-fed pipelines: detector boxes (1-3 per doc;

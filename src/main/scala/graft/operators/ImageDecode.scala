@@ -4,7 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** REAL pixel decode for the multimodal pipeline — `javax.imageio`
@@ -114,14 +114,15 @@ object ImageDecode {
       .orderBy("doc_id")
   }
 
-  /** m_decode_blur: the reference's Gaussian blur
-    * (build_faiss_db.py:79) over REAL decoded pixels — same
-    * integer 5×5 stencil as m_gauss_blur (broadcast offset join,
-    * out-of-bounds contributions dropped, /256 integer scale), fed by
-    * the actual PNG decode instead of md5-synthesized pixels. With
-    * m_decode_lut this puts both preprocessing stages of the
-    * reference's decode path inside the oracle gate; the oracle blurs
-    * the closed pixel form directly.
+  /** m_decode_blur: the ENGINE'S Gaussian smoothing over REAL decoded
+    * pixels — the integer 5×5 binomial stencil shared with
+    * m_gauss_blur (broadcast offset join, out-of-bounds contributions
+    * dropped, /256 integer scale), fed by the actual PNG decode
+    * instead of md5-synthesized pixels. The reference's EXACT cv2
+    * kernel is [[mDecodeBlur3]]; this twin keeps the wider stencil
+    * available decode-fed. With m_decode_lut this puts both
+    * preprocessing stages of the reference's decode path inside the
+    * oracle gate; the oracle blurs the closed pixel form directly.
     */
   def mDecodeBlur(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -139,6 +140,55 @@ object ImageDecode {
       .groupBy("doc_id", "yo", "xo")
       .agg(sum(col("contrib")).as("b256"))
       .select(col("doc_id"), expr("b256 div 256").as("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_px"), sum(col("b")).as("sum_b"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+      .orderBy("doc_id")
+  }
+
+  /** cv2-EXACT 3×3 Gaussian over a (doc_id, y, x, px) frame — the
+    * reference's actual cv2.GaussianBlur((3,3), 0)
+    * (build_faiss_db.py:79): for ksize=3 / σ=0 OpenCV uses the
+    * special-cased separable kernel [1,2,1]/4 (small_gaussian_tab),
+    * BORDER_REFLECT_101 edges (index −1 → 1, n → n−2), and uint8
+    * fixed-point accumulation whose final 2¹⁶ shift rounds half-up —
+    * algebraically out(y,x) = (Σ w·p(reflect(y+dy), reflect(x+dx)) + 8)
+    * div 16 with w = [1,2,1]⊗[1,2,1]. All-integer, so the oracle
+    * replays it exactly. Gather form: each output joins its 9
+    * reflected source coordinates (broadcast offset table, one
+    * equi-join, one partial-aggregated groupBy — same scale shape as
+    * the 5×5 stencil).
+    */
+  private[graft] def gaussBlur3(frame: DataFrame, w: Int, h: Int,
+      pxCol: String = "px", outCol: String = "b"): DataFrame = {
+    import frame.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val offs = (for (dy <- -1 to 1; dx <- -1 to 1)
+      yield (dy, dx, (if (dy == 0) 2L else 1L) * (if (dx == 0) 2L else 1L)))
+      .toDF("dy", "dx", "wgt")
+    def refl(c: Column, n: Int): Column =
+      when(c < 0, -c).when(c >= n, lit(2 * (n - 1)) - c).otherwise(c)
+    val src = frame.select(col("doc_id"), col("y").as("sy"),
+      col("x").as("sx"), col(pxCol).as("spx"))
+    frame.select("doc_id", "y", "x")
+      .join(broadcast(offs))
+      .select(col("doc_id"), col("y"), col("x"),
+        refl(col("y") + col("dy"), h).as("sy"),
+        refl(col("x") + col("dx"), w).as("sx"), col("wgt"))
+      .join(src, Seq("doc_id", "sy", "sx"))
+      .groupBy("doc_id", "y", "x")
+      .agg(expr("(sum(wgt * spx) + 8) div 16").as(outCol))
+  }
+
+  /** m_decode_blur3: the reference-exact blur over REAL decoded pixels
+    * — cv2's actual 3×3/σ=0 kernel with reflect-101 borders and
+    * round-half-up ([[gaussBlur3]]), fed by the javax.imageio decode.
+    * m_decode_blur keeps the engine's own 5×5 stencil; this twin is
+    * the cv2-fidelity gate the decode pipelines share.
+    */
+  def mDecodeBlur3(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    gaussBlur3(decodedFrames(spark, dir), w = 16, h = 12)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_px"), sum(col("b")).as("sum_b"),
         min(col("b")).as("min_b"), max(col("b")).as("max_b"))

@@ -150,6 +150,30 @@ class Round8Spec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("gaussBlur3 is cv2's 3x3/sigma=0 blur: kernel, reflect-101, round-half-up") {
+    import graft.operators.ImageDecode
+    def frame(w: Int, h: Int, px: (Int, Int) => Int) = {
+      import spark.implicits._
+      (for (y <- 0 until h; x <- 0 until w)
+        yield (0L, y, x, px(y, x).toLong)).toDF("doc_id", "y", "x", "px")
+    }
+    def outMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    // impulse at the center of a 5x5 zero frame: interior outputs see
+    // no reflection, so they are exactly (w(dy,dx)*16 + 8) div 16 —
+    // the raw kernel [1,2,1]x[1,2,1] — and outputs beyond the 3x3
+    // support round to 0
+    val imp = outMap(ImageDecode.gaussBlur3(
+      frame(5, 5, (y, x) => if (y == 2 && x == 2) 16 else 0), 5, 5))
+    assert(imp((2, 2)) == 4L && imp((1, 2)) == 2L && imp((2, 1)) == 2L
+      && imp((1, 1)) == 1L && imp((3, 3)) == 1L && imp((0, 2)) == 0L)
+    // 2x2 frame [1,2;3,4]: reflect-101 makes every tap weight 4, so
+    // each output is (4*(1+2+3+4) + 8) div 16 = 3 — hand-derived
+    val refl = outMap(ImageDecode.gaussBlur3(
+      frame(2, 2, (y, x) => y * 2 + x + 1), 2, 2))
+    assert(refl.values.toSet == Set(3L) && refl.size == 4)
+  }
+
   // ---- persisted curation sketch stores --------------------------------
 
   private def eventWaves(n: Int) = {
