@@ -854,6 +854,34 @@ object Oracles {
       }.mkString(",\n      ")},
       nrot AS (SELECT vec_id, list_transform(v, x -> x / 8.0) AS v FROM nr6)"""
 
+  /** The learned balanced-allocation permutation (Knn.opqLearnedPerm)
+    * replayed in SQL: integer variance proxies n·Σq² − (Σq)² per dim
+    * over the vec_id<500 prefix (q = round(x·1000) — the engine's
+    * exact quantization), rank desc with dim tiebreak, snake-deal
+    * ranks across the M subspaces, rebuild each vector in permuted
+    * order. Output CTE `nperm`, consumed by pqCteBody.
+    */
+  private def opqPermCte: String = {
+    import graft.operators.Knn.PqSubspaces
+    val dsub = 64 / PqSubspaces
+    s"""
+      pvz AS (SELECT di.di, CAST(ROUND(t.v[di.di] * 1000, 0) AS BIGINT) AS q
+              FROM (SELECT v FROM n WHERE vec_id < 500) t
+              CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS di) di),
+      pvar AS (SELECT di, COUNT(*) AS cnt, SUM(q) AS s1, SUM(q * q) AS s2
+               FROM pvz GROUP BY di),
+      prk AS (SELECT di, ROW_NUMBER() OVER (
+                ORDER BY (cnt * s2 - s1 * s1) DESC, di ASC) - 1 AS r
+              FROM pvar),
+      pmap AS (SELECT di AS src,
+                 (CASE WHEN (r // $PqSubspaces) % 2 = 0 THEN r % $PqSubspaces
+                       ELSE ${PqSubspaces - 1} - (r % $PqSubspaces) END) * $dsub
+                   + (r // $PqSubspaces) + 1 AS dst
+               FROM prk),
+      nperm AS (SELECT n.vec_id, list(n.v[p.src] ORDER BY p.dst) AS v
+                FROM n CROSS JOIN pmap p GROUP BY n.vec_id)"""
+  }
+
   /** Binary-quantized sign codes + Hamming candidate ranking — replays
     * Knn.bqWordCol/vBq: two positive 32-bit sign words per vector (one
     * word would need 1<<63, which DuckDB's checked shift rejects),
@@ -921,6 +949,26 @@ object Oracles {
     "v_opq_recall" -> s"""
       WITH $normsCte, $opqRotCte,
       ${pqCteBody("nrot")}, $exactL2Cte
+      SELECT e.query_id,
+        CAST(COUNT(p.neighbor_id) AS BIGINT) AS hits,
+        ROUND(COUNT(p.neighbor_id) / 5.0, 6) AS recall
+      FROM exl2 e LEFT JOIN pqtop p
+        ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id ORDER BY e.query_id""",
+
+    // LEARNED OPQ transform (balanced variance allocation): the
+    // permutation TRAINING itself is replayed — integer variance
+    // proxies, rank, snake assignment — then the standard PQ replay
+    // over the permuted frame
+    "v_opq_learned" -> s"""
+      WITH $normsCte, $opqPermCte,
+      ${pqCteBody("nperm")}
+      SELECT query_id, rnk, neighbor_id, adc_dist FROM pqtop
+      ORDER BY query_id, rnk""",
+
+    "v_opq_learned_recall" -> s"""
+      WITH $normsCte, $opqPermCte,
+      ${pqCteBody("nperm")}, $exactL2Cte
       SELECT e.query_id,
         CAST(COUNT(p.neighbor_id) AS BIGINT) AS hits,
         ROUND(COUNT(p.neighbor_id) / 5.0, 6) AS recall

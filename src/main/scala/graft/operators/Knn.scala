@@ -501,11 +501,15 @@ object Knn {
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
   private def modelKey(spark: SparkSession, dir: String): String =
     spark.sparkContext.applicationId + ":" + new java.io.File(dir).getAbsolutePath
 
   /** Clears cached trained models (test hook — forces retraining). */
-  private[graft] def clearModelCache(): Unit = { ivfCache.clear(); pqCache.clear() }
+  private[graft] def clearModelCache(): Unit = {
+    ivfCache.clear(); pqCache.clear(); permCache.clear()
+  }
 
   /** Nearest-centroid id as ONE map-side projection: the centroid set
     * is tiny and driver-resident each Lloyd iteration (the MLlib
@@ -906,6 +910,94 @@ object Knn {
   def vOpqRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = vKnnL2(spark, dir).select(col("query_id"), col("neighbor_id"))
     val opq = vOpq(spark, dir)
+      .select(col("query_id").as("oq"), col("neighbor_id").as("on_"))
+    exact.join(opq, col("query_id") === col("oq") && col("neighbor_id") === col("on_"), "left")
+      .groupBy("query_id")
+      .agg(count(col("on_")).as("hits"),
+        round(count(col("on_")) / lit(5.0), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** LEARNED orthogonal transform for OPQ, oracle-replayable: the
+    * variance-balancing dimension PERMUTATION of the OPQ paper's
+    * non-parametric initialization (Ge et al., CVPR 2013 — "balanced
+    * partition" / eigenvalue allocation; faiss PCAMatrix+OPQ lineage).
+    * Full learned OPQ iterates an SVD Procrustes solve, which no SQL
+    * oracle can replay bit-equally; a permutation matrix is still
+    * ORTHOGONAL (L2 and IP preserved exactly), and this one is
+    * genuinely LEARNED from data: per-dim integer variance proxies
+    * (n·Σq² − (Σq)² over the fixed vec_id<500 training prefix, q =
+    * round(x·1000) — exact integer arithmetic, engine-order
+    * independent), dims ranked by proxy desc (ties on dim), then
+    * snake-dealt across the M subspaces so every subspace gets one
+    * dim per round in alternating order — the classic balanced
+    * allocation that stops one subspace from hoarding all the
+    * high-variance (hard-to-quantize) dims while another trains on
+    * noise. 64 integers collected driver-side (model sidecar, same
+    * contract as centroids); the oracle replays rank + snake in SQL.
+    * Returns dst→src: perm(i) = source dim of permuted position i.
+    */
+  private[graft] def opqLearnedPerm(spark: SparkSession, dir: String): Array[Int] =
+    permCache.computeIfAbsent(modelKey(spark, dir) + "#permv", _ => {
+      val dsub = 64 / PqSubspaces
+      val proxies = corpus(spark, dir)
+        .filter(col("vec_id") < 500).select(posexplode(col("v")).as(Seq("d0", "x")))
+        .select(col("d0"), round(col("x") * 1000, 0).cast("long").as("q"))
+        .groupBy("d0").agg(count(lit(1)).as("cnt"), sum(col("q")).as("s1"),
+          sum(col("q") * col("q")).as("s2"))
+        .select(col("d0"),
+          (col("cnt") * col("s2") - col("s1") * col("s1")).as("proxy"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val ranked = proxies.sortBy { case (d, p) => (-p, d) }.map(_._1)
+      val perm = Array.ofDim[Int](64)
+      ranked.zipWithIndex.foreach { case (src, r) =>
+        val rnd = r / PqSubspaces
+        val p = r % PqSubspaces
+        val m = if (rnd % 2 == 0) p else PqSubspaces - 1 - p
+        perm(m * dsub + rnd) = src
+      }
+      perm
+    })
+
+  /** v_opq_learned: OPQ with the LEARNED balanced-allocation transform
+    * ([[opqLearnedPerm]]) in place of v_opq's fixed Hadamard — rotate
+    * (here: permute, one map-side projection of 64 element_at's) →
+    * train codebooks in the transformed space → encode → map-side
+    * ADC. Same scale shape as v_pq; the training signal adds one tiny
+    * integer aggregation over the fixed sample. The oracle replays
+    * variance ranking, snake assignment, permutation, and the whole
+    * PQ pipeline.
+    */
+  def vOpqLearned(spark: SparkSession, dir: String): DataFrame = {
+    val perm = opqLearnedPerm(spark, dir)
+    val e = corpus(spark, dir)
+      .select(col("vec_id"),
+        array(perm.map(s => element_at(col("v"), s + 1)): _*).as("v"))
+      .transform(graft.Materialize.forceCached)
+    val books = pqCache.computeIfAbsent(modelKey(spark, dir) + "#opql",
+      _ => trainPqBooks(e))
+    val coded = e.select(col("vec_id"), pqCodesCol(books).as("codes"))
+      .transform(graft.Materialize.forceCached)
+    val qdt = pqQueryTables(spark,
+      e.filter(col("vec_id") < NumQueries).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
+      books)
+    val scored = coded.join(qdt, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcDistCol.as("adc_dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_opq_learned_recall: recall@5 of the learned-allocation OPQ
+    * against exact L2 top-5 — comparable side by side with
+    * v_pq_recall (no transform) and v_opq_recall (fixed Hadamard) in
+    * the same run, which is the OPQ paper's own evaluation framing.
+    */
+  def vOpqLearnedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = vKnnL2(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val opq = vOpqLearned(spark, dir)
       .select(col("query_id").as("oq"), col("neighbor_id").as("on_"))
     exact.join(opq, col("query_id") === col("oq") && col("neighbor_id") === col("on_"), "left")
       .groupBy("query_id")
