@@ -475,6 +475,35 @@ object EventStreams {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
       .orderBy("event_type")
 
+  /** Streaming maintainer of the persisted KMV overlap store
+    * (sources.KmvStore): each AvailableNow batch appends its own
+    * per-source k-smallest-distinct-hash sketch rows; the store
+    * report's KmvAgg re-aggregation IS the k-smallest-of-union merge,
+    * so overlapping batches are lossless and pairwise source Jaccard
+    * estimates stay exactly equal to the one-shot batch sketch
+    * (spec-asserted, two waves) — the log-structured bloom/bitmap
+    * shape applied to the overlap-estimation sketch.
+    */
+  def runKmvIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                   storePath: String): StreamingQuery = {
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        graft.sources.KmvStore
+          .sketchRows(batch.toDF().select(col("event_type"), col("user_id")))
+          .write.mode("append").partitionBy("event_type").parquet(storePath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming image-fingerprint ingest — the multimodal × streaming
     * closure of the radius tier: each AvailableNow batch of raw image
     * payloads runs the REAL decode (javax.imageio via

@@ -235,6 +235,23 @@ class Round8Spec extends SparkSpec {
       s"expected partial+final aggregate pair in:\n$plan")
   }
 
+  test("runKmvIngest: two-wave streamed sketches equal the one-shot KMV store") {
+    import graft.sources.KmvStore
+    val ev = Tables.events(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("kmv_ingest").toString
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/sk")
+    // waves split by EVENT id, so the same user lands in both waves
+    // for some sources — exercising k-smallest-of-union distinctness
+    ev.filter(col("event_id") % 2 === 0).write.parquet(src)
+    graft.streaming.EventStreams.runKmvIngest(spark, src, ckpt, store)
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runKmvIngest(spark, src, ckpt, store)
+    KmvStore.write(ev.select(col("event_type"), col("user_id")), s"$base/one")
+    assert(hashRows(KmvStore.report(spark, store)) ==
+      hashRows(KmvStore.report(spark, s"$base/one")),
+      "streamed per-batch sketches must merge to the one-shot sketch")
+  }
+
   // ---- StoreMaintenance crash consistency ------------------------------
 
   test("compact survives a stale reader and a crash mid-swap (recover)") {
