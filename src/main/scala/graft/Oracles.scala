@@ -3354,6 +3354,9 @@ object Oracles {
     "v_bq_store" -> vector("v_bq"),
     "v_filtered_store" -> round3("v_filtered_knn"),
     "v_opq_store" -> vector("v_opq"),
+    // the learned transform persists as a sidecar and is read back at
+    // serve time — store search ≡ in-session search, oracle shared
+    "v_opq_learned_store" -> vector("v_opq_learned"),
     "v_ivf_pq_store" -> vector("v_ivf_pq"),
     "v_ivf_bq_store" -> vector("v_ivf_bq"),
     // store search ≡ in-session search holds with no training at all

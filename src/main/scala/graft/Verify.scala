@@ -55,8 +55,7 @@ object Verify {
     }
     rmTree(new java.io.File(s"$outDir.ckpt"))
     Option(new java.io.File("target").listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory &&
-        f.getName.matches("(ivf|pq|flat|bitmap|kmv)_store_.*"))
+      .filter(f => f.isDirectory && f.getName.matches("[a-z0-9_]+_store_.*"))
       .foreach(rmTree)
   }
 }

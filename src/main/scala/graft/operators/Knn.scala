@@ -1740,6 +1740,46 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_opq_learned_store: the persisted twin of v_opq_learned — the
+    * LEARNED transform is part of the model, so it persists too: the
+    * permutation lands as a `_perm` sidecar (underscore-prefixed →
+    * invisible to parquet discovery, like the PQ store's codebook
+    * sidecar) next to the code table, and serving READS IT BACK to
+    * transform queries — a fresh session can search the store with no
+    * in-session training state. Same frozen-model contract as every
+    * other store: deterministic training makes store search ≡
+    * in-session search, so the oracle is shared.
+    */
+  def vOpqLearnedStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/opql_store_$tag/idx").getAbsolutePath
+    val perm = opqLearnedPerm(spark, dir)
+    val permuted = corpus(spark, dir)
+      .select(col("vec_id"),
+        array(perm.map(s => element_at(col("v"), s + 1)): _*).as("v"))
+      .transform(graft.Materialize.forceCached)
+    val books = pqCache.computeIfAbsent(modelKey(spark, dir) + "#opql",
+      _ => trainPqBooks(permuted))
+    graft.sources.PqIndexStore.write(permuted, "vec_id", "v", path,
+      model = Some(books))
+    locally {
+      import spark.implicits._
+      perm.zipWithIndex.map { case (src, dst) => (dst, src) }.toSeq
+        .toDF("dst", "src")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_perm")
+    }
+    // serve from the store alone: sidecar permutation applied to the
+    // raw queries, then the standard persisted-ADC search
+    val permRead = spark.read.parquet(s"$path/_perm").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).map(_._2)
+    val queries = corpus(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"),
+        array(permRead.map(s => element_at(col("v"), s + 1)): _*).as("v"))
+    graft.sources.PqIndexStore
+      .search(spark, path, queries, "vec_id", "v", DefaultK)
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_filtered_store: attribute-filtered search on the persisted
     * index — label stored INLINE with the vectors, the filter part of
     * the probe join, hash-matched against v_filtered_knn's oracle
