@@ -1860,6 +1860,49 @@ object Oracles {
         CAST(MAX(b) AS BIGINT) AS max_b
       FROM bb GROUP BY doc_id ORDER BY doc_id""",
 
+    // torchvision CenterCrop over the closed pixel form: offsets via
+    // Python's banker's rounding of (full-crop)/2 — k + (k%2) on odd
+    // differences — derived in SQL from the same integer formula
+    "m_center_crop" -> """
+      WITH ccx AS (SELECT unnest(generate_series(0, 31)) AS x),
+      ccy AS (SELECT unnest(generate_series(0, 23)) AS y),
+      cci AS (SELECT doc_id FROM documents WHERE doc_id < 8),
+      ccp AS (SELECT doc_id, y, x,
+                ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
+              FROM cci CROSS JOIN ccx CROSS JOIN ccy),
+      cco AS (SELECT
+          CASE WHEN (24 - 13) % 2 = 0 THEN (24 - 13) // 2
+               ELSE (24 - 13) // 2 + ((24 - 13) // 2) % 2 END AS top,
+          CASE WHEN (32 - 22) % 2 = 0 THEN (32 - 22) // 2
+               ELSE (32 - 22) // 2 + ((32 - 22) // 2) % 2 END AS lft)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+        CAST(SUM(px) AS BIGINT) AS sum_px,
+        CAST(MIN(px) AS BIGINT) AS min_px,
+        CAST(MAX(px) AS BIGINT) AS max_px
+      FROM ccp, cco
+      WHERE y >= top AND y < top + 13 AND x >= lft AND x < lft + 22
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    // the app's zero-result branch: confidence-thresholded detections
+    // with EVERY doc reporting its surviving count (left join keeps
+    // the has_detection = false rows the app warns on)
+    "m_detect_empty" -> """
+      WITH di AS (SELECT unnest(generate_series(0, 2)) AS i),
+      base AS (SELECT doc_id, text,
+          CAST(('0x' || substr(md5(text || '_n'), 1, 8)) AS BIGINT) % 3 + 1 AS n
+        FROM documents WHERE doc_id < 20),
+      raw AS (SELECT doc_id, i,
+          ROUND(CAST(('0x' || substr(md5(text || '_s' || i), 1, 8)) AS BIGINT)
+            / 4294967296.0, 6) AS score
+        FROM base CROSS JOIN di WHERE i < n),
+      cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_det
+              FROM raw WHERE score >= 0.5 GROUP BY doc_id)
+      SELECT b.doc_id, CAST(COALESCE(c.n_det, 0) AS BIGINT) AS n_det,
+        c.n_det IS NOT NULL AS has_detection
+      FROM (SELECT DISTINCT doc_id FROM base) b
+      LEFT JOIN cnt c ON c.doc_id = b.doc_id
+      ORDER BY b.doc_id""",
+
     // decode-fed cv2-exact blur: [1,2,1]/4 ⊗ [1,2,1]/4, reflect-101
     // borders, round-half-up — (sum + 8) // 16 over reflected taps
     "m_decode_blur3" -> """

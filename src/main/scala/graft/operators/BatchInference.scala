@@ -565,6 +565,28 @@ object BatchInference {
     * model(image) loop as a batched executor stage), exploded to one
     * row per detection.
     */
+  /** m_detect_empty: the reference's zero-result branch (app.py:108-110
+    * — "no tumor detected" when the detector returns no boxes) as a
+    * queryable contract: detections are confidence-thresholded at 0.5
+    * and EVERY document reports its surviving count, with
+    * has_detection = false marking the docs the app would warn on. The
+    * left join keeps absent groups — the shape groupBy alone silently
+    * drops, which is exactly the bug class this gate pins.
+    */
+  def mDetectEmpty(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val kept = detectStage(base, "payload", new Md5DetectLoader, batchSize = 8)
+      .select(col("doc_id"), explode(col("detections")).as("dt"))
+      .filter(col("dt.score") >= 0.5)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_det"))
+    base.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_det"), lit(0L)).as("n_det"),
+        col("n_det").isNotNull.as("has_detection"))
+      .orderBy("doc_id")
+  }
+
   def mDetect(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .filter(col("doc_id") < 20)

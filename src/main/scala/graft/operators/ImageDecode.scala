@@ -195,6 +195,37 @@ object ImageDecode {
       .orderBy("doc_id")
   }
 
+  /** m_center_crop: torchvision's CenterCrop over REAL decoded pixels
+    * — the reference's CNN preprocess step (app.py:70 /
+    * build_faiss_db.py:117: transforms.CenterCrop(224) between
+    * Resize and Normalize). Crop offsets are
+    * `int(round((full − crop) / 2.0))` with PYTHON'S banker's
+    * rounding, so an odd difference rounds its half toward the EVEN
+    * integer: offset = k + (k mod 2) where k = (full−crop) div 2.
+    * Both parities are exercised here — height 24→13 (d=11 odd: k=5
+    * → top 6) and width 32→22 (d=10 even: left 5) — and the oracle
+    * derives the offsets from the same integer formula, so a naive
+    * half-up crop would shift a row and break the hash.
+    */
+  def mCenterCrop(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (ch, cw) = (13, 22)
+    def off(full: Int, c: Int): Int = {
+      val d = full - c
+      val k = d / 2
+      if (d % 2 == 0) k else k + (k % 2)
+    }
+    val (top, left) = (off(24, ch), off(32, cw))
+    decodedFrames(spark, dir, w = 32, h = 24)
+      .filter(col("y") >= top && col("y") < top + ch &&
+        col("x") >= left && col("x") < left + cw)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_px"), sum(col("px")).cast("long").as("sum_px"),
+        min(col("px")).cast("long").as("min_px"),
+        max(col("px")).cast("long").as("max_px"))
+      .orderBy("doc_id")
+  }
+
   /** m_decode_phash: the perceptual-hash fingerprint over REAL decoded
     * pixels — 16×16 synthetic PNGs through the actual javax.imageio
     * decode, then the exact same separable fixed-point DCT → median →
