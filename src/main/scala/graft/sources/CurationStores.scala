@@ -108,7 +108,11 @@ object KmvStore {
     * (broadcast-only joins).
     */
   def report(spark: SparkSession, path: String): DataFrame = {
-    val sk = merged(spark, path)
+    // materialize the merged sketch once: it is referenced five times
+    // below (both pair sides, the source list, two semi joins) and
+    // re-deriving the store re-aggregation per reference would
+    // multiply the plan; the cached table is ≤ sources·K longs
+    val sk = graft.Materialize.forceCached(merged(spark, path))
     val ska = sk.select(col("event_type").as("src_a"), col("h"))
     val skb = sk.select(col("event_type").as("src_b"), col("h"))
     val srcs = sk.select("event_type").distinct()
