@@ -187,7 +187,13 @@ class Round7Spec extends SparkSpec {
       "q8_share" -> 4, "q9_profit" -> 2, "q11_important" -> 4,
       "q12_latemode" -> 2, "q16_suppcnt" -> 4, "q19_disjunct" -> 1,
       "q20_excess" -> 4, "q21_waiting" -> 3,
-      "q_bitmap_distinct" -> 3, "q_hll_rollup" -> 5, "q_topk_agg" -> 2)
+      "q_bitmap_distinct" -> 3, "q_hll_rollup" -> 5, "q_topk_agg" -> 2,
+      // r8 additions: the SQL-only k-NN, learned OPQ, the decode-fed
+      // cv2 blur / CenterCrop / empty-branch gates, and the curation
+      // stores (their budgets include the store build + report)
+      "v_sql_surface2" -> 2, "v_opq_learned" -> 2,
+      "m_decode_blur3" -> 3, "m_center_crop" -> 2, "m_detect_empty" -> 2,
+      "q_bitmap_store" -> 3, "q_kmv_store" -> 9)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
