@@ -486,7 +486,14 @@ object Dedup {
     * hash = the blocking key), then a 1-row summary.
     */
   def dChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val byChunk = cdcChunkArrays(spark, dir)
+    // materialize BEFORE the explode: Generate infers a
+    // size(chunks) > 0 ∧ isnotnull(chunks) filter and the optimizer
+    // pushes it below spread's exchange into the single-task scan
+    // stage — where it re-derives the whole shingle+chunk expression
+    // three times per row on one core. Truncating lineage pins the
+    // derivation in the 32-task stage and the inferred filter reads
+    // the materialized array.
+    val byChunk = forceCached(cdcChunkArrays(spark, dir).select(col("chunks")))
       .select(explode(col("chunks")).as("chunk"))
       .groupBy("chunk").agg(count(lit(1)).as("copies"))
     byChunk.agg(
