@@ -3641,7 +3641,69 @@ object Oracles {
         ROUND(COALESCE(e.est_common, 0) / 64.0, 6) AS jacc_est
       FROM pairs p LEFT JOIN est e
         ON e.src_a = p.src_a AND e.src_b = p.src_b
-      ORDER BY p.src_a, p.src_b"""
+      ORDER BY p.src_a, p.src_b""",
+
+    // z-score anomaly ranking: mean/std from exact integer sufficient
+    // statistics, z has an integer numerator and radicand so the
+    // double sqrt/divide is bit-deterministic on both engines
+    "q_anomaly" -> """
+      WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+               event_type, COUNT(*) AS n
+             FROM events GROUP BY hour, event_type),
+      st AS (SELECT event_type, COUNT(*) AS nh, CAST(SUM(n) AS BIGINT) AS s,
+               CAST(SUM(n * n) AS BIGINT) AS ss
+             FROM h GROUP BY event_type),
+      z AS (SELECT h.event_type, h.hour, h.n,
+              ROUND((h.n * st.nh - st.s)
+                / sqrt(CAST(st.nh * st.ss - st.s * st.s AS DOUBLE)), 6) AS z
+            FROM h JOIN st ON st.event_type = h.event_type),
+      r AS (SELECT event_type, hour, n, z,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY ABS(z) DESC, hour) AS rnk
+            FROM z)
+      SELECT event_type, rnk, hour, n, z FROM r WHERE rnk <= 3
+      ORDER BY event_type, rnk""",
+
+    // the Bloom-pruned join must equal the PLAIN semi-join — the
+    // filter may only drop rows that provably cannot join
+    "q_bloom_join" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+        ${msum("o_totalprice")} AS revenue
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // linear quality classifier over hashed features: integer weight
+    // arithmetic end to end, replayed verbatim
+    "t_quality_clf" -> s"""
+      WITH $tokensCte,
+      hx AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 32 AS dim
+             FROM tk),
+      w AS (SELECT doc_id,
+              CAST(('0x' || substr(md5('w_' || dim), 1, 8)) AS BIGINT)
+                % 2001 - 1000 AS w
+            FROM hx)
+      SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS score,
+        ROUND(CAST(SUM(w) AS BIGINT) / (COUNT(*) * 1.0), 6) AS mean_w,
+        CAST(SUM(w) AS BIGINT) > 0 AS keep
+      FROM w GROUP BY doc_id ORDER BY doc_id""",
+
+    // path canonicalization replayed verbatim (backslashes are literal
+    // characters in SQL strings — no escape layer on the DuckDB side)
+    "m_meta_paths" -> """
+      WITH r AS (SELECT vec_id,
+          CASE WHEN vec_id % 2 = 0
+            THEN 'output\cropped_images\class_' || label || '\img_'
+                   || vec_id || '.jpg'
+            ELSE 'output/cropped_images/class_' || label || '/img_'
+                   || vec_id || '.jpg'
+          END AS raw_path
+        FROM embeddings)
+      SELECT vec_id, raw_path,
+        '/srv/graft_app/' || replace(raw_path, '\', '/') AS final_path
+      FROM r ORDER BY vec_id"""
   )
 
   def all: Map[String, String] =

@@ -591,4 +591,29 @@ object ImagePipeline {
         posexplode(fakeEmbedding(col("text"), 8)).as(Seq("d0", "f")))
       .select(col("doc_id"), (col("d0") + 1).cast("long").as("d"), col("f"))
       .orderBy("doc_id", "d")
+
+  /** m_meta_paths: the reference's metadata path canonicalization
+    * (app.py:163-170) as a queryable projection — stored cropped-image
+    * paths arrive with mixed separators (the reference's metadata.pkl
+    * was written on Windows, so its relative paths use backslashes),
+    * and presentation normalizes every backslash to a slash before
+    * joining with the app's base directory. Raw paths are derived
+    * deterministically from (vec_id, label) with both separator
+    * styles exercised by parity; canonicalization is one map-side
+    * translate + concat, oracle-replayed verbatim.
+    */
+  def mMetaPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+      .withColumn("raw_path",
+        when(col("vec_id") % 2 === 0,
+          concat(lit("output\\cropped_images\\class_"), col("label").cast("string"),
+                 lit("\\img_"), col("vec_id").cast("string"), lit(".jpg")))
+        .otherwise(
+          concat(lit("output/cropped_images/class_"), col("label").cast("string"),
+                 lit("/img_"), col("vec_id").cast("string"), lit(".jpg"))))
+      .withColumn("final_path",
+        concat(lit("/srv/graft_app/"), translate(col("raw_path"), "\\", "/")))
+      .select("vec_id", "raw_path", "final_path")
+      .orderBy("vec_id")
 }

@@ -990,4 +990,83 @@ object Relational {
         round(col("inter_exact").cast("double") / col("union_exact"), 6)
           .as("jacc_exact"))
   }
+
+  /** Z-score anomaly detection over the hourly event-rate series: the
+    * 3 most anomalous hours per event type. Per-type mean/std come
+    * from EXACT integer sufficient statistics (n_hours, Σc, Σc² — the
+    * q_corr_stats technique), so z = (c·n − S) / sqrt(n·Σc² − S²) has
+    * an integer numerator and an integer radicand: IEEE sqrt/divide
+    * make it bit-deterministic on both engines. Scale shape: one
+    * shuffle for the hourly rollup, the per-type stats are a tiny
+    * broadcast back onto it, and the top-3 window runs as
+    * WindowGroupLimit (k-sized heaps per type, no global sort).
+    */
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("nh"), sum(col("n")).as("s"),
+           sum(col("n") * col("n")).as("ss"))
+    val z = hourly.join(broadcast(stats), "event_type")
+      .withColumn("z", round(
+        (col("n") * col("nh") - col("s")).cast("double") /
+          sqrt((col("nh") * col("ss") - col("s") * col("s")).cast("double")), 6))
+    val w = Window.partitionBy("event_type").orderBy(abs(col("z")).desc, col("hour").asc)
+    z.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 3)
+      .select("event_type", "rnk", "hour", "n", "z")
+      .orderBy("event_type", "rnk")
+  }
+
+  /** Runtime Bloom-filter join pruning — the hand-rolled form of the
+    * engine-injected runtime filters Spark/Trino/Photon apply to
+    * selective shuffle joins: revenue of orders whose customer is in
+    * one market segment, where the fact side is pre-filtered MAP-SIDE
+    * by a Bloom filter built from the dim side's join keys (m = 16
+    * bits/key, k = 4 double-hashed probes — d_bloom's arithmetic)
+    * before the exact semi-join runs. The filter is a (word, bits)
+    * table of m/32 longs — kilobytes regardless of dim-row payload, so
+    * it broadcasts even when the dim itself is too wide to (the case
+    * where this pattern pays: at 100 TB the ~75% of fact rows with no
+    * partner die inside the scan stage instead of crossing the
+    * exchange). The semi-join carries a shuffle_hash hint to model
+    * exactly that non-broadcastable case. Bloom false positives are
+    * killed by the exact join, false negatives are impossible — the
+    * oracle is the PLAIN semi-join aggregate, so a hash match proves
+    * the pruning lossless.
+    */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val nKeys = dim.count()
+    val mBits = 32L * ((16L * nKeys + 31L) / 32L)
+    val words = Dedup.bloomWords(
+      dim.select(col("c_custkey").as("doc_id"),
+        col("c_custkey").cast("string").as("text")), mBits)
+    var fact = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .withColumn("ha",
+        H.md5Long(concat(lit("bloomA_"), col("o_custkey").cast("string")), 15) % mBits)
+      .withColumn("hb",
+        H.md5Long(concat(lit("bloomB_"), col("o_custkey").cast("string")), 15) % (mBits - 1) + 1)
+    for (i <- 0 until 4) {
+      fact = fact
+        .withColumn(s"p$i", (col("ha") + lit(i.toLong) * col("hb")) % mBits)
+        .withColumn(s"b$i", (col(s"p$i") % 32).cast("int"))
+        .join(broadcast(words.select(col("word").as(s"fw$i"), col("bits").as(s"bits$i"))),
+          (col(s"p$i") / 32).cast("long") === col(s"fw$i"), "left")
+        .withColumn(s"hit$i",
+          coalesce(expr(s"(shiftright(bits$i, b$i) & 1) = 1"), lit(false)))
+    }
+    val pass = fact.filter((0 until 4).map(i => col(s"hit$i")).reduce(_ && _))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    pass.join(dim.hint("shuffle_hash"),
+        pass("o_custkey") === dim("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 }

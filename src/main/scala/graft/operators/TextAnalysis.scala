@@ -555,6 +555,33 @@ object TextAnalysis {
       .orderBy("doc_id", "dim")
   }
 
+  /** t_quality_clf: model-based quality filtering in the fasttext/DCLM
+    * serving shape — a LINEAR classifier over feature-hashed tokens
+    * scores every document and the score gates the keep decision. The
+    * weight vector stands in for an offline-trained model (production
+    * swaps the md5-derived weights for learned ones — same plan): a
+    * token contributes w(dim) = md5("w_" + dim) % 2001 − 1000 where
+    * dim = md5(token) % 32 (t_hash_embed's bucketing), so scoring is a
+    * pure map-side expression — explode, weight arithmetic, one
+    * (doc_id) sum. No vocabulary, no model object on the executors,
+    * and the whole forward pass is integer, so the oracle replays it
+    * exactly. At 100 TB this is the same one-shuffle cost as t_tokens.
+    */
+  def tQualityClf(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.HashFns.tokenHash32(col("tok"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (H.md5Long(concat(lit("w_"), (h % HashEmbedDim).cast("string")), 8) % 2001 - 1000)
+          .as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        round(col("score").cast("double") / col("n_tokens"), 6).as("mean_w"),
+        (col("score") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   def tGopherQuality(spark: SparkSession, dir: String): DataFrame = {
     val en = stopwords("en")
     val wlenSum = aggregate(transform(col("w"), t => length(t)),
