@@ -265,6 +265,51 @@ object StoreMaintenance {
         case None => rows.coalesce(targetFiles)
       })
 
+  /** Targeted delete-by-key for the partitioned stores — the
+    * right-to-be-forgotten / takedown path every production index
+    * needs (faiss remove_ids, Delta DELETE). Rewrites ONLY the
+    * partition dirs that actually contain one of `ids`, dropping
+    * those rows through the same crash-consistent temp-dir + manifest
+    * swap as [[compact]] ([[recover]] applies unchanged). The
+    * per-partition hit probe reads just the id column with the IN
+    * predicate pushed to parquet (row-group stats prune it further),
+    * so on a petabyte store with a handful of purged ids the
+    * untouched partitions cost a footer read each and their files are
+    * never rewritten. Pass `recluster` for stores whose file pruning
+    * relies on a sorted data column (compact's recluster rule);
+    * otherwise the rewrite keeps the dir's file count. Returns
+    * (partitions rewritten, rows removed).
+    */
+  def purge(spark: SparkSession, path: String, idCol: String, ids: Seq[Any],
+            recluster: Option[String] = None): (Int, Long) = {
+    val root = new java.io.File(path)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    var rewritten = 0
+    var removed = 0L
+    parts.foreach { pdir =>
+      val rows = spark.read.parquet(pdir.getAbsolutePath)
+      val hits = rows.where(col(idCol).isin(ids: _*)).count()
+      if (hits > 0) {
+        val files = dataFiles(pdir)
+        val keep = rows.where(!col(idCol).isin(ids: _*))
+        val shaped = recluster match {
+          case Some(c) => keep.repartitionByRange(math.max(1, files.length), col(c))
+            .sortWithinPartitions(c)
+          case None => keep.coalesce(math.max(1, files.length))
+        }
+        val tmp = new java.io.File(root, s".compact_${pdir.getName}")
+        shaped.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
+          java.util.Arrays.asList(files.map(_.getName): _*))
+        completeSwap(pdir, tmp)
+        rewritten += 1
+        removed += hits
+      }
+    }
+    (rewritten, removed)
+  }
+
   /** The generic crash-consistent partition rewrite behind [[compact]]
     * and the curation stores' merge-compacts: for each `col=val` dir
     * whose data-file count satisfies `shouldRewrite`, replace its

@@ -302,4 +302,45 @@ class Round8Spec extends SparkSpec {
     assert(c2 == 0 && d2 == 1 && !junk.exists())
     assert(hashRows(BitmapStore.report(spark, path)) == expected)
   }
+
+  test("purge removes only the targeted ids and rewrites only their partitions") {
+    import graft.sources.{IndexStore, StoreMaintenance}
+    val base = java.nio.file.Files.createTempDirectory("purge_store").toString
+    val path = s"$base/idx"
+    val emb = Tables.embeddings(spark, sf)
+    IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
+    val index0 = IndexStore.read(spark, path)
+    val total = index0.count()
+    val victims = Seq(3L, 7L, 11L)
+    val victimBands = index0.filter(col("id").isin(victims: _*))
+      .select("band0").distinct().collect().map(_.getInt(0)).toSet
+    def filesByDir = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.contains("="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+      .toMap
+    val before = filesByDir
+    val (rewritten, removed) = StoreMaintenance.purge(spark, path, "id", victims)
+    assert(removed == victims.size.toLong)
+    assert(rewritten == victimBands.size)
+    val after = filesByDir
+    before.foreach { case (d, fs) =>
+      if (!victimBands.contains(d.split("=")(1).toInt))
+        assert(after(d) == fs, s"untouched partition $d must keep its exact files")
+      else
+        assert(after(d) != fs, s"hit partition $d must have been rewritten")
+    }
+    val index1 = IndexStore.read(spark, path)
+    assert(index1.count() == total - victims.size)
+    assert(index1.filter(col("id").isin(victims: _*)).count() == 0)
+    val res = IndexStore.search(index1, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", 5)
+    assert(res.count() > 0 &&
+      res.filter(col("neighbor_id").isin(victims: _*)).count() == 0,
+      "purged ids must never surface in search results again")
+    // idempotence: a second purge of the same ids touches nothing
+    val before2 = filesByDir
+    val (r2, n2) = StoreMaintenance.purge(spark, path, "id", victims)
+    assert(r2 == 0 && n2 == 0L && filesByDir == before2)
+  }
 }
