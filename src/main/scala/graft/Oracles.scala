@@ -3690,6 +3690,26 @@ object Oracles {
         CAST(SUM(w) AS BIGINT) > 0 AS keep
       FROM w GROUP BY doc_id ORDER BY doc_id""",
 
+    // filtered search on the persisted IVF store: Lloyd + nprobe probe
+    // + per-query label equality replayed — probe pruning and the
+    // metadata filter compose
+    "v_ivf_filtered" -> s"""
+      WITH $ivfCte,
+      flab AS (SELECT vec_id, label FROM embeddings),
+      fq AS (SELECT p.query_id, p.qv, p.qn, p.pcid, l.label AS qlabel
+             FROM ivfprobe p JOIN flab l ON l.vec_id = p.query_id),
+      fcand AS (SELECT f.query_id, f.qlabel, a.vec_id AS neighbor_id,
+                  ROUND(list_dot_product(f.qv, a.v) / (f.qn * a.nrm), 6) AS sim
+                FROM fq f
+                JOIN ivfasg a ON a.cid = f.pcid AND a.vec_id <> f.query_id
+                JOIN flab nl ON nl.vec_id = a.vec_id AND nl.label = f.qlabel)
+      SELECT query_id, qlabel AS label, rnk, neighbor_id, sim FROM (
+        SELECT query_id, qlabel, neighbor_id, sim,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM fcand) t WHERE rnk <= 3
+      ORDER BY query_id, rnk""",
+
     // path canonicalization replayed verbatim (backslashes are literal
     // characters in SQL strings — no escape layer on the DuckDB side)
     "m_meta_paths" -> """

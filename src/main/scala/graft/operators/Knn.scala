@@ -1617,6 +1617,29 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_ivf_filtered: attribute-filtered search on the PERSISTED IVF
+    * index — top-3 same-label neighbors drawn only from the query's
+    * nprobe coarse lists. Label is stored INLINE in the list
+    * partitions at write time, so the scan reads only the probed
+    * cid=NN directories AND the label equality rides the probe join
+    * inside them — the two prunes compose (v_filtered_store ×
+    * v_ivf_store). The oracle replays Lloyd + probe + label filter,
+    * so a hash match proves the persisted filtered tier end to end.
+    */
+  def vIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/ivff_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.IvfIndexStore.write(emb, "vec_id", "embedding", path,
+      model = Some(ivfCentroids(spark, dir)), metaCols = Seq("label"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    graft.sources.IvfIndexStore
+      .searchFiltered(spark, path, queries, "vec_id", "embedding",
+        k = 3, matchCols = Seq("label"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_flat_store: the persisted FLAT index path inside the gate —
     * IndexStore write/read/search over the banded layout, exact top-5,
     * hash-matched against v_knn_exact's oracle (the persisted corpus

@@ -360,8 +360,11 @@ object StoreMaintenance {
 object IvfIndexStore {
   import graft.operators.Knn
 
-  private[sources] def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+  private[sources] def prepared(df: DataFrame, idCol: String, vecCol: String,
+                                metaCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as("vec_id")
+        +: col(vecCol).cast("array<double>").as("v")
+        +: metaCols.map(col): _*)
       .withColumn("nrm", V.norm2(col("v")))
 
   /** Persist the list-partitioned corpus + centroid sidecar. Pass
@@ -373,10 +376,11 @@ object IvfIndexStore {
     * here on the frame's bounded sample.
     */
   def write(df: DataFrame, idCol: String, vecCol: String, path: String,
-            model: Option[Array[(Int, Array[Double])]] = None): Unit = {
+            model: Option[Array[(Int, Array[Double])]] = None,
+            metaCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val e = prepared(df, idCol, vecCol)
+    val e = prepared(df, idCol, vecCol, metaCols)
     val centroids = model.getOrElse(Knn.trainIvf(e))
     Knn.withCid(e, centroids).write.mode("overwrite").partitionBy("cid").parquet(path)
     centroids.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
@@ -413,7 +417,8 @@ object IvfIndexStore {
     */
   private[sources] def probeOf(q: DataFrame,
                                centroids: Array[(Int, Array[Double])],
-                               nprobe: Int): DataFrame = {
+                               nprobe: Int,
+                               extraCols: Seq[String] = Nil): DataFrame = {
     val cands = array_sort(array(centroids.map { case (cid, cv) =>
       val cn = math.sqrt(cv.map(x => x * x).sum)
       struct(
@@ -421,7 +426,8 @@ object IvfIndexStore {
           .as("nsim"),
         lit(cid).as("cid"))
     }: _*))
-    q.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    q.select(Seq(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        ++ extraCols.map(col): _*)
       .withColumn("pcid", explode(transform(
         slice(cands, 1, nprobe), s => s.getField("cid"))))
   }
@@ -471,6 +477,41 @@ object IvfIndexStore {
     val index = spark.read.parquet(path)
       .where(col("cid").isin(probedCids: _*)) // static file-level pruning
     rescored(index, qProbe, k)
+  }
+
+  /** Attribute-filtered search on the persisted IVF index — the
+    * "search with filter" contract composed with coarse pruning: the
+    * scan still reads only the probed cid=NN list directories (static
+    * IN filter), and INSIDE those lists the per-query metadata
+    * equality rides the probe join, so out-of-filter rows never reach
+    * the top-k heap. Requires the store to have been written with the
+    * match columns inline (`write(..., metaCols)`) — a sidecar join on
+    * the corpus side would shuffle the big side, the exact thing the
+    * inline layout avoids (v_filtered_store's argument, applied to
+    * the IVF layout).
+    */
+  def searchFiltered(spark: SparkSession, path: String, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     matchCols: Seq[String],
+                     nprobe: Int = Knn.IvfNprobe): DataFrame = {
+    val centroids = readCentroids(spark, path)
+    val q = queries.select(col(idCol).as("vec_id")
+        +: col(vecCol).cast("array<double>").as("v")
+        +: matchCols.map(c => col(c).as(s"q_$c")): _*)
+      .withColumn("nrm", V.norm2(col("v")))
+    val qProbe = probeOf(q, centroids, nprobe, matchCols.map(c => s"q_$c"))
+    val probedCids = qProbe.select("pcid").distinct().collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(path).where(col("cid").isin(probedCids: _*))
+    val cond = matchCols.map(c => col(c) === col(s"q_$c"))
+      .foldLeft(col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))(_ && _)
+    val scored = index.join(broadcast(qProbe), cond)
+      .select(col("query_id") +: matchCols.map(col)
+        :+ col("vec_id").as("neighbor_id")
+        :+ round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"): _*)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select(col("query_id") +: matchCols.map(col)
+        :+ col("rnk") :+ col("neighbor_id") :+ col("sim"): _*)
   }
 
   /** Batch-serving variant: the probe set stays DISTRIBUTED — no
