@@ -1002,10 +1002,13 @@ object Relational {
     * WindowGroupLimit (k-sized heaps per type, no global sort).
     */
   def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    // the rollup feeds both the stats branch and the join — materialize
+    // once so the raw event scan runs once, not per consumer
     val hourly = Tables.events(spark, dir)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
                col("event_type"))
       .agg(count(lit(1)).as("n"))
+      .transform(graft.Materialize.forceCached)
     val stats = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("nh"), sum(col("n")).as("s"),
            sum(col("n") * col("n")).as("ss"))
@@ -1042,9 +1045,12 @@ object Relational {
       .select(col("c_custkey"))
     val nKeys = dim.count()
     val mBits = 32L * ((16L * nKeys + 31L) / 32L)
+    // one filter table, four broadcast probes — materialize so the
+    // build group-by runs once, not once per broadcast
     val words = Dedup.bloomWords(
       dim.select(col("c_custkey").as("doc_id"),
         col("c_custkey").cast("string").as("text")), mBits)
+      .transform(graft.Materialize.forceCached)
     var fact = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderpriority"))

@@ -193,7 +193,13 @@ class Round7Spec extends SparkSpec {
       // stores (their budgets include the store build + report)
       "v_sql_surface2" -> 2, "v_opq_learned" -> 2,
       "m_decode_blur3" -> 3, "m_center_crop" -> 2, "m_detect_empty" -> 2,
-      "q_bitmap_store" -> 3, "q_kmv_store" -> 9)
+      "q_bitmap_store" -> 3, "q_kmv_store" -> 9,
+      // r8 second wave: anomaly ranking, the Bloom-pruned join (its
+      // budget counts the semi-join's two shuffle_hash exchanges +
+      // agg + sort; the bloom probes are all broadcasts), the linear
+      // quality classifier, path canonicalization, filtered IVF store
+      "q_anomaly" -> 3, "q_bloom_join" -> 4, "t_quality_clf" -> 2,
+      "m_meta_paths" -> 1, "v_ivf_filtered" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
