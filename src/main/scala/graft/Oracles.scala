@@ -3690,6 +3690,34 @@ object Oracles {
         CAST(SUM(w) AS BIGINT) > 0 AS keep
       FROM w GROUP BY doc_id ORDER BY doc_id""",
 
+    // BPE tokenizer training replayed as unrolled merge rounds: pair
+    // counts from the word-frequency table, argmax with lexicographic
+    // ties, delimiter-safe fuse via the same left-to-right replace
+    "t_bpe_train" -> {
+      val rounds = 5
+      val sb = new StringBuilder
+      sb.append(s"""
+      WITH $tokensCte,
+      wf AS (SELECT tok AS w, COUNT(*) AS f FROM tk GROUP BY tok),
+      w0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sp, f
+             FROM wf)""")
+      for (r <- 1 to rounds) {
+        sb.append(s""",
+      a$r AS (SELECT sp, f, string_split(trim(sp), ' ') AS a FROM w${r - 1}),
+      c$r AS (SELECT a[i] AS x, a[i + 1] AS y, CAST(SUM(f) AS BIGINT) AS n
+             FROM a$r, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+             GROUP BY a[i], a[i + 1]),
+      b$r AS (SELECT x, y, n FROM c$r ORDER BY n DESC, x, y LIMIT 1),
+      w$r AS (SELECT replace(sp, ' ' || x || ' ' || y || ' ', ' ' || x || y || ' ') AS sp, f
+             FROM a$r CROSS JOIN b$r)""")
+      }
+      sb.append("\n      SELECT * FROM (" +
+        (1 to rounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, x, y, n FROM b$r").mkString(" UNION ALL ") +
+        ") ORDER BY round")
+      sb.toString
+    },
+
     // filtered search on the persisted IVF store: Lloyd + nprobe probe
     // + per-query label equality replayed — probe pruning and the
     // metadata filter compose

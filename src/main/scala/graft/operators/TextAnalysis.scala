@@ -555,6 +555,55 @@ object TextAnalysis {
       .orderBy("doc_id", "dim")
   }
 
+  /** t_bpe_train: BPE tokenizer TRAINING at corpus scale — the learn
+    * side of t_bpe_tokens (HF/SentencePiece train corpora with exactly
+    * this loop): 5 merge rounds, each = count adjacent symbol pairs
+    * weighted by word frequency → take the most frequent pair (ties
+    * lexicographic) → fuse it everywhere. Scale shape: the corpus is
+    * touched ONCE (the word-frequency group-by); every round then runs
+    * over the distinct-word table — pair counting is one map-side
+    * explode + one (x, y) sum, the argmax is a TakeOrdered (1-row
+    * driver collect, the centroid-sidecar pattern), and the fuse is a
+    * map-side literal string replace. Symbols travel as a
+    * space-delimited, space-PADDED string, so the fuse is a
+    * delimiter-safe non-regex replace both engines scan left-to-right
+    * identically; an immediately-adjacent repeat of the same pair
+    * defers to a later round (engine-consistent, oracle-replayed —
+    * the one documented departure from HF's list-walk merge). The
+    * oracle replays all 5 rounds as unrolled CTEs.
+    */
+  def tBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rounds = 5
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
+        .as("sp"), col("f"))
+      .transform(graft.Materialize.forceCached)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = vocab
+        .select(col("f"), split(trim(col("sp")), " ").as("a"))
+        .select(col("f"), explode(zip_with(col("a"),
+          slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+          (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+        .filter(col("p.y").isNotNull)
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()(0)
+      val bx = best.getString(0)
+      val by = best.getString(1)
+      val bn = best.getLong(2)
+      merges += ((r.toLong, bx, by, bn))
+      vocab = vocab
+        .select(replace(col("sp"), lit(s" $bx $by "), lit(s" $bx$by ")).as("sp"), col("f"))
+        .transform(graft.Materialize.forceCached)
+    }
+    merges.result().toDF("round", "x", "y", "n").orderBy("round")
+  }
+
   /** t_quality_clf: model-based quality filtering in the fasttext/DCLM
     * serving shape — a LINEAR classifier over feature-hashed tokens
     * scores every document and the score gates the keep decision. The
