@@ -1499,6 +1499,66 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** Per-vector dimensionality for v_maxsim's late-interaction sets. */
+  val MvDim = 4
+
+  /** v_maxsim: late-interaction multi-vector search (the ColBERT
+    * retrieval model): every document is a SET of vectors — one per
+    * mod-16-sampled distinct 5-char shingle hash (0-mod-p
+    * fingerprinting, winnowing's stateless cousin, so the per-doc set
+    * size is bounded by construction at ~1/16 of the shingle stream) —
+    * and a query scores against a document as
+    * Σ_{query vec} max_{doc vec} ⟨q, d⟩: span-level matching that a
+    * single pooled vector flattens away. Vectors are 4-dim integer
+    * md5 derivations of the shingle hash (the fixed-weight stand-in
+    * for a learned token encoder — swap the expression, same plan),
+    * so every dot product and the maxsim sum replay exactly.
+    *
+    * Scale shape: maxsim is quadratic in vectors per candidate pair,
+    * so candidates come FIRST from an inverted-index join on the
+    * sampled hashes (≥2 shared fingerprints — the ColBERT serving
+    * stack's candidate-generation stage; production composes the ANN
+    * tiers here), and the vector-pair cross runs only inside (query,
+    * candidate) pairs: one doc_id-keyed join with the query's vector
+    * set broadcast, two partial-agg group-bys (max per query vector,
+    * sum per pair), top-5 window. On this deliberately repetitive
+    * synthetic corpus the inverted index admits most documents; on a
+    * natural-vocabulary corpus the same join is the sharp prune.
+    */
+  def vMaxsim(spark: SparkSession, dir: String): DataFrame = {
+    // the per-vector components land as SCALAR columns (w1..w4), not
+    // an array: the pair stage folds millions of rows and a per-row
+    // array allocation there costs more than the dot itself
+    def hv(pfx: String): Seq[Column] = (1 to MvDim).map(k =>
+      (HashFns.md5Long(
+        concat(lit("mv"), lit(k.toString), lit("_"), col("h").cast("string")), 8)
+        % 201 - 100).as(s"$pfx$k"))
+    // spread first: the raw table is one parquet file → one input
+    // partition, and the shingle md5 stream is the CPU-heavy stage
+    val sampled = Dedup.spread(Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"), explode(HashFns.shingleHashes(col("text"), 5)).as("h"))
+      .filter(col("h") % 16 === 0).distinct()
+      .transform(graft.Materialize.forceCached) // feeds queries, index, corpus side
+    val qs = sampled.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("h"))
+    val cand = qs.join(sampled, "h")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id").agg(countDistinct(col("h")).as("shared"))
+      .filter(col("shared") >= 2)
+      .select("q_id", "doc_id")
+    val qv = qs.select(col("q_id") +: col("h").as("qh") +: hv("q"): _*)
+    val dv = sampled.select(col("doc_id") +: hv("d"): _*)
+    val pr = cand.join(dv, "doc_id").join(broadcast(qv), "q_id")
+      .withColumn("dot", (1 to MvDim).map(k => col(s"q$k") * col(s"d$k"))
+        .reduce(_ + _))
+    val mx = pr.groupBy("q_id", "doc_id", "qh").agg(max(col("dot")).as("m"))
+    val sc = mx.groupBy("q_id", "doc_id").agg(sum(col("m")).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
+    sc.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
+      .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_rrf_fusion: hybrid search — reciprocal-rank fusion of the
     * vector ranking (exact cosine) with a lexical ranking (shared
     * distinct 5-gram shingles with the query's document), the
