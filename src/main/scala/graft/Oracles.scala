@@ -3664,6 +3664,17 @@ object Oracles {
       SELECT event_type, rnk, hour, n, z FROM r WHERE rnk <= 3
       ORDER BY event_type, rnk""",
 
+    // EWMA as a sorted left fold: list_prepend supplies the 0.0 seed,
+    // the fold order matches Spark's aggregate() exactly
+    "q_ewma" -> """
+      WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+               event_type, COUNT(*) AS n
+             FROM events GROUP BY hour, event_type)
+      SELECT event_type, COUNT(*) AS n_hours,
+        ROUND(list_reduce(list_prepend(0.0, list(CAST(n AS DOUBLE) ORDER BY hour)),
+          (a, b) -> a + (b - a) / 4.0), 6) AS ewma
+      FROM h GROUP BY event_type ORDER BY event_type""",
+
     // the Bloom-pruned join must equal the PLAIN semi-join — the
     // filter may only drop rows that provably cannot join
     "q_bloom_join" -> s"""

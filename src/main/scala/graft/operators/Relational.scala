@@ -1022,6 +1022,30 @@ object Relational {
       .orderBy("event_type", "rnk")
   }
 
+  /** q_ewma: exponential smoothing (α = 1/4) of the hourly event-rate
+    * series per type — the trend-level complement of q_anomaly's
+    * global z-score. The EWMA recurrence is non-associative, so it
+    * runs as a SORTED left fold seeded at 0.0 (the t_entropy
+    * determinism dodge: both engines execute the identical sequence
+    * of double ops, so even transcendental-free fp is hash-stable;
+    * DuckDB replays it as list_reduce over a list_prepend'ed series).
+    * Scale shape: one rollup shuffle, then one per-type aggregate
+    * whose state is the hour-count series — bounded by the calendar,
+    * not the corpus.
+    */
+  def qEwma(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+           sort_array(collect_list(struct(col("hour"), col("n")))).as("hs"))
+      .select(col("event_type"), col("n_hours"),
+        round(aggregate(transform(col("hs"), s => s.getField("n").cast("double")),
+          lit(0.0), (acc, x) => acc + (x - acc) / 4.0), 6).as("ewma"))
+      .orderBy("event_type")
+
   /** Runtime Bloom-filter join pruning — the hand-rolled form of the
     * engine-injected runtime filters Spark/Trino/Photon apply to
     * selective shuffle joins: revenue of orders whose customer is in
