@@ -303,6 +303,30 @@ class Round8Spec extends SparkSpec {
     assert(hashRows(BitmapStore.report(spark, path)) == expected)
   }
 
+  test("bloom join filter: no false negatives, real pruning, fp near theory") {
+    import graft.operators.Dedup
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val nKeys = dim.count()
+    val mBits = 32L * ((16L * nKeys + 31L) / 32L)
+    val words = Dedup.bloomWords(dim.select(col("c_custkey").as("doc_id"),
+      col("c_custkey").cast("string").as("text")), mBits)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("doc_id"),
+        col("o_custkey").cast("string").as("text"), col("o_custkey"))
+    val hit = Dedup.bloomPositions(orders.select("doc_id", "text"), mBits)
+      .join(words, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(min(when(expr("(shiftright(bits, bit) & 1) = 1"), 1).otherwise(0)).as("inb"))
+    val passed = hit.filter(col("inb") === 1).count()
+    val total = orders.count()
+    val exact = orders.join(dim, orders("o_custkey") === dim("c_custkey"), "left_semi").count()
+    assert(passed >= exact, "a Bloom filter must never drop a joining row")
+    assert(passed < total, "the filter must actually prune the fact side")
+    assert(passed - exact <= total * 2 / 100 + 1,
+      s"false positives far above theory: passed=$passed exact=$exact total=$total")
+  }
+
   test("purge removes only the targeted ids and rewrites only their partitions") {
     import graft.sources.{IndexStore, StoreMaintenance}
     val base = java.nio.file.Files.createTempDirectory("purge_store").toString
