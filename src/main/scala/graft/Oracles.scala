@@ -3545,6 +3545,30 @@ object Oracles {
   /** Round-8 additions: the REAL convnet forward pass replayed layer
     * by layer in SQL.
     */
+  /** The unrolled BPE merge-round chain shared by t_bpe_train /
+    * t_bpe_apply (assumes nothing; includes tokensCte). Carries the
+    * original word `w` through every round so application can join
+    * piece counts back to the corpus.
+    */
+  private def bpeCte(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""$tokensCte,
+      wf AS (SELECT tok AS w, COUNT(*) AS f FROM tk GROUP BY tok),
+      w0 AS (SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sp, f
+             FROM wf)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+      a$r AS (SELECT w, sp, f, string_split(trim(sp), ' ') AS a FROM w${r - 1}),
+      c$r AS (SELECT a[i] AS x, a[i + 1] AS y, CAST(SUM(f) AS BIGINT) AS n
+             FROM a$r, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+             GROUP BY a[i], a[i + 1]),
+      b$r AS (SELECT x, y, n FROM c$r ORDER BY n DESC, x, y LIMIT 1),
+      w$r AS (SELECT w, replace(sp, ' ' || x || ' ' || y || ' ', ' ' || x || y || ' ') AS sp, f
+             FROM a$r CROSS JOIN b$r)""")
+    }
+    sb.toString
+  }
+
   val round8: Map[String, String] = Map(
     // the reference program with actual tensor math in the inference
     // seat: decode → LUT → blur → clamped crop → nearest-resize 8×8 →
@@ -3704,30 +3728,24 @@ object Oracles {
     // BPE tokenizer training replayed as unrolled merge rounds: pair
     // counts from the word-frequency table, argmax with lexicographic
     // ties, delimiter-safe fuse via the same left-to-right replace
-    "t_bpe_train" -> {
-      val rounds = 5
-      val sb = new StringBuilder
-      sb.append(s"""
-      WITH $tokensCte,
-      wf AS (SELECT tok AS w, COUNT(*) AS f FROM tk GROUP BY tok),
-      w0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sp, f
-             FROM wf)""")
-      for (r <- 1 to rounds) {
-        sb.append(s""",
-      a$r AS (SELECT sp, f, string_split(trim(sp), ' ') AS a FROM w${r - 1}),
-      c$r AS (SELECT a[i] AS x, a[i + 1] AS y, CAST(SUM(f) AS BIGINT) AS n
-             FROM a$r, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
-             GROUP BY a[i], a[i + 1]),
-      b$r AS (SELECT x, y, n FROM c$r ORDER BY n DESC, x, y LIMIT 1),
-      w$r AS (SELECT replace(sp, ' ' || x || ' ' || y || ' ', ' ' || x || y || ' ') AS sp, f
-             FROM a$r CROSS JOIN b$r)""")
-      }
-      sb.append("\n      SELECT * FROM (" +
-        (1 to rounds).map(r =>
-          s"SELECT CAST($r AS BIGINT) AS round, x, y, n FROM b$r").mkString(" UNION ALL ") +
-        ") ORDER BY round")
-      sb.toString
-    },
+    "t_bpe_train" -> (s"WITH ${bpeCte(5)}\n      SELECT * FROM (" +
+      (1 to 5).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, x, y, n FROM b$r").mkString(" UNION ALL ") +
+      ") ORDER BY round"),
+
+    // the serving half: per-word merged piece counts joined back to
+    // the corpus — training AND application replayed
+    "t_bpe_apply" -> s"""
+      WITH ${bpeCte(5)},
+      pc AS (SELECT w, CAST(len(string_split(trim(sp), ' ')) AS BIGINT) AS np
+             FROM w5)
+      SELECT doc_id, COUNT(*) AS n_words,
+        CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+        CAST(SUM(np) AS BIGINT) AS n_pieces,
+        ROUND(CAST(SUM(length(tok)) AS BIGINT)
+          / (CAST(SUM(np) AS BIGINT) * 1.0), 6) AS chars_per_piece
+      FROM tk JOIN pc ON pc.w = tk.tok
+      GROUP BY doc_id ORDER BY doc_id""",
 
     // late-interaction maxsim over mod-8-sampled shingle-hash vector
     // sets: inverted-index candidates (≥2 shared fingerprints), then

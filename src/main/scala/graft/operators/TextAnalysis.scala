@@ -572,14 +572,19 @@ object TextAnalysis {
     * the one documented departure from HF's list-walk merge). The
     * oracle replays all 5 rounds as unrolled CTEs.
     */
-  def tBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The shared BPE training loop behind t_bpe_train / t_bpe_apply:
+    * returns (final vocab as (w, sp, f) with sp fully merged, the 5
+    * learned merges as (round, x, y, count)).
+    */
+  private def bpeVocab(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
     val rounds = 5
     var vocab = Tables.documents(spark, dir)
       .select(explode(toks(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
-        .as("sp"), col("f"))
+      .select(col("w"),
+        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
+          .as("sp"), col("f"))
       .transform(graft.Materialize.forceCached)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (r <- 1 to rounds) {
@@ -598,10 +603,41 @@ object TextAnalysis {
       val bn = best.getLong(2)
       merges += ((r.toLong, bx, by, bn))
       vocab = vocab
-        .select(replace(col("sp"), lit(s" $bx $by "), lit(s" $bx$by ")).as("sp"), col("f"))
+        .select(col("w"),
+          replace(col("sp"), lit(s" $bx $by "), lit(s" $bx$by ")).as("sp"), col("f"))
         .transform(graft.Materialize.forceCached)
     }
-    merges.result().toDF("round", "x", "y", "n").orderBy("round")
+    (vocab, merges.result())
+  }
+
+  def tBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeVocab(spark, dir)._2.toDF("round", "x", "y", "n").orderBy("round")
+  }
+
+  /** t_bpe_apply: the serving half of t_bpe_train — tokenize the whole
+    * corpus with the learned merges and report per-document
+    * compression (the chars-per-piece ratio a tokenizer buys, the
+    * number that decides training-set token budgets). The merged
+    * piece count lives on the DISTINCT-word vocabulary, so applying
+    * the tokenizer to the corpus is one (word → piece-count) equi-join
+    * and a per-doc sum — documents are never re-segmented. The oracle
+    * replays training AND application.
+    */
+  def tBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, _) = bpeVocab(spark, dir)
+    val pieces = vocab.select(col("w"),
+      size(split(trim(col("sp")), " ")).cast("long").as("np"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .join(pieces, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("np")).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_pieces"),
+        round(col("n_chars").cast("double") / col("n_pieces"), 6).as("chars_per_piece"))
+      .orderBy("doc_id")
   }
 
   /** t_quality_clf: model-based quality filtering in the fasttext/DCLM
