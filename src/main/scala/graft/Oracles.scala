@@ -3569,6 +3569,27 @@ object Oracles {
     sb.toString
   }
 
+  /** Shared by q_anomaly and q_rate_store (the store must reproduce
+    * the one-shot ranking exactly).
+    */
+  private val qAnomalySql: String = """
+      WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+               event_type, COUNT(*) AS n
+             FROM events GROUP BY hour, event_type),
+      st AS (SELECT event_type, COUNT(*) AS nh, CAST(SUM(n) AS BIGINT) AS s,
+               CAST(SUM(n * n) AS BIGINT) AS ss
+             FROM h GROUP BY event_type),
+      z AS (SELECT h.event_type, h.hour, h.n,
+              ROUND((h.n * st.nh - st.s)
+                / sqrt(CAST(st.nh * st.ss - st.s * st.s AS DOUBLE)), 6) AS z
+            FROM h JOIN st ON st.event_type = h.event_type),
+      r AS (SELECT event_type, hour, n, z,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY ABS(z) DESC, hour) AS rnk
+            FROM z)
+      SELECT event_type, rnk, hour, n, z FROM r WHERE rnk <= 3
+      ORDER BY event_type, rnk"""
+
   val round8: Map[String, String] = Map(
     // the reference program with actual tensor math in the inference
     // seat: decode → LUT → blur → clamped crop → nearest-resize 8×8 →
@@ -3670,23 +3691,11 @@ object Oracles {
     // z-score anomaly ranking: mean/std from exact integer sufficient
     // statistics, z has an integer numerator and radicand so the
     // double sqrt/divide is bit-deterministic on both engines
-    "q_anomaly" -> """
-      WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
-               event_type, COUNT(*) AS n
-             FROM events GROUP BY hour, event_type),
-      st AS (SELECT event_type, COUNT(*) AS nh, CAST(SUM(n) AS BIGINT) AS s,
-               CAST(SUM(n * n) AS BIGINT) AS ss
-             FROM h GROUP BY event_type),
-      z AS (SELECT h.event_type, h.hour, h.n,
-              ROUND((h.n * st.nh - st.s)
-                / sqrt(CAST(st.nh * st.ss - st.s * st.s AS DOUBLE)), 6) AS z
-            FROM h JOIN st ON st.event_type = h.event_type),
-      r AS (SELECT event_type, hour, n, z,
-              ROW_NUMBER() OVER (PARTITION BY event_type
-                ORDER BY ABS(z) DESC, hour) AS rnk
-            FROM z)
-      SELECT event_type, rnk, hour, n, z FROM r WHERE rnk <= 3
-      ORDER BY event_type, rnk""",
+    "q_anomaly" -> qAnomalySql,
+
+    // the persisted rate store answers from re-summed shards; ground
+    // truth is the one-shot anomaly ranking over the raw events
+    "q_rate_store" -> qAnomalySql,
 
     // EWMA as a sorted left fold: list_prepend supplies the 0.0 seed,
     // the fold order matches Spark's aggregate() exactly

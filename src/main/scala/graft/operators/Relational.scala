@@ -1001,14 +1001,13 @@ object Relational {
     * broadcast back onto it, and the top-3 window runs as
     * WindowGroupLimit (k-sized heaps per type, no global sort).
     */
-  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    // the rollup feeds both the stats branch and the join — materialize
-    // once so the raw event scan runs once, not per consumer
-    val hourly = Tables.events(spark, dir)
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
-               col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .transform(graft.Materialize.forceCached)
+  /** The z-score top-3 ranking over an (hour, event_type, n) hourly
+    * series — shared by q_anomaly and the persisted rate store's
+    * report. The series is materialized once (it feeds both the stats
+    * branch and the join).
+    */
+  private[graft] def anomalyRank(hourlyRaw: DataFrame): DataFrame = {
+    val hourly = graft.Materialize.forceCached(hourlyRaw)
     val stats = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("nh"), sum(col("n")).as("s"),
            sum(col("n") * col("n")).as("ss"))
@@ -1021,6 +1020,17 @@ object Relational {
       .select("event_type", "rnk", "hour", "n", "z")
       .orderBy("event_type", "rnk")
   }
+
+  /** Per-batch (hour, event_type, n) partial counts — the rate
+    * store's shard rows (counts are additive over disjoint batches).
+    */
+  private[graft] def rateRows(ev: DataFrame): DataFrame =
+    ev.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyRank(rateRows(Tables.events(spark, dir)))
 
   /** q_ewma: exponential smoothing (α = 1/4) of the hourly event-rate
     * series per type — the trend-level complement of q_anomaly's

@@ -146,6 +146,41 @@ object KmvStore {
         .select(explode(col("hs")).as("h")))
 }
 
+/** Persisted hourly event-rate store — the monitoring twin of
+  * q_anomaly. Per-batch (hour, event_type, n) partial counts append
+  * under event_type= dirs; the report re-SUMS the shards into the
+  * merged series and replays the z-score ranking. Unlike the sketch
+  * stores, counts are additive but NOT idempotent — losslessness
+  * rests on disjoint batches, i.e. the exactly-once file delivery of
+  * a checkpointed stream source (EventStreams.runRateIngest), not on
+  * the merge algebra. Merge-compact rewrites each source dir to one
+  * row per hour (results unchanged: sum re-associates).
+  */
+object RateStore {
+
+  def write(ev: DataFrame, path: String): Unit =
+    Relational.rateRows(ev)
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+  def append(ev: DataFrame, path: String): Unit =
+    Relational.rateRows(ev)
+      .write.mode("append").partitionBy("event_type").parquet(path)
+
+  private def merged(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("hour", "event_type").agg(sum(col("n")).as("n"))
+
+  /** z-score anomaly ranking from the store alone (q_anomaly's
+    * output, hence its oracle).
+    */
+  def report(spark: SparkSession, path: String): DataFrame =
+    Relational.anomalyRank(merged(spark, path))
+
+  def compact(spark: SparkSession, path: String): (Int, Int) =
+    StoreMaintenance.rewritePartitions(spark, path, _ > 0,
+      rows => rows.groupBy("hour").agg(sum(col("n")).as("n")).coalesce(1))
+}
+
 /** Driver-gate queries for the curation stores: build the store from
   * three overlapping appends (user_id mod 3 waves), merge-compact,
   * then answer from the store alone. The oracles are the SEMANTIC
@@ -189,5 +224,24 @@ object CurationStoreQueries {
     KmvStore.append(w2, path)
     KmvStore.compact(spark, path)
     KmvStore.report(spark, path)
+  }
+
+  /** q_rate_store: 3 DISJOINT-wave append-only rate store → z-score
+    * anomaly ranking (q_anomaly's oracle). The waves split on
+    * event_id — rows, not users — because count shards are additive,
+    * not idempotent: disjointness models the exactly-once delivery of
+    * the checkpointed stream source that maintains this store.
+    */
+  def qRateStore(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/rate_store_${tag(spark)}/idx").getAbsolutePath
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("event_id"))
+    val Seq(w0, w1, w2) = (0 until 3).map(i => ev.filter(col("event_id") % 3 === i))
+    RateStore.write(w0, path)
+    RateStore.append(w1, path)
+    RateStore.append(w2, path)
+    RateStore.compact(spark, path)
+    RateStore.report(spark, path)
   }
 }

@@ -504,6 +504,35 @@ object EventStreams {
     q
   }
 
+  /** Streaming maintainer of the persisted hourly-rate store
+    * (sources.RateStore — the q_anomaly monitoring twin): each
+    * AvailableNow batch appends its own (hour, event_type, n) partial
+    * counts. Counts are ADDITIVE, not idempotent, so this twin leans
+    * on the checkpointed file source's exactly-once delivery — every
+    * row contributes to exactly one appended shard, and the report's
+    * re-sum equals the one-shot series (spec-asserted, two waves).
+    * History is never rescanned; an anomaly dashboard reads kilobytes
+    * of shards, not the event log.
+    */
+  def runRateIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                    storePath: String): StreamingQuery = {
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        graft.sources.RateStore
+          .append(batch.toDF().select(col("ts"), col("event_type")), storePath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming image-fingerprint ingest — the multimodal × streaming
     * closure of the radius tier: each AvailableNow batch of raw image
     * payloads runs the REAL decode (javax.imageio via

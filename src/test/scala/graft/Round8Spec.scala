@@ -254,6 +254,23 @@ class Round8Spec extends SparkSpec {
 
   // ---- StoreMaintenance crash consistency ------------------------------
 
+  test("runRateIngest: two streamed waves equal the one-shot anomaly ranking") {
+    import graft.sources.RateStore
+    val ev = Tables.events(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("rate_ingest").toString
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/rate")
+    // disjoint file waves: the checkpointed source delivers each row
+    // exactly once, which is what makes additive count shards lossless
+    ev.filter(col("event_id") % 2 === 0).write.parquet(src)
+    graft.streaming.EventStreams.runRateIngest(spark, src, ckpt, store)
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runRateIngest(spark, src, ckpt, store)
+    RateStore.write(ev.select(col("ts"), col("event_type")), s"$base/one")
+    assert(hashRows(RateStore.report(spark, store)) ==
+      hashRows(RateStore.report(spark, s"$base/one")),
+      "streamed count shards must re-sum to the one-shot series")
+  }
+
   test("compact survives a stale reader and a crash mid-swap (recover)") {
     import graft.sources.{BitmapStore, StoreMaintenance}
     val base = java.nio.file.Files.createTempDirectory("crash_store").toString
