@@ -3693,6 +3693,34 @@ object Oracles {
     // double sqrt/divide is bit-deterministic on both engines
     "q_anomaly" -> qAnomalySql,
 
+    // blocking-recall gate: blocked candidate top-50 vs the exact
+    // all-pairs top-50 on the fixed vec_id<200 sample
+    "d_embed_recall" -> s"""
+      WITH $lshBandsCte,
+      sN AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 200),
+      sB AS (SELECT * FROM bands WHERE vec_id < 200),
+      bl AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+             FROM sB a JOIN sB b ON a.vec_id < b.vec_id
+               AND (a.band0 = b.band0 OR a.band1 = b.band1)),
+      bl50 AS (SELECT id1, id2 FROM (
+                SELECT c.id1, c.id2,
+                  ROW_NUMBER() OVER (ORDER BY
+                    ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) DESC,
+                    c.id1, c.id2) AS rn
+                FROM bl c JOIN sN x ON x.vec_id = c.id1
+                JOIN sN y ON y.vec_id = c.id2) t
+              WHERE rn <= 50),
+      ex50 AS (SELECT id1, id2 FROM (
+                SELECT a.vec_id AS id1, b.vec_id AS id2,
+                  ROW_NUMBER() OVER (ORDER BY
+                    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) DESC,
+                    a.vec_id, b.vec_id) AS rn
+                FROM sN a JOIN sN b ON a.vec_id < b.vec_id) t
+              WHERE rn <= 50)
+      SELECT CAST(50 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_found,
+        ROUND(COUNT(*) / 50.0, 6) AS recall
+      FROM ex50 e2 JOIN bl50 b2 ON b2.id1 = e2.id1 AND b2.id2 = e2.id2""",
+
     // the persisted rate store answers from re-summed shards; ground
     // truth is the one-shot anomaly ranking over the raw events
     "q_rate_store" -> qAnomalySql,

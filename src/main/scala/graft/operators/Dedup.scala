@@ -524,7 +524,8 @@ object Dedup {
     * scales out on the bucket key (second join excludes band0 matches
     * → disjoint union).
     */
-  private def embedPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def embedPairs(spark: SparkSession, dir: String,
+                         maxId: Option[Int] = None): DataFrame = {
     val dim = 64
     val signs = Array.tabulate(Knn.LshBits)(j =>
       Array.tabulate(dim)(d => H.hyperplaneSign(j, d + 1)))
@@ -532,6 +533,7 @@ object Dedup {
     def band(b: Int): Column =
       (0 until Knn.LshBandBits).map(r => bit(b * Knn.LshBandBits + r) * lit(1 << r)).reduce(_ + _)
     val e = forceCached(spread(Tables.embeddings(spark, dir))
+      .filter(maxId.map(m => col("vec_id") < m).getOrElse(lit(true)))
       .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", V.norm2(col("v")))
       .withColumn("vq", V.quantize(col("v")))
@@ -547,6 +549,40 @@ object Dedup {
     pairs0.union(pairs1)
       .select(col("id1"), col("id2"),
         round(V.cosinePre(V.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6).as("sim"))
+  }
+
+  /** d_embed_recall: recall gate for the dedup BLOCKING itself — the
+    * v_recall idea applied to d_embed_near: on the fixed vec_id<200
+    * prefix (recall evaluation pays an exact all-pairs pass, so it
+    * runs on a bounded sample — the trainer-sample pattern), compare
+    * the band blocking's candidate top-50 against the EXACT all-pairs
+    * top-50. The err gates (d_minhash_err) bound estimator accuracy;
+    * this bounds what the candidate GENERATOR misses — the other
+    * failure mode of sketch dedup. The exact side is a 200×200
+    * nested-loop on the sample only; the blocked side is the
+    * production band join restricted to the same prefix.
+    */
+  def dEmbedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val sample = 200
+    val blocked = embedPairs(spark, dir, maxId = Some(sample))
+      .orderBy(col("sim").desc, col("id1").asc, col("id2").asc).limit(k)
+      .select("id1", "id2")
+    val e = forceCached(Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < sample)
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", V.norm2(col("v"))))
+    val l = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val r = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    val exact = l.join(r, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(V.cosinePre(V.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id1").asc, col("id2").asc).limit(k)
+      .select("id1", "id2")
+    exact.join(blocked, Seq("id1", "id2"))
+      .agg(count(lit(1)).as("n_found"))
+      .select(lit(k.toLong).as("k"), col("n_found"),
+        round(col("n_found") / lit(k.toDouble), 6).as("recall"))
   }
 
   /** Cosine threshold above which two embeddings are semantic dups. */
