@@ -3569,6 +3569,41 @@ object Oracles {
     sb.toString
   }
 
+  /** Shared by v_maxsim and v_maxsim_store (the persisted inverted
+    * layout must reproduce the in-session tier exactly).
+    */
+  private val vMaxsimSql: String = s"""
+      WITH $shinglesCte,
+      samp AS (SELECT DISTINCT doc_id, h FROM sh WHERE h % 16 = 0),
+      mqs AS (SELECT doc_id AS q_id, h FROM samp WHERE doc_id < 3),
+      mcand AS (SELECT q_id, doc_id FROM (
+                 SELECT q.q_id, d.doc_id, COUNT(DISTINCT q.h) AS shared
+                 FROM mqs q JOIN samp d ON d.h = q.h AND d.doc_id <> q.q_id
+                 GROUP BY q.q_id, d.doc_id) t WHERE shared >= 2),
+      mkk AS (SELECT unnest(generate_series(1, 4)) AS k),
+      mhs AS (SELECT DISTINCT h FROM samp),
+      mtv AS (SELECT h, k,
+               CAST(('0x' || substr(md5('mv' || k || '_' || h), 1, 8)) AS BIGINT)
+                 % 201 - 100 AS w
+             FROM mhs CROSS JOIN mkk),
+      mpr AS (SELECT c.q_id, c.doc_id, q.h AS qh, d.h AS dh,
+               CAST(SUM(tq.w * td.w) AS BIGINT) AS dot
+             FROM mcand c JOIN mqs q ON q.q_id = c.q_id
+             JOIN samp d ON d.doc_id = c.doc_id
+             JOIN mtv tq ON tq.h = q.h
+             JOIN mtv td ON td.h = d.h AND td.k = tq.k
+             GROUP BY c.q_id, c.doc_id, q.h, d.h),
+      mmx AS (SELECT q_id, doc_id, qh, MAX(dot) AS m
+             FROM mpr GROUP BY q_id, doc_id, qh),
+      msc AS (SELECT q_id, doc_id, CAST(SUM(m) AS BIGINT) AS score
+             FROM mmx GROUP BY q_id, doc_id)
+      SELECT q_id AS query_id, rnk, doc_id, score FROM (
+        SELECT q_id, doc_id, score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        FROM msc) t WHERE rnk <= 5
+      ORDER BY query_id, rnk"""
+
   /** Shared by q_anomaly and q_rate_store (the store must reproduce
     * the one-shot ranking exactly).
     */
@@ -3784,40 +3819,15 @@ object Oracles {
       FROM tk JOIN pc ON pc.w = tk.tok
       GROUP BY doc_id ORDER BY doc_id""",
 
-    // late-interaction maxsim over mod-8-sampled shingle-hash vector
+    // late-interaction maxsim over mod-16-sampled shingle-hash vector
     // sets: inverted-index candidates (≥2 shared fingerprints), then
     // Σ max ⟨q,d⟩ in exact integer arithmetic
-    "v_maxsim" -> s"""
-      WITH $shinglesCte,
-      samp AS (SELECT DISTINCT doc_id, h FROM sh WHERE h % 16 = 0),
-      mqs AS (SELECT doc_id AS q_id, h FROM samp WHERE doc_id < 3),
-      mcand AS (SELECT q_id, doc_id FROM (
-                 SELECT q.q_id, d.doc_id, COUNT(DISTINCT q.h) AS shared
-                 FROM mqs q JOIN samp d ON d.h = q.h AND d.doc_id <> q.q_id
-                 GROUP BY q.q_id, d.doc_id) t WHERE shared >= 2),
-      mkk AS (SELECT unnest(generate_series(1, 4)) AS k),
-      mhs AS (SELECT DISTINCT h FROM samp),
-      mtv AS (SELECT h, k,
-               CAST(('0x' || substr(md5('mv' || k || '_' || h), 1, 8)) AS BIGINT)
-                 % 201 - 100 AS w
-             FROM mhs CROSS JOIN mkk),
-      mpr AS (SELECT c.q_id, c.doc_id, q.h AS qh, d.h AS dh,
-               CAST(SUM(tq.w * td.w) AS BIGINT) AS dot
-             FROM mcand c JOIN mqs q ON q.q_id = c.q_id
-             JOIN samp d ON d.doc_id = c.doc_id
-             JOIN mtv tq ON tq.h = q.h
-             JOIN mtv td ON td.h = d.h AND td.k = tq.k
-             GROUP BY c.q_id, c.doc_id, q.h, d.h),
-      mmx AS (SELECT q_id, doc_id, qh, MAX(dot) AS m
-             FROM mpr GROUP BY q_id, doc_id, qh),
-      msc AS (SELECT q_id, doc_id, CAST(SUM(m) AS BIGINT) AS score
-             FROM mmx GROUP BY q_id, doc_id)
-      SELECT q_id AS query_id, rnk, doc_id, score FROM (
-        SELECT q_id, doc_id, score,
-          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-            ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-        FROM msc) t WHERE rnk <= 5
-      ORDER BY query_id, rnk""",
+    "v_maxsim" -> vMaxsimSql,
+
+    // the persisted late-interaction index must reproduce the
+    // in-session tier exactly (bucket pruning is lossless for the
+    // candidate equi-join)
+    "v_maxsim_store" -> vMaxsimSql,
 
     // filtered search on the persisted IVF store: Lloyd + nprobe probe
     // + per-query label equality replayed — probe pruning and the

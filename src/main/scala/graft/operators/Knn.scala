@@ -1525,38 +1525,82 @@ object Knn {
     * synthetic corpus the inverted index admits most documents; on a
     * natural-vocabulary corpus the same join is the sharp prune.
     */
-  def vMaxsim(spark: SparkSession, dir: String): DataFrame = {
-    // the per-vector components land as SCALAR columns (w1..w4), not
-    // an array: the pair stage folds millions of rows and a per-row
-    // array allocation there costs more than the dot itself
-    def hv(pfx: String): Seq[Column] = (1 to MvDim).map(k =>
+  /** (doc_id, h, w1..w4) vector rows for the late-interaction set of
+    * each document: mod-16-sampled distinct shingle hashes with their
+    * 4-dim integer md5 vectors as SCALAR columns (w1..w4, not an
+    * array — the pair stage folds millions of rows and a per-row
+    * array allocation there costs more than the dot itself). The raw
+    * scan is spread first: it is one parquet file → one input
+    * partition, and the shingle md5 stream is the CPU-heavy stage.
+    * Shared by v_maxsim and the persisted MaxsimStore.
+    */
+  private[graft] def maxsimVecRows(docs: DataFrame): DataFrame = {
+    val hv: Seq[Column] = (1 to MvDim).map(k =>
       (HashFns.md5Long(
         concat(lit("mv"), lit(k.toString), lit("_"), col("h").cast("string")), 8)
-        % 201 - 100).as(s"$pfx$k"))
-    // spread first: the raw table is one parquet file → one input
-    // partition, and the shingle md5 stream is the CPU-heavy stage
-    val sampled = Dedup.spread(Tables.documents(spark, dir).select("doc_id", "text"))
+        % 201 - 100).as(s"w$k"))
+    Dedup.spread(docs)
       .select(col("doc_id"), explode(HashFns.shingleHashes(col("text"), 5)).as("h"))
       .filter(col("h") % 16 === 0).distinct()
-      .transform(graft.Materialize.forceCached) // feeds queries, index, corpus side
-    val qs = sampled.filter(col("doc_id") < 3)
-      .select(col("doc_id").as("q_id"), col("h"))
-    val cand = qs.join(sampled, "h")
+      .select(col("doc_id") +: col("h") +: hv: _*)
+  }
+
+  /** Candidate pairs from the inverted-index join on sampled hashes:
+    * ≥2 shared fingerprints, self-pairs excluded. `qs` is (q_id, h);
+    * `postings` is (doc_id, h) — possibly bucket-pruned to the
+    * query's hash buckets, which is lossless for this equi-join.
+    */
+  private[graft] def maxsimCand(qs: DataFrame, postings: DataFrame): DataFrame =
+    qs.join(postings, "h")
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy("q_id", "doc_id").agg(countDistinct(col("h")).as("shared"))
       .filter(col("shared") >= 2)
       .select("q_id", "doc_id")
-    val qv = qs.select(col("q_id") +: col("h").as("qh") +: hv("q"): _*)
-    val dv = sampled.select(col("doc_id") +: hv("d"): _*)
+
+  /** Σ max ⟨q,d⟩ scoring + top-k over candidate pairs. `qv` is
+    * (q_id, qh, q1..q4), broadcast; `dv` is (doc_id, d1..d4).
+    */
+  private[graft] def maxsimTail(cand: DataFrame, dv: DataFrame, qv: DataFrame,
+                                k: Int): DataFrame = {
     val pr = cand.join(dv, "doc_id").join(broadcast(qv), "q_id")
-      .withColumn("dot", (1 to MvDim).map(k => col(s"q$k") * col(s"d$k"))
+      .withColumn("dot", (1 to MvDim).map(i => col(s"q$i") * col(s"d$i"))
         .reduce(_ + _))
     val mx = pr.groupBy("q_id", "doc_id", "qh").agg(max(col("dot")).as("m"))
     val sc = mx.groupBy("q_id", "doc_id").agg(sum(col("m")).as("score"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
-    sc.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
+    sc.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"), col("score"))
       .orderBy("query_id", "rnk")
+  }
+
+  def vMaxsim(spark: SparkSession, dir: String): DataFrame = {
+    val sampled = maxsimVecRows(Tables.documents(spark, dir).select("doc_id", "text"))
+      .transform(graft.Materialize.forceCached) // feeds queries, index, corpus side
+    val qs = sampled.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("h"))
+    val cand = maxsimCand(qs, sampled.select("doc_id", "h"))
+    val qv = sampled.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id") +: col("h").as("qh")
+        +: (1 to MvDim).map(i => col(s"w$i").as(s"q$i")): _*)
+    val dv = sampled
+      .select(col("doc_id") +: (1 to MvDim).map(i => col(s"w$i").as(s"d$i")): _*)
+    maxsimTail(cand, dv, qv, DefaultK)
+  }
+
+  /** v_maxsim_store: the persisted late-interaction tier in the gate —
+    * MaxsimStore writes the inverted (hbkt-partitioned) vector-row
+    * layout, search probes only the query's hash buckets for
+    * candidate generation and re-reads the store doc-side for
+    * scoring; hash-matches v_maxsim's oracle (bucket pruning is
+    * lossless for the candidate equi-join).
+    */
+  def vMaxsimStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/maxsim_store_$tag/idx").getAbsolutePath
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    graft.sources.MaxsimStore.write(docs, path)
+    graft.sources.MaxsimStore
+      .search(spark, path, docs.filter(col("doc_id") < 3), DefaultK)
   }
 
   /** v_rrf_fusion: hybrid search — reciprocal-rank fusion of the

@@ -989,3 +989,51 @@ object IvfBqIndexStore {
       .select("query_id", "rnk", "neighbor_id", "hamming", "sim")
   }
 }
+
+/** Persisted late-interaction (maxsim) index — the store twin of
+  * v_maxsim (ColBERT's serving layout: an inverted index over the
+  * per-document vector set). Rows are (h, doc_id, w1..w4) — one row
+  * per mod-16-sampled shingle-hash vector, components inline —
+  * PARTITIONED BY hbkt = h % 32, so candidate generation reads ONLY
+  * the partitions holding the query's own hashes (a probe touches
+  * ≤ |query vectors| of the 32 directories, pruned at file level;
+  * lossless, because the candidate join only ever matches h values
+  * the query carries). The scoring pass then re-reads the store
+  * joined on the CANDIDATE doc ids — the corpus-side scan of the
+  * tier, pruned by parquet row-group stats on doc_id rather than
+  * directories. Append is structure-free: new documents' rows land in
+  * their hash buckets with no read-modify-write (two-wave append ==
+  * one-shot write, spec-asserted).
+  */
+object MaxsimStore {
+  import graft.operators.Knn
+
+  val Buckets = 32
+
+  private def rows(docs: DataFrame): DataFrame =
+    Knn.maxsimVecRows(docs).withColumn("hbkt", (col("h") % Buckets).cast("int"))
+
+  def write(docs: DataFrame, path: String): Unit =
+    rows(docs).write.mode("overwrite").partitionBy("hbkt").parquet(path)
+
+  def append(docs: DataFrame, path: String): Unit =
+    rows(docs).write.mode("append").partitionBy("hbkt").parquet(path)
+
+  /** Maxsim top-k against the persisted index for (doc_id, text)
+    * queries; vector derivation for the query side runs in-session
+    * (tiny, broadcast). Self-pairs are excluded, matching v_maxsim.
+    */
+  def search(spark: SparkSession, path: String, queries: DataFrame,
+             k: Int): DataFrame = {
+    val qrows = graft.Materialize.forceCached(rows(queries))
+    val probeBkts = qrows.select("hbkt").distinct().collect().map(_.getInt(0)).toSeq
+    val inv = spark.read.parquet(path).where(col("hbkt").isin(probeBkts: _*))
+    val qs = qrows.select(col("doc_id").as("q_id"), col("h"))
+    val cand = Knn.maxsimCand(qs, inv.select("doc_id", "h"))
+    val qv = qrows.select(col("doc_id").as("q_id") +: col("h").as("qh")
+      +: (1 to Knn.MvDim).map(i => col(s"w$i").as(s"q$i")): _*)
+    val dv = spark.read.parquet(path)
+      .select(col("doc_id") +: (1 to Knn.MvDim).map(i => col(s"w$i").as(s"d$i")): _*)
+    Knn.maxsimTail(cand, dv, qv, k)
+  }
+}

@@ -254,6 +254,24 @@ class Round8Spec extends SparkSpec {
 
   // ---- StoreMaintenance crash consistency ------------------------------
 
+  test("MaxsimStore: two-wave append equals one-shot, probes prune hash buckets") {
+    import graft.sources.MaxsimStore
+    val base = java.nio.file.Files.createTempDirectory("maxsim_store").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val q = docs.filter(col("doc_id") < 3)
+    MaxsimStore.write(docs, s"$base/one")
+    val expected = hashRows(MaxsimStore.search(spark, s"$base/one", q, 5))
+    MaxsimStore.write(docs.filter(col("doc_id") % 2 === 0), s"$base/inc")
+    MaxsimStore.append(docs.filter(col("doc_id") % 2 === 1), s"$base/inc")
+    val res = MaxsimStore.search(spark, s"$base/inc", q, 5)
+    assert(hashRows(res) == expected,
+      "appended store must answer exactly as the one-shot build")
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[hbkt".r.findFirstIn(plan).nonEmpty,
+      s"candidate probe should prune hbkt partitions:\n${plan.take(2000)}")
+  }
+
   test("runRateIngest: two streamed waves equal the one-shot anomaly ranking") {
     import graft.sources.RateStore
     val ev = Tables.events(spark, sf)
