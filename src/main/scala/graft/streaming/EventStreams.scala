@@ -617,6 +617,36 @@ object EventStreams {
       .groupBy("word")
       .agg(org.apache.spark.sql.functions.expr("bit_or(bits)").as("bits"))
 
+  /** Streaming maintainer of the persisted late-interaction index
+    * (sources.MaxsimStore): each AvailableNow batch of documents
+    * derives its own sampled-hash vector rows and dynamic-partition-
+    * appends them into their hash buckets — structure-free, no
+    * read-modify-write (the log-structured MIH/bloom shape applied to
+    * the ColBERT layout). New documents become maxsim-searchable
+    * without touching existing state; two streamed waves answer
+    * identically to one batch build (spec-asserted).
+    */
+  def runMaxsimIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                      storePath: String): StreamingQuery = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream
+      .schema(docSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        graft.sources.MaxsimStore.append(batch.toDF(), storePath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   def runSpanIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                     storePath: String): StreamingQuery = {
     val docSchema = StructType(Seq(

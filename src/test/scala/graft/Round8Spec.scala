@@ -272,6 +272,22 @@ class Round8Spec extends SparkSpec {
       s"candidate probe should prune hbkt partitions:\n${plan.take(2000)}")
   }
 
+  test("runMaxsimIngest: two streamed waves equal the one-shot maxsim store") {
+    import graft.sources.MaxsimStore
+    val base = java.nio.file.Files.createTempDirectory("maxsim_ingest").toString
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/idx")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(src)
+    graft.streaming.EventStreams.runMaxsimIngest(spark, src, ckpt, store)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runMaxsimIngest(spark, src, ckpt, store)
+    MaxsimStore.write(docs, s"$base/one")
+    val q = docs.filter(col("doc_id") < 3)
+    assert(hashRows(MaxsimStore.search(spark, store, q, 5)) ==
+      hashRows(MaxsimStore.search(spark, s"$base/one", q, 5)),
+      "streamed vector-row appends must serve exactly as the batch build")
+  }
+
   test("runRateIngest: two streamed waves equal the one-shot anomaly ranking") {
     import graft.sources.RateStore
     val ev = Tables.events(spark, sf)
