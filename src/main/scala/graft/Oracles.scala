@@ -3569,11 +3569,10 @@ object Oracles {
     sb.toString
   }
 
-  /** Shared by v_maxsim and v_maxsim_store (the persisted inverted
-    * layout must reproduce the in-session tier exactly).
+  /** Shared CTE prefix of the maxsim oracles: sampled vector sets,
+    * query side, per-hash integer vectors.
     */
-  private val vMaxsimSql: String = s"""
-      WITH $shinglesCte,
+  private val maxsimBaseCte: String = s"""$shinglesCte,
       samp AS (SELECT DISTINCT doc_id, h FROM sh WHERE h % 16 = 0),
       mqs AS (SELECT doc_id AS q_id, h FROM samp WHERE doc_id < 3),
       mcand AS (SELECT q_id, doc_id FROM (
@@ -3585,24 +3584,54 @@ object Oracles {
       mtv AS (SELECT h, k,
                CAST(('0x' || substr(md5('mv' || k || '_' || h), 1, 8)) AS BIGINT)
                  % 201 - 100 AS w
-             FROM mhs CROSS JOIN mkk),
-      mpr AS (SELECT c.q_id, c.doc_id, q.h AS qh, d.h AS dh,
+             FROM mhs CROSS JOIN mkk)"""
+
+  /** Σ max ⟨q,d⟩ + top-5 over a candidate CTE, with CTE names prefixed
+    * so the blocked and exhaustive branches can coexist in one query.
+    */
+  private def maxsimScoreCte(pfx: String, candCte: String): String = s"""
+      ${pfx}pr AS (SELECT c.q_id, c.doc_id, q.h AS qh, d.h AS dh,
                CAST(SUM(tq.w * td.w) AS BIGINT) AS dot
-             FROM mcand c JOIN mqs q ON q.q_id = c.q_id
+             FROM $candCte c JOIN mqs q ON q.q_id = c.q_id
              JOIN samp d ON d.doc_id = c.doc_id
              JOIN mtv tq ON tq.h = q.h
              JOIN mtv td ON td.h = d.h AND td.k = tq.k
              GROUP BY c.q_id, c.doc_id, q.h, d.h),
-      mmx AS (SELECT q_id, doc_id, qh, MAX(dot) AS m
-             FROM mpr GROUP BY q_id, doc_id, qh),
-      msc AS (SELECT q_id, doc_id, CAST(SUM(m) AS BIGINT) AS score
-             FROM mmx GROUP BY q_id, doc_id)
-      SELECT q_id AS query_id, rnk, doc_id, score FROM (
-        SELECT q_id, doc_id, score,
-          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-            ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-        FROM msc) t WHERE rnk <= 5
+      ${pfx}mx AS (SELECT q_id, doc_id, qh, MAX(dot) AS m
+             FROM ${pfx}pr GROUP BY q_id, doc_id, qh),
+      ${pfx}sc AS (SELECT q_id, doc_id, CAST(SUM(m) AS BIGINT) AS score
+             FROM ${pfx}mx GROUP BY q_id, doc_id),
+      ${pfx}top AS (SELECT q_id, doc_id, score, rnk FROM (
+             SELECT q_id, doc_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+             FROM ${pfx}sc) t WHERE rnk <= 5)"""
+
+  /** Shared by v_maxsim and v_maxsim_store (the persisted inverted
+    * layout must reproduce the in-session tier exactly).
+    */
+  private val vMaxsimSql: String = s"""
+      WITH $maxsimBaseCte, ${maxsimScoreCte("m", "mcand")}
+      SELECT q_id AS query_id, rnk, doc_id, score FROM mtop
       ORDER BY query_id, rnk"""
+
+  /** v_maxsim_recall: blocked top-5 vs the EXHAUSTIVE-candidate top-5
+    * (every (query, doc) pair scored) — what the ≥2-shared-fingerprint
+    * candidate filter costs.
+    */
+  private val vMaxsimRecallSql: String = s"""
+      WITH $maxsimBaseCte,
+      xcand AS (SELECT q.q_id, d.doc_id
+                FROM (SELECT DISTINCT q_id FROM mqs) q
+                CROSS JOIN (SELECT DISTINCT doc_id FROM samp) d
+                WHERE d.doc_id <> q.q_id),
+      ${maxsimScoreCte("m", "mcand")},
+      ${maxsimScoreCte("x", "xcand")}
+      SELECT e.q_id AS query_id, CAST(COUNT(b.doc_id) AS BIGINT) AS hits,
+        ROUND(COUNT(b.doc_id) / 5.0, 6) AS recall
+      FROM xtop e LEFT JOIN mtop b
+        ON b.q_id = e.q_id AND b.doc_id = e.doc_id
+      GROUP BY e.q_id ORDER BY query_id"""
 
   /** Shared by q_anomaly and q_rate_store (the store must reproduce
     * the one-shot ranking exactly).
@@ -3828,6 +3857,9 @@ object Oracles {
     // in-session tier exactly (bucket pruning is lossless for the
     // candidate equi-join)
     "v_maxsim_store" -> vMaxsimSql,
+
+    // what the candidate filter costs: blocked vs exhaustive top-5
+    "v_maxsim_recall" -> vMaxsimRecallSql,
 
     // filtered search on the persisted IVF store: Lloyd + nprobe probe
     // + per-query label equality replayed — probe pruning and the

@@ -1587,6 +1587,39 @@ object Knn {
     maxsimTail(cand, dv, qv, DefaultK)
   }
 
+  /** v_maxsim_recall: recall@5 of the blocked maxsim against the
+    * EXHAUSTIVE-candidate maxsim (every (query, doc) pair scored) —
+    * what the ≥2-shared-fingerprint candidate filter costs, the
+    * late-interaction twin of v_recall / v_ivf_recall. The exhaustive
+    * side is affordable because the 0-mod-p sampling already bounds
+    * per-doc vector sets; at corpus scale it is the evaluation-only
+    * branch, never the serving path.
+    */
+  def vMaxsimRecall(spark: SparkSession, dir: String): DataFrame = {
+    val sampled = maxsimVecRows(Tables.documents(spark, dir).select("doc_id", "text"))
+      .transform(graft.Materialize.forceCached)
+    val qs = sampled.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("h"))
+    val qv = sampled.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id") +: col("h").as("qh")
+        +: (1 to MvDim).map(i => col(s"w$i").as(s"q$i")): _*)
+    val dv = sampled
+      .select(col("doc_id") +: (1 to MvDim).map(i => col(s"w$i").as(s"d$i")): _*)
+    val blocked = maxsimTail(maxsimCand(qs, sampled.select("doc_id", "h")),
+      dv, qv, DefaultK).select("query_id", "doc_id")
+    val allCand = qs.select("q_id").distinct()
+      .crossJoin(sampled.select("doc_id").distinct())
+      .filter(col("doc_id") =!= col("q_id"))
+    val exact = maxsimTail(allCand, dv, qv, DefaultK).select("query_id", "doc_id")
+    val hits = exact.join(blocked, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    qs.select(col("q_id").as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(DefaultK.toDouble), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** v_maxsim_store: the persisted late-interaction tier in the gate —
     * MaxsimStore writes the inverted (hbkt-partitioned) vector-row
     * layout, search probes only the query's hash buckets for

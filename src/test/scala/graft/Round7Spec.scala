@@ -202,7 +202,7 @@ class Round7Spec extends SparkSpec {
       "m_meta_paths" -> 1, "v_ivf_filtered" -> 2,
       "v_maxsim" -> 4, "t_bpe_train" -> 1, "q_ewma" -> 3,
       "t_bpe_apply" -> 2, "q_rate_store" -> 3, "d_embed_recall" -> 0,
-      "v_maxsim_store" -> 4)
+      "v_maxsim_store" -> 4, "v_maxsim_recall" -> 10)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
