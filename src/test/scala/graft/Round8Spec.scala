@@ -354,6 +354,54 @@ class Round8Spec extends SparkSpec {
     assert(hashRows(BitmapStore.report(spark, path)) == expected)
   }
 
+  test("BPE fuse: delimiter-safe, adjacent repeats defer (documented semantics)") {
+    import spark.implicits._
+    // the exact replace contract t_bpe_train's merge rounds rely on:
+    // padded spaced form, search " x y " → " xy "
+    val out = Seq(" a b a b ", " ab a b ", " x ab y ")
+      .toDF("sp")
+      .select(replace(col("sp"), lit(" a b "), lit(" ab ")).as("sp"))
+      .as[String].collect()
+    assert(out(0) == " ab a b ",
+      "adjacent repeat shares its delimiter — second occurrence defers a round")
+    assert(out(1) == " ab ab ",
+      "an occurrence after an already-fused symbol must merge")
+    assert(out(2) == " x ab y ",
+      "the fuse must never match inside a multi-char symbol")
+    // and the padding prevents suffix-crossing matches entirely
+    val cross = Seq(" ab a ").toDF("sp")
+      .select(replace(col("sp"), lit(" b a "), lit(" ba ")).as("sp"))
+      .as[String].collect()
+    assert(cross(0) == " ab a ",
+      "'b a' must not match across the 'ab' symbol boundary")
+  }
+
+  test("purge with recluster keeps the MIH radius contract exact") {
+    import graft.sources.{BqIndexStore, StoreMaintenance}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("purge_mih").toString
+    val full = s"$base/full"
+    val rest = s"$base/rest"
+    val victims = Seq(3L, 7L, 11L)
+    BqIndexStore.writeMih(emb, "vec_id", "embedding", full)
+    BqIndexStore.writeMih(emb.filter(!col("vec_id").isin(victims: _*)),
+      "vec_id", "embedding", rest)
+    val (rewritten, removed) =
+      StoreMaintenance.purge(spark, full, "id", victims, recluster = Some("bval"))
+    assert(rewritten > 0)
+    assert(removed == victims.size * 8L,
+      "each vector owns one row per byte-block in the multi-index layout")
+    val codes = operators.Knn.corpus(spark, sf).select(col("vec_id"),
+      operators.Knn.bqWords(col("v"), 0).as("code_lo"),
+      operators.Knn.bqWords(col("v"), 32).as("code_hi"))
+    val q = operators.Knn.bqCorruptedQueries(codes)
+    def res(p: String): Set[(Long, Long, Long)] =
+      BqIndexStore.searchRadius(spark, p, q, radius = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res(full) == res(rest),
+      "purged store must answer exactly like a store never containing the victims")
+  }
+
   test("bloom join filter: no false negatives, real pruning, fp near theory") {
     import graft.operators.Dedup
     val dim = Tables.customer(spark, sf)
