@@ -62,17 +62,20 @@ object Materialize {
     }
 
   /** Release a frame a previous forceCached produced, for iterative
-    * loops that re-materialize state every superstep: under
-    * `replicated` the superseded persisted blocks would otherwise
-    * accumulate across supersteps (2 copies each); under
-    * `local`/`checkpoint` this is a no-op (localCheckpoint blocks are
-    * dropped with their RDD by end-of-query cleanup; reliable
-    * checkpoints live on disk).
+    * loops that re-materialize state every superstep — the caller
+    * asserts the frame is never read again. Under `replicated` the
+    * superseded persisted blocks would otherwise accumulate across
+    * supersteps (2 copies each); under `local` the superseded
+    * localCheckpoint blocks are dropped eagerly (they would otherwise
+    * sit in the block store until the RDD is GC'd); reliable
+    * `checkpoint` files live on disk and need no release.
     */
   def release(df: DataFrame): Unit =
     df.sparkSession.conf.get(ConfKey, "local") match {
       case "replicated" =>
         Option(persistedOf.remove(df)).foreach(_.unpersist(blocking = false))
+      case "local" =>
+        org.apache.spark.sql.GraftShim.unpersistLeaves(df)
       case _ => ()
     }
 }

@@ -3646,7 +3646,8 @@ object Oracles {
       z AS (SELECT h.event_type, h.hour, h.n,
               ROUND((h.n * st.nh - st.s)
                 / sqrt(CAST(st.nh * st.ss - st.s * st.s AS DOUBLE)), 6) AS z
-            FROM h JOIN st ON st.event_type = h.event_type),
+            FROM h JOIN st ON st.event_type = h.event_type
+            WHERE st.nh > 1 AND st.nh * st.ss - st.s * st.s > 0),
       r AS (SELECT event_type, hour, n, z,
               ROW_NUMBER() OVER (PARTITION BY event_type
                 ORDER BY ABS(z) DESC, hour) AS rnk
@@ -3669,12 +3670,45 @@ object Oracles {
           LEAST(x2, 32) - GREATEST(x1, 0) AS cw,
           LEAST(y2, 24) - GREATEST(y1, 0) AS ch
         FROM ebox),
+      ers AS (SELECT crop_id, doc_id, cx1, cy1, cw, ch,
+          CASE WHEN cw <= ch THEN 10 ELSE (2*cw*10 + ch) // (2*ch) END AS nw,
+          CASE WHEN cw <= ch THEN (2*ch*10 + cw) // (2*cw) ELSE 10 END AS nh
+        FROM ecb WHERE cw > 0 AND ch > 0),
       t8 AS (SELECT unnest(generate_series(0, 7)) AS t),
-      eresz AS (SELECT c.crop_id, ty.t AS ty, tx.t AS tx, p.lpx AS px
-        FROM ecb c CROSS JOIN t8 ty CROSS JOIN t8 tx
-        JOIN elut p ON p.doc_id = c.doc_id
-          AND p.y = c.cy1 + (ty.t * c.ch) // 8
-          AND p.x = c.cx1 + (tx.t * c.cw) // 8),
+      eya AS (SELECT r.crop_id, t.t AS ty, 2*r.nh AS yd, r.ch AS ys,
+          (2*((r.nh - 8) // 2 + t.t) + 1) * r.ch - r.nh AS ynum
+        FROM ers r CROSS JOIN t8 t),
+      eyb AS (SELECT crop_id, ty, yd,
+          CASE WHEN ynum < 0 THEN 0 ELSE ynum // yd END AS y0,
+          CASE WHEN ynum < 0 THEN 0 ELSE ynum - (ynum // yd) * yd END AS fy,
+          LEAST(CASE WHEN ynum < 0 THEN 0 ELSE ynum // yd END + 1, ys - 1) AS y1
+        FROM eya),
+      exa AS (SELECT r.crop_id, t.t AS tx, 2*r.nw AS xd, r.cw AS xs,
+          (2*((r.nw - 8) // 2 + t.t) + 1) * r.cw - r.nw AS xnum
+        FROM ers r CROSS JOIN t8 t),
+      exb AS (SELECT crop_id, tx, xd,
+          CASE WHEN xnum < 0 THEN 0 ELSE xnum // xd END AS x0,
+          CASE WHEN xnum < 0 THEN 0 ELSE xnum - (xnum // xd) * xd END AS fx,
+          LEAST(CASE WHEN xnum < 0 THEN 0 ELSE xnum // xd END + 1, xs - 1) AS x1
+        FROM exa),
+      ebil AS (SELECT y.crop_id, y.ty, x.tx,
+          ((y.yd - y.fy) * ((x.xd - x.fx) * p00.lpx + x.fx * p01.lpx)
+           + y.fy * ((x.xd - x.fx) * p10.lpx + x.fx * p11.lpx))
+          // (y.yd * x.xd) AS bpx
+        FROM eyb y
+        JOIN exb x ON x.crop_id = y.crop_id
+        JOIN ers r ON r.crop_id = y.crop_id
+        JOIN elut p00 ON p00.doc_id = r.doc_id
+          AND p00.y = r.cy1 + y.y0 AND p00.x = r.cx1 + x.x0
+        JOIN elut p01 ON p01.doc_id = r.doc_id
+          AND p01.y = r.cy1 + y.y0 AND p01.x = r.cx1 + x.x1
+        JOIN elut p10 ON p10.doc_id = r.doc_id
+          AND p10.y = r.cy1 + y.y1 AND p10.x = r.cx1 + x.x0
+        JOIN elut p11 ON p11.doc_id = r.doc_id
+          AND p11.y = r.cy1 + y.y1 AND p11.x = r.cx1 + x.x1),
+      eresz AS (SELECT crop_id, ty, tx,
+          ((bpx * 1000000) // 255 - 449000 + 452000) // 226 - 2000 AS px
+        FROM ebil),
       k3 AS (SELECT unnest(generate_series(0, 2)) AS k),
       f4 AS (SELECT unnest(generate_series(0, 3)) AS f),
       o6 AS (SELECT unnest(generate_series(0, 5)) AS o),
@@ -3897,7 +3931,32 @@ object Oracles {
       FROM r ORDER BY vec_id"""
   )
 
+  val round9: Map[String, String] = Map(
+    // the routed filtered search took the EXACT route (the driver
+    // query's grp predicate matches ~2% of the corpus), so its truth
+    // is the exact filtered k-NN — top-3 same-grp neighbors
+    "v_filtered_route" -> """
+      WITH e AS (SELECT vec_id, vec_id % 50 AS grp,
+               embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, grp, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      q AS (SELECT vec_id AS query_id, grp AS qgrp, v AS qv, nrm AS qn
+            FROM n WHERE vec_id < 10),
+      s AS (SELECT q.query_id, q.qgrp, n.vec_id AS neighbor_id,
+              ROUND(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS sim
+            FROM n JOIN q ON n.grp = q.qgrp AND n.vec_id <> q.query_id),
+      r AS (SELECT query_id, qgrp, neighbor_id, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM s)
+      SELECT query_id, qgrp AS grp, rnk, neighbor_id, sim FROM r
+      WHERE rnk <= 3 ORDER BY query_id, rnk""",
+
+    // the SQL-only route over the persisted flat store must hash-match
+    // the Scala API's exact search
+    "v_sql_store" -> vector("v_knn_exact")
+  )
+
   def all: Map[String, String] =
     relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming ++
-      round2 ++ round3 ++ round6 ++ round8
+      round2 ++ round3 ++ round6 ++ round8 ++ round9
 }

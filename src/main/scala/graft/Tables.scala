@@ -76,4 +76,17 @@ object GraftSession {
       // surface run under the replicated/checkpoint strategies
       .config(Materialize.ConfKey,
         sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "local"))
+
+  /** SQL-only access to a persisted index store: register the graft_*
+    * function family and bind the store's parquet dataset as the temp
+    * view `graft_store_<name>` — after this one call, a pure-SQL user
+    * can run the reference's load-then-search flow (app.py:52-58,
+    * 138-146) as a single SELECT (v_sql_store drives exactly that).
+    * The view is a plain scan, so partition pruning / filter pushdown
+    * on the store layout still applies to SQL queries against it.
+    */
+  def sqlStore(spark: SparkSession, path: String, name: String): Unit = {
+    GraftFunctions.register(spark)
+    spark.read.parquet(path).createOrReplaceTempView(s"graft_store_$name")
+  }
 }

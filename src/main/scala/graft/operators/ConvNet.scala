@@ -63,33 +63,91 @@ object ConvNet {
     (w, h, px)
   }
 
-  /** Nearest-neighbor resize of a w×h grid to InSize×InSize: source
-    * index (ty·h) div InSize — the exact integer form the oracle joins
-    * on. Matches the semantics of the reference transform's Resize
-    * (build_faiss_db.py:117) at integer precision.
+  /** Shortest-side target of the bilinear resize — the scaled analog
+    * of torchvision's Resize(256) (build_faiss_db.py:119): the SHORT
+    * side lands exactly on this, the long side scales to
+    * round(long·R/short), aspect preserved, then CenterCrop takes the
+    * central InSize×InSize (the Resize(256)→CenterCrop(224) pair).
     */
-  def resize(w: Int, h: Int, px: Array[Int]): Array[Int] = {
+  val ResizeShort = 10
+
+  /** Resized dims for a w×h input: short side → [[ResizeShort]], long
+    * side → round-half-up of long·R/short in exact integer form
+    * ((2·a + b) div (2·b) = round(a/b) for positive ints — the same
+    * closed form the SQL oracle replays).
+    */
+  def bilinearDims(w: Int, h: Int): (Int, Int) =
+    if (w <= h) (ResizeShort, (2 * h * ResizeShort + w) / (2 * w))
+    else ((2 * w * ResizeShort + h) / (2 * h), ResizeShort)
+
+  /** Half-pixel-center bilinear sampling params for target index t of
+    * T over source size S (align_corners=false, the torchvision/PIL
+    * convention): source position = ((2t+1)·S − T) / (2T). Returns
+    * (i0, i1, frac) with frac in denominator D = 2T; a negative
+    * position clamps to the edge (i0 = i1 = 0, frac = 0), and i0 can
+    * never exceed S−1 by construction.
+    */
+  private def bilinearAxis(t: Int, T: Int, S: Int): (Int, Int, Int) = {
+    val num = (2 * t + 1) * S - T
+    val d = 2 * T
+    if (num < 0) (0, 0, 0)
+    else {
+      val i0 = num / d
+      (i0, math.min(i0 + 1, S - 1), num - i0 * d)
+    }
+  }
+
+  /** Fixed-point Normalize (mean 0.449, std 0.226 — the grayscale
+    * collapse of the ImageNet stats in build_faiss_db.py:122's
+    * Normalize(mean, std)): output is thousandths of (v/255 − μ)/σ.
+    * Every intermediate division runs on a non-negative operand
+    * (+452000 = 2000·226 re-centers before the σ divide), so the JVM,
+    * Spark `div`, and DuckDB `//` all floor identically.
+    */
+  def normalizeFp(v: Long): Long =
+    (v * 1000000L / 255L - 449000L + 452000L) / 226L - 2000L
+
+  /** The model-input preprocess, in the reference transform's order
+    * and a fixed-point form both engines replay exactly
+    * (build_faiss_db.py:119-123: Resize → CenterCrop → ToTensor →
+    * Normalize): shortest-side bilinear resize to [[ResizeShort]],
+    * center-crop InSize×InSize, per-pixel Normalize. The bilinear
+    * accumulator is exact integer arithmetic in denominator
+    * (2·nw)·(2·nh) with one floor division at the end.
+    */
+  def preprocess(w: Int, h: Int, px: Array[Int]): Array[Int] = {
+    val (nw, nh) = bilinearDims(w, h)
+    val oy = (nh - InSize) / 2
+    val ox = (nw - InSize) / 2
+    val dy = 2 * nh
+    val dx = 2 * nw
     val out = new Array[Int](InSize * InSize)
-    var ty = 0
-    while (ty < InSize) {
-      val sy = ty * h / InSize
-      var tx = 0
-      while (tx < InSize) {
-        out(ty * InSize + tx) = px(sy * w + tx * w / InSize)
-        tx += 1
+    var i = 0
+    while (i < InSize) {
+      val (y0, y1, fy) = bilinearAxis(oy + i, nh, h)
+      var j = 0
+      while (j < InSize) {
+        val (x0, x1, fx) = bilinearAxis(ox + j, nw, w)
+        val v = (dy - fy).toLong *
+            ((dx - fx).toLong * px(y0 * w + x0) + fx.toLong * px(y0 * w + x1)) +
+          fy.toLong *
+            ((dx - fx).toLong * px(y1 * w + x0) + fx.toLong * px(y1 * w + x1))
+        out(i * InSize + j) = normalizeFp(v / (dy.toLong * dx)).toInt
+        j += 1
       }
-      ty += 1
+      i += 1
     }
     out
   }
 
-  /** The full forward pass: resize → conv → ReLU → max-pool → dense.
-    * Returns integer-valued doubles (the embedding the index tier
-    * consumes). The +(o+1) bias keeps the vector from the zero norm
-    * a pathological all-flat crop could otherwise produce.
+  /** The full forward pass: bilinear Resize → CenterCrop → Normalize →
+    * conv → ReLU → max-pool → dense. Returns integer-valued doubles
+    * (the embedding the index tier consumes). The +(o+1) bias keeps
+    * the vector from the zero norm a pathological all-flat crop could
+    * otherwise produce.
     */
   def forward(w: Int, h: Int, px: Array[Int]): Array[Double] = {
-    val in = resize(w, h, px)
+    val in = preprocess(w, h, px)
     // conv + ReLU: 4 × 6 × 6
     val conv = new Array[Int](NFilters * ConvOut * ConvOut)
     var f = 0

@@ -122,7 +122,10 @@ object Knn {
     * cells (a ≤ b).
     */
   private[graft] def keptPairCells(e: DataFrame, spark: SparkSession): Seq[(Int, Int)] = {
-    // per-group unit centroid (g×dim rows to the driver) and radius
+    // per-group unit centroid (g×dim rows to the driver) and radius.
+    // This is the FIRST action over `e`, so when the caller passes a
+    // lazily-persisted frame it doubles as the materializing job — no
+    // separate force pass.
     val unit = e.select(col("grp"),
       posexplode(expr("transform(v, (x, i) -> x / nrm)")).as(Seq("d", "u")))
     val centRows = unit.groupBy("grp", "d").agg(sum("u").as("s"), count(lit(1)).as("n"))
@@ -135,22 +138,35 @@ object Knn {
     import spark.implicits._
     val centDf = broadcast(cent.toSeq.map { case (grp, c) => (grp, c, cnorm(grp)) }
       .toDF("cgrp", "c", "cn"))
-    val minCos = e.join(centDf, col("grp") === col("cgrp"))
-      .select(col("grp"),
-        (V.dot(col("v"), col("c")) / (col("nrm") * col("cn"))).as("ca"))
-      .groupBy("grp").agg(min("ca").as("mc"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // the radius pass and the diagonal-τ̂ pass are independent given
+    // the centroids — submit them as CONCURRENT jobs (both read the
+    // cached `e` blocks), so the driver pays one wall-clock round for
+    // the two collects instead of two sequential ones
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val minCosF = Future {
+      e.join(centDf, col("grp") === col("cgrp"))
+        .select(col("grp"),
+          (V.dot(col("v"), col("c")) / (col("nrm") * col("cn"))).as("ca"))
+        .groupBy("grp").agg(min("ca").as("mc"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    }
+    // τ̂: the 100th similarity over diagonal cells alone — a subset of
+    // the pair space, so the global 100th can only be ≥ it
+    val diagTopF = Future {
+      val l = e.select(col("grp"), col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+      val r = e.select(col("grp"), col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+      l.join(r, Seq("grp")).filter(col("id1") < col("id2"))
+        .select(round(V.cosinePre(V.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6).as("sim"))
+        .orderBy(col("sim").desc).limit(100).collect()
+    }
+    val minCos = Await.result(minCosF, Duration.Inf)
+    val diagTop = Await.result(diagTopF, Duration.Inf)
     def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
     val radius: Map[Int, Double] = minCos.map { case (grp, mc) =>
       grp -> (if (cnorm(grp) < 1e-12 || mc.isNaN) math.Pi else math.acos(clamp(mc)))
     }
-    // τ̂: the 100th similarity over diagonal cells alone — a subset of
-    // the pair space, so the global 100th can only be ≥ it
-    val l = e.select(col("grp"), col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
-    val r = e.select(col("grp"), col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-    val diagTop = l.join(r, Seq("grp")).filter(col("id1") < col("id2"))
-      .select(round(V.cosinePre(V.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6).as("sim"))
-      .orderBy(col("sim").desc).limit(100).collect()
     val grps = cent.keys.toSeq.sorted
     if (diagTop.length < 100) return for { a <- grps; b <- grps if a <= b } yield (a, b)
     val tau = diagTop.last.getDouble(0)
@@ -189,10 +205,14 @@ object Knn {
   def vPairsNear(spark: SparkSession, dir: String): DataFrame = {
     val g = pairGridSize(spark)
     val dim = 64
-    val e = graft.Materialize.forceCached(
-      withBands(corpus(spark, dir).withColumn("vq", V.quantize(col("v"))), dim)
-        .withColumn("grp", pmod(col("band0"), lit(g)).cast("int"))
-        .select("vec_id", "v", "nrm", "grp"))
+    // lazy persist, not an eager checkpoint: keptPairCells' centroid
+    // job is the materializing action, so the pruning costs two
+    // wall-clock rounds total (centroid, then the concurrent
+    // radius + τ̂ collects) on top of the pair join itself
+    val e = withBands(corpus(spark, dir).withColumn("vq", V.quantize(col("v"))), dim)
+      .withColumn("grp", pmod(col("band0"), lit(g)).cast("int"))
+      .select("vec_id", "v", "nrm", "grp")
+      .persist()
     val kept = keptPairCells(e, spark)
     val cells = broadcast(spark.createDataFrame(kept).toDF("ga", "gb"))
     val l = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"),
@@ -1545,17 +1565,52 @@ object Knn {
       .select(col("doc_id") +: col("h") +: hv: _*)
   }
 
+  /** Document-frequency ceiling on v_maxsim's candidate postings — the
+    * fan-out guard every late-interaction serving stack carries
+    * (ColBERT truncates hot posting lists and caps per-query
+    * candidates): a fingerprint shared by more documents than this is
+    * boilerplate, and joining through it would fan a single query
+    * into millions of candidate pairs at corpus scale. The default is
+    * far above any fingerprint's document frequency at the gate's
+    * scale factors (spec-asserted result-neutral there), so the
+    * oracle is unchanged; at 100 TB it bounds the candidate join's
+    * worst key.
+    */
+  val MaxsimDfCapConf = "spark.graft.maxsim.dfcap"
+  val MaxsimDfCapDefault = 100000L
+
   /** Candidate pairs from the inverted-index join on sampled hashes:
     * ≥2 shared fingerprints, self-pairs excluded. `qs` is (q_id, h);
     * `postings` is (doc_id, h) — possibly bucket-pruned to the
-    * query's hash buckets, which is lossless for this equi-join.
+    * query's hash buckets, which is lossless for this equi-join (all
+    * postings of a hash live in one bucket, so the df ceiling sees
+    * the full list either way).
+    *
+    * The ceiling is enforced through a HOT-HASH BLOCKLIST pre-pass:
+    * document frequency is counted only over the query set's own
+    * hashes (a broadcast semi-join prunes postings first, partial
+    * aggs bound the shuffle at ≤ |query hashes| rows), and the few
+    * over-cap hashes collect to a literal NOT-IN filter. The serving
+    * join's plan is untouched — no extra exchange (Round7Spec's
+    * shuffle budget pins that), and the broadcast candidate join
+    * never sees a boilerplate fingerprint's million-row posting list.
     */
-  private[graft] def maxsimCand(qs: DataFrame, postings: DataFrame): DataFrame =
-    qs.join(postings, "h")
+  private[graft] def maxsimCand(qs: DataFrame, postings: DataFrame): DataFrame = {
+    val cap = postings.sparkSession.conf
+      .get(MaxsimDfCapConf, MaxsimDfCapDefault.toString).toLong
+    val hot = postings.join(broadcast(qs.select("h").distinct()), "h")
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .collect().map(_.getLong(0))
+    val capped =
+      if (hot.isEmpty) postings
+      else postings.filter(!col("h").isin(hot.toSeq: _*))
+    qs.join(capped, "h")
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy("q_id", "doc_id").agg(countDistinct(col("h")).as("shared"))
       .filter(col("shared") >= 2)
       .select("q_id", "doc_id")
+  }
 
   /** Σ max ⟨q,d⟩ scoring + top-k over candidate pairs. `qv` is
     * (q_id, qh, q1..q4), broadcast; `dv` is (doc_id, d1..d4).
@@ -1775,6 +1830,67 @@ object Knn {
       .searchFiltered(spark, path, queries, "vec_id", "embedding",
         k = 3, matchCols = Seq("label"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** v_filtered_route: SELECTIVITY-ROUTED filtered search on the
+    * persisted IVF store — the pre-filter vs post-filter decision a
+    * production vector DB makes per query. The store carries a
+    * high-cardinality inline attribute (grp = vec_id mod 50, a
+    * tenant/collection stand-in); the query set's predicate matches
+    * ~2% of the corpus, the routed search's limit-then-count survivor
+    * probe sees that, and it takes the EXACT route: scan only the
+    * filtered survivors (predicate pushed to parquet) and brute-force
+    * top-3 — recall 1.0 at less cost than probing nprobe/nlist of the
+    * corpus. The oracle is the exact filtered k-NN, so a hash match
+    * proves the routed path returns the true answer (the IVF
+    * post-filter path provably would not here: survivors of a rare
+    * attribute mostly live OUTSIDE the query's probed lists).
+    * Round9Spec drives both routes and the routing condition.
+    */
+  def vFilteredRoute(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/route_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("grp", (col("vec_id") % 50).cast("long"))
+    graft.sources.IvfIndexStore.write(emb, "vec_id", "embedding", path,
+      model = Some(ivfCentroids(spark, dir)), metaCols = Seq("grp"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"), col("grp"))
+    graft.sources.IvfIndexStore
+      .searchFilteredRouted(spark, path, queries, "vec_id", "embedding",
+        k = 3, matchCols = Seq("grp"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_sql_store: the PERSISTED index served to a SQL-ONLY user — the
+    * reference's app-side flow (load a written index, search it:
+    * app.py:52-58 + 138-146) with no Scala between the user and the
+    * answer. GraftSession.sqlStore binds the store's parquet dataset
+    * as a temp view next to the registered graft_* function family,
+    * and one SQL statement runs the full exact top-5 over the loaded
+    * store (queries drawn from the store itself, vec_id < 10).
+    * Shares v_flat_store's oracle (= v_knn_exact): the SQL route over
+    * the persisted layout must produce the exact hash the Scala API
+    * produces.
+    */
+  def vSqlStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/sql_store_$tag/idx").getAbsolutePath
+    graft.sources.IndexStore.write(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", path, dim = 64)
+    graft.GraftSession.sqlStore(spark, path, "flat")
+    spark.sql(s"""
+      WITH q AS (SELECT id AS query_id, v AS qv, nrm AS qn
+                 FROM graft_store_flat WHERE id < $NumQueries),
+      s AS (SELECT /*+ BROADCAST(q) */ query_id, e.id AS neighbor_id,
+              ROUND(graft_dot(qv, e.v) / (qn * e.nrm), 6) AS sim
+            FROM graft_store_flat e JOIN q ON e.id <> query_id),
+      r AS (SELECT query_id, neighbor_id, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM s)
+      SELECT query_id, rnk, neighbor_id, sim FROM r
+      WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
   }
 
   /** v_flat_store: the persisted FLAT index path inside the gate —

@@ -1011,7 +1011,13 @@ object Relational {
     val stats = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("nh"), sum(col("n")).as("s"),
            sum(col("n") * col("n")).as("ss"))
+    // zero-variance guard: a type with a single hour or identical
+    // hourly counts has radicand 0 → 0/0 = NaN, and NaN ordering is
+    // exactly the cross-engine hazard the gate exists to exclude. A
+    // flat series has no anomalies by definition, so it drops here
+    // (same predicate in the oracle).
     val z = hourly.join(broadcast(stats), "event_type")
+      .filter(col("nh") > 1 && col("nh") * col("ss") - col("s") * col("s") > 0)
       .withColumn("z", round(
         (col("n") * col("nh") - col("s")).cast("double") /
           sqrt((col("nh") * col("ss") - col("s") * col("s")).cast("double")), 6))

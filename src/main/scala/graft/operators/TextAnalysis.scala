@@ -572,19 +572,48 @@ object TextAnalysis {
     * the one documented departure from HF's list-walk merge). The
     * oracle replays all 5 rounds as unrolled CTEs.
     */
-  /** The shared BPE training loop behind t_bpe_train / t_bpe_apply:
-    * returns (final vocab as (w, sp, f) with sp fully merged, the 5
-    * learned merges as (round, x, y, count)).
+  /** The shared BPE training behind t_bpe_train / t_bpe_apply.
+    * Training is expensive (5 argmax jobs over the distinct-word
+    * table), so the learned MERGES — plain driver data, the tokenizer
+    * model — are memoized per (session, dir): t_bpe_train and
+    * t_bpe_apply in the same suite share ONE training pass (the
+    * tokenizer contract: train once, apply everywhere). Only the
+    * merges memoize, never a cached frame: callers' between-query
+    * cleanup (Verify unpersists all RDDs per dump) must not be able
+    * to strand a memoized plan on dead blocks. The returned vocab is
+    * rebuilt as PURE LINEAGE — the base spaced vocab with the learned
+    * merges applied as 5 literal map-side replaces, exactly the
+    * evolution training performed.
     */
-  private def bpeVocab(spark: SparkSession, dir: String)
-      : (DataFrame, Seq[(Long, String, String, Long)]) = {
-    val rounds = 5
-    var vocab = Tables.documents(spark, dir)
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, Long)]]()
+
+  /** The initial space-padded per-character vocab over distinct words. */
+  private def bpeBaseVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(explode(toks(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .select(col("w"),
         concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
           .as("sp"), col("f"))
+
+  private def bpeVocab(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
+    val merges = bpeMergeCache.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + dir,
+      _ => bpeTrainMerges(spark, dir))
+    val vocab = merges.foldLeft(bpeBaseVocab(spark, dir)) {
+      case (v, (_, x, y, _)) =>
+        v.select(col("w"),
+          replace(col("sp"), lit(s" $x $y "), lit(s" $x$y ")).as("sp"), col("f"))
+    }
+    (vocab, merges)
+  }
+
+  private def bpeTrainMerges(spark: SparkSession, dir: String)
+      : Seq[(Long, String, String, Long)] = {
+    val rounds = 5
+    var vocab = bpeBaseVocab(spark, dir)
       .transform(graft.Materialize.forceCached)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (r <- 1 to rounds) {
@@ -602,12 +631,19 @@ object TextAnalysis {
       val by = best.getString(1)
       val bn = best.getLong(2)
       merges += ((r.toLong, bx, by, bn))
+      val prev = vocab
       vocab = vocab
         .select(col("w"),
           replace(col("sp"), lit(s" $bx $by "), lit(s" $bx$by ")).as("sp"), col("f"))
         .transform(graft.Materialize.forceCached)
+      // the new round's frame is fully materialized — the superseded
+      // one is never read again, so its blocks release immediately
+      graft.Materialize.release(prev)
     }
-    (vocab, merges.result())
+    // only the merges leave this function — the final training frame's
+    // blocks are dead too
+    graft.Materialize.release(vocab)
+    merges.result()
   }
 
   def tBpeTrain(spark: SparkSession, dir: String): DataFrame = {

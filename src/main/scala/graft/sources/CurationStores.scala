@@ -151,10 +151,14 @@ object KmvStore {
   * under event_type= dirs; the report re-SUMS the shards into the
   * merged series and replays the z-score ranking. Unlike the sketch
   * stores, counts are additive but NOT idempotent — losslessness
-  * rests on disjoint batches, i.e. the exactly-once file delivery of
-  * a checkpointed stream source (EventStreams.runRateIngest), not on
-  * the merge algebra. Merge-compact rewrites each source dir to one
-  * row per hour (results unchanged: sum re-associates).
+  * rests on each source row landing in exactly one LIVE shard. Batch
+  * callers get that from disjoint waves ([[append]]); the streaming
+  * maintainer (EventStreams.runRateIngest) gets it from
+  * [[appendBatch]]'s batchId-keyed overwrite, which makes an
+  * at-least-once replay replace its shard instead of double-counting.
+  * Merge-compact rewrites each source dir to one row per hour
+  * (results unchanged: sum re-associates; wave layout only — batch
+  * shards keep their bid identity).
   */
 object RateStore {
 
@@ -165,6 +169,27 @@ object RateStore {
   def append(ev: DataFrame, path: String): Unit =
     Relational.rateRows(ev)
       .write.mode("append").partitionBy("event_type").parquet(path)
+
+  /** Idempotent per-batch shard for at-least-once executors
+    * (Structured Streaming's foreachBatch): the batch's partial counts
+    * land under a batchId-derived `bid=<id>` subtree written with
+    * OVERWRITE, so a batch replayed after a crash-between-append-and-
+    * checkpoint-commit REPLACES its shard instead of double-counting.
+    * Plain [[append]] would silently inflate the hourly sums in
+    * exactly that window — sums are additive, not idempotent, so the
+    * sink must carry the batch identity. Readers discover `bid` as an
+    * extra partition column; [[report]]'s re-sum ignores it. A store
+    * is either wave-appended ([[write]]/[[append]]) or
+    * stream-maintained (this method) — the two layouts don't mix.
+    * Batch shards keep their `bid` identity permanently (merging
+    * across bids would reopen the replay double-count); each shard is
+    * calendar-bounded kilobytes, so the store grows with batch count,
+    * not corpus size.
+    */
+  def appendBatch(ev: DataFrame, path: String, batchId: Long): Unit =
+    Relational.rateRows(ev)
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$path/bid=$batchId")
 
   private def merged(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -185,11 +185,81 @@ object IndexStore {
   * Already-materialized results (collected, cached with all blocks
   * resident, or written out) are unaffected.
   */
+/** Thrown when a maintenance pass (compact/purge) finds another
+  * maintainer's lock on the store — the second pass refuses cleanly
+  * instead of racing the first one's `.compact_*` temp dirs (last
+  * writer's manifest would win and the loser's rewrite could
+  * resurrect or double-delete files).
+  */
+final class ConcurrentMaintenanceException(msg: String)
+  extends RuntimeException(msg)
+
 object StoreMaintenance {
+
+  /** Lock file name for the single-maintainer lease on a store. */
+  val LockName = ".maintenance_lock"
+
+  private def lockFile(root: java.io.File) = new java.io.File(root, LockName)
+
+  /** Single-maintainer lease: claim `.maintenance_lock` atomically
+    * (createFile — EEXIST means another maintainer holds the store),
+    * run `body`, release. The lock carries an epoch line
+    * (`pid@host time`) so an operator can tell a live holder from a
+    * crashed one; a crash leaves the lock in place, and the runbook is
+    * to verify the holder is dead, then [[breakLock]] and [[recover]]
+    * (or just [[openChecked]], which does both under the lock).
+    */
+  private[sources] def withLock[T](root: java.io.File)(body: => T): T = {
+    val lf = lockFile(root)
+    try
+      java.nio.file.Files.write(lf.toPath,
+        java.util.Collections.singletonList(
+          s"${java.lang.ProcessHandle.current.pid}@${
+            java.net.InetAddress.getLocalHost.getHostName} ${
+            java.time.Instant.now}"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val holder = scala.util.Try(
+          java.nio.file.Files.readAllLines(lf.toPath).get(0)).getOrElse("?")
+        throw new ConcurrentMaintenanceException(
+          s"store $root is locked by maintainer [$holder]; " +
+            "if the holder is dead, breakLock() then recover()")
+    }
+    try body finally lf.delete()
+  }
+
+  /** Remove a crashed maintainer's lock. Only call after verifying the
+    * epoch's holder is no longer running.
+    */
+  def breakLock(path: String): Boolean = lockFile(new java.io.File(path)).delete()
+
+  /** Recover-on-open: settle any crashed maintenance (under the lock,
+    * so a live maintainer is never raced — its in-flight temp dirs
+    * must not be discarded), then read the store. This is the reader
+    * entry point after an unclean shutdown; without it a store crashed
+    * mid-swap serves the pre-compact listing until someone runs
+    * [[recover]] by hand.
+    */
+  def openChecked(spark: SparkSession, path: String): DataFrame = {
+    withLock(new java.io.File(path)) { recover(path) }
+    spark.read.parquet(path)
+  }
 
   private def dataFiles(d: java.io.File): Array[java.io.File] =
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Live `col=val` partition directories under `root`. Dot-prefixed
+    * names are excluded explicitly: a crashed maintenance pass leaves
+    * `.compact_<col>=<val>` temp dirs whose names also contain '=',
+    * and reading one as a partition would double-count its rows and
+    * nest `.compact_.compact_*` dirs on the next rewrite.
+    */
+  private def partitionDirs(root: java.io.File): Array[java.io.File] =
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith(".") &&
+        f.getName.contains("="))
 
   /** Step 3 of the swap, idempotent: retire manifest-listed files,
     * move rewritten files into the partition dir, clear the temp dir
@@ -270,12 +340,13 @@ object StoreMaintenance {
     * needs (faiss remove_ids, Delta DELETE). Rewrites ONLY the
     * partition dirs that actually contain one of `ids`, dropping
     * those rows through the same crash-consistent temp-dir + manifest
-    * swap as [[compact]] ([[recover]] applies unchanged). The
-    * per-partition hit probe reads just the id column with the IN
-    * predicate pushed to parquet (row-group stats prune it further),
-    * so on a petabyte store with a handful of purged ids the
-    * untouched partitions cost a footer read each and their files are
-    * never rewritten. Pass `recluster` for stores whose file pruning
+    * swap as [[compact]] ([[recover]] applies unchanged, and runs
+    * first so leftover temp dirs are settled before discovery). Hit
+    * discovery is a SINGLE pushed-down scan of the id column across
+    * the whole store grouped by partition directory — O(1) Spark jobs
+    * however many partitions exist — and row-group stats keep
+    * untouched partitions at a footer read; only hit directories are
+    * rewritten. Pass `recluster` for stores whose file pruning
     * relies on a sorted data column (compact's recluster rule);
     * otherwise the rewrite keeps the dir's file count. Returns
     * (partitions rewritten, rows removed).
@@ -283,31 +354,47 @@ object StoreMaintenance {
   def purge(spark: SparkSession, path: String, idCol: String, ids: Seq[Any],
             recluster: Option[String] = None): (Int, Long) = {
     val root = new java.io.File(path)
-    val parts = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
+    withLock(root) {
+    // finish or discard any interrupted swap first: a leftover
+    // .compact_* temp dir must never be read as a live partition
+    // (safe here: the lock excludes any other maintainer's in-flight
+    // temp dirs)
+    recover(path)
+    val parts = partitionDirs(root).filter(d => dataFiles(d).nonEmpty)
+    if (parts.isEmpty || ids.isEmpty) return (0, 0L)
+    // Discovery is ONE Spark job over the whole store, not one count()
+    // per directory: the IN predicate pushes to parquet (row-group
+    // stats keep untouched partitions at a footer read), the scan
+    // prunes to the id column, and the hits group by their partition
+    // directory. A store with thousands of partition dirs (MIH blk
+    // buckets, a year of day= dirs) pays O(1) scheduling overhead for
+    // discovery instead of thousands of sequential ~100 ms jobs.
+    val hitRows = spark.read.parquet(parts.map(_.getAbsolutePath): _*)
+      .where(col(idCol).isin(ids: _*))
+      .select(regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1).as("pdir"))
+      .groupBy("pdir").agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     var rewritten = 0
     var removed = 0L
-    parts.foreach { pdir =>
-      val rows = spark.read.parquet(pdir.getAbsolutePath)
-      val hits = rows.where(col(idCol).isin(ids: _*)).count()
-      if (hits > 0) {
-        val files = dataFiles(pdir)
-        val keep = rows.where(!col(idCol).isin(ids: _*))
-        val shaped = recluster match {
-          case Some(c) => keep.repartitionByRange(math.max(1, files.length), col(c))
-            .sortWithinPartitions(c)
-          case None => keep.coalesce(math.max(1, files.length))
-        }
-        val tmp = new java.io.File(root, s".compact_${pdir.getName}")
-        shaped.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
-          java.util.Arrays.asList(files.map(_.getName): _*))
-        completeSwap(pdir, tmp)
-        rewritten += 1
-        removed += hits
+    parts.filter(p => hitRows.contains(p.getName)).foreach { pdir =>
+      val files = dataFiles(pdir)
+      val keep = spark.read.parquet(pdir.getAbsolutePath)
+        .where(!col(idCol).isin(ids: _*))
+      val shaped = recluster match {
+        case Some(c) => keep.repartitionByRange(files.length, col(c))
+          .sortWithinPartitions(c)
+        case None => keep.coalesce(files.length)
       }
+      val tmp = new java.io.File(root, s".compact_${pdir.getName}")
+      shaped.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
+        java.util.Arrays.asList(files.map(_.getName): _*))
+      completeSwap(pdir, tmp)
+      rewritten += 1
+      removed += hitRows(pdir.getName)
     }
     (rewritten, removed)
+    }
   }
 
   /** The generic crash-consistent partition rewrite behind [[compact]]
@@ -322,8 +409,8 @@ object StoreMaintenance {
       shouldRewrite: Int => Boolean,
       shaper: DataFrame => DataFrame): (Int, Int) = {
     val root = new java.io.File(path)
-    val parts = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
+    withLock(root) {
+    val parts = partitionDirs(root)
     var before = 0
     var after = 0
     parts.foreach { pdir =>
@@ -342,6 +429,7 @@ object StoreMaintenance {
       } else after += files.length
     }
     (before, after)
+    }
   }
 }
 
@@ -512,6 +600,79 @@ object IvfIndexStore {
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .select(col("query_id") +: matchCols.map(col)
         :+ col("rnk") :+ col("neighbor_id") :+ col("sim"): _*)
+  }
+
+  /** Survivor ceiling for [[searchFilteredRouted]]'s exact route: at
+    * or below this many filter-matching rows, brute-forcing the
+    * survivors costs less than probing nprobe/nlist of the corpus AND
+    * returns recall 1.0 — the pre-filter vs post-filter decision
+    * every production vector store makes (Milvus/Qdrant route exactly
+    * this way). The probe is limit-then-count, so it stays
+    * O(threshold) work however large the store is.
+    */
+  val ExactRouteThreshold = 1024
+
+  /** Selectivity-routed attribute-filtered search: a cheap pushed-down
+    * cardinality probe counts the rows matching the query set's
+    * filter values, then picks the route —
+    *
+    *  - ultra-selective predicate (≤ `exactThreshold` survivors):
+    *    EXACT scan of the survivors only (filter pushed to parquet,
+    *    broadcast query join, top-k). Cheaper than IVF's
+    *    corpus·nprobe/nlist read and exact by construction — the
+    *    post-filter IVF path could even return FEWER than k hits when
+    *    the survivors hide outside the probed lists;
+    *  - broad predicate: the standard [[searchFiltered]] probe-join
+    *    path (coarse pruning does the heavy lifting, the filter rides
+    *    the probe join).
+    */
+  def searchFilteredRouted(spark: SparkSession, path: String, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           matchCols: Seq[String],
+                           nprobe: Int = Knn.IvfNprobe,
+                           exactThreshold: Int = ExactRouteThreshold): DataFrame =
+    routedFiltered(spark, path, queries, idCol, vecCol, k, matchCols,
+      nprobe, exactThreshold)._2
+
+  /** [[searchFilteredRouted]] plus which route it took ("exact" /
+    * "ivf") — the spec hook for asserting the routing condition.
+    */
+  private[graft] def routedFiltered(spark: SparkSession, path: String,
+                                    queries: DataFrame,
+                                    idCol: String, vecCol: String, k: Int,
+                                    matchCols: Seq[String], nprobe: Int,
+                                    exactThreshold: Int): (String, DataFrame) = {
+    val q = queries.select(col(idCol).as("vec_id")
+        +: col(vecCol).cast("array<double>").as("v")
+        +: matchCols.map(c => col(c).as(s"q_$c")): _*)
+      .withColumn("nrm", V.norm2(col("v")))
+    // query sets are small by the search() contract (the uploaded-
+    // image flow) — their distinct filter values collect for the
+    // pushed-down survivor probe and the scan predicate
+    val vals = q.select(matchCols.map(c => col(s"q_$c")): _*).distinct().collect()
+    val pred = vals.map(r => matchCols.indices
+        .map(i => col(matchCols(i)) === lit(r.get(i))).reduce(_ && _))
+      .reduce(_ || _)
+    val survivors = spark.read.parquet(path).where(pred)
+    val small = survivors.select(col(matchCols.head))
+      .limit(exactThreshold + 1).count() <= exactThreshold
+    if (!small)
+      return ("ivf", searchFiltered(spark, path, queries, idCol, vecCol,
+        k, matchCols, nprobe))
+    val qb = broadcast(q.select(col("vec_id").as("query_id")
+        +: col("v").as("qv") +: col("nrm").as("qn")
+        +: matchCols.map(c => col(s"q_$c")): _*))
+    val cond = matchCols.map(c => col(c) === col(s"q_$c"))
+      .foldLeft(col("vec_id") =!= col("query_id"))(_ && _)
+    val scored = survivors.join(qb, cond)
+      .select(col("query_id") +: matchCols.map(col)
+        :+ col("vec_id").as("neighbor_id")
+        :+ round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"): _*)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    ("exact",
+      scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+        .select(col("query_id") +: matchCols.map(col)
+          :+ col("rnk") :+ col("neighbor_id") :+ col("sim"): _*))
   }
 
   /** Batch-serving variant: the probe set stays DISTRIBUTED — no

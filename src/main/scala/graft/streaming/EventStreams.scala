@@ -506,13 +506,18 @@ object EventStreams {
 
   /** Streaming maintainer of the persisted hourly-rate store
     * (sources.RateStore — the q_anomaly monitoring twin): each
-    * AvailableNow batch appends its own (hour, event_type, n) partial
-    * counts. Counts are ADDITIVE, not idempotent, so this twin leans
-    * on the checkpointed file source's exactly-once delivery — every
-    * row contributes to exactly one appended shard, and the report's
-    * re-sum equals the one-shot series (spec-asserted, two waves).
-    * History is never rescanned; an anomaly dashboard reads kilobytes
-    * of shards, not the event log.
+    * AvailableNow batch writes its own (hour, event_type, n) partial
+    * counts as an IDEMPOTENT batchId-keyed shard
+    * (RateStore.appendBatch: overwrite under bid=<id>). Counts are
+    * ADDITIVE, not idempotent, and foreachBatch only guarantees
+    * at-least-once execution — a crash between the shard write and
+    * the checkpoint commit replays the batch on restart. The
+    * batchId-derived overwrite makes the replay REPLACE its shard
+    * rather than double-count it, so the report's re-sum equals the
+    * one-shot series under replay (spec-asserted, including a forced
+    * re-execution of a committed batch). History is never rescanned;
+    * an anomaly dashboard reads kilobytes of shards, not the event
+    * log.
     */
   def runRateIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                     storePath: String): StreamingQuery = {
@@ -523,9 +528,10 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
+                       batchId: Long) =>
         graft.sources.RateStore
-          .append(batch.toDF().select(col("ts"), col("event_type")), storePath)
+          .appendBatch(batch.toDF().select(col("ts"), col("event_type")),
+            storePath, batchId)
         ()
       }
       .start()

@@ -36,4 +36,21 @@ object GraftShim {
       org.apache.spark.sql.execution.LogicalRDD.fromDataset(
         ds.queryExecution.toRdd, ds, isStreaming = false))
   }
+
+  /** Unpersist the RDD behind `df` when `df` IS a materialized leaf
+    * (the frame forceCached returned) — the release path for a
+    * superseded localCheckpoint frame in an iterative loop. The
+    * caller asserts the frame is never read again (a locally-
+    * checkpointed RDD has no lineage to recompute from once its
+    * blocks are dropped). Deliberately does NOT walk into derived
+    * plans: a leaf REACHABLE from `df` may be shared with frames that
+    * are still live (d_pagerank's `state` is a select over the cached
+    * `deg`), so only the exact root releases.
+    */
+  def unpersistLeaves(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

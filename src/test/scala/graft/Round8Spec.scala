@@ -14,15 +14,18 @@ class Round8Spec extends SparkSpec {
     s"$w,$h:${px.mkString(",")}".getBytes("UTF-8")
 
   test("ConvNet.forward: hand-computed network output on a tiny constant input") {
-    // constant input c: every conv activation is c·Σw(f); ReLU keeps
-    // the non-negative filters; pooling over equal values is identity;
-    // the dense output is then exactly derivable by hand
+    // constant input c: bilinear of a constant is the constant,
+    // Normalize maps it to nf = normalizeFp(c), every conv activation
+    // is nf·Σw(f); ReLU keeps the non-negative products; pooling over
+    // equal values is identity; the dense output is then exactly
+    // derivable by hand
     val c = 2
     val px = Array.fill(ConvNet.InSize * ConvNet.InSize)(c)
+    val nf = ConvNet.normalizeFp(c)
     val filterSums = (0 until ConvNet.NFilters).map { f =>
       (for (ky <- 0 until 3; kx <- 0 until 3) yield ConvNet.convW(f, ky, kx)).sum
     }
-    val act = filterSums.map(s => math.max(0, c * s))
+    val act = filterSums.map(s => math.max(0L, nf * s))
     val expected = (0 until ConvNet.Dim).map { o =>
       (o + 1) + (for (f <- 0 until ConvNet.NFilters;
                       py <- 0 until ConvNet.PoolOut;
@@ -32,12 +35,38 @@ class Round8Spec extends SparkSpec {
     assert(ConvNet.forward(ConvNet.InSize, ConvNet.InSize, px).toSeq == expected)
   }
 
-  test("ConvNet.resize: nearest-neighbor source index is (t·src) div 8") {
-    val (w, h) = (5, 3)
-    val px = Array.tabulate(w * h)(identity)
-    val out = ConvNet.resize(w, h, px)
-    for (ty <- 0 until 8; tx <- 0 until 8) {
-      assert(out(ty * 8 + tx) == (ty * h / 8) * w + (tx * w / 8))
+  test("ConvNet.preprocess: shortest-side bilinear + center-crop + normalize, exact") {
+    // dims: short side lands on 10, long side rounds half-up
+    assert(ConvNet.bilinearDims(5, 10) == (10, 20))
+    assert(ConvNet.bilinearDims(12, 4) == (30, 10))
+    assert(ConvNet.bilinearDims(3, 5) == (10, 17)) // 50/3 = 16.67 → 17
+    assert(ConvNet.bilinearDims(8, 8) == (10, 10))
+    // constant image: bilinear is exact, output is normalizeFp(c) everywhere
+    val flat = ConvNet.preprocess(7, 5, Array.fill(35)(113))
+    assert(flat.toSeq.distinct == Seq(ConvNet.normalizeFp(113).toInt))
+    // full check against an independent scalar evaluation of the
+    // closed form on irregular inputs (both up- and down-scales)
+    for (seed <- 0 until 6) {
+      val w = 2 + (seed * 5) % 12
+      val h = 2 + (seed * 7) % 11
+      val px = Array.tabulate(w * h)(k => (seed * 41 + k * 13) % 256)
+      val got = ConvNet.preprocess(w, h, px)
+      val (nw, nh) = ConvNet.bilinearDims(w, h)
+      for (i <- 0 until 8; j <- 0 until 8) {
+        def ax(t: Int, tgt: Int, src: Int): (Int, Int, Int) = {
+          val num = (2 * t + 1) * src - tgt
+          if (num < 0) (0, 0, 0)
+          else (num / (2 * tgt), math.min(num / (2 * tgt) + 1, src - 1),
+            num - (num / (2 * tgt)) * (2 * tgt))
+        }
+        val (y0, y1, fy) = ax((nh - 8) / 2 + i, nh, h)
+        val (x0, x1, fx) = ax((nw - 8) / 2 + j, nw, w)
+        val (dy, dx) = (2L * nh, 2L * nw)
+        val v = (dy - fy) * ((dx - fx) * px(y0 * w + x0) + fx * px(y0 * w + x1)) +
+          fy * ((dx - fx) * px(y1 * w + x0) + fx * px(y1 * w + x1))
+        assert(got(i * 8 + j) == ConvNet.normalizeFp(v / (dy * dx)).toInt,
+          s"seed=$seed ($w x $h) at ($i,$j)")
+      }
     }
   }
 
