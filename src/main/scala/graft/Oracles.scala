@@ -3301,7 +3301,7 @@ object Oracles {
                   (CASE WHEN dy = 0 THEN 2 ELSE 1 END)
                   * (CASE WHEN dx = 0 THEN 2 ELSE 1 END) AS wgt
                 FROM edy CROSS JOIN edx),
-      elut AS (SELECT o.doc_id, o.y, o.x,
+      elut AS MATERIALIZED (SELECT o.doc_id, o.y, o.x,
                  (CAST(SUM(wgt * g.gpx) AS BIGINT) + 8) // 16 AS lpx
                FROM eglut o CROSS JOIN eoffs
                JOIN eglut g ON g.doc_id = o.doc_id
@@ -3657,7 +3657,8 @@ object Oracles {
 
   val round8: Map[String, String] = Map(
     // the reference program with actual tensor math in the inference
-    // seat: decode → LUT → blur → clamped crop → nearest-resize 8×8 →
+    // seat: decode → LUT → blur → clamped crop → bilinear Resize
+    // (shortest-side 10) → CenterCrop 8×8 → fixed-point Normalize →
     // 3×3 conv ×4 → ReLU → 2×2 max-pool → dense 36→8 (+bias) →
     // cosine top-5 → majority vote. Weight formulas are the literal
     // closed forms of ConvNet.convW / ConvNet.fcW; a hash match
@@ -3953,7 +3954,64 @@ object Oracles {
 
     // the SQL-only route over the persisted flat store must hash-match
     // the Scala API's exact search
-    "v_sql_store" -> vector("v_knn_exact")
+    "v_sql_store" -> vector("v_knn_exact"),
+
+    // the fixed-point bilinear Resize → CenterCrop → Normalize
+    // preprocess (ConvNet.preprocess's arithmetic), replayed pixel by
+    // pixel: half-pixel-center sampling in exact rationals, edge
+    // clamp, floor divisions on non-negative operands only
+    "m_resize_bilinear" -> """
+      WITH d AS (SELECT doc_id, CAST(doc_id % 7 + 6 AS BIGINT) AS w,
+               CAST(doc_id % 5 + 5 AS BIGINT) AS h
+             FROM documents WHERE doc_id < 30),
+      r AS (SELECT doc_id, w, h,
+              CASE WHEN w <= h THEN 10 ELSE (2*w*10 + h) // (2*h) END AS nw,
+              CASE WHEN w <= h THEN (2*h*10 + w) // (2*w) ELSE 10 END AS nh
+            FROM d),
+      i8 AS (SELECT unnest(generate_series(0, 7)) AS i),
+      ya AS (SELECT r.doc_id, i.i AS ty, 2*r.nh AS yd, r.h AS ys,
+               (2*((r.nh - 8) // 2 + i.i) + 1) * r.h - r.nh AS ynum
+             FROM r CROSS JOIN i8 i),
+      yb AS (SELECT doc_id, ty, yd,
+               CASE WHEN ynum < 0 THEN 0 ELSE ynum // yd END AS y0,
+               CASE WHEN ynum < 0 THEN 0 ELSE ynum - (ynum // yd) * yd END AS fy,
+               LEAST(CASE WHEN ynum < 0 THEN 0 ELSE ynum // yd END + 1, ys - 1) AS y1
+             FROM ya),
+      xa AS (SELECT r.doc_id, i.i AS tx, 2*r.nw AS xd, r.w AS xs,
+               (2*((r.nw - 8) // 2 + i.i) + 1) * r.w - r.nw AS xnum
+             FROM r CROSS JOIN i8 i),
+      xb AS (SELECT doc_id, tx, xd,
+               CASE WHEN xnum < 0 THEN 0 ELSE xnum // xd END AS x0,
+               CASE WHEN xnum < 0 THEN 0 ELSE xnum - (xnum // xd) * xd END AS fx,
+               LEAST(CASE WHEN xnum < 0 THEN 0 ELSE xnum // xd END + 1, xs - 1) AS x1
+             FROM xa),
+      pyy AS (SELECT doc_id, w, h, unnest(generate_series(0, CAST(h - 1 AS INT))) AS y
+              FROM d),
+      px AS (SELECT doc_id, y, unnest(generate_series(0, CAST(w - 1 AS INT))) AS x
+             FROM pyy),
+      pv AS (SELECT doc_id, y, x,
+               CAST(('0x' || substr(md5('bl_' || doc_id || '_' || y || '_' || x), 1, 2))
+                 AS BIGINT) AS px
+             FROM px),
+      bil AS (SELECT y.doc_id, y.ty, x.tx,
+               ((y.yd - y.fy) * ((x.xd - x.fx) * p00.px + x.fx * p01.px)
+                + y.fy * ((x.xd - x.fx) * p10.px + x.fx * p11.px))
+               // (y.yd * x.xd) AS bpx
+             FROM yb y
+             JOIN xb x ON x.doc_id = y.doc_id
+             JOIN pv p00 ON p00.doc_id = y.doc_id AND p00.y = y.y0 AND p00.x = x.x0
+             JOIN pv p01 ON p01.doc_id = y.doc_id AND p01.y = y.y0 AND p01.x = x.x1
+             JOIN pv p10 ON p10.doc_id = y.doc_id AND p10.y = y.y1 AND p10.x = x.x0
+             JOIN pv p11 ON p11.doc_id = y.doc_id AND p11.y = y.y1 AND p11.x = x.x1),
+      nm AS (SELECT doc_id, ty, tx,
+               ((bpx * 1000000) // 255 - 449000 + 452000) // 226 - 2000 AS n
+             FROM bil)
+      SELECT r.doc_id, r.w, r.h, r.nw, r.nh,
+        CAST(SUM(n) AS BIGINT) AS sum_n, MIN(n) AS min_n, MAX(n) AS max_n,
+        CAST(SUM(n * (ty * 8 + tx + 1)) AS BIGINT) AS wsum
+      FROM nm JOIN r ON r.doc_id = nm.doc_id
+      GROUP BY r.doc_id, r.w, r.h, r.nw, r.nh
+      ORDER BY r.doc_id"""
   )
 
   def all: Map[String, String] =

@@ -509,9 +509,12 @@ object BatchInference {
     * real pixel crop, then the crop travels through the
     * BatchInference scaffold (per-partition model load, Arrow-columnar
     * batches, no shuffle) into an ACTUAL convnet forward pass
-    * (ConvNet: nearest-resize 8×8 → 3×3 conv ×4 → ReLU → 2×2 max-pool
-    * → dense 36→8), mirroring build_faiss_db.py:110-135's
-    * transform+resnet18 at fixed integer weights. Index persist,
+    * (ConvNet: bilinear shortest-side Resize → CenterCrop 8×8 →
+    * fixed-point Normalize → 3×3 conv ×4 → ReLU → 2×2 max-pool →
+    * dense 36→8), mirroring build_faiss_db.py:110-135's
+    * transform+resnet18 at fixed integer weights — the preprocess
+    * replays the reference's Resize/CenterCrop/Normalize chain
+    * (119-123) in exact integer form. Index persist,
     * best-confidence-crop query selection (app.py:121), exact top-5,
     * metadata join and majority vote complete the program. Every
     * activation of the forward pass is integer arithmetic on

@@ -8,11 +8,13 @@ package graft.operators
   * small and fixed — but the computation is a genuine convnet:
   *
   *   payload (w,h + row-major crop pixels)
-  *     → nearest-neighbor resize to 8×8   (the transform's Resize step)
-  *     → 4 filters of 3×3 valid conv      → 4×6×6
-  *     → ReLU                             (max(0, ·))
-  *     → 2×2 max-pool                     → 4×3×3
-  *     → flatten (36) → dense 36→8 + bias → 8-dim embedding
+  *     → bilinear Resize(shortest-side 10) (torchvision Resize, fixed-point)
+  *     → CenterCrop 8×8                    (the Resize→CenterCrop pair)
+  *     → Normalize(mean .449, std .226)    (scaled-integer thousandths)
+  *     → 4 filters of 3×3 valid conv       → 4×6×6
+  *     → ReLU                              (max(0, ·))
+  *     → 2×2 max-pool                      → 4×3×3
+  *     → flatten (36) → dense 36→8 + bias  → 8-dim embedding
   *
   * Everything is exact integer arithmetic on deterministic closed-form
   * weights, so the DuckDB oracle replays the ENTIRE forward pass in

@@ -580,6 +580,67 @@ object ImagePipeline {
       .orderBy("doc_id")
   }
 
+  /** m_resize_bilinear: torchvision's Resize(shortest-side, BILINEAR)
+    * → CenterCrop → Normalize(mean, std) as ONE map-side array
+    * projection — the exact fixed-point preprocess ConvNet.preprocess
+    * runs inside m_pipeline_real (the reference transform's order,
+    * build_faiss_db.py:119-123), gated standalone over variable-
+    * aspect synthetic frames (w 6–12 × h 5–9 exercises both up- and
+    * down-scales and the round-half-up long side). Arithmetic:
+    * half-pixel-center sampling position ((2t+1)·S − T)/(2T) in exact
+    * integer numerator/denominator form, edge clamp below 0, one
+    * floor division per pixel; Normalize((v/255 − .449)/.226) in
+    * thousandths with every division on a non-negative operand.
+    * Scale shape: the pixel grid, the 64 bilinear gathers, and the
+    * stats are a single projection per document — no explode, no
+    * join, no shuffle; at 100 TB this is the preprocess stage's true
+    * shape (per-row CPU, zero exchange). The weighted checksum pins
+    * every output positionally.
+    */
+  def mResizeBilinear(spark: SparkSession, dir: String): DataFrame = {
+    val R = 10L
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val d = Tables.documents(spark, dir).filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        (col("doc_id") % 7 + 6).cast("long").as("w"),
+        (col("doc_id") % 5 + 5).cast("long").as("h"))
+      .withColumn("nw", when(col("w") <= col("h"), lit(R))
+        .otherwise(idiv(lit(2L) * col("w") * R + col("h"), lit(2L) * col("h"))))
+      .withColumn("nh", when(col("w") <= col("h"),
+          idiv(lit(2L) * col("h") * R + col("w"), lit(2L) * col("w")))
+        .otherwise(lit(R)))
+      .withColumn("pxs", transform(sequence(lit(0L), col("w") * col("h") - 1),
+        k => H.md5Long(concat(lit("bl_"), col("doc_id").cast("string"), lit("_"),
+          idiv(k, col("w")).cast("string"), lit("_"),
+          pmod(k, col("w")).cast("string")), 2)))
+    val out = d.withColumn("o", transform(sequence(lit(0L), lit(63L)), t => {
+      val i = idiv(t, lit(8L))
+      val j = pmod(t, lit(8L))
+      val yd = lit(2L) * col("nh")
+      val xd = lit(2L) * col("nw")
+      val ynum = (lit(2L) * (idiv(col("nh") - 8, lit(2L)) + i) + 1) * col("h") - col("nh")
+      val xnum = (lit(2L) * (idiv(col("nw") - 8, lit(2L)) + j) + 1) * col("w") - col("nw")
+      val y0 = when(ynum < 0, lit(0L)).otherwise(idiv(ynum, yd))
+      val fy = when(ynum < 0, lit(0L)).otherwise(ynum - y0 * yd)
+      val y1 = least(y0 + 1, col("h") - 1)
+      val x0 = when(xnum < 0, lit(0L)).otherwise(idiv(xnum, xd))
+      val fx = when(xnum < 0, lit(0L)).otherwise(xnum - x0 * xd)
+      val x1 = least(x0 + 1, col("w") - 1)
+      def p(yy: Column, xx: Column): Column =
+        element_at(col("pxs"), (yy * col("w") + xx + 1).cast("int"))
+      val v = (yd - fy) * ((xd - fx) * p(y0, x0) + fx * p(y0, x1)) +
+        fy * ((xd - fx) * p(y1, x0) + fx * p(y1, x1))
+      val bpx = idiv(v, yd * xd)
+      idiv(idiv(bpx * lit(1000000L), lit(255L)) - 449000L + 452000L, lit(226L)) - 2000L
+    }))
+    out.select(col("doc_id"), col("w"), col("h"), col("nw"), col("nh"),
+      aggregate(col("o"), lit(0L), _ + _).as("sum_n"),
+      array_min(col("o")).as("min_n"), array_max(col("o")).as("max_n"),
+      aggregate(zip_with(col("o"), sequence(lit(1L), lit(64L)), _ * _),
+        lit(0L), _ + _).as("wsum"))
+      .orderBy("doc_id")
+  }
+
   /** m_fake_embed: stub featurizer over the documents payload, long
     * format (doc_id, d, f) — the embedding column a real decoder would
     * produce, restricted to 10 docs × 8 dims for the correctness dump.

@@ -201,6 +201,9 @@ class Round7Spec extends SparkSpec {
       "q_anomaly" -> 3, "q_bloom_join" -> 4, "t_quality_clf" -> 2,
       "m_meta_paths" -> 1, "v_ivf_filtered" -> 2,
       "v_maxsim" -> 4, "t_bpe_train" -> 1, "q_ewma" -> 3,
+      // r9: the whole bilinear preprocess is one map-side projection —
+      // its only exchange is the final presentation sort
+      "m_resize_bilinear" -> 1,
       // t_bpe_apply's plan now CONTAINS the vocab rebuild (base
       // group-by + literal merge replaces — r9: only the merges
       // memoize, a cached cross-query frame would die to Verify's
