@@ -3933,6 +3933,50 @@ object Oracles {
   )
 
   val round9: Map[String, String] = Map(
+    // multiprobe LSH blocking: the oracle states the SEMANTICS —
+    // candidates are pairs within Hamming distance 1 on either band —
+    // while the engine reaches the same set through left-side probe
+    // fan-out equi-joins (never an all-pairs scan)
+    "d_embed_multiprobe" -> s"""
+      WITH $lshBandsCte,
+      mb AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+             FROM bands a JOIN bands b ON a.vec_id < b.vec_id
+               AND (bit_count(xor(a.band0, b.band0)) <= 1
+                 OR bit_count(xor(a.band1, b.band1)) <= 1))
+      SELECT c.id1, c.id2,
+        ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS sim
+      FROM mb c JOIN n x ON x.vec_id = c.id1 JOIN n y ON y.vec_id = c.id2
+      ORDER BY sim DESC, c.id1, c.id2 LIMIT 50""",
+
+    // what multiprobe buys: d_embed_recall's gate over the widened
+    // candidate set
+    "d_embed_mp_recall" -> s"""
+      WITH $lshBandsCte,
+      sN AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 200),
+      sB AS (SELECT * FROM bands WHERE vec_id < 200),
+      bl AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+             FROM sB a JOIN sB b ON a.vec_id < b.vec_id
+               AND (bit_count(xor(a.band0, b.band0)) <= 1
+                 OR bit_count(xor(a.band1, b.band1)) <= 1)),
+      bl50 AS (SELECT id1, id2 FROM (
+                SELECT c.id1, c.id2,
+                  ROW_NUMBER() OVER (ORDER BY
+                    ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) DESC,
+                    c.id1, c.id2) AS rn
+                FROM bl c JOIN sN x ON x.vec_id = c.id1
+                JOIN sN y ON y.vec_id = c.id2) t
+              WHERE rn <= 50),
+      ex50 AS (SELECT id1, id2 FROM (
+                SELECT a.vec_id AS id1, b.vec_id AS id2,
+                  ROW_NUMBER() OVER (ORDER BY
+                    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) DESC,
+                    a.vec_id, b.vec_id) AS rn
+                FROM sN a JOIN sN b ON a.vec_id < b.vec_id) t
+              WHERE rn <= 50)
+      SELECT CAST(50 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_found,
+        ROUND(COUNT(*) / 50.0, 6) AS recall
+      FROM ex50 e2 JOIN bl50 b2 ON b2.id1 = e2.id1 AND b2.id2 = e2.id2""",
+
     // the routed filtered search took the EXACT route (the driver
     // query's grp predicate matches ~2% of the corpus), so its truth
     // is the exact filtered k-NN — top-3 same-grp neighbors

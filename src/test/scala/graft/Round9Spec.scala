@@ -233,6 +233,20 @@ class Round9Spec extends SparkSpec {
       s"df ceiling 2 must prune candidates (full=$full capped=$capped)")
   }
 
+  test("multiprobe blocking: no duplicate pairs, strictly better recall") {
+    import graft.operators.Dedup
+    val mp = Dedup.dEmbedMultiprobe(spark, sf)
+    // each Hamming-≤1 pair must meet on exactly one probe key — a
+    // duplicate would mean the band-1 tier re-admitted a band-0 pair
+    assert(mp.groupBy("id1", "id2").count().filter(col("count") > 1).count() == 0)
+    assert(mp.count() == 50)
+    val r1 = Dedup.dEmbedRecall(spark, sf).collect()(0).getAs[Double]("recall")
+    val r2 = Dedup.dEmbedMpRecall(spark, sf).collect()(0).getAs[Double]("recall")
+    assert(r2 > r1,
+      s"probing Hamming-1 neighbor buckets must beat single-bucket recall ($r2 vs $r1)")
+    assert(r2 >= 0.5, s"multiprobe recall should clear 0.5 on this corpus, got $r2")
+  }
+
   test("BPE training is memoized: the second call schedules no merge rounds") {
     val first = TextAnalysis.tBpeTrain(spark, sf).collect()
     assert(first.length == 5)
