@@ -4000,6 +4000,10 @@ object Oracles {
     // the Scala API's exact search
     "v_sql_store" -> vector("v_knn_exact"),
 
+    // the SQL-only route over the persisted IVF store: probe + prune +
+    // rescore in one statement must reproduce the in-session IVF
+    "v_sql_store_ivf" -> vector("v_ivf"),
+
     // the fixed-point bilinear Resize → CenterCrop → Normalize
     // preprocess (ConvNet.preprocess's arithmetic), replayed pixel by
     // pixel: half-pixel-center sampling in exact rationals, edge

@@ -1893,6 +1893,48 @@ object Knn {
       WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
   }
 
+  /** v_sql_store_ivf: the PRUNED persisted tier served to a SQL-only
+    * user — the whole IVF serving path (rank centroids per query →
+    * keep nprobe lists → exact-rescore inside them → top-5) as ONE
+    * SQL statement over two bound views: the cid-partitioned store
+    * and its centroid sidecar. The statement's probe join on the
+    * partition column gets the same DynamicPruningExpression the
+    * Scala searchBatch path gets (Round9Spec asserts it), so a
+    * SQL-only user keeps the file-level list pruning — at 100 TB the
+    * SELECT reads corpus·nprobe/nlist bytes, never the corpus.
+    * Hash-shares v_ivf's oracle: SQL route ≡ Scala route ≡ in-session
+    * IVF, all three to the bit.
+    */
+  def vSqlStoreIvf(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/sqlivf_store_$tag/idx").getAbsolutePath
+    graft.sources.IvfIndexStore.write(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", path, model = Some(ivfCentroids(spark, dir)))
+    graft.GraftSession.sqlStore(spark, path, "ivf")
+    spark.read.parquet(s"$path.centroids")
+      .createOrReplaceTempView("graft_store_ivf_cent")
+    spark.sql(s"""
+      WITH q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                 FROM graft_store_ivf WHERE vec_id < $NumQueries),
+      cs AS (SELECT query_id, qv, qn, c.cid,
+               ROUND(graft_dot(qv, c.cv) / (qn * graft_norm(c.cv)), 6) AS csim
+             FROM q CROSS JOIN graft_store_ivf_cent c),
+      pr AS (SELECT query_id, qv, qn, cid FROM (
+               SELECT query_id, qv, qn, cid,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY csim DESC, cid) AS pk FROM cs) t
+             WHERE pk <= $IvfNprobe),
+      s AS (SELECT /*+ BROADCAST(pr) */ pr.query_id, e.vec_id AS neighbor_id,
+              ROUND(graft_dot(pr.qv, e.v) / (pr.qn * e.nrm), 6) AS sim
+            FROM graft_store_ivf e JOIN pr
+              ON e.cid = pr.cid AND e.vec_id <> pr.query_id),
+      r AS (SELECT query_id, neighbor_id, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
+      SELECT query_id, rnk, neighbor_id, sim FROM r
+      WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
+  }
+
   /** v_flat_store: the persisted FLAT index path inside the gate —
     * IndexStore write/read/search over the banded layout, exact top-5,
     * hash-matched against v_knn_exact's oracle (the persisted corpus

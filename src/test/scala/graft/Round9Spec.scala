@@ -233,6 +233,14 @@ class Round9Spec extends SparkSpec {
       s"df ceiling 2 must prune candidates (full=$full capped=$capped)")
   }
 
+  test("v_sql_store_ivf: the SQL probe join prunes the store scan dynamically") {
+    val df = operators.Knn.vSqlStoreIvf(spark, sf)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"the SQL route must keep file-level list pruning (DPP); plan:\n${plan.take(4000)}")
+  }
+
   test("multiprobe blocking: no duplicate pairs, strictly better recall") {
     import graft.operators.Dedup
     val mp = Dedup.dEmbedMultiprobe(spark, sf)
