@@ -550,8 +550,18 @@ object BatchInference {
         concat(col("cw").cast("string"), lit(","), col("ch").cast("string"),
           lit(":"), col("pxs")).cast("binary").as("payload"))
     // stage 4: the REAL forward pass through the Arrow-columnar
-    // scaffold — the exact boundary a GPU runtime binds to
-    val embedded = embedStageArrow(crops, "payload", new ConvNet.ArrowLoader, batchSize = 8)
+    // scaffold — the exact boundary a GPU runtime binds to. The
+    // weights travel as DATA: persisted to a parquet sidecar, loaded
+    // back, and served through the parameterized loader — so this
+    // gate proves the loaded-weights path end to end, and a real
+    // trained model is just a different sidecar (the state_dict
+    // contract; build_faiss_db.py:111's pretrained load, minus torch)
+    val app0 = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val wpath = new java.io.File(s"target/m_pipeline_real_$app0/weights").getAbsolutePath
+    ConvNet.saveParams(spark, ConvNet.defaultParams, wpath)
+    val params = ConvNet.loadParams(spark, wpath)
+    val embedded = embedStageArrow(crops, "payload",
+      new ConvNet.ParamArrowLoader(params), batchSize = 8)
       .select(col("crop_id"), col("doc_id"), col("label"), col("score"), col("embedding"))
       .transform(graft.Materialize.forceCached)
     // stages 5-7: persist, best-crop query, exact top-5, label vote

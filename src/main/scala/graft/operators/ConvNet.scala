@@ -51,6 +51,50 @@ object ConvNet {
   def fcW(o: Int, f: Int, py: Int, px: Int): Int =
     ((o * 36 + f * 9 + py * 3 + px) * 3) % 5 - 2
 
+  /** The network's parameters as DATA — the load()-boundary contract
+    * that makes the model swappable without touching the engine: a
+    * production deployment writes real trained weights to the same
+    * sidecar and every pipeline stage downstream is unchanged (the
+    * torch checkpoint → state_dict shape, minus torch). The default
+    * instance carries the closed-form integer weights the SQL oracle
+    * replays.
+    */
+  final case class Params(conv: Array[Int], fc: Array[Int], bias: Array[Int])
+    extends Serializable {
+    require(conv.length == NFilters * K * K, "conv weights: 4 filters of 3x3")
+    require(fc.length == Dim * NFilters * PoolOut * PoolOut, "fc weights: 8 x 36")
+    require(bias.length == Dim, "bias: one per output dim")
+  }
+
+  /** The closed-form weights (convW/fcW/bias o+1) as a Params value. */
+  def defaultParams: Params = Params(
+    Array.tabulate(NFilters * K * K)(i => convW(i / 9, (i % 9) / 3, i % 3)),
+    Array.tabulate(Dim * NFilters * PoolOut * PoolOut)(i =>
+      fcW(i / 36, (i % 36) / 9, (i % 9) / 3, i % 3)),
+    Array.tabulate(Dim)(_ + 1))
+
+  /** Persist parameters as a (layer, idx, w) parquet sidecar — the
+    * write_index/state_dict analog for the model itself.
+    */
+  def saveParams(spark: org.apache.spark.sql.SparkSession, p: Params,
+                 path: String): Unit = {
+    import spark.implicits._
+    (p.conv.zipWithIndex.map { case (w, i) => ("conv", i, w) }
+      ++ p.fc.zipWithIndex.map { case (w, i) => ("fc", i, w) }
+      ++ p.bias.zipWithIndex.map { case (w, i) => ("bias", i, w) })
+      .toSeq.toDF("layer", "idx", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadParams(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Params = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    def layer(name: String): Array[Int] =
+      rows.filter(_._1 == name).sortBy(_._2).map(_._3)
+    Params(layer("conv"), layer("fc"), layer("bias"))
+  }
+
   /** Payload wire format: "w,h:p0,p1,…" (UTF-8), pixels row-major.
     * The declarative side packs it with pure SQL string functions, so
     * the payload column itself sits inside the correctness gate.
@@ -144,11 +188,17 @@ object ConvNet {
 
   /** The full forward pass: bilinear Resize → CenterCrop → Normalize →
     * conv → ReLU → max-pool → dense. Returns integer-valued doubles
-    * (the embedding the index tier consumes). The +(o+1) bias keeps
-    * the vector from the zero norm a pathological all-flat crop could
-    * otherwise produce.
+    * (the embedding the index tier consumes). The default bias (o+1)
+    * keeps the vector from the zero norm a pathological all-flat crop
+    * could otherwise produce.
     */
-  def forward(w: Int, h: Int, px: Array[Int]): Array[Double] = {
+  def forward(w: Int, h: Int, px: Array[Int]): Array[Double] =
+    forwardWith(defaultParams, w, h, px)
+
+  /** forward() under explicit parameters — the serving path for
+    * weights loaded from the sidecar ([[loadParams]]).
+    */
+  def forwardWith(p: Params, w: Int, h: Int, px: Array[Int]): Array[Double] = {
     val in = preprocess(w, h, px)
     // conv + ReLU: 4 × 6 × 6
     val conv = new Array[Int](NFilters * ConvOut * ConvOut)
@@ -163,7 +213,7 @@ object ConvNet {
           while (ky < K) {
             var kx = 0
             while (kx < K) {
-              s += convW(f, ky, kx) * in((oy + ky) * InSize + (ox + kx))
+              s += p.conv(f * 9 + ky * 3 + kx) * in((oy + ky) * InSize + (ox + kx))
               kx += 1
             }
             ky += 1
@@ -201,16 +251,16 @@ object ConvNet {
       }
       f += 1
     }
-    // dense 36 → 8 with bias o+1
+    // dense 36 → 8 with bias
     Array.tabulate(Dim) { o =>
-      var s = o + 1
+      var s = p.bias(o)
       var f2 = 0
       while (f2 < NFilters) {
         var py = 0
         while (py < PoolOut) {
           var px2 = 0
           while (px2 < PoolOut) {
-            s += fcW(o, f2, py, px2) * pool((f2 * PoolOut + py) * PoolOut + px2)
+            s += p.fc(o * 36 + f2 * 9 + py * 3 + px2) * pool((f2 * PoolOut + py) * PoolOut + px2)
             px2 += 1
           }
           py += 1
@@ -225,6 +275,25 @@ object ConvNet {
   def forwardPayload(bytes: Array[Byte]): Array[Double] = {
     val (w, h, px) = parsePayload(bytes)
     forward(w, h, px)
+  }
+
+  def forwardPayloadWith(p: Params, bytes: Array[Byte]): Array[Double] = {
+    val (w, h, px) = parsePayload(bytes)
+    forwardWith(p, w, h, px)
+  }
+
+  /** Arrow-columnar loader over EXPLICIT parameters — the serving
+    * loader for sidecar-loaded weights (m_pipeline_real drives it
+    * with the persisted default weights; a production model swap is a
+    * different sidecar, same class). Params ship to executors by
+    * closure — a few hundred ints.
+    */
+  final class ParamArrowLoader(p: Params) extends BatchInference.ArrowEmbedLoader {
+    val dim: Int = Dim
+    def load(): BatchInference.ArrowEmbedModel = new BatchInference.ArrowEmbedModel {
+      def embedBatch(payloads: org.apache.arrow.vector.VarBinaryVector): Array[Array[Double]] =
+        Array.tabulate(payloads.getValueCount)(i => forwardPayloadWith(p, payloads.get(i)))
+    }
   }
 
   /** Row-batch loader for BatchInference.embedStage. */

@@ -122,10 +122,22 @@ object Knn {
     * cells (a ≤ b).
     */
   private[graft] def keptPairCells(e: DataFrame, spark: SparkSession): Seq[(Int, Int)] = {
-    // per-group unit centroid (g×dim rows to the driver) and radius.
-    // This is the FIRST action over `e`, so when the caller passes a
-    // lazily-persisted frame it doubles as the materializing job — no
-    // separate force pass.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // Driver-pass schedule: centroids FIRST (the materializing action
+    // when the caller persisted `e`), then the two independent
+    // consumers — per-group radii and the diagonal τ̂ top-100 — as
+    // CONCURRENT jobs reading the cached blocks, so they cost one
+    // wall-clock round, not two. Concurrency is gated on `e` being
+    // persisted: two jobs that FIRST-materialize a shared frame race
+    // its interpreted lambda expressions (LambdaVariable binding is
+    // per-instance mutable state — observed as transient
+    // divide-by-zero on the nrm aggregate), while reads of
+    // already-cached blocks share nothing mutable.
+    val concurrent =
+      e.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    // per-group unit centroid (g×dim rows to the driver) and radius
     val unit = e.select(col("grp"),
       posexplode(expr("transform(v, (x, i) -> x / nrm)")).as(Seq("d", "u")))
     val centRows = unit.groupBy("grp", "d").agg(sum("u").as("s"), count(lit(1)).as("n"))
@@ -138,31 +150,22 @@ object Knn {
     import spark.implicits._
     val centDf = broadcast(cent.toSeq.map { case (grp, c) => (grp, c, cnorm(grp)) }
       .toDF("cgrp", "c", "cn"))
-    // the radius pass and the diagonal-τ̂ pass are independent given
-    // the centroids — submit them as CONCURRENT jobs (both read the
-    // cached `e` blocks), so the driver pays one wall-clock round for
-    // the two collects instead of two sequential ones
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val minCosF = Future {
-      e.join(centDf, col("grp") === col("cgrp"))
-        .select(col("grp"),
-          (V.dot(col("v"), col("c")) / (col("nrm") * col("cn"))).as("ca"))
-        .groupBy("grp").agg(min("ca").as("mc"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    }
     // τ̂: the 100th similarity over diagonal cells alone — a subset of
     // the pair space, so the global 100th can only be ≥ it
-    val diagTopF = Future {
+    def diagTopJob(): Array[org.apache.spark.sql.Row] = {
       val l = e.select(col("grp"), col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
       val r = e.select(col("grp"), col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
       l.join(r, Seq("grp")).filter(col("id1") < col("id2"))
         .select(round(V.cosinePre(V.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6).as("sim"))
         .orderBy(col("sim").desc).limit(100).collect()
     }
-    val minCos = Await.result(minCosF, Duration.Inf)
-    val diagTop = Await.result(diagTopF, Duration.Inf)
+    val diagTopF = if (concurrent) Some(Future(diagTopJob())) else None
+    val minCos = e.join(centDf, col("grp") === col("cgrp"))
+      .select(col("grp"),
+        (V.dot(col("v"), col("c")) / (col("nrm") * col("cn"))).as("ca"))
+      .groupBy("grp").agg(min("ca").as("mc"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val diagTop = diagTopF.map(Await.result(_, Duration.Inf)).getOrElse(diagTopJob())
     def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
     val radius: Map[Int, Double] = minCos.map { case (grp, mc) =>
       grp -> (if (cnorm(grp) < 1e-12 || mc.isNaN) math.Pi else math.acos(clamp(mc)))

@@ -233,6 +233,26 @@ class Round9Spec extends SparkSpec {
       s"df ceiling 2 must prune candidates (full=$full capped=$capped)")
   }
 
+  test("convnet weights are data: sidecar round-trip, live in the forward pass") {
+    import graft.operators.ConvNet
+    val base = java.nio.file.Files.createTempDirectory("convnet_w").toString
+    val p = ConvNet.defaultParams
+    ConvNet.saveParams(spark, p, s"$base/weights")
+    val q = ConvNet.loadParams(spark, s"$base/weights")
+    assert(q.conv.toSeq == p.conv.toSeq && q.fc.toSeq == p.fc.toSeq &&
+      q.bias.toSeq == p.bias.toSeq)
+    val px = Array.tabulate(40)(i => (i * 37) % 256)
+    assert(ConvNet.forwardWith(q, 8, 5, px).toSeq ==
+      ConvNet.forward(8, 5, px).toSeq,
+      "sidecar-loaded weights must reproduce the default forward exactly")
+    // and the loaded weights are LIVE, not a decoy: a one-unit bias
+    // perturbation must shift output dim 0 by exactly 1
+    val q2 = q.copy(bias = q.bias.updated(0, q.bias(0) + 1))
+    val a = ConvNet.forwardWith(q2, 8, 5, px)
+    val b = ConvNet.forward(8, 5, px)
+    assert(a(0) == b(0) + 1.0 && a.drop(1).toSeq == b.drop(1).toSeq)
+  }
+
   test("v_sql_store_ivf: the SQL probe join prunes the store scan dynamically") {
     val df = operators.Knn.vSqlStoreIvf(spark, sf)
     df.write.format("noop").mode("overwrite").save() // finalize AQE
