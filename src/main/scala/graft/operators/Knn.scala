@@ -211,8 +211,12 @@ object Knn {
     // lazy persist, not an eager checkpoint: keptPairCells' centroid
     // job is the materializing action, so the pruning costs two
     // wall-clock rounds total (centroid, then the concurrent
-    // radius + τ̂ collects) on top of the pair join itself
-    val e = withBands(corpus(spark, dir).withColumn("vq", V.quantize(col("v"))), dim)
+    // radius + τ̂ collects) on top of the pair join itself. The scan
+    // spreads first: one parquet file is one input partition, and the
+    // interpreted sign-fold banding is the CPU-heavy stage (the
+    // d_embed_near lesson)
+    val e = withBands(Dedup.spread(corpus(spark, dir))
+        .withColumn("vq", V.quantize(col("v"))), dim)
       .withColumn("grp", pmod(col("band0"), lit(g)).cast("int"))
       .select("vec_id", "v", "nrm", "grp")
       .persist()
