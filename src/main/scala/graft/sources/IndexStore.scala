@@ -373,7 +373,15 @@ object StoreMaintenance {
       .where(col(idCol).isin(ids: _*))
       .select(regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1).as("pdir"))
       .groupBy("pdir").agg(count(lit(1)).as("hits"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().flatMap { r =>
+        // input_file_name is a URI: a partition value with special
+        // chars surfaces percent-encoded there while listFiles sees
+        // the raw dir name — index the count under both spellings
+        val k = r.getString(0)
+        val dec = scala.util.Try(
+          java.net.URLDecoder.decode(k.replace("+", "%2B"), "UTF-8")).getOrElse(k)
+        Seq(k -> r.getLong(1), dec -> r.getLong(1))
+      }.toMap
     var rewritten = 0
     var removed = 0L
     parts.filter(p => hitRows.contains(p.getName)).foreach { pdir =>
@@ -650,6 +658,14 @@ object IvfIndexStore {
     // image flow) — their distinct filter values collect for the
     // pushed-down survivor probe and the scan predicate
     val vals = q.select(matchCols.map(c => col(s"q_$c")): _*).distinct().collect()
+    if (vals.isEmpty)
+      // no queries → no filter values → the empty result in the
+      // searchFiltered column shape (reducing an empty predicate
+      // list would throw)
+      return ("exact", q.limit(0)
+        .select(col("vec_id").as("query_id") +: matchCols.map(c => col(s"q_$c").as(c))
+          :+ lit(1L).as("rnk") :+ col("vec_id").as("neighbor_id")
+          :+ lit(0.0).as("sim"): _*))
     val pred = vals.map(r => matchCols.indices
         .map(i => col(matchCols(i)) === lit(r.get(i))).reduce(_ && _))
       .reduce(_ || _)

@@ -206,6 +206,9 @@ class Round7Spec extends SparkSpec {
       // banded frame broadcasts at gate scale, probes are equi-joins
       "m_resize_bilinear" -> 2, "d_embed_multiprobe" -> 1,
       "d_embed_mp_recall" -> 1,
+      // r9 serving routes: top-k windows + presentation sorts; the
+      // IVF SQL route adds the centroid-ranking window
+      "v_sql_store" -> 2, "v_sql_store_ivf" -> 4, "v_filtered_route" -> 2,
       // t_bpe_apply's plan now CONTAINS the vocab rebuild (base
       // group-by + literal merge replaces — r9: only the merges
       // memoize, a cached cross-query frame would die to Verify's
