@@ -4004,6 +4004,11 @@ object Oracles {
     // rescore in one statement must reproduce the in-session IVF
     "v_sql_store_ivf" -> vector("v_ivf"),
 
+    // the SQL-only route over the persisted PQ store: the ADC folds
+    // re-expressed as ordered HOF aggregates must land on the exact
+    // doubles the Scala lookup tables produce
+    "v_sql_store_pq" -> vector("v_pq"),
+
     // the fixed-point bilinear Resize → CenterCrop → Normalize
     // preprocess (ConvNet.preprocess's arithmetic), replayed pixel by
     // pixel: half-pixel-center sampling in exact rationals, edge

@@ -1942,6 +1942,56 @@ object Knn {
       WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
   }
 
+  /** v_sql_store_pq: the COMPRESSED persisted tier for a SQL-only
+    * user — the third leg of the SQL serving story (exact:
+    * v_sql_store, pruned: v_sql_store_ivf, compressed: this). The
+    * code table and codebook sidecar bind as views and one SQL
+    * statement runs the full ADC search: per-(query, m) subvector
+    * distances against the codebook entry each vector's code selects,
+    * re-folded in ascending-m order (sort_array ∘ collect_list ∘
+    * aggregate — the exact summation order of the Scala path's
+    * adcDistCol, so the doubles are bit-identical), top-5 by
+    * approximate L2. Hash-shares v_pq's oracle. The SQL route trades
+    * one extra (query, vector) group-by against the Scala path's
+    * broadcast lookup tables — the convenience form; the 32×-smaller
+    * code scan is the same.
+    */
+  def vSqlStorePq(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/sqlpq_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.PqIndexStore.write(emb, "vec_id", "embedding", path,
+      model = Some(pqBooksFor(spark, dir)))
+    graft.GraftSession.sqlStore(spark, s"$path.codes", "pq_codes")
+    graft.GraftSession.sqlStore(spark, s"$path.books", "pq_books")
+    emb.createOrReplaceTempView("graft_sql_emb")
+    spark.sql(s"""
+      WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
+               CAST(embedding AS ARRAY<DOUBLE>) AS qv
+             FROM graft_sql_emb WHERE vec_id < $NumQueries),
+      m8 AS (SELECT explode(sequence(0, ${PqSubspaces - 1})) AS m),
+      part AS (SELECT q.query_id, c.vec_id, m8.m,
+               aggregate(zip_with(slice(q.qv, m8.m * 8 + 1, 8), b.cv,
+                   (x, y) -> (x - y) * (x - y)),
+                 CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS d2
+             FROM graft_store_pq_codes c
+             JOIN q ON c.vec_id <> q.query_id
+             CROSS JOIN m8
+             JOIN graft_store_pq_books b
+               ON b.m = m8.m AND b.k = element_at(c.codes, m8.m + 1)),
+      s AS (SELECT query_id, vec_id,
+              ROUND(SQRT(aggregate(transform(sort_array(collect_list(struct(m, d2))),
+                  t -> t.d2),
+                CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)), 6) AS adc_dist
+            FROM part GROUP BY query_id, vec_id),
+      r AS (SELECT query_id, vec_id AS neighbor_id, adc_dist,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rnk
+            FROM s)
+      SELECT query_id, rnk, neighbor_id, adc_dist FROM r
+      WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
+  }
+
   /** v_flat_store: the persisted FLAT index path inside the gate —
     * IndexStore write/read/search over the banded layout, exact top-5,
     * hash-matched against v_knn_exact's oracle (the persisted corpus
