@@ -4009,6 +4009,10 @@ object Oracles {
     // doubles the Scala lookup tables produce
     "v_sql_store_pq" -> vector("v_pq"),
 
+    // the SQL-only route over the persisted binary store: Hamming
+    // scan + exact rerank, both tiers in one statement
+    "v_sql_store_bq" -> vector("v_bq"),
+
     // the fixed-point bilinear Resize → CenterCrop → Normalize
     // preprocess (ConvNet.preprocess's arithmetic), replayed pixel by
     // pixel: half-pixel-center sampling in exact rationals, edge

@@ -1992,6 +1992,50 @@ object Knn {
       WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
   }
 
+  /** v_sql_store_bq: the BINARY persisted tier for a SQL-only user —
+    * the fourth SQL serving leg (exact / pruned / compressed /
+    * binary): the sign-code store binds as a view and one statement
+    * runs the Hamming scan (graft_hamming over the two code words,
+    * top-20 candidates) plus the exact cosine rerank against the raw
+    * table — the two-tier cheap-scan-then-rerank pattern entirely in
+    * SQL. Hash-shares v_bq's oracle.
+    */
+  def vSqlStoreBq(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/sqlbq_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.BqIndexStore.write(emb, "vec_id", "embedding", path)
+    graft.GraftSession.sqlStore(spark, path, "bq")
+    emb.createOrReplaceTempView("graft_sql_emb")
+    spark.sql(s"""
+      WITH qc AS (SELECT id AS query_id, code_lo AS qlo, code_hi AS qhi
+                  FROM graft_store_bq WHERE id < $NumQueries),
+      ham AS (SELECT query_id, c.id AS neighbor_id,
+                graft_hamming(c.code_lo, qlo) + graft_hamming(c.code_hi, qhi)
+                  AS hamming
+              FROM graft_store_bq c JOIN qc ON c.id <> query_id),
+      cand AS (SELECT query_id, neighbor_id, hamming FROM (
+                 SELECT query_id, neighbor_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY hamming ASC, neighbor_id ASC) AS hrnk
+                 FROM ham) t WHERE hrnk <= 20),
+      n AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+            FROM graft_sql_emb),
+      nn AS (SELECT vec_id, v, graft_norm(v) AS nrm FROM n),
+      qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+             FROM nn WHERE vec_id < $NumQueries),
+      rr AS (SELECT c.query_id, c.neighbor_id, c.hamming,
+               ROUND(graft_dot(qv.qv, nn.v) / (qv.qn * nn.nrm), 6) AS sim
+             FROM cand c JOIN nn ON nn.vec_id = c.neighbor_id
+             JOIN qv ON qv.query_id = c.query_id),
+      r AS (SELECT query_id, neighbor_id, hamming, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+            FROM rr)
+      SELECT query_id, rnk, neighbor_id, hamming, sim FROM r
+      WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
+  }
+
   /** v_flat_store: the persisted FLAT index path inside the gate —
     * IndexStore write/read/search over the banded layout, exact top-5,
     * hash-matched against v_knn_exact's oracle (the persisted corpus

@@ -209,7 +209,7 @@ class Round7Spec extends SparkSpec {
       // r9 serving routes: top-k windows + presentation sorts; the
       // IVF SQL route adds the centroid-ranking window
       "v_sql_store" -> 2, "v_sql_store_ivf" -> 4, "v_filtered_route" -> 2,
-      "v_sql_store_pq" -> 3,
+      "v_sql_store_pq" -> 3, "v_sql_store_bq" -> 2,
       // t_bpe_apply's plan now CONTAINS the vocab rebuild (base
       // group-by + literal merge replaces — r9: only the merges
       // memoize, a cached cross-query frame would die to Verify's
