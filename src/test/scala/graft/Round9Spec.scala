@@ -124,6 +124,43 @@ class Round9Spec extends SparkSpec {
     StoreMaintenance.breakLock(path)
   }
 
+  test("an append landing mid-swap survives: the manifest only retires listed files") {
+    import graft.sources.BitmapStore
+    val base = java.nio.file.Files.createTempDirectory("race_append").toString
+    val path = s"$base/idx"
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+    val w0 = ev.filter(col("user_id") % 2 === 0)
+    val w1 = ev.filter(col("user_id") % 2 === 1)
+    BitmapStore.write(w0, path)
+    BitmapStore.append(w0, path) // second file so a compact has work
+    val pdir = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.contains("=")).head
+    // maintainer: rewrite committed (temp + _SUCCESS + manifest of the
+    // CURRENT files), but the swap has not landed yet
+    val files = pdir.listFiles().filter(_.getName.endsWith(".parquet"))
+    val tmp = new java.io.File(path, s".compact_${pdir.getName}")
+    spark.read.parquet(pdir.getAbsolutePath)
+      .groupBy("bucket").agg(expr("bit_or(bits)").as("bits")).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
+      java.util.Arrays.asList(files.map(_.getName): _*))
+    // ingest races the swap: a NEW batch appends into the same
+    // partition dirs after the manifest was cut
+    BitmapStore.append(w1, path)
+    // the swap lands (recover() replays exactly this step after a
+    // crash) — it must retire ONLY the manifest-listed files, so the
+    // racing append's rows survive
+    val (completed, _) = graft.sources.StoreMaintenance.recover(path)
+    assert(completed == 1)
+    val expected = hashRows({
+      BitmapStore.write(w0, s"$base/ref")
+      BitmapStore.append(w1, s"$base/ref")
+      BitmapStore.report(spark, s"$base/ref")
+    })
+    assert(hashRows(BitmapStore.report(spark, path)) == expected,
+      "rows appended between manifest cut and swap completion must survive")
+  }
+
   test("rate ingest: a replayed batch replaces its shard — no double count") {
     val ev = Tables.events(spark, sf)
     val base = java.nio.file.Files.createTempDirectory("rate_replay").toString
