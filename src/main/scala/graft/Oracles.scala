@@ -4013,6 +4013,11 @@ object Oracles {
     // scan + exact rerank, both tiers in one statement
     "v_sql_store_bq" -> vector("v_bq"),
 
+    // the SQL-only route over the persisted late-interaction store:
+    // query-set derivation, candidate generation, and the maxsim fold
+    // all in one statement — integer arithmetic end to end
+    "v_sql_store_maxsim" -> vMaxsimSql,
+
     // the fixed-point bilinear Resize → CenterCrop → Normalize
     // preprocess (ConvNet.preprocess's arithmetic), replayed pixel by
     // pixel: half-pixel-center sampling in exact rationals, edge

@@ -2036,6 +2036,56 @@ object Knn {
       WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
   }
 
+  /** v_sql_store_maxsim: the LATE-INTERACTION persisted tier for a
+    * SQL-only user — the fifth SQL serving leg. The whole ColBERT
+    * pipeline is one statement over the bound store view: query
+    * vector sets derived in SQL (graft_shingle_hashes → 0-mod-16
+    * sampling → md5 weight arithmetic), inverted-index candidates
+    * (≥2 shared fingerprints, the store scan bucket-pruned through an
+    * IN subquery on the hbkt partition column), and the Σ max ⟨q,d⟩
+    * fold as two grouped aggregations — all integer arithmetic, so
+    * there is no fp-ordering hazard at all. Hash-shares v_maxsim's
+    * oracle.
+    */
+  def vSqlStoreMaxsim(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/sqlms_store_$tag/idx").getAbsolutePath
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    graft.sources.MaxsimStore.write(docs, path)
+    graft.GraftFunctions.register(spark)
+    spark.read.parquet(path).createOrReplaceTempView("graft_store_maxsim")
+    docs.createOrReplaceTempView("graft_sql_docs")
+    def w(k: Int) =
+      s"""CAST(conv(substring(md5(concat('mv${k}_', CAST(h AS STRING))), 1, 8),
+            16, 10) AS BIGINT) % 201 - 100 AS q$k"""
+    spark.sql(s"""
+      WITH qh AS (SELECT DISTINCT doc_id AS q_id, h FROM (
+               SELECT doc_id, explode(graft_shingle_hashes(text)) AS h
+               FROM graft_sql_docs WHERE doc_id < 3)
+             WHERE h % 16 = 0),
+      qv AS (SELECT q_id, h AS qh, ${(1 to MvDim).map(w).mkString(", ")}
+             FROM qh),
+      cand AS (SELECT qh.q_id, s.doc_id
+               FROM qh JOIN graft_store_maxsim s
+                 ON s.h = qh.h AND s.doc_id <> qh.q_id
+               WHERE s.hbkt IN (SELECT DISTINCT CAST(h % 32 AS INT) FROM qh)
+               GROUP BY qh.q_id, s.doc_id
+               HAVING COUNT(DISTINCT s.h) >= 2),
+      pr AS (SELECT c.q_id, c.doc_id, q.qh,
+               MAX(q.q1 * s.w1 + q.q2 * s.w2 + q.q3 * s.w3 + q.q4 * s.w4) AS m
+             FROM cand c
+             JOIN graft_store_maxsim s ON s.doc_id = c.doc_id
+             JOIN qv q ON q.q_id = c.q_id
+             GROUP BY c.q_id, c.doc_id, q.qh),
+      sc AS (SELECT q_id, doc_id, SUM(m) AS score FROM pr GROUP BY q_id, doc_id),
+      r AS (SELECT q_id AS query_id, doc_id, score,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+            FROM sc)
+      SELECT query_id, rnk, doc_id, score FROM r
+      WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
+  }
+
   /** v_flat_store: the persisted FLAT index path inside the gate —
     * IndexStore write/read/search over the banded layout, exact top-5,
     * hash-matched against v_knn_exact's oracle (the persisted corpus

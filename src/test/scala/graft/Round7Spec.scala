@@ -210,6 +210,9 @@ class Round7Spec extends SparkSpec {
       // IVF SQL route adds the centroid-ranking window
       "v_sql_store" -> 2, "v_sql_store_ivf" -> 4, "v_filtered_route" -> 2,
       "v_sql_store_pq" -> 3, "v_sql_store_bq" -> 2,
+      // the SQL maxsim's grouped aggregations (distinct query hashes,
+      // candidate HAVING, per-qh max, per-pair sum) each shuffle
+      "v_sql_store_maxsim" -> 7,
       // t_bpe_apply's plan now CONTAINS the vocab rebuild (base
       // group-by + literal merge replaces — r9: only the merges
       // memoize, a cached cross-query frame would die to Verify's
