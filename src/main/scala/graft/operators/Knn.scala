@@ -1904,10 +1904,21 @@ object Knn {
     * user — the whole IVF serving path (rank centroids per query →
     * keep nprobe lists → exact-rescore inside them → top-5) as ONE
     * SQL statement over two bound views: the cid-partitioned store
-    * and its centroid sidecar. The statement's probe join on the
-    * partition column gets the same DynamicPruningExpression the
-    * Scala searchBatch path gets (Round9Spec asserts it), so a
-    * SQL-only user keeps the file-level list pruning — at 100 TB the
+    * and its PACKED centroid sidecar (one row, array<struct<cid,cv>>).
+    * The per-query probe list is derived with pure array ops
+    * (transform → array_sort → slice → explode — the ivfProbe formula,
+    * ranked by (round(cos,6) DESC, cid ASC)), deliberately NOT with a
+    * ROW_NUMBER window: a window needs a hash exchange, and any
+    * exchange inside the probe subplan breaks AQE's
+    * dynamic-partition-pruning broadcast reuse (the reuse check
+    * compares the subquery's unexecuted build plan against the
+    * materialized broadcast stage, and the AQEShuffleRead that
+    * coalescing inserts above a shuffle has no counterpart on the
+    * subquery side — the store scan then degrades to
+    * dynamicpruningexpression(true) and reads every list). With the
+    * exchange-free probe the store scan keeps a LIVE
+    * DynamicPruningExpression at runtime (Round10Spec asserts the
+    * final plan and the partitions-read metric), so at 100 TB the
     * SELECT reads corpus·nprobe/nlist bytes, never the corpus.
     * Hash-shares v_ivf's oracle: SQL route ≡ Scala route ≡ in-session
     * IVF, all three to the bit.
@@ -1918,19 +1929,17 @@ object Knn {
     graft.sources.IvfIndexStore.write(Tables.embeddings(spark, dir),
       "vec_id", "embedding", path, model = Some(ivfCentroids(spark, dir)))
     graft.GraftSession.sqlStore(spark, path, "ivf")
-    spark.read.parquet(s"$path.centroids")
-      .createOrReplaceTempView("graft_store_ivf_cent")
+    spark.read.parquet(s"$path.centpack")
+      .createOrReplaceTempView("graft_store_ivf_cents")
     spark.sql(s"""
       WITH q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
                  FROM graft_store_ivf WHERE vec_id < $NumQueries),
-      cs AS (SELECT query_id, qv, qn, c.cid,
-               ROUND(graft_dot(qv, c.cv) / (qn * graft_norm(c.cv)), 6) AS csim
-             FROM q CROSS JOIN graft_store_ivf_cent c),
-      pr AS (SELECT query_id, qv, qn, cid FROM (
-               SELECT query_id, qv, qn, cid,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY csim DESC, cid) AS pk FROM cs) t
-             WHERE pk <= $IvfNprobe),
+      pr AS (SELECT /*+ BROADCAST(cp) */ query_id, qv, qn, pcid AS cid
+             FROM q CROSS JOIN graft_store_ivf_cents cp
+             LATERAL VIEW explode(transform(slice(array_sort(transform(cp.cents,
+                 c -> struct(-ROUND(graft_dot(qv, c.cv) / (qn * graft_norm(c.cv)), 6) AS nsim,
+                             c.cid AS cid))), 1, $IvfNprobe),
+               s -> s.cid)) t AS pcid),
       s AS (SELECT /*+ BROADCAST(pr) */ pr.query_id, e.vec_id AS neighbor_id,
               ROUND(graft_dot(pr.qv, e.v) / (pr.qn * e.nrm), 6) AS sim
             FROM graft_store_ivf e JOIN pr

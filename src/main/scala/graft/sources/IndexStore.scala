@@ -482,6 +482,17 @@ object IvfIndexStore {
     centroids.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv")
       .write.mode("overwrite").parquet(s"$path.centroids")
+    // packed form of the same sidecar: ONE row holding the whole
+    // centroid set as array<struct<cid,cv>>. A SQL-only consumer can
+    // then derive per-query probe lists with pure array ops (sort/
+    // slice/explode) and no window → the probe subplan is exchange-free,
+    // which is exactly what AQE's dynamic-partition-pruning broadcast
+    // reuse needs to keep the store scan pruned at runtime
+    // (v_sql_store_ivf rides this).
+    Seq(Tuple1(centroids.toSeq.sortBy(_._1).map { case (cid, cv) => (cid, cv.toSeq) }))
+      .toDF("cents")
+      .select(col("cents").cast("array<struct<cid:int,cv:array<double>>>").as("cents"))
+      .write.mode("overwrite").parquet(s"$path.centpack")
   }
 
   /** Assign NEW vectors with the frozen persisted centroids and append

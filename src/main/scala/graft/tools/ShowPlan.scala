@@ -9,9 +9,12 @@ object ShowPlan {
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
+      // collect() on THIS df (not a noop-write clone, which executes a
+      // separate QueryExecution) so AdaptiveSparkPlan finalizes and the
+      // printed tree is what actually ran (isFinalPlan=true)
+      df.collect()
       println(s"===== $name =====")
-      println(df.queryExecution.executedPlan.toString.take(6000))
+      println(df.queryExecution.executedPlan.toString.take(12000))
     }
     spark.stop()
   }

@@ -130,9 +130,7 @@ class Round7Spec extends SparkSpec {
     // PartitionPruning rule requires to insert the pruning subquery)
     val bulk = emb.filter(col("vec_id") < 200).select(col("vec_id"), col("embedding"))
     val routed = IvfIndexStore.search(spark, path, bulk, "vec_id", "embedding", k = 3)
-    val plan = routed.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("dynamicpruning"),
-      s"search() on a bulk query table must take the DPP batch path; plan:\n$plan")
+    assertLiveDpp(routed, "IvfIndexStore.search (bulk route)")
     // and a small set still takes the static-IN path: the scan's
     // partition filters carry the literal probed-cid IN list (Spark
     // may stack a DPP expression on top — harmless, both prune)
@@ -257,9 +255,7 @@ class Round7Spec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
     val batch = IvfPqIndexStore.searchBatch(spark, path, queries,
       "vec_id", "embedding", operators.Knn.DefaultK)
-    val plan = batch.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("dynamicpruning"),
-      s"expected DynamicPruningExpression on the cid-partitioned code scan; plan:\n${plan.take(4000)}")
+    assertLiveDpp(batch, "IvfPqIndexStore.searchBatch")
     val viaCollect = IvfPqIndexStore.search(spark, path, queries,
       "vec_id", "embedding", operators.Knn.DefaultK).collect().map(_.toString).sorted
     assert(batch.collect().map(_.toString).sorted.sameElements(viaCollect),

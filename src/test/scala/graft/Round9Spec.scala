@@ -292,10 +292,30 @@ class Round9Spec extends SparkSpec {
 
   test("v_sql_store_ivf: the SQL probe join prunes the store scan dynamically") {
     val df = operators.Knn.vSqlStoreIvf(spark, sf)
-    df.write.format("noop").mode("overwrite").save() // finalize AQE
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("dynamicpruning"),
-      s"the SQL route must keep file-level list pruning (DPP); plan:\n${plan.take(4000)}")
+    // live in the FINALIZED plan (the r9 version degraded to AQE's
+    // literal-true fallback because the window in the probe CTE put a
+    // shuffle — hence an AQEShuffleRead — inside the DPP build plan,
+    // which broke broadcast reuse; the array-derived probe is
+    // exchange-free, so reuse holds)
+    assertLiveDpp(df, "v_sql_store_ivf")
+    // and EFFECTIVE: the pruned store scan read EXACTLY the distinct
+    // probed lists — the partitions-read metric must equal the probe
+    // set's distinct cid count, independently recomputed (at tiny sf
+    // the 10 queries can cover every list, so "< on disk" would be
+    // vacuous; equality pins the metric to the probe values)
+    val probedDistinct = spark.sql(s"""
+      SELECT COUNT(DISTINCT pcid) FROM (
+        SELECT explode(transform(slice(array_sort(transform(cp.cents,
+            c -> struct(-ROUND(graft_dot(q.v, c.cv) / (q.nrm * graft_norm(c.cv)), 6) AS nsim,
+                        c.cid AS cid))), 1, ${operators.Knn.IvfNprobe}),
+          s -> s.cid)) AS pcid
+        FROM graft_store_ivf q CROSS JOIN graft_store_ivf_cents cp
+        WHERE q.vec_id < ${operators.Knn.NumQueries})""").collect()(0).getLong(0)
+    val read = dppScanPartitionsRead(df)
+    assert(read.nonEmpty, "no executed scan carries a dynamic pruning partition filter")
+    assert(read.forall(_ == probedDistinct),
+      s"DPP scan read $read list partitions; the probe set covers $probedDistinct — " +
+        "the scan must read exactly the probed lists")
   }
 
   test("multiprobe blocking: no duplicate pairs, strictly better recall") {
