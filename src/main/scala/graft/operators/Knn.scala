@@ -1955,15 +1955,18 @@ object Knn {
     * user — the third leg of the SQL serving story (exact:
     * v_sql_store, pruned: v_sql_store_ivf, compressed: this). The
     * code table and codebook sidecar bind as views and one SQL
-    * statement runs the full ADC search: per-(query, m) subvector
-    * distances against the codebook entry each vector's code selects,
-    * re-folded in ascending-m order (sort_array ∘ collect_list ∘
-    * aggregate — the exact summation order of the Scala path's
-    * adcDistCol, so the doubles are bit-identical), top-5 by
-    * approximate L2. Hash-shares v_pq's oracle. The SQL route trades
-    * one extra (query, vector) group-by against the Scala path's
-    * broadcast lookup tables — the convenience form; the 32×-smaller
-    * code scan is the same.
+    * statement runs the full ADC search MAP-SIDE: the PACKED codebook
+    * sidecar (one row, books[m+1][k+1] = subvector) cross-joins in as
+    * a single broadcast row and the distance folds per (query, vector)
+    * as a nested ascending-m aggregate — outer fold over m seeded 0.0,
+    * inner zip_with fold over the 8 positions seeded 0.0, the exact
+    * summation order of the Scala path's per-m l2sq + adcDistCol, so
+    * the doubles are bit-identical. Top-5 by approximate L2.
+    * Hash-shares v_pq's oracle. Unlike the r9 form (per-m explode +
+    * codebook join + GROUP BY re-merge — a shuffle carrying one row
+    * per (query, corpus vector)), the only exchange left is the
+    * k-bounded top-k window: the same shuffle budget as the Scala
+    * route, so the SQL convenience costs nothing at 100 TB.
     */
   def vSqlStorePq(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
@@ -1972,27 +1975,25 @@ object Knn {
     graft.sources.PqIndexStore.write(emb, "vec_id", "embedding", path,
       model = Some(pqBooksFor(spark, dir)))
     graft.GraftSession.sqlStore(spark, s"$path.codes", "pq_codes")
-    graft.GraftSession.sqlStore(spark, s"$path.books", "pq_books")
+    graft.GraftSession.sqlStore(spark, s"$path.bookpack", "pq_bookpack")
     emb.createOrReplaceTempView("graft_sql_emb")
+    val dsub = 64 / PqSubspaces
     spark.sql(s"""
       WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
                CAST(embedding AS ARRAY<DOUBLE>) AS qv
              FROM graft_sql_emb WHERE vec_id < $NumQueries),
-      m8 AS (SELECT explode(sequence(0, ${PqSubspaces - 1})) AS m),
-      part AS (SELECT q.query_id, c.vec_id, m8.m,
-               aggregate(zip_with(slice(q.qv, m8.m * 8 + 1, 8), b.cv,
-                   (x, y) -> (x - y) * (x - y)),
-                 CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS d2
-             FROM graft_store_pq_codes c
-             JOIN q ON c.vec_id <> q.query_id
-             CROSS JOIN m8
-             JOIN graft_store_pq_books b
-               ON b.m = m8.m AND b.k = element_at(c.codes, m8.m + 1)),
-      s AS (SELECT query_id, vec_id,
-              ROUND(SQRT(aggregate(transform(sort_array(collect_list(struct(m, d2))),
-                  t -> t.d2),
-                CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)), 6) AS adc_dist
-            FROM part GROUP BY query_id, vec_id),
+      s AS (SELECT /*+ BROADCAST(q, bp) */ q.query_id, c.vec_id,
+              ROUND(SQRT(aggregate(sequence(0, ${PqSubspaces - 1}),
+                CAST(0.0 AS DOUBLE),
+                (acc, m) -> acc + aggregate(
+                  zip_with(slice(q.qv, m * $dsub + 1, $dsub),
+                           element_at(element_at(bp.books, m + 1),
+                                      element_at(c.codes, m + 1) + 1),
+                           (x, y) -> (x - y) * (x - y)),
+                  CAST(0.0 AS DOUBLE), (a, x) -> a + x))), 6) AS adc_dist
+            FROM graft_store_pq_codes c
+            CROSS JOIN graft_store_pq_bookpack bp
+            JOIN q ON c.vec_id <> q.query_id),
       r AS (SELECT query_id, vec_id AS neighbor_id, adc_dist,
               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rnk

@@ -751,6 +751,13 @@ object PqIndexStore {
       perM.zipWithIndex.map { case (cv, k) => (m, k, cv.toSeq) }
     }.toSeq.toDF("m", "k", "cv")
       .write.mode("overwrite").parquet(s"$path.books")
+    // packed form: ONE row, books[m+1][k+1] = codebook subvector — a
+    // SQL consumer cross-joins this single broadcast row and folds the
+    // ADC distance entirely map-side (element_at lookups inside an
+    // aggregate), with no per-m explode and no corpus-wide re-merge
+    // group-by (v_sql_store_pq rides this).
+    Seq(Tuple1(books.map(_.map(_.toSeq).toSeq).toSeq)).toDF("books")
+      .write.mode("overwrite").parquet(s"$path.bookpack")
   }
 
   /** Incremental maintenance — the faiss add() analog for the

@@ -204,10 +204,14 @@ class Round7Spec extends SparkSpec {
       // banded frame broadcasts at gate scale, probes are equi-joins
       "m_resize_bilinear" -> 2, "d_embed_multiprobe" -> 1,
       "d_embed_mp_recall" -> 1,
-      // r9 serving routes: top-k windows + presentation sorts; the
-      // IVF SQL route adds the centroid-ranking window
-      "v_sql_store" -> 2, "v_sql_store_ivf" -> 4, "v_filtered_route" -> 2,
-      "v_sql_store_pq" -> 3, "v_sql_store_bq" -> 2,
+      // r9 serving routes: top-k windows + presentation sorts. r10
+      // tightened the IVF SQL route (array-derived probe: the
+      // centroid-ranking window's exchange is gone — and has to stay
+      // gone, or DPP broadcast reuse breaks) and the PQ SQL route
+      // (map-side ADC fold: the corpus-wide GROUP BY re-merge is gone)
+      // to the same 2-exchange budget as their Scala twins
+      "v_sql_store" -> 2, "v_sql_store_ivf" -> 2, "v_filtered_route" -> 2,
+      "v_sql_store_pq" -> 2, "v_sql_store_bq" -> 2,
       // the SQL maxsim's grouped aggregations (distinct query hashes,
       // candidate HAVING, per-qh max, per-pair sum) each shuffle
       "v_sql_store_maxsim" -> 7,
