@@ -261,6 +261,44 @@ object StoreMaintenance {
       .filter(f => f.isDirectory && !f.getName.startsWith(".") &&
         f.getName.contains("="))
 
+  /** LEAF `col=val` partition directories — the dirs that actually
+    * hold data files. Single-level layouts return the top-level dirs
+    * unchanged; nested layouts (a=1/b=x) descend to the innermost
+    * `col=val` level, so maintenance rewrites target real file sets
+    * instead of silently matching nothing (the r9 purge keyed hits by
+    * the file's immediate parent but only listed top-level dirs — on
+    * a nested store the two never met and purge was a silent no-op).
+    */
+  private def leafPartitionDirs(root: java.io.File): Array[java.io.File] = {
+    def walk(d: java.io.File): Array[java.io.File] = {
+      val subs = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !f.getName.startsWith(".") &&
+          f.getName.contains("="))
+      if (subs.isEmpty) Array(d) else subs.flatMap(walk)
+    }
+    partitionDirs(root).flatMap(walk)
+  }
+
+  /** Root-relative path of a (possibly nested) partition dir, the key
+    * maintenance uses to match scan hits to directories.
+    */
+  private def relPath(root: java.io.File, dir: java.io.File): String =
+    root.toPath.relativize(dir.toPath).toString.replace(java.io.File.separatorChar, '/')
+
+  /** Temp-dir name for a swap of `rel` (swap dirs always live directly
+    * under the root, so nested separators are %-encoded — recover
+    * reverses this to find the target dir).
+    */
+  private def swapTmpName(rel: String): String =
+    ".compact_" + rel.replace("/", "%2F")
+
+  private def swapTargetOf(root: java.io.File, tmpName: String): java.io.File = {
+    val rel = tmpName.stripPrefix(".compact_").replace("%2F", "/")
+    // rel "." is the root itself — the flat-layout (unpartitioned)
+    // swap writes straight into the store root
+    if (rel == ".") root else new java.io.File(root, rel)
+  }
+
   /** Step 3 of the swap, idempotent: retire manifest-listed files,
     * move rewritten files into the partition dir, clear the temp dir
     * (manifest deleted last, so a crash anywhere re-runs cleanly).
@@ -297,7 +335,7 @@ object StoreMaintenance {
       val committed = new java.io.File(tmp, "_SUCCESS").isFile &&
         new java.io.File(tmp, "manifest").isFile
       if (committed) {
-        completeSwap(new java.io.File(root, tmp.getName.stripPrefix(".compact_")), tmp)
+        completeSwap(swapTargetOf(root, tmp.getName), tmp)
         completed += 1
       } else {
         def rm(f: java.io.File): Unit = {
@@ -360,49 +398,73 @@ object StoreMaintenance {
     // (safe here: the lock excludes any other maintainer's in-flight
     // temp dirs)
     recover(path)
-    val parts = partitionDirs(root).filter(d => dataFiles(d).nonEmpty)
+    val parts = leafPartitionDirs(root).filter(d => dataFiles(d).nonEmpty)
     if (parts.isEmpty || ids.isEmpty) return (0, 0L)
     // Discovery is ONE Spark job over the whole store, not one count()
     // per directory: the IN predicate pushes to parquet (row-group
     // stats keep untouched partitions at a footer read), the scan
-    // prunes to the id column, and the hits group by their partition
-    // directory. A store with thousands of partition dirs (MIH blk
-    // buckets, a year of day= dirs) pays O(1) scheduling overhead for
-    // discovery instead of thousands of sequential ~100 ms jobs.
-    val hitRows = spark.read.parquet(parts.map(_.getAbsolutePath): _*)
-      .where(col(idCol).isin(ids: _*))
-      .select(regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1).as("pdir"))
-      .groupBy("pdir").agg(count(lit(1)).as("hits"))
-      .collect().flatMap { r =>
-        // input_file_name is a URI: a partition value with special
-        // chars surfaces percent-encoded there while listFiles sees
-        // the raw dir name — index the count under both spellings
-        val k = r.getString(0)
-        val dec = scala.util.Try(
-          java.net.URLDecoder.decode(k.replace("+", "%2B"), "UTF-8")).getOrElse(k)
-        Seq(k -> r.getLong(1), dec -> r.getLong(1))
-      }.toMap
+    // prunes to the id column, and the hits key by their partition
+    // directory's root-relative path (nested layouts included). A
+    // store with thousands of partition dirs (MIH blk buckets, a year
+    // of day= dirs) pays O(1) scheduling overhead for discovery
+    // instead of thousands of sequential ~100 ms jobs.
+    val hitRows = hitsByRelDir(spark,
+      spark.read.parquet(parts.map(_.getAbsolutePath): _*), root, idCol, ids)
     var rewritten = 0
     var removed = 0L
-    parts.filter(p => hitRows.contains(p.getName)).foreach { pdir =>
-      val files = dataFiles(pdir)
-      val keep = spark.read.parquet(pdir.getAbsolutePath)
-        .where(!col(idCol).isin(ids: _*))
-      val shaped = recluster match {
-        case Some(c) => keep.repartitionByRange(files.length, col(c))
-          .sortWithinPartitions(c)
-        case None => keep.coalesce(files.length)
+    parts.foreach { pdir =>
+      val rel = relPath(root, pdir)
+      if (hitRows.contains(rel)) {
+        val files = dataFiles(pdir)
+        val keep = spark.read.parquet(pdir.getAbsolutePath)
+          .where(!col(idCol).isin(ids: _*))
+        val shaped = recluster match {
+          case Some(c) => keep.repartitionByRange(files.length, col(c))
+            .sortWithinPartitions(c)
+          case None => keep.coalesce(files.length)
+        }
+        val tmp = new java.io.File(root, swapTmpName(rel))
+        shaped.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
+          java.util.Arrays.asList(files.map(_.getName): _*))
+        completeSwap(pdir, tmp)
+        rewritten += 1
+        removed += hitRows(rel)
       }
-      val tmp = new java.io.File(root, s".compact_${pdir.getName}")
-      shaped.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
-        java.util.Arrays.asList(files.map(_.getName): _*))
-      completeSwap(pdir, tmp)
-      rewritten += 1
-      removed += hitRows(pdir.getName)
     }
     (rewritten, removed)
     }
+  }
+
+  /** Hit rows per store directory, keyed by root-relative dir path:
+    * one pushed-down scan over `scan`, grouped by each hit file's
+    * parent directory relative to `root`. input_file_name is a URI —
+    * percent-encoded — while listFiles sees raw names, so the key is
+    * decoded driver-side; the returned map covers both spellings.
+    */
+  private def hitsByRelDir(spark: SparkSession, scan: DataFrame,
+                           root: java.io.File, idCol: String,
+                           ids: Seq[Any]): Map[String, Long] = {
+    val rootAbs = root.getAbsolutePath
+    scan.where(col(idCol).isin(ids: _*))
+      .select(input_file_name().as("f"))
+      .groupBy("f").agg(count(lit(1)).as("hits"))
+      .collect().flatMap { r =>
+        val raw = r.getString(0)
+        val dec = scala.util.Try(
+          java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")).getOrElse(raw)
+        Seq(raw, dec).flatMap { u =>
+          val i = u.indexOf(rootAbs)
+          if (i < 0) None
+          else {
+            val rel = u.substring(i + rootAbs.length).stripPrefix("/")
+            val cut = rel.lastIndexOf('/')
+            // a file directly under the root (flat layout) keys as "."
+            Some(if (cut < 0) "." else rel.substring(0, cut))
+          }
+        }.distinct.map(_ -> r.getLong(1)) // distinct per file: both
+        // spellings of one file must not double-count its hits
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
   }
 
   /** The generic crash-consistent partition rewrite behind [[compact]]
@@ -418,14 +480,19 @@ object StoreMaintenance {
       shaper: DataFrame => DataFrame): (Int, Int) = {
     val root = new java.io.File(path)
     withLock(root) {
-    val parts = partitionDirs(root)
+    // settle any crashed maintainer's swap BEFORE rewriting (mirrors
+    // purge): a committed-but-unswapped .compact_* temp dir holds the
+    // only copy of already-retired rows, and writing this pass's
+    // rewrite over the same temp path would destroy it
+    recover(path)
+    val parts = leafPartitionDirs(root)
     var before = 0
     var after = 0
     parts.foreach { pdir =>
       val files = dataFiles(pdir)
       before += files.length
       if (shouldRewrite(files.length)) {
-        val tmp = new java.io.File(root, s".compact_${pdir.getName}")
+        val tmp = new java.io.File(root, swapTmpName(relPath(root, pdir)))
         shaper(spark.read.parquet(pdir.getAbsolutePath))
           .write.mode("overwrite").parquet(tmp.getAbsolutePath)
         // manifest AFTER the rewrite committed: its presence tells
@@ -437,6 +504,51 @@ object StoreMaintenance {
       } else after += files.length
     }
     (before, after)
+    }
+  }
+
+  /** Delete-by-key for UNPARTITIONED (flat-layout) stores — the purge
+    * analog for stores whose files sit directly under the root with no
+    * `col=val` directories (BqIndexStore's code table, PqIndexStore's
+    * .codes sidecar). Same single-scan discovery (the IN predicate
+    * pushes to parquet, row-group stats keep clean files at a footer
+    * read), but hits key by FILE: only the files that actually contain
+    * a victim row are rewritten — filtered and re-written through the
+    * crash-consistent temp-dir + manifest swap targeting the root
+    * itself (swap dir `.compact_.`; [[recover]] resolves it back to
+    * the root) — while untouched files stay byte-identical. Returns
+    * (files rewritten, rows removed); idempotent — a re-purge of the
+    * same ids finds no hits and rewrites nothing.
+    */
+  def purgeFiles(spark: SparkSession, path: String, idCol: String,
+                 ids: Seq[Any]): (Int, Long) = {
+    val root = new java.io.File(path)
+    withLock(root) {
+    recover(path)
+    val files = dataFiles(root)
+    if (files.isEmpty || ids.isEmpty) return (0, 0L)
+    // ONE pushed-down discovery scan, hits keyed by file basename
+    val perFile: Map[String, Long] = spark.read.parquet(root.getAbsolutePath)
+      .where(col(idCol).isin(ids: _*))
+      .select(input_file_name().as("f"))
+      .groupBy("f").agg(count(lit(1)).as("hits"))
+      .collect().map { r =>
+        val raw = r.getString(0)
+        val dec = scala.util.Try(
+          java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")).getOrElse(raw)
+        dec.substring(dec.lastIndexOf('/') + 1) -> r.getLong(1)
+      }.toMap
+    val hitCount = perFile.values.sum
+    val victims = files.filter(f => perFile.contains(f.getName))
+    if (victims.isEmpty) return (0, 0L)
+    val keep = spark.read.parquet(victims.map(_.getAbsolutePath): _*)
+      .where(!col(idCol).isin(ids: _*))
+    val tmp = new java.io.File(root, swapTmpName("."))
+    keep.coalesce(victims.length).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
+      java.util.Arrays.asList(victims.map(_.getName): _*))
+    completeSwap(root, tmp)
+    (victims.length, hitCount)
     }
   }
 }
@@ -965,6 +1077,23 @@ object BqIndexStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Delete-by-key for the flat code table — the binary tier's
+    * right-to-be-forgotten path (faiss remove_ids on an IndexBinary).
+    * The layout is deliberately unpartitioned, so this rides
+    * StoreMaintenance.purgeFiles: one pushed-down discovery scan,
+    * then only the files containing a victim row are rewritten through
+    * the crash-consistent root swap; clean files stay byte-identical.
+    */
+  def purge(spark: SparkSession, path: String, ids: Seq[Any]): (Int, Long) =
+    StoreMaintenance.purgeFiles(spark, path, "id", ids)
+
+  /** Delete-by-key for the MIH layout: blk= partition dirs, so the
+    * standard partitioned purge applies — reclustered on bval to keep
+    * the per-file zone maps tight (the layout's pruning contract).
+    */
+  def purgeMih(spark: SparkSession, path: String, ids: Seq[Any]): (Int, Long) =
+    StoreMaintenance.purge(spark, path, "id", ids, recluster = Some("bval"))
 
   /** Multi-index (MIH) layout: each vector lands in its 8 byte-block
     * buckets — the persisted analog of faiss IndexBinaryMultiHash's

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{BqIndexStore, StoreMaintenance}
+
+/** Round-10 invariants: delete-by-key on the unpartitioned (flat)
+  * binary tier, nested-partition-layout maintenance, and
+  * recover-before-compact (a crashed committed swap must never be
+  * destroyed by the next maintenance pass).
+  */
+class Round10Spec extends SparkSpec {
+
+  private def md5(f: java.io.File): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(java.nio.file.Files.readAllBytes(f.toPath))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def dataFiles(path: String): Array[java.io.File] =
+    new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  test("BqIndexStore.purge: flat delete-by-key, clean files byte-identical, idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("bq_purge").toString
+    val path = s"$base/idx"
+    val emb = Tables.embeddings(spark, sf)
+    // several files so "rewrites only hit files" is observable
+    BqIndexStore.write(emb.repartition(4, col("vec_id")), "vec_id", "embedding", path)
+    val before = dataFiles(path)
+    assert(before.length >= 3, s"need a multi-file store, got ${before.length}")
+    val victims = Seq(3L, 7L)
+    // which files hold a victim row — recomputed independently of purge
+    val victimFiles = before.filter(f =>
+      spark.read.parquet(f.getAbsolutePath)
+        .filter(col("id").isin(victims: _*)).count() > 0).map(_.getName).toSet
+    assert(victimFiles.nonEmpty)
+    val beforeHash = before.map(f => f.getName -> md5(f)).toMap
+    val total = spark.read.parquet(path).count()
+
+    val (nFiles, nRows) = BqIndexStore.purge(spark, path, victims)
+    assert(nRows == victims.size.toLong, s"expected ${victims.size} rows removed, got $nRows")
+    assert(nFiles == victimFiles.size, s"must rewrite only the ${victimFiles.size} hit files")
+
+    val after = dataFiles(path).map(f => f.getName -> md5(f)).toMap
+    beforeHash.foreach { case (name, h) =>
+      if (victimFiles.contains(name))
+        assert(!after.contains(name), s"hit file $name must have been retired")
+      else
+        assert(after(name) == h, s"clean file $name must stay byte-identical")
+    }
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == total - victims.size)
+    assert(idx.filter(col("id").isin(victims: _*)).count() == 0)
+    // the serving surface stops returning the purged ids
+    val res = BqIndexStore.search(spark, path, emb,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+    assert(res.count() > 0 &&
+      res.filter(col("neighbor_id").isin(victims: _*)).count() == 0,
+      "purged ids must never surface in Hamming search again")
+    // idempotence: re-purging the same ids touches nothing
+    val (r2, n2) = BqIndexStore.purge(spark, path, victims)
+    val after2 = dataFiles(path).map(f => f.getName -> md5(f)).toMap
+    assert(r2 == 0 && n2 == 0L && after2 == after,
+      "re-purge must be a byte-level no-op")
+  }
+
+  test("BqIndexStore.purgeMih: radius search stops returning the purged id") {
+    val base = java.nio.file.Files.createTempDirectory("mih_purge").toString
+    val path = s"$base/idx"
+    val emb = Tables.embeddings(spark, sf)
+    BqIndexStore.writeMih(emb, "vec_id", "embedding", path)
+    val victim = 7L
+    // the victim's own code as the query: radius 0 must find it before
+    // the purge and nothing after
+    val qc = spark.read.parquet(path).filter(col("id") === victim)
+      .select(col("id").as("query_id"), col("code_lo").as("qlo"), col("code_hi").as("qhi"))
+      .limit(1).cache()
+    assert(BqIndexStore.searchRadius(spark, path, qc, radius = 0)
+      .filter(col("neighbor_id") === victim).count() == 1)
+    val (nParts, nRows) = BqIndexStore.purgeMih(spark, path, Seq(victim))
+    assert(nRows == 8L, s"MIH fans each id into 8 bucket rows, removed $nRows")
+    assert(nParts > 0)
+    assert(BqIndexStore.searchRadius(spark, path, qc, radius = 0).count() == 0,
+      "purged id must be gone from every blk bucket")
+    qc.unpersist()
+  }
+
+  test("purge reaches nested partition layouts (r9 keyed dirs wrong: silent no-op)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("nested_purge").toString
+    val path = s"$base/idx"
+    (0 until 400).map(i => (i.toLong, i % 4, if (i % 2 == 0) "ev" else "od"))
+      .toDF("id", "p", "q")
+      .repartition(2).write.partitionBy("p", "q").parquet(path)
+    val victims = Seq(5L, 10L) // land in p=1/q=od and p=2/q=ev
+    val (rewritten, removed) = StoreMaintenance.purge(spark, path, "id", victims)
+    assert(removed == 2L, s"nested-layout purge must remove both rows, got $removed")
+    assert(rewritten == 2, s"exactly the two hit leaf dirs rewrite, got $rewritten")
+    val t = spark.read.parquet(path)
+    assert(t.count() == 398)
+    assert(t.filter(col("id").isin(victims: _*)).count() == 0)
+    // idempotent on the nested layout too
+    assert(StoreMaintenance.purge(spark, path, "id", victims) == ((0, 0L)))
+  }
+
+  test("compact settles a crashed committed swap before rewriting (no data loss)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("crash_compact").toString
+    val path = s"$base/idx"
+    (0 until 100).map(i => (i.toLong, 0)).toDF("id", "p")
+      .repartition(2).write.partitionBy("p").parquet(path)
+    val pdir = new java.io.File(path, "p=0")
+    val live = pdir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(live.length == 2)
+    // hand-build the crashed state: a COMMITTED compact temp (full
+    // content, _SUCCESS + manifest) whose swap already retired one of
+    // the two live files — the temp now holds the ONLY copy of the
+    // retired rows
+    val tmp = new java.io.File(path, ".compact_p=0")
+    spark.read.parquet(pdir.getAbsolutePath).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
+      java.util.Arrays.asList(live.map(_.getName): _*))
+    live.head.delete()
+    new java.io.File(pdir, "." + live.head.getName + ".crc").delete()
+    // a compact at this point used to overwrite .compact_p=0 with a
+    // rewrite of the PARTIAL dir, destroying the retired rows forever;
+    // it must recover the swap first
+    StoreMaintenance.compact(spark, path)
+    val t = spark.read.parquet(path)
+    assert(t.count() == 100,
+      "compact after a crashed committed swap must preserve every row")
+    assert(t.select(sum("id")).collect()(0).getLong(0) == (0L until 100L).sum)
+  }
+}
