@@ -1554,15 +1554,18 @@ object Oracles {
       LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
       ORDER BY c.doc1, c.doc2""",
 
-    // SemDeDup: same banded pairs + cosine as d_embed_near, thresholded
-    // into edges, components via recursive reachability (the oracle
-    // twin of the engine's pointer-jumping loop), singletons coalesced
+    // SemDeDup: same MULTIPROBE pairs + cosine as d_embed_near
+    // (Hamming-≤1 on either band — the r10 production blocking),
+    // thresholded into edges, components via recursive reachability
+    // (the oracle twin of the engine's pointer-jumping loop),
+    // singletons coalesced
     "d_semdedup" -> s"""
       WITH RECURSIVE $lshBandsCte,
       cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2
                FROM bands a JOIN bands b
                  ON a.vec_id < b.vec_id
-                AND (a.band0 = b.band0 OR a.band1 = b.band1)),
+                AND (bit_count(xor(a.band0, b.band0)) <= 1
+                  OR bit_count(xor(a.band1, b.band1)) <= 1)),
       sims AS (SELECT id1, id2,
                  ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS sim
                FROM cand JOIN n x ON x.vec_id = id1 JOIN n y ON y.vec_id = id2),
@@ -1580,12 +1583,16 @@ object Oracles {
       FROM embeddings e LEFT JOIN lbl l ON l.ld = e.vec_id
       ORDER BY e.vec_id""",
 
+    // r10: the production blocking is the multiprobe tier — the
+    // oracle states the Hamming-≤1 semantics the probe fan-out
+    // reaches through equi-joins (same statement as d_embed_multiprobe)
     "d_embed_near" -> s"""
       WITH $lshBandsCte,
       cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2
                FROM bands a JOIN bands b
                  ON a.vec_id < b.vec_id
-                AND (a.band0 = b.band0 OR a.band1 = b.band1))
+                AND (bit_count(xor(a.band0, b.band0)) <= 1
+                  OR bit_count(xor(a.band1, b.band1)) <= 1))
       SELECT id1, id2,
         ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS sim
       FROM cand JOIN n x ON x.vec_id = id1 JOIN n y ON y.vec_id = id2

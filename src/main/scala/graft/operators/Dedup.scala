@@ -510,10 +510,14 @@ object Dedup {
   /** d_embed_near: embedding near-dup candidates via deterministic
     * random-hyperplane LSH bands (exact integer sign sums → both
     * engines derive identical buckets), exact cosine on candidates,
-    * top-50. Blocking keys make this an equi-join at any scale.
+    * top-50. Since r10 the PRODUCTION blocking is the multiprobe tier
+    * (Hamming-≤1 probe fan-out, embedPairsMultiprobe): measured
+    * recall 0.78 vs single-bucket banding's 0.26 on this corpus
+    * (d_embed_mp_recall / d_embed_recall), still pure equi-joins on
+    * the probe key at any scale.
     */
   def dEmbedNear(spark: SparkSession, dir: String): DataFrame =
-    embedPairs(spark, dir)
+    embedPairsMultiprobe(spark, dir)
       .orderBy(col("sim").desc, col("id1").asc, col("id2").asc)
       .limit(50)
 
@@ -672,12 +676,14 @@ object Dedup {
     * is the keeper. The embedding-space twin of d_components (which
     * groups by MinHash/lexical similarity): catches paraphrases and
     * re-encodings that share no surface text. Composes the engine's
-    * own blocks — embedPairs ∘ connectedComponents — into one plan;
-    * singleton vectors (no near neighbor) coalesce back in as their
-    * own keepers via a left join.
+    * own blocks — embedPairsMultiprobe ∘ connectedComponents — into
+    * one plan (r10: the production edges ride the Hamming-≤1
+    * multiprobe tier, ~3× the candidate recall of single-bucket
+    * banding at 5× left-side fan-out); singleton vectors (no near
+    * neighbor) coalesce back in as their own keepers via a left join.
     */
   def dSemdedup(spark: SparkSession, dir: String): DataFrame = {
-    val edges = embedPairs(spark, dir)
+    val edges = embedPairsMultiprobe(spark, dir)
       .filter(col("sim") >= SemThreshold)
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
       .distinct()
