@@ -3545,7 +3545,8 @@ object Oracles {
       s AS (SELECT query_id, nn.crop_id AS neighbor_id, nn.label AS neighbor_label,
               ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
             FROM nn JOIN bands cb ON cb.crop_id = nn.crop_id
-            JOIN q ON nn.crop_id <> q.query_id AND cb.band0 = q.qb0),
+            JOIN q ON nn.crop_id <> q.query_id
+              AND bit_count(xor(cb.band0, q.qb0)) <= 1),
       $mPipelineVote"""
   )
 
@@ -4083,7 +4084,65 @@ object Oracles {
       ORDER BY r.doc_id"""
   )
 
+  val round10: Map[String, String] = Map(
+    // multiprobe over the persisted banded store: the oracle states
+    // the Hamming-≤1-on-band0 blocking semantics the probe fan-out
+    // reaches via equi-joins, then exact cosine + top-5 inside it
+    "v_ann_store_mp" -> s"""
+      WITH $lshBandsCte,
+      q AS (SELECT b.vec_id AS query_id, b.band0 AS qb0, n.v AS qv, n.nrm AS qn
+            FROM bands b JOIN n ON n.vec_id = b.vec_id WHERE b.vec_id < 10),
+      cand AS (SELECT query_id, qv, qn, b.vec_id AS neighbor_id
+               FROM q JOIN bands b
+                 ON b.vec_id <> query_id
+                AND bit_count(xor(b.band0, qb0)) <= 1),
+      s AS (SELECT query_id, neighbor_id,
+              ROUND(list_dot_product(qv, y.v) / (qn * y.nrm), 6) AS sim
+            FROM cand JOIN n y ON y.vec_id = neighbor_id),
+      r AS (SELECT query_id, neighbor_id, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM s)
+      SELECT query_id, rnk, neighbor_id, sim FROM r
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    // recall@5 of the probed store tier against exact cosine top-5
+    // (the v_recall evaluation over the multiprobe candidate set)
+    "v_ann_store_recall" -> s"""
+      WITH $lshBandsCte,
+      q AS (SELECT b.vec_id AS query_id, b.band0 AS qb0, n.v AS qv, n.nrm AS qn
+            FROM bands b JOIN n ON n.vec_id = b.vec_id WHERE b.vec_id < 10),
+      cand AS (SELECT query_id, qv, qn, b.vec_id AS neighbor_id
+               FROM q JOIN bands b
+                 ON b.vec_id <> query_id
+                AND bit_count(xor(b.band0, qb0)) <= 1),
+      s AS (SELECT query_id, neighbor_id,
+              ROUND(list_dot_product(qv, y.v) / (qn * y.nrm), 6) AS sim
+            FROM cand JOIN n y ON y.vec_id = neighbor_id),
+      r AS (SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM s),
+      mp5 AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 5),
+      ex_s AS (SELECT q2.query_id, n.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(q2.qv, n.v) / (q2.qn * n.nrm), 6) AS sim
+               FROM n CROSS JOIN (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                                  FROM n WHERE vec_id < 10) q2
+               WHERE n.vec_id <> q2.query_id),
+      ex_r AS (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM ex_s),
+      ex5 AS (SELECT query_id, neighbor_id FROM ex_r WHERE rnk <= 5)
+      SELECT e.query_id,
+        CAST(COUNT(m.neighbor_id) AS BIGINT) AS hits,
+        ROUND(COUNT(m.neighbor_id) / 5.0, 6) AS recall
+      FROM ex5 e LEFT JOIN mp5 m
+        ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id ORDER BY e.query_id"""
+  )
+
   def all: Map[String, String] =
     relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming ++
-      round2 ++ round3 ++ round6 ++ round8 ++ round9
+      round2 ++ round3 ++ round6 ++ round8 ++ round9 ++ round10
 }

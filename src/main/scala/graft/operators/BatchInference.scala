@@ -400,17 +400,20 @@ object BatchInference {
   }
 
   /** m_pipeline_ann: the same reference program on the SCALE serving
-    * tier — the query probes only its LSH band-0 bucket of the
-    * persisted index (band0 is the partition column, so the probe
-    * reads 1/16 of the index's files), then exact-rescoring and the
-    * label vote run inside the bucket. The hit lists are
-    * data-dependent (a query may have < 5 bucket neighbors), which is
+    * tier — since r10 the query MULTIPROBES the persisted index: its
+    * own LSH band-0 bucket plus the 4 Hamming-1 neighbor buckets
+    * (band0 is the partition column, so the probe reads ≤ 5/16 of the
+    * index's files via a static IN partition filter instead of
+    * band0-only's 1/16 — and stops structurally missing neighbors
+    * that straddle one hyperplane), then exact-rescoring and the
+    * label vote run inside the probed buckets. The hit lists are
+    * data-dependent (a query may have < 5 probed neighbors), which is
     * the ANN recall trade the oracle replays exactly.
     */
   def mPipelineAnn(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexStore
     val (embedded, path) = pipelineIngest(spark, dir, "m_pipeline_ann")
-    val hits = IndexStore.searchAnn(IndexStore.read(spark, path),
+    val hits = IndexStore.searchAnnProbed(spark, path,
       bestCropQueries(embedded), "crop_id", "embedding", k = 5, dim = 8)
     labelVote(spark, hits, path)
   }

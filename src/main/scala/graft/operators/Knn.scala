@@ -2193,6 +2193,47 @@ object Knn {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** v_ann_store_mp: the MULTIPROBE serving tier over the persisted
+    * banded store — IndexStore.write, then searchAnnProbed: each query
+    * probes its own band0 bucket plus the 4 Hamming-1 neighbor
+    * buckets, compiled into a static `band0 IN (...)` partition
+    * filter (file-level pruning — the scan reads ≤ 5/16 of the store
+    * instead of band0-only's 1/16), exact cosine rescoring inside the
+    * probed buckets, top-5. The oracle states the blocking SEMANTICS
+    * (candidates within Hamming ≤ 1 of the query's band0) that the
+    * left-side probe fan-out reaches through pure equi-joins.
+    */
+  def vAnnStoreMp(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/annmp_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.IndexStore
+      .searchAnnProbed(spark, path, queries, "vec_id", "embedding", DefaultK, dim = 64)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_ann_store_recall: what multiprobe buys the PERSISTED serving
+    * tier — recall@5 per query of the probed store search against
+    * exact cosine top-5 (the vRecall evaluation over
+    * [[vAnnStoreMp]]'s results; Round10Spec additionally asserts the
+    * lift over the band0-only searchAnn on the same store and the
+    * probed partition filter).
+    */
+  def vAnnStoreRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBase(spark, dir, DefaultK).select(col("query_id"), col("neighbor_id"))
+    val ann = vAnnStoreMp(spark, dir)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    exact.join(ann,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+      .groupBy("query_id")
+      .agg(count(col("an")).as("hits"),
+        round(count(col("an")) / lit(DefaultK.toDouble), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** v_opq_store: the persisted rotated-PQ path — the Hadamard
     * rotation applied at WRITE time (one extra projection in the
     * encode pass), rotated-space codebooks from the session registry,

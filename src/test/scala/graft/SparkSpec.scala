@@ -45,9 +45,21 @@ trait SparkSpec extends AnyFunSuite {
     * to prove pruning skipped directories, not just planned to.
     */
   def dppScanPartitionsRead(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
+    executedFileScans(df)
+      .filter(_.partitionFilters.exists(
+        _.exists(_.isInstanceOf[DynamicPruningExpression])))
+      .map(_.metrics("numPartitions").value)
+  }
+
+  /** Every FileSourceScanExec in the finalized plan, recursing through
+    * AQE roots, query stages, and subqueries. Call after an action so
+    * stage plans and metrics are populated.
+    */
+  def executedFileScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
     def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case q: QueryStageExec        => walk(q.plan)
@@ -56,8 +68,5 @@ trait SparkSpec extends AnyFunSuite {
         other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
     }
     walk(df.queryExecution.executedPlan)
-      .filter(_.partitionFilters.exists(
-        _.exists(_.isInstanceOf[DynamicPruningExpression])))
-      .map(_.metrics("numPartitions").value)
   }
 }
