@@ -4085,6 +4085,11 @@ object Oracles {
   )
 
   val round10: Map[String, String] = Map(
+    // the learned-transform and Matryoshka SQL serving legs replay
+    // their Scala twins bit-for-bit, so they hash-share the oracles
+    "v_sql_store_opql" -> vector("v_opq_learned"),
+    "v_sql_store_mrl" -> vector("v_matryoshka"),
+
     // multiprobe over the persisted banded store: the oracle states
     // the Hamming-≤1-on-band0 blocking semantics the probe fan-out
     // reaches via equi-joins, then exact cosine + top-5 inside it

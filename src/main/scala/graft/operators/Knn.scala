@@ -2096,6 +2096,115 @@ object Knn {
       WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
   }
 
+  /** v_sql_store_opql: the LEARNED-transform persisted tier for a
+    * SQL-only user — the sixth SQL serving leg. The OPQ-learned store
+    * is a stock PQ code table over PERMUTED vectors whose learned
+    * permutation persists as the `_perm` sidecar; a SQL-only user
+    * reads the sidecar back, derives the rotated queries IN SQL
+    * (pack the (dst, src) rows into one ordered array, then
+    * `transform(perm, s -> element_at(qv, s + 1))` — exactly the
+    * Scala serving path's projection), and runs the same map-side ADC
+    * fold as v_sql_store_pq over the packed codebooks. No in-session
+    * training state touched: the statement serves a fresh session
+    * from the store alone. Hash-shares v_opq_learned's oracle.
+    */
+  def vSqlStoreOpql(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/sqlopql_store_$tag/idx").getAbsolutePath
+    val perm = opqLearnedPerm(spark, dir)
+    val permuted = corpus(spark, dir)
+      .select(col("vec_id"),
+        array(perm.map(s => element_at(col("v"), s + 1)): _*).as("v"))
+      .transform(graft.Materialize.forceCached)
+    val books = pqCache.computeIfAbsent(modelKey(spark, dir) + "#opql",
+      _ => trainPqBooks(permuted))
+    graft.sources.PqIndexStore.write(permuted, "vec_id", "v", path,
+      model = Some(books))
+    locally {
+      import spark.implicits._
+      perm.zipWithIndex.map { case (src, dst) => (dst, src) }.toSeq
+        .toDF("dst", "src")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_perm")
+    }
+    graft.GraftSession.sqlStore(spark, s"$path.codes", "opql_codes")
+    graft.GraftSession.sqlStore(spark, s"$path.bookpack", "opql_bookpack")
+    graft.GraftSession.sqlStore(spark, s"$path/_perm", "opql_perm")
+    Tables.embeddings(spark, dir).createOrReplaceTempView("graft_sql_emb")
+    val dsub = 64 / PqSubspaces
+    spark.sql(s"""
+      WITH pp AS (SELECT transform(array_sort(collect_list(struct(dst, src))),
+                    s -> s.src) AS perm
+                  FROM graft_store_opql_perm),
+      q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
+              CAST(embedding AS ARRAY<DOUBLE>) AS qv0
+            FROM graft_sql_emb WHERE vec_id < $NumQueries),
+      qr AS (SELECT /*+ BROADCAST(pp) */ query_id,
+               transform(pp.perm, s -> element_at(qv0, s + 1)) AS qv
+             FROM q CROSS JOIN pp),
+      s AS (SELECT /*+ BROADCAST(qr, bp) */ qr.query_id, c.vec_id,
+              ROUND(SQRT(aggregate(sequence(0, ${PqSubspaces - 1}),
+                CAST(0.0 AS DOUBLE),
+                (acc, m) -> acc + aggregate(
+                  zip_with(slice(qr.qv, m * $dsub + 1, $dsub),
+                           element_at(element_at(bp.books, m + 1),
+                                      element_at(c.codes, m + 1) + 1),
+                           (x, y) -> (x - y) * (x - y)),
+                  CAST(0.0 AS DOUBLE), (a, x) -> a + x))), 6) AS adc_dist
+            FROM graft_store_opql_codes c
+            CROSS JOIN graft_store_opql_bookpack bp
+            JOIN qr ON c.vec_id <> qr.query_id),
+      r AS (SELECT query_id, vec_id AS neighbor_id, adc_dist,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rnk
+            FROM s)
+      SELECT query_id, rnk, neighbor_id, adc_dist FROM r
+      WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
+  }
+
+  /** v_sql_store_mrl: the MATRYOSHKA serving path for a SQL-only user
+    * — the seventh SQL serving leg, over the stock persisted flat
+    * store (the nesting property means MRL needs no layout of its
+    * own: the prefix IS a slice of the stored vector). One statement
+    * runs the two-phase MRL search: coarse cosine over dims 1-16 with
+    * prefix norms derived in SQL (graft_norm ∘ slice), top-20
+    * candidates through the only corpus-wide movement, exact full-dim
+    * rerank against the same store rows, top-5. Hash-shares
+    * v_matryoshka's oracle: SQL route ≡ in-session MRL to the bit.
+    */
+  def vSqlStoreMrl(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/sqlmrl_store_$tag/idx").getAbsolutePath
+    graft.sources.IndexStore.write(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", path, dim = 64)
+    graft.GraftSession.sqlStore(spark, path, "mrl")
+    spark.sql(s"""
+      WITH pre AS (SELECT id, v, nrm, slice(v, 1, 16) AS vp,
+               graft_norm(slice(v, 1, 16)) AS np
+             FROM graft_store_mrl),
+      qp AS (SELECT id AS query_id, vp AS qvp, np AS qnp
+             FROM pre WHERE id < $NumQueries),
+      coarse AS (SELECT /*+ BROADCAST(qp) */ query_id, p.id AS neighbor_id,
+               ROUND(graft_dot(qvp, p.vp) / (qnp * p.np), 6) AS psim
+             FROM pre p JOIN qp ON p.id <> query_id),
+      cand AS (SELECT query_id, neighbor_id, psim FROM (
+               SELECT query_id, neighbor_id, psim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY psim DESC, neighbor_id) AS crnk
+               FROM coarse) t WHERE crnk <= 20),
+      q AS (SELECT id AS query_id, v AS qv, nrm AS qn
+            FROM graft_store_mrl WHERE id < $NumQueries),
+      rr AS (SELECT /*+ BROADCAST(cand, q) */ c.query_id, c.neighbor_id, c.psim,
+               ROUND(graft_dot(q.qv, e.v) / (q.qn * e.nrm), 6) AS sim
+             FROM graft_store_mrl e
+             JOIN cand c ON e.id = c.neighbor_id
+             JOIN q ON q.query_id = c.query_id),
+      r AS (SELECT query_id, neighbor_id, psim, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM rr)
+      SELECT query_id, rnk, neighbor_id, psim, sim FROM r
+      WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
+  }
+
   /** v_flat_store: the persisted FLAT index path inside the gate —
     * IndexStore write/read/search over the banded layout, exact top-5,
     * hash-matched against v_knn_exact's oracle (the persisted corpus

@@ -212,6 +212,10 @@ class Round7Spec extends SparkSpec {
       // to the same 2-exchange budget as their Scala twins
       "v_sql_store" -> 2, "v_sql_store_ivf" -> 2, "v_filtered_route" -> 2,
       "v_sql_store_pq" -> 2, "v_sql_store_bq" -> 2,
+      // r10 legs: opql = perm-pack global agg + top-k + sort; mrl =
+      // coarse top-20 window + rerank top-5 window + sort
+      "v_sql_store_opql" -> 3, "v_sql_store_mrl" -> 3,
+      "v_ann_store_mp" -> 2,
       // the SQL maxsim's grouped aggregations (distinct query hashes,
       // candidate HAVING, per-qh max, per-pair sum) each shuffle
       "v_sql_store_maxsim" -> 7,
