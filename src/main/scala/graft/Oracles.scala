@@ -3571,7 +3571,10 @@ object Oracles {
              FROM a$r, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
              GROUP BY a[i], a[i + 1]),
       b$r AS (SELECT x, y, n FROM c$r ORDER BY n DESC, x, y LIMIT 1),
-      w$r AS (SELECT w, replace(sp, ' ' || x || ' ' || y || ' ', ' ' || x || y || ' ') AS sp, f
+      w$r AS (SELECT w,
+               list_reduce(list_prepend('', a),
+                 (acc, s) -> CASE WHEN ends_with(acc, ' ' || x) AND s = y
+                             THEN acc || s ELSE acc || ' ' || s END) || ' ' AS sp, f
              FROM a$r CROSS JOIN b$r)""")
     }
     sb.toString

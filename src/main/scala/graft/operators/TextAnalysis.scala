@@ -567,10 +567,12 @@ object TextAnalysis {
     * map-side literal string replace. Symbols travel as a
     * space-delimited, space-PADDED string, so the fuse is a
     * delimiter-safe non-regex replace both engines scan left-to-right
-    * identically; an immediately-adjacent repeat of the same pair
-    * defers to a later round (engine-consistent, oracle-replayed —
-    * the one documented departure from HF's list-walk merge). The
-    * oracle replays all 5 rounds as unrolled CTEs.
+    * identically; the fuse itself is the HF-EXACT greedy list-walk
+    * ([[bpeFuse]] — r10 closed the r8 deferral where a single-pass
+    * string replace shared the delimiter between adjacent occurrences
+    * and pushed the second merge to a later round). The oracle
+    * replays all 5 rounds as unrolled CTEs, list-walk included
+    * (list_reduce with the same accumulator).
     */
   /** The shared BPE training behind t_bpe_train / t_bpe_apply.
     * Training is expensive (5 argmax jobs over the distinct-word
@@ -588,6 +590,27 @@ object TextAnalysis {
   private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Long, String, String, Long)]]()
 
+  /** HF-exact greedy list-walk fuse of merge pair (x, y) over the
+    * space-padded symbol string: walk the symbols left-to-right
+    * rebuilding the padded prefix; when the prefix's LAST symbol is
+    * exactly x (`endsWith " x"` — symbols never contain spaces, so
+    * the test is boundary-exact) and the incoming symbol is y,
+    * appending y WITHOUT its space is the merge. A merged symbol can
+    * never re-merge within the round (that would need x == x·y), so
+    * no flag is carried — this reproduces HF's merge walk exactly,
+    * including adjacent repeats (" a b a b " fuses BOTH in one round;
+    * odd same-symbol runs pair from the left: 5×a → aa aa a). The r8
+    * single-pass `replace` shared the delimiter between adjacent
+    * occurrences and deferred the second merge to a later round — the
+    * one documented HF departure, closed in r10 (Round10Spec pins the
+    * divergence corpus; the oracle replays this walk with
+    * list_reduce and the same accumulator).
+    */
+  private[graft] def bpeFuse(sp: Column, x: String, y: String): Column =
+    concat(aggregate(split(trim(sp), " "), lit(""),
+      (acc, s) => when(acc.endsWith(lit(s" $x")) && s === lit(y),
+        concat(acc, lit(y))).otherwise(concat(acc, lit(" "), s))), lit(" "))
+
   /** The initial space-padded per-character vocab over distinct words. */
   private def bpeBaseVocab(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -604,8 +627,7 @@ object TextAnalysis {
       _ => bpeTrainMerges(spark, dir))
     val vocab = merges.foldLeft(bpeBaseVocab(spark, dir)) {
       case (v, (_, x, y, _)) =>
-        v.select(col("w"),
-          replace(col("sp"), lit(s" $x $y "), lit(s" $x$y ")).as("sp"), col("f"))
+        v.select(col("w"), bpeFuse(col("sp"), x, y).as("sp"), col("f"))
     }
     (vocab, merges)
   }
@@ -633,8 +655,7 @@ object TextAnalysis {
       merges += ((r.toLong, bx, by, bn))
       val prev = vocab
       vocab = vocab
-        .select(col("w"),
-          replace(col("sp"), lit(s" $bx $by "), lit(s" $bx$by ")).as("sp"), col("f"))
+        .select(col("w"), bpeFuse(col("sp"), bx, by).as("sp"), col("f"))
         .transform(graft.Materialize.forceCached)
       // the new round's frame is fully materialized — the superseded
       // one is never read again, so its blocks release immediately

@@ -154,6 +154,36 @@ class Round10Spec extends SparkSpec {
       s"probing Hamming-1 buckets must lift serving recall ($r1 vs $r0)")
   }
 
+  test("BPE fuse equals HF's list-walk merge on the divergence corpus") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // reference list-walk (the HF merge loop): greedy left-to-right,
+    // merged pair consumes both symbols, continue after them
+    def hfMerge(syms: List[String], x: String, y: String): List[String] = syms match {
+      case a :: b :: rest if a == x && b == y => (x + y) :: hfMerge(rest, x, y)
+      case a :: rest => a :: hfMerge(rest, x, y)
+      case Nil => Nil
+    }
+    // the cases where the r8 single-pass replace diverged: adjacent
+    // repeats (even and odd), same-symbol runs (pairing from the
+    // left), mixed, and symbols that embed each other
+    val cases = Seq(
+      ("a b a b", "a", "b"), ("a b a b a b", "a", "b"),
+      ("a a a", "a", "a"), ("a a a a", "a", "a"), ("a a a a a", "a", "a"),
+      ("a b b a b", "a", "b"), ("ab a b ab", "a", "b"),
+      ("b a b a b", "a", "b"), ("x a b a b y", "a", "b"),
+      ("ba a ba a ba", "ba", "a"), ("aa aa aa", "aa", "aa"))
+    val fused = cases.map { case (s, _, _) => s" $s " }.toDF("sp")
+      .withColumn("i", monotonically_increasing_id())
+    cases.zipWithIndex.foreach { case ((s, x, y), i) =>
+      val got = fused.filter(col("i") === i)
+        .select(TextAnalysis.bpeFuse(col("sp"), x, y).as("sp"))
+        .collect()(0).getString(0)
+      val want = " " + hfMerge(s.split(" ").toList, x, y).mkString(" ") + " "
+      assert(got == want, s"pair ($x,$y) on [$s]: engine [$got] != HF [$want]")
+    }
+  }
+
   test("compact settles a crashed committed swap before rewriting (no data loss)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("crash_compact").toString

@@ -383,23 +383,27 @@ class Round8Spec extends SparkSpec {
     assert(hashRows(BitmapStore.report(spark, path)) == expected)
   }
 
-  test("BPE fuse: delimiter-safe, adjacent repeats defer (documented semantics)") {
+  test("BPE fuse: HF-exact list walk — adjacent repeats merge in-round (r10)") {
     import spark.implicits._
-    // the exact replace contract t_bpe_train's merge rounds rely on:
-    // padded spaced form, search " x y " → " xy "
+    import graft.operators.TextAnalysis
+    // the list-walk contract t_bpe_train's merge rounds rely on: walk
+    // symbols left-to-right, merge whenever (last symbol, next) is the
+    // pair — exactly HF's within-round merge semantics (the r8
+    // single-pass replace deferred the second of two adjacent
+    // occurrences to a later round; closed)
     val out = Seq(" a b a b ", " ab a b ", " x ab y ")
       .toDF("sp")
-      .select(replace(col("sp"), lit(" a b "), lit(" ab ")).as("sp"))
+      .select(TextAnalysis.bpeFuse(col("sp"), "a", "b").as("sp"))
       .as[String].collect()
-    assert(out(0) == " ab a b ",
-      "adjacent repeat shares its delimiter — second occurrence defers a round")
+    assert(out(0) == " ab ab ",
+      "BOTH adjacent occurrences must merge in the same round (HF list walk)")
     assert(out(1) == " ab ab ",
       "an occurrence after an already-fused symbol must merge")
     assert(out(2) == " x ab y ",
       "the fuse must never match inside a multi-char symbol")
-    // and the padding prevents suffix-crossing matches entirely
+    // symbol-boundary exactness: 'b a' must not match across 'ab'
     val cross = Seq(" ab a ").toDF("sp")
-      .select(replace(col("sp"), lit(" b a "), lit(" ba ")).as("sp"))
+      .select(TextAnalysis.bpeFuse(col("sp"), "b", "a").as("sp"))
       .as[String].collect()
     assert(cross(0) == " ab a ",
       "'b a' must not match across the 'ab' symbol boundary")
