@@ -69,6 +69,15 @@ object Materialize {
     * localCheckpoint blocks are dropped eagerly (they would otherwise
     * sit in the block store until the RDD is GC'd); reliable
     * `checkpoint` files live on disk and need no release.
+    *
+    * The never-read-again contract is a trap if violated under
+    * `local`: the localCheckpoint RDD's lineage is truncated, so a
+    * later read dies with an opaque
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Every local release is
+    * therefore LEDGERED (bounded map, RDD id → caller site) so the
+    * post-mortem question "who released rdd N?" is answerable via
+    * [[releaseSiteOf]]; with `spark.graft.materialize.debugReleases`
+    * = true each release also logs its site eagerly.
     */
   def release(df: DataFrame): Unit =
     df.sparkSession.conf.get(ConfKey, "local") match {
@@ -76,6 +85,35 @@ object Materialize {
         Option(persistedOf.remove(df)).foreach(_.unpersist(blocking = false))
       case "local" =>
         org.apache.spark.sql.GraftShim.unpersistLeaves(df)
+          .foreach(recordRelease(df, _))
       case _ => ()
     }
+
+  /** Conf key: log each local release's call site eagerly. */
+  val DebugConfKey = "spark.graft.materialize.debugReleases"
+
+  private val releasedSites = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Int, String](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, String]): Boolean = size() > 256
+    })
+
+  /** Where (call site) the given leaf RDD id was released, if a local
+    * release ledgered it recently — the first thing to check when a
+    * job fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on rdd N.
+    */
+  def releaseSiteOf(rddId: Int): Option[String] =
+    Option(releasedSites.get(rddId))
+
+  private def recordRelease(df: DataFrame, rddId: Int): Unit = {
+    val site = Thread.currentThread.getStackTrace.iterator
+      .map(_.toString)
+      .filterNot(f => f.startsWith("java.") || f.contains("Materialize") ||
+        f.contains("getStackTrace"))
+      .take(4).mkString(" <- ")
+    releasedSites.put(rddId, site)
+    if (df.sparkSession.conf.get(DebugConfKey, "false").toBoolean)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info(s"graft.Materialize.release: dropped leaf rdd $rddId at $site")
+  }
 }

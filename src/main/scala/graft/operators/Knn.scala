@@ -135,8 +135,6 @@ object Knn {
     // per-instance mutable state — observed as transient
     // divide-by-zero on the nrm aggregate), while reads of
     // already-cached blocks share nothing mutable.
-    val concurrent =
-      e.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     // per-group unit centroid (g×dim rows to the driver) and radius
     val unit = e.select(col("grp"),
       posexplode(expr("transform(v, (x, i) -> x / nrm)")).as(Seq("d", "u")))
@@ -159,6 +157,18 @@ object Knn {
         .select(round(V.cosinePre(V.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6).as("sim"))
         .orderBy(col("sim").desc).limit(100).collect()
     }
+    // INVARIANT (load-bearing ORDER, not just the storage-level test):
+    // concurrency is safe only because the centroid collect above was
+    // the materializing action — every block of `e` is resident by
+    // this line, so the two concurrent consumers below read cached
+    // blocks and never co-FIRST-materialize the frame (interpreted
+    // lambda state is per-instance mutable; racing first
+    // materialization corrupts HOF results — see scaladoc above). The
+    // storageLevel gate alone would pass for a lazily persist()ed
+    // frame with zero resident blocks; it is evaluated HERE, after
+    // the collect, and must never move above it.
+    val concurrent =
+      e.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val diagTopF = if (concurrent) Some(Future(diagTopJob())) else None
     val minCos = e.join(centDf, col("grp") === col("cgrp"))
       .select(col("grp"),

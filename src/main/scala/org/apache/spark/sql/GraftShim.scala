@@ -45,12 +45,15 @@ object GraftShim {
     * blocks are dropped). Deliberately does NOT walk into derived
     * plans: a leaf REACHABLE from `df` may be shared with frames that
     * are still live (d_pagerank's `state` is a select over the cached
-    * `deg`), so only the exact root releases.
+    * `deg`), so only the exact root releases. Returns the unpersisted
+    * RDD's id so Materialize can ledger the release (the
+    * contract-violation debugging hook).
     */
-  def unpersistLeaves(df: DataFrame): Unit =
+  def unpersistLeaves(df: DataFrame): Option[Int] =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
-      case _ => ()
+        Some(l.rdd.id)
+      case _ => None
     }
 }

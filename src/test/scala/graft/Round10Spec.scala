@@ -154,6 +154,20 @@ class Round10Spec extends SparkSpec {
       s"probing Hamming-1 buckets must lift serving recall ($r1 vs $r0)")
   }
 
+  test("Materialize.release ledgers the dropped leaf (contract-violation post-mortem)") {
+    import spark.implicits._
+    val f = Materialize.forceCached(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    val rddId = f.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      case other => fail(s"forceCached(local) must return a LogicalRDD leaf, got $other")
+    }
+    assert(Materialize.releaseSiteOf(rddId).isEmpty)
+    Materialize.release(f)
+    val site = Materialize.releaseSiteOf(rddId)
+    assert(site.isDefined && site.get.contains("Round10Spec"),
+      s"release must ledger the caller site for rdd $rddId, got $site")
+  }
+
   test("BPE fuse equals HF's list-walk merge on the divergence corpus") {
     import spark.implicits._
     import graft.operators.TextAnalysis
