@@ -778,7 +778,7 @@ object Oracles {
     * Ends with `pcodes` (full-corpus codes), `pdt` (ADC table), and
     * `pqtop` (per-query ADC top-5).
     */
-  private def pqCteBody(src: String = "n"): String = {
+  private def pqCteBody(src: String = "n", sfx: String = ""): String = {
     import graft.operators.Knn.{PqSubspaces, PqCodes, PqIters, NumQueries, DefaultK}
     val dsub = 64 / PqSubspaces
     def fold(expr: String): String =
@@ -792,45 +792,152 @@ object Oracles {
             FROM $src t JOIN $books b ON b.m = t.m) z WHERE rn = 1"""
     val sb = new StringBuilder
     sb.append(s"""
-      pqdims AS (SELECT unnest(generate_series(1, $dsub)) AS d),
-      pqms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
-      psub AS (SELECT vec_id, m, v[m * $dsub + 1 : m * $dsub + $dsub] AS sv,
+      pqdims$sfx AS (SELECT unnest(generate_series(1, $dsub)) AS d),
+      pqms$sfx AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
+      psub$sfx AS (SELECT vec_id, m, v[m * $dsub + 1 : m * $dsub + $dsub] AS sv,
                  ${fold(s"v[m * $dsub + ii] * v[m * $dsub + ii]")} AS svn
-               FROM $src CROSS JOIN pqms),
-      ptrain AS (SELECT * FROM psub WHERE vec_id < 500),
-      pbooks0 AS (SELECT m,
+               FROM $src CROSS JOIN pqms$sfx),
+      ptrain$sfx AS (SELECT * FROM psub$sfx WHERE vec_id < 500),
+      pbooks0$sfx AS (SELECT m,
                     CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) AS k,
                     sv AS cv
-                  FROM psub WHERE vec_id < $PqCodes)""")
+                  FROM psub$sfx WHERE vec_id < $PqCodes)""")
     for (i <- 1 to PqIters) {
       sb.append(s""",
-      pasg$i AS (SELECT vec_id, m, sv, code FROM ${asgFrom("ptrain", s"pbooks${i - 1}")}),
-      pcm$i AS (SELECT m, code, d,
+      pasg$i$sfx AS (SELECT vec_id, m, sv, code FROM ${asgFrom(s"ptrain$sfx", s"pbooks${i - 1}$sfx")}),
+      pcm$i$sfx AS (SELECT m, code, d,
             list_reduce(list(sv[d] ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS mu
-          FROM pasg$i CROSS JOIN pqdims GROUP BY m, code, d),
-      pbooks$i AS (SELECT b.m, b.k, COALESCE(nb.cv, b.cv) AS cv
-          FROM pbooks${i - 1} b LEFT JOIN (
+          FROM pasg$i$sfx CROSS JOIN pqdims$sfx GROUP BY m, code, d),
+      pbooks$i$sfx AS (SELECT b.m, b.k, COALESCE(nb.cv, b.cv) AS cv
+          FROM pbooks${i - 1}$sfx b LEFT JOIN (
             SELECT m, code AS k, list(mu ORDER BY d) AS cv
-            FROM pcm$i GROUP BY m, code) nb
+            FROM pcm$i$sfx GROUP BY m, code) nb
           ON nb.m = b.m AND nb.k = b.k)""")
     }
     sb.append(s""",
-      pcodes AS (SELECT vec_id, m, code FROM ${asgFrom("psub", s"pbooks$PqIters")}),
-      pqq AS (SELECT vec_id AS query_id, m, sv AS qsv FROM psub WHERE vec_id < $NumQueries),
-      pdt AS (SELECT q.query_id, b.m, b.k,
+      pcodes$sfx AS (SELECT vec_id, m, code FROM ${asgFrom(s"psub$sfx", s"pbooks$PqIters$sfx")}),
+      pqq$sfx AS (SELECT vec_id AS query_id, m, sv AS qsv FROM psub$sfx WHERE vec_id < $NumQueries),
+      pdt$sfx AS (SELECT q.query_id, b.m, b.k,
                 ${fold("(q.qsv[ii] - b.cv[ii]) * (q.qsv[ii] - b.cv[ii])")} AS d2
-              FROM pqq q JOIN pbooks$PqIters b ON b.m = q.m),
-      pqscore AS (SELECT t.query_id, c.vec_id,
+              FROM pqq$sfx q JOIN pbooks$PqIters$sfx b ON b.m = q.m),
+      pqscore$sfx AS (SELECT t.query_id, c.vec_id,
                 ROUND(sqrt(list_reduce(list(t.d2 ORDER BY t.m), (a, b) -> a + b)), 6)
                   AS adc_dist
-              FROM pcodes c JOIN pdt t
+              FROM pcodes$sfx c JOIN pdt$sfx t
                 ON t.m = c.m AND t.k = c.code AND c.vec_id <> t.query_id
               GROUP BY t.query_id, c.vec_id),
-      pqtop AS (SELECT query_id, vec_id AS neighbor_id, adc_dist,
+      pqtop$sfx AS (SELECT query_id, vec_id AS neighbor_id, adc_dist,
                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rnk
-              FROM pqscore QUALIFY rnk <= $DefaultK)""")
+              FROM pqscore$sfx QUALIFY rnk <= $DefaultK)""")
     sb.toString
+  }
+
+  /** Residual IVF-PQ chain (assumes ivfCte in scope): residual source
+    * nres = v − assigned centroid, PQ training replayed ON THE
+    * RESIDUALS (pqCteBody with suffixed CTE names so the raw chain can
+    * coexist in the same statement), then per-(query, probed list)
+    * residual ADC tables — the query's residual is taken against the
+    * PROBED centroid, mirroring Knn.vIvfPqRes — and the ADC score
+    * inside the probed lists. centf and nres are MATERIALIZED: DuckDB
+    * inlines CTEs per reference, and without the fence the Lloyd
+    * chain replays once per consumer (the CTE-materialization
+    * gotcha). Ends with `rscore` (query_id, vec_id, adc_dist).
+    */
+  private def ivfPqResCte: String = {
+    import graft.operators.Knn.{PqSubspaces, PqIters, IvfIters}
+    val dsub = 64 / PqSubspaces
+    def fold(expr: String): String =
+      s"list_reduce(list_transform(generate_series(1, $dsub), ii -> $expr), (a, b) -> a + b)"
+    s"""centf AS MATERIALIZED (SELECT cid, cv FROM cent$IvfIters),
+      nres AS MATERIALIZED (SELECT a.vec_id,
+               list_transform(generate_series(1, 64), i -> a.v[i] - c.cv[i]) AS v
+             FROM ivfasg a JOIN centf c ON c.cid = a.cid),
+      ${pqCteBody("nres", "r")},
+      rsub AS (SELECT p.query_id, p.pcid, m.m,
+                 list_transform(generate_series(1, $dsub),
+                   ii -> p.qv[m.m * $dsub + ii] - c.cv[m.m * $dsub + ii]) AS qsv
+               FROM ivfprobe p JOIN centf c ON c.cid = p.pcid
+               CROSS JOIN pqmsr m),
+      rpdt AS (SELECT q.query_id, q.pcid, b.m, b.k,
+                 ${fold("(q.qsv[ii] - b.cv[ii]) * (q.qsv[ii] - b.cv[ii])")} AS d2
+               FROM rsub q JOIN pbooks${PqIters}r b ON b.m = q.m),
+      rcand AS (SELECT p.query_id AS cq, p.pcid, a.vec_id AS cv
+                FROM ivfprobe p JOIN ivfasg a
+                  ON a.cid = p.pcid AND a.vec_id <> p.query_id),
+      rscore AS (SELECT t.query_id, c.cv AS vec_id,
+                ROUND(sqrt(list_reduce(list(t.d2 ORDER BY t.m), (a, b) -> a + b)), 6)
+                  AS adc_dist
+              FROM pcodesr pc
+                JOIN rcand c ON pc.vec_id = c.cv
+                JOIN rpdt t ON t.query_id = c.cq AND t.pcid = c.pcid
+                  AND t.m = pc.m AND t.k = pc.code
+              GROUP BY t.query_id, c.cv)"""
+  }
+
+  /** MMR greedy trajectory replayed round by round (assumes `n` in
+    * scope): top-20 exact-cosine candidates, their pairwise cosine
+    * matrix, then DefaultK−1 unrolled selection rounds — each round
+    * left-anti-joins the running selection, penalizes by
+    * max-psim-to-selected, and picks the round-6 score argmax with the
+    * neighbor_id tiebreak, exactly Knn.vMmr's supersteps. Selection
+    * CTEs are MATERIALIZED: each is referenced three times by the next
+    * round and DuckDB inlines per reference. Ends with `mmrall`
+    * (query_id, rnk, neighbor_id, score, sim).
+    */
+  private def mmrCte: String = {
+    import graft.operators.Knn.{NumQueries, DefaultK, MmrCandidates, MmrLambda}
+    val lam = MmrLambda
+    val sb = new StringBuilder
+    sb.append(s"""
+      mq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+             FROM n WHERE vec_id < $NumQueries),
+      msims AS (SELECT query_id, n.vec_id AS neighbor_id,
+                  ROUND(list_dot_product(qv, n.v) / (qn * n.nrm), 6) AS sim
+                FROM n CROSS JOIN mq WHERE n.vec_id <> query_id),
+      mcand AS MATERIALIZED (SELECT query_id, neighbor_id, sim FROM (
+                SELECT query_id, neighbor_id, sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS crnk
+                FROM msims) t WHERE crnk <= $MmrCandidates),
+      mpair AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS d,
+                  b.neighbor_id AS s,
+                  ROUND(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS psim
+                FROM mcand a JOIN mcand b
+                  ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+                JOIN n na ON na.vec_id = a.neighbor_id
+                JOIN n nb ON nb.vec_id = b.neighbor_id),
+      msel_all1 AS MATERIALIZED (SELECT query_id, neighbor_id,
+                  CAST(1 AS BIGINT) AS rnk,
+                  ROUND($lam * sim, 6) AS score, sim
+                FROM (SELECT query_id, neighbor_id, sim,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS rk
+                      FROM mcand) t WHERE rk = 1)""")
+    for (i <- 2 to DefaultK) {
+      sb.append(s""",
+      msel$i AS MATERIALIZED (
+        SELECT query_id, neighbor_id, CAST($i AS BIGINT) AS rnk, score, sim
+        FROM (SELECT c.query_id, c.neighbor_id,
+                ROUND($lam * c.sim - ${1 - lam} * p.maxpen, 6) AS score, c.sim,
+                ROW_NUMBER() OVER (PARTITION BY c.query_id
+                  ORDER BY ROUND($lam * c.sim - ${1 - lam} * p.maxpen, 6) DESC,
+                    c.neighbor_id) AS rk
+              FROM mcand c
+              JOIN (SELECT pr.query_id, pr.d, MAX(pr.psim) AS maxpen
+                    FROM mpair pr JOIN msel_all${i - 1} s
+                      ON s.query_id = pr.query_id AND s.neighbor_id = pr.s
+                    GROUP BY pr.query_id, pr.d) p
+                ON p.query_id = c.query_id AND p.d = c.neighbor_id
+              LEFT JOIN msel_all${i - 1} sp
+                ON sp.query_id = c.query_id AND sp.neighbor_id = c.neighbor_id
+              WHERE sp.neighbor_id IS NULL) t WHERE rk = 1)""")
+      sb.append(s""",
+      msel_all$i AS MATERIALIZED (SELECT * FROM msel_all${i - 1}
+        UNION ALL SELECT * FROM msel$i)""")
+    }
+    sb.toString + s""",
+      mmrall AS (SELECT * FROM msel_all$DefaultK)"""
   }
 
   /** Exact L2 top-5 (the recall reference for the PQ paths); assumes
@@ -929,6 +1036,11 @@ object Oracles {
                  FROM exl2_s) t WHERE rnk <= 5)"""
 
   val vector: Map[String, String] = Map(
+    "v_mmr" -> s"""
+      WITH $normsCte, $mmrCte
+      SELECT query_id, rnk, neighbor_id, score, sim FROM mmrall
+      ORDER BY query_id, rnk""",
+
     "v_pq" -> s"""
       WITH $normsCte, ${pqCteBody()}
       SELECT query_id, rnk, neighbor_id, adc_dist FROM pqtop
@@ -1149,6 +1261,54 @@ object Oracles {
         ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
       GROUP BY e.query_id ORDER BY e.query_id""",
 
+    // residual IVF-PQ: PQ training replayed on the RESIDUAL source
+    // (v − assigned centroid), ADC tables per (query, probed list)
+    // from the query's residual against that list's centroid. centf /
+    // nres are MATERIALIZED: cent3 gains two extra consumers here and
+    // DuckDB inlines CTEs per reference (a 4×-replayed Lloyd chain
+    // otherwise; see the CTE-materialization gotcha).
+    "v_ivf_pq_res" -> s"""
+      WITH $ivfCte, $ivfPqResCte,
+      rtop AS (SELECT query_id, vec_id AS neighbor_id, adc_dist,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rnk
+               FROM rscore QUALIFY rnk <= 5)
+      SELECT query_id, rnk, neighbor_id, adc_dist FROM rtop
+      ORDER BY query_id, rnk""",
+
+    "v_ivf_pq_res_recall" -> s"""
+      WITH $ivfCte, ${pqCteBody()}, $ivfPqResCte, $exactL2Cte,
+      rtop AS (SELECT query_id, vec_id AS neighbor_id FROM (
+                 SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+                 FROM rscore) t WHERE rnk <= 5),
+      ipcand2 AS (SELECT p.query_id AS cq, a.vec_id AS cv
+                  FROM ivfprobe p JOIN ivfasg a
+                    ON a.cid = p.pcid AND a.vec_id <> p.query_id),
+      ipscore2 AS (SELECT t.query_id, c.cv AS vec_id,
+                ROUND(sqrt(list_reduce(list(t.d2 ORDER BY t.m), (a, b) -> a + b)), 6)
+                  AS adc_dist
+              FROM pcodes pc
+                JOIN ipcand2 c ON pc.vec_id = c.cv
+                JOIN pdt t ON t.query_id = c.cq AND t.m = pc.m AND t.k = pc.code
+              GROUP BY t.query_id, c.cv),
+      rawtop AS (SELECT query_id, vec_id AS neighbor_id FROM (
+                   SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+                   FROM ipscore2) t WHERE rnk <= 5)
+      SELECT e.query_id,
+        CAST(COUNT(r.neighbor_id) AS BIGINT) AS hits,
+        ROUND(COUNT(r.neighbor_id) / 5.0, 6) AS recall,
+        CAST(COUNT(w.neighbor_id) AS BIGINT) AS raw_hits
+      FROM exl2 e
+        LEFT JOIN rtop r
+          ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+        LEFT JOIN rawtop w
+          ON w.query_id = e.query_id AND w.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id ORDER BY e.query_id""",
+
     "v_ivf" -> s"""
       WITH $ivfCte
       SELECT query_id, rnk, neighbor_id, sim FROM ivftop ORDER BY query_id, rnk""",
@@ -1304,6 +1464,24 @@ object Oracles {
   )
 
   val dedup: Map[String, String] = Map(
+    // cluster-balanced selection: IVF assignment replayed (ivfCte),
+    // per-cluster top-cap by (n_chars DESC, doc_id ASC) as a window —
+    // proving the engine's map-side TopKAgg heap exact
+    "d_cluster_sample" -> s"""
+      WITH $ivfCte,
+      dca AS (SELECT a.vec_id AS doc_id, a.cid, d.n_chars
+              FROM ivfasg a JOIN documents d ON d.doc_id = a.vec_id),
+      dct AS (SELECT cid, COUNT(*) AS n_total FROM dca GROUP BY cid),
+      dck AS (SELECT cid, doc_id, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY cid
+                  ORDER BY n_chars DESC, doc_id ASC) AS rnk
+              FROM dca)
+      SELECT k.cid, t.n_total, CAST(k.rnk AS BIGINT) AS rnk, k.doc_id,
+        k.n_chars
+      FROM dck k JOIN dct t ON t.cid = k.cid
+      WHERE k.rnk <= ${graft.operators.Dedup.ClusterCap}
+      ORDER BY k.cid, k.rnk""",
+
     // edit-distance verification of the sketch's STRONG claims
     // (estimate ≥ 0.75): identical classic Levenshtein both engines,
     // unrounded relative filter; the engine's length-difference prune

@@ -1003,4 +1003,37 @@ object Dedup {
           .otherwise(col("hits") === col("n")).as("ok"))
       .orderBy("cohort")
   }
+
+  /** Per-cluster keep budget for d_cluster_sample. */
+  val ClusterCap = 20
+
+  /** d_cluster_sample: cluster-balanced corpus selection — the
+    * curation step modern pipelines run after semantic clustering
+    * (SemDeDup/DataComp lineage): k-means clusters over the document
+    * embeddings, then a per-cluster quality cap so no cluster
+    * dominates the training mix. Clusters come from the session
+    * registry's IVF centroids (zero extra training — the same model
+    * the ANN tier serves); quality proxy = n_chars with doc_id
+    * tiebreak. The cap runs through the engine's TopKAgg aggregate,
+    * NOT a window: the k-bounded buffer discards losers inside the
+    * scan, so the post-scan exchange carries ≤ cap·clusters·tasks tiny
+    * rows at any corpus size — a 100 TB corpus shuffles kilobytes.
+    * Output: the kept docs with per-cluster totals (cid, n_total, rnk,
+    * doc_id, n_chars).
+    */
+  def dClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val cent = Knn.ivfCentroids(spark, dir)
+    val asg = Knn.withCid(Knn.corpus(spark, dir), cent)
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    docs.join(asg, "doc_id")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_total"),
+        graft.expressions.TopKAgg.topK(
+          col("n_chars").cast("double"), col("doc_id"), ClusterCap).as("topk"))
+      .select(col("cid"), col("n_total"), posexplode(col("topk")).as(Seq("i", "s")))
+      .select(col("cid"), col("n_total"), (col("i") + 1).cast("long").as("rnk"),
+        col("s.id").as("doc_id"), col("s.v").cast("long").as("n_chars"))
+      .orderBy("cid", "rnk")
+  }
 }

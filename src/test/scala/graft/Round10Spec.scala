@@ -227,4 +227,62 @@ class Round10Spec extends SparkSpec {
       "compact after a crashed committed swap must preserve every row")
     assert(t.select(sum("id")).collect()(0).getLong(0) == (0L until 100L).sum)
   }
+
+  test("residual IVF-PQ: k rows per query, a genuinely different metric than raw ADC") {
+    val res = graft.operators.Knn.vIvfPqRes(spark, sf).collect()
+    val raw = graft.operators.Knn.vIvfPq(spark, sf).collect()
+    assert(res.groupBy(_.getLong(0)).values.forall(_.length == 5),
+      "residual tier must return exactly k rows per query")
+    res.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRnk = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a <= b },
+        "adc_dist must be non-decreasing in rnk")
+    }
+    // residual distances come from codebooks trained on v − centroid:
+    // if the (query, neighbor, dist) set matched raw ADC exactly, the
+    // residual path would be raw renamed, not a second encoding
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(2), r.getDouble(3))
+    assert(res.map(key).toSet != raw.map(key).toSet,
+      "residual ADC must differ from raw ADC somewhere")
+  }
+
+  test("MMR: picks are distinct, seed is the relevance argmax, diversity binds") {
+    val mmr = graft.operators.Knn.vMmr(spark, sf).collect()
+    val exact = graft.operators.Knn.vKnnExact(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    mmr.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(2)).distinct.length == 5,
+        s"query $qid: MMR must never pick the same candidate twice")
+      val seed = rows.find(_.getLong(1) == 1L).get.getLong(2)
+      val top1 = exact(qid).find(_.getLong(1) == 1L).get.getLong(2)
+      assert(seed == top1,
+        s"query $qid: MMR's first pick must be the plain relevance argmax")
+    }
+    // diversity must actually bind somewhere: if MMR's selection were
+    // the exact top-5 for every query, the penalty term did nothing
+    val mmrSets = mmr.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exactSets = exact.view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(mmrSets.exists { case (q, s) => s != exactSets(q) },
+      "MMR selected exactly the relevance top-5 everywhere — λ-penalty inert")
+  }
+
+  test("cluster sample: caps every cluster, keeps the longest docs, totals exact") {
+    val out = graft.operators.Dedup.dClusterSample(spark, sf).collect()
+    val byCid = out.groupBy(_.getInt(0))
+    assert(byCid.nonEmpty)
+    byCid.foreach { case (cid, rows) =>
+      val nTotal = rows.head.getLong(1)
+      assert(rows.length == math.min(graft.operators.Dedup.ClusterCap, nTotal),
+        s"cluster $cid: kept ${rows.length} of $nTotal")
+      val chars = rows.sortBy(_.getLong(2)).map(_.getLong(4))
+      assert(chars.zip(chars.tail).forall { case (a, b) => a >= b },
+        s"cluster $cid: kept docs must be ordered by n_chars desc")
+    }
+    val totalAcross = byCid.map(_._2.head.getLong(1)).sum
+    assert(totalAcross == Tables.embeddings(spark, sf).count(),
+      "per-cluster totals must partition the corpus")
+  }
 }
