@@ -1418,7 +1418,12 @@ object Knn {
       .transform(graft.Materialize.forceCached)
     val books = pqCache.computeIfAbsent(modelKey(spark, dir) + "#res",
       _ => trainPqBooks(resid.select(col("vec_id"), col("v"))))
+    // materialized BEFORE the probe join: the 8×16-candidate argmin
+    // encode is a giant literal projection that would otherwise
+    // recompute once per joined probe row (the join-fan-out gotcha —
+    // same reason vIvfPq caches its coded frame)
     val coded = resid.select(col("vec_id"), col("cid"), pqCodesCol(books).as("codes"))
+      .transform(graft.Materialize.forceCached)
     val dsub = 64 / PqSubspaces
     // (query, pcid) residual ADC tables, driver-built from the
     // collected probe rows — bounded at queries × nprobe
@@ -1907,15 +1912,28 @@ object Knn {
     * cluster). Greedy: seed with the most-relevant candidate, then k−1
     * rounds of argmax over λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), so
     * each pick is relevant to the query AND far from everything
-    * already picked. Scale shape: the corpus-wide work is exactly one
-    * exact-knn scan (top-MmrCandidates per query — the retrieval any
-    * serving query already pays); everything after is bounded per
-    * query — a 20-row candidate frame, its 20×20 pairwise-cosine
-    * matrix, and k−1 fixed supersteps of join + k-bounded window over
-    * those tiny frames (the d_pagerank unrolled-superstep pattern), so
-    * cost grows linearly in #queries and not at all in corpus size.
-    * All scores round-6 with neighbor_id tiebreak — the greedy
-    * trajectory is deterministic and the oracle replays every round.
+    * already picked.
+    *
+    * Shape: the corpus-wide work is exactly one exact-knn scan
+    * (top-MmrCandidates per query — the retrieval any serving query
+    * already pays). Everything after is bounded per query, so the
+    * WHOLE greedy trajectory runs as ONE map-side fold over per-query
+    * packed arrays: candidates and their 20×20 pairwise-cosine matrix
+    * collect_list into a single row per query, and
+    * aggregate(sequence(2,k), [seed], append-argmax) replays all k−1
+    * rounds inside one projection — no per-round join, window, or
+    * exchange (a first cut unrolled the rounds as DataFrame
+    * supersteps; un-cached greedy state re-embeds every earlier round
+    * in each later round's plan, and the plan tree went exponential —
+    * 5 s of scheduling/codegen for 500 rows). Cost grows linearly in
+    * #queries and not at all in corpus size; no driver-side state, so
+    * a million queries fan out across executors.
+    *
+    * Determinism: scores round-6; the per-round argmax is
+    * array_min over struct(0.0−score, neighbor_id, …) — the 0.0−x
+    * form normalizes a −0.0 score to +0.0 so Spark's total order on
+    * doubles (−0.0 < 0.0) can never disagree with the oracle's
+    * value-equal DESC window. The oracle replays every round.
     */
   def vMmr(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
@@ -1941,31 +1959,41 @@ object Knn {
         col("pq") === col("pq2") && col("d") =!= col("s"))
       .select(col("pq"), col("d"), col("s"),
         round(V.cosinePre(V.dot(col("dv"), col("sv")), col("dn"), col("sn")), 6).as("psim"))
-      .transform(graft.Materialize.forceCached)
-    val w1 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    var selected = cands.withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("rnk"),
-        round(lit(MmrLambda) * col("sim"), 6).as("score"), col("sim"))
-    for (i <- 2 to DefaultK) {
-      val selN = selected.select(col("query_id").as("sq"), col("neighbor_id").as("sel"))
-      val pen = pairs.join(selN, col("pq") === col("sq") && col("s") === col("sel"))
-        .groupBy(col("pq"), col("d")).agg(max(col("psim")).as("maxpen"))
-      val rem = cands.join(selN,
-        cands("query_id") === selN("sq") && cands("neighbor_id") === selN("sel"),
-        "left_anti")
-      val scoredI = rem.join(pen,
-          rem("query_id") === pen("pq") && rem("neighbor_id") === pen("d"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(lit(MmrLambda) * col("sim") - lit(1 - MmrLambda) * col("maxpen"), 6)
-            .as("score"),
-          col("sim"))
-      val wi = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-      val pick = scoredI.withColumn("rk", row_number().over(wi)).filter(col("rk") === 1)
-        .select(col("query_id"), col("neighbor_id"), lit(i.toLong).as("rnk"),
-          col("score"), col("sim"))
-      selected = selected.unionByName(pick)
-    }
-    selected.select("query_id", "rnk", "neighbor_id", "score", "sim")
+    // one packed row per query: the greedy state never leaves the task
+    val packedC = cands.groupBy("query_id").agg(
+      array_sort(collect_list(struct(col("neighbor_id").as("nid"), col("sim"))))
+        .as("cands"))
+    val packedP = pairs.groupBy(col("pq").as("query_id")).agg(
+      array_sort(collect_list(struct(col("d"), col("s"), col("psim")))).as("prs"))
+    val lam = MmrLambda
+    def selNids(sel: Column): Column = transform(sel, x => x.getField("nid"))
+    def pickStruct(score: Column, nid: Column, sim: Column): Column =
+      struct((lit(0.0) - score).as("neg"), nid.as("nid"),
+        score.as("score"), sim.as("sim"))
+    val seed = array_min(transform(col("cands"), c =>
+      pickStruct(round(lit(lam) * c.getField("sim"), 6),
+        c.getField("nid"), c.getField("sim"))))
+    val selCol = aggregate(
+      sequence(lit(2), lit(DefaultK)),
+      array(seed),
+      (sel, _) => concat(sel, array(array_min(transform(
+        filter(col("cands"), c =>
+          !array_contains(selNids(sel), c.getField("nid"))),
+        c => {
+          val pen = array_max(transform(
+            filter(col("prs"), p =>
+              p.getField("d") === c.getField("nid") &&
+                array_contains(selNids(sel), p.getField("s"))),
+            p => p.getField("psim")))
+          pickStruct(
+            round(lit(lam) * c.getField("sim") - lit(1 - lam) * pen, 6),
+            c.getField("nid"), c.getField("sim"))
+        })))))
+    packedC.join(packedP, "query_id")
+      .select(col("query_id"), posexplode(selCol).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rnk"),
+        col("s.nid").as("neighbor_id"), col("s.score").as("score"),
+        col("s.sim").as("sim"))
       .orderBy("query_id", "rnk")
   }
 
