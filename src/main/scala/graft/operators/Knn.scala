@@ -1970,9 +1970,17 @@ object Knn {
     def pickStruct(score: Column, nid: Column, sim: Column): Column =
       struct((lit(0.0) - score).as("neg"), nid.as("nid"),
         score.as("score"), sim.as("sim"))
-    val seed = array_min(transform(col("cands"), c =>
-      pickStruct(round(lit(lam) * c.getField("sim"), 6),
-        c.getField("nid"), c.getField("sim"))))
+    // the seed ranks by RAW sim (the oracle's round 1 and the "first
+    // pick = relevance argmax" contract) — ranking it by the rounded
+    // λ·sim score instead could flip the pick when two sims collide
+    // at 6 dp; the rounded score is output-only here
+    val seed = {
+      val best = array_min(transform(col("cands"), c =>
+        struct((lit(0.0) - c.getField("sim")).as("neg"),
+          c.getField("nid").as("nid"), c.getField("sim").as("sim"))))
+      pickStruct(round(lit(lam) * best.getField("sim"), 6),
+        best.getField("nid"), best.getField("sim"))
+    }
     val selCol = aggregate(
       sequence(lit(2), lit(DefaultK)),
       array(seed),

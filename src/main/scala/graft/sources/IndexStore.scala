@@ -78,6 +78,20 @@ object IndexStore {
   def readMetadata(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path.meta")
 
+  /** Shared serving tail for every unfiltered store search: exact
+    * round-6 cosine from joined (query_id, qv, qn, id, v, nrm)
+    * candidate rows, then the k-bounded window — the ranking contract
+    * (round-6 sim, neighbor_id ASC tiebreak) lives in exactly one
+    * place so search / searchAnn / searchAnnProbed cannot drift.
+    */
+  private def rescoreTopK(cands: DataFrame, k: Int): DataFrame = {
+    val sims = cands.select(col("query_id"), col("id").as("neighbor_id"),
+      round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+  }
+
   /** Exact top-k against a loaded index: broadcast queries, windowed
     * rank — IndexFlatIP.search over the persisted corpus.
     */
@@ -86,12 +100,7 @@ object IndexStore {
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
         .withColumn("qn", V.norm2(col("qv"))))
-    val sims = index.join(q, col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "sim")
+    rescoreTopK(index.join(q, col("id") =!= col("query_id")), k)
   }
 
   /** Attribute-filtered exact search: neighbors must agree with the
@@ -139,23 +148,21 @@ object IndexStore {
     */
   def searchAnnProbed(spark: SparkSession, path: String, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
-    val q = withBands(
+    // cached: the probe-bucket collect below and the join both read
+    // this tiny frame — uncached, the collect would recompute the
+    // banding pipeline once and the join a second time
+    val q = graft.Materialize.forceCached(withBands(
       queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("v"))
         .withColumn("nrm", V.norm2(col("v"))), dim)
       .select(col("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("band0").as("qb0"))
       .withColumn("pb", explode(array(
-        col("qb0") +: (0 until BandBits).map(r => col("qb0").bitwiseXOR(lit(1 << r))): _*)))
+        col("qb0") +: (0 until BandBits).map(r => col("qb0").bitwiseXOR(lit(1 << r))): _*))))
     val probedBuckets = q.select("pb").distinct().collect().map(_.getInt(0)).toSeq
     val index = spark.read.parquet(path)
       .where(col("band0").isin(probedBuckets: _*)) // static file-level pruning
-    val cands = index.join(broadcast(q),
-        col("band0") === col("pb") && col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "sim")
+    rescoreTopK(index.join(broadcast(q),
+      col("band0") === col("pb") && col("id") =!= col("query_id")), k)
   }
 
   /** ANN top-k: queries are banded with the same hyperplanes, then the
@@ -171,12 +178,8 @@ object IndexStore {
           .withColumn("nrm", V.norm2(col("v"))), dim)
         .select(col("query_id"), col("v").as("qv"), col("nrm").as("qn"),
           col("band0").as("qb0")))
-    val cands = index.join(q, col("band0") === col("qb0") && col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "sim")
+    rescoreTopK(
+      index.join(q, col("band0") === col("qb0") && col("id") =!= col("query_id")), k)
   }
 }
 
@@ -444,7 +447,7 @@ object StoreMaintenance {
     // store with thousands of partition dirs (MIH blk buckets, a year
     // of day= dirs) pays O(1) scheduling overhead for discovery
     // instead of thousands of sequential ~100 ms jobs.
-    val hitRows = hitsByRelDir(spark,
+    val hitRows = hitsByRelDir(
       spark.read.parquet(parts.map(_.getAbsolutePath): _*), root, idCol, ids)
     var rewritten = 0
     var removed = 0L
@@ -472,35 +475,46 @@ object StoreMaintenance {
     }
   }
 
-  /** Hit rows per store directory, keyed by root-relative dir path:
-    * one pushed-down scan over `scan`, grouped by each hit file's
-    * parent directory relative to `root`. input_file_name is a URI —
-    * percent-encoded — while listFiles sees raw names, so the key is
-    * decoded driver-side; the returned map covers both spellings.
+  /** THE discovery scan both purge flavors share: one pushed-down job
+    * over `scan` (the IN predicate reaches parquet; row-group stats
+    * keep clean files at a footer read), victim-row counts per FILE
+    * URI. input_file_name is a URI — percent-encoded — while listFiles
+    * sees raw names, so each row carries the raw AND decoded spelling
+    * ('+' protected: it is a literal plus in a file path, not a
+    * space). Dir-keyed (purge) and basename-keyed (purgeFiles) maps
+    * both derive from this — the subtle decoding lives once.
     */
-  private def hitsByRelDir(spark: SparkSession, scan: DataFrame,
-                           root: java.io.File, idCol: String,
-                           ids: Seq[Any]): Map[String, Long] = {
-    val rootAbs = root.getAbsolutePath
+  private def hitUris(scan: DataFrame, idCol: String,
+                      ids: Seq[Any]): Array[(String, String, Long)] =
     scan.where(col(idCol).isin(ids: _*))
       .select(input_file_name().as("f"))
       .groupBy("f").agg(count(lit(1)).as("hits"))
-      .collect().flatMap { r =>
+      .collect().map { r =>
         val raw = r.getString(0)
         val dec = scala.util.Try(
           java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")).getOrElse(raw)
-        Seq(raw, dec).flatMap { u =>
-          val i = u.indexOf(rootAbs)
-          if (i < 0) None
-          else {
-            val rel = u.substring(i + rootAbs.length).stripPrefix("/")
-            val cut = rel.lastIndexOf('/')
-            // a file directly under the root (flat layout) keys as "."
-            Some(if (cut < 0) "." else rel.substring(0, cut))
-          }
-        }.distinct.map(_ -> r.getLong(1)) // distinct per file: both
-        // spellings of one file must not double-count its hits
-      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        (raw, dec, r.getLong(1))
+      }
+
+  /** Hit rows per store directory, keyed by root-relative dir path;
+    * covers both URI spellings of each file (distinct per file so the
+    * two spellings never double-count).
+    */
+  private def hitsByRelDir(scan: DataFrame, root: java.io.File,
+                           idCol: String, ids: Seq[Any]): Map[String, Long] = {
+    val rootAbs = root.getAbsolutePath
+    hitUris(scan, idCol, ids).flatMap { case (raw, dec, hits) =>
+      Seq(raw, dec).flatMap { u =>
+        val i = u.indexOf(rootAbs)
+        if (i < 0) None
+        else {
+          val rel = u.substring(i + rootAbs.length).stripPrefix("/")
+          val cut = rel.lastIndexOf('/')
+          // a file directly under the root (flat layout) keys as "."
+          Some(if (cut < 0) "." else rel.substring(0, cut))
+        }
+      }.distinct.map(_ -> hits)
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
   }
 
   /** The generic crash-consistent partition rewrite behind [[compact]]
@@ -563,17 +577,13 @@ object StoreMaintenance {
     recover(path)
     val files = dataFiles(root)
     if (files.isEmpty || ids.isEmpty) return (0, 0L)
-    // ONE pushed-down discovery scan, hits keyed by file basename
-    val perFile: Map[String, Long] = spark.read.parquet(root.getAbsolutePath)
-      .where(col(idCol).isin(ids: _*))
-      .select(input_file_name().as("f"))
-      .groupBy("f").agg(count(lit(1)).as("hits"))
-      .collect().map { r =>
-        val raw = r.getString(0)
-        val dec = scala.util.Try(
-          java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")).getOrElse(raw)
-        dec.substring(dec.lastIndexOf('/') + 1) -> r.getLong(1)
-      }.toMap
+    // ONE pushed-down discovery scan (shared core), keyed by decoded
+    // file basename — flat layout, so basenames are unique
+    val perFile: Map[String, Long] =
+      hitUris(spark.read.parquet(root.getAbsolutePath), idCol, ids)
+        .map { case (_, dec, hits) =>
+          dec.substring(dec.lastIndexOf('/') + 1) -> hits
+        }.toMap
     val hitCount = perFile.values.sum
     val victims = files.filter(f => perFile.contains(f.getName))
     if (victims.isEmpty) return (0, 0L)

@@ -33,7 +33,7 @@ trait SparkSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruningexpression("),
       s"$label: expected a DynamicPruningExpression on the partitioned scan; plan:\n${plan.take(4000)}")
-    assert(!plan.contains("dynamicpruningexpression(true)"),
+    assert(!plan.toLowerCase.contains("dynamicpruningexpression(true)"),
       s"$label: DPP degraded to the literal-true fallback — planned but NOT pruning at runtime; plan:\n${plan.take(4000)}")
     plan
   }
