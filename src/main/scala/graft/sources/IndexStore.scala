@@ -412,6 +412,43 @@ object StoreMaintenance {
         case None => rows.coalesce(targetFiles)
       })
 
+  /** Opportunistic maintenance for streaming maintainers: compact only
+    * when some leaf partition dir holds more than `maxFiles` data
+    * files (or a crashed maintainer left a swap temp dir to settle),
+    * and return None WITHOUT taking the maintenance lock otherwise. An
+    * AvailableNow maintainer calls this after every ingest wave: the
+    * steady-state cost is one directory listing — no lock, no Spark
+    * job — so a maintainer polling every batch never contends with a
+    * real maintenance pass, and the small-file debt of log-structured
+    * appends is bounded at maxFiles per dir BY CONSTRUCTION instead of
+    * by somebody remembering a nightly compact. When the threshold
+    * trips, only the offending dirs rewrite (to `targetFiles` each)
+    * under the usual lock + crash-consistent swap; at 100 TB that is
+    * one pass over the handful of dirs the last waves touched, never
+    * the store. Note the deliberate asymmetry with [[compact]]: the
+    * trigger is `> maxFiles` but the rewrite target is `targetFiles`,
+    * so after a trip the dir has maxFiles − targetFiles appends of
+    * headroom before the next rewrite (trigger == target would rewrite
+    * the dir on every single append past the line — quadratic I/O).
+    */
+  def compactIfNeeded(spark: SparkSession, path: String, maxFiles: Int,
+                      targetFiles: Int = 1,
+                      recluster: Option[String] = None): Option[(Int, Int)] = {
+    require(maxFiles >= targetFiles,
+      s"maxFiles ($maxFiles) must be >= targetFiles ($targetFiles)")
+    val root = new java.io.File(path)
+    val dirty = leafPartitionDirs(root).exists(d => dataFiles(d).length > maxFiles)
+    val crashed = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .exists(f => f.isDirectory && f.getName.startsWith(".compact_"))
+    if (!dirty && !crashed) None
+    else Some(rewritePartitions(spark, path, n => n > maxFiles,
+      rows => recluster match {
+        case Some(c) => rows.repartitionByRange(targetFiles, col(c))
+          .sortWithinPartitions(c)
+        case None => rows.coalesce(targetFiles)
+      }))
+  }
+
   /** Targeted delete-by-key for the partitioned stores — the
     * right-to-be-forgotten / takedown path every production index
     * needs (faiss remove_ids, Delta DELETE). Rewrites ONLY the

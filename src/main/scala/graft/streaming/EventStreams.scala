@@ -414,7 +414,8 @@ object EventStreams {
     * by the usual StoreMaintenance compaction pass.
     */
   def runMihIngest(spark: SparkSession, srcDir: String, checkpoint: String,
-                   storePath: String): StreamingQuery = {
+                   storePath: String,
+                   autoCompactMaxFiles: Option[Int] = None): StreamingQuery = {
     val vecSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
@@ -432,6 +433,15 @@ object EventStreams {
       }
       .start()
     q.awaitTermination()
+    // bounded maintenance debt: after each AvailableNow run, a
+    // lock-free listing decides whether any blk dir accumulated more
+    // than the budget; the rewrite (bval-reclustered so the zone-map
+    // pruning contract survives) only runs when it trips — see
+    // StoreMaintenance.compactIfNeeded
+    autoCompactMaxFiles.foreach { max =>
+      graft.sources.StoreMaintenance.compactIfNeeded(
+        spark, storePath, max, recluster = Some("bval"))
+    }
     q
   }
 

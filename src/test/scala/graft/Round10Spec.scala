@@ -247,6 +247,50 @@ class Round10Spec extends SparkSpec {
       "residual ADC must differ from raw ADC somewhere")
   }
 
+  test("compactIfNeeded: lock-free no-op under budget, bounded rewrite over it") {
+    import graft.sources.{IndexStore, StoreMaintenance}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("autocompact").toString
+    val store = s"$base/idx"
+    IndexStore.write(emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+      store, dim = 64)
+    def maxFilesPerDir(): Int = new java.io.File(store).listFiles()
+      .filter(d => d.isDirectory && d.getName.contains("="))
+      .map(_.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")))
+      .max
+    val q = emb.filter(col("vec_id") < 5)
+    def results(): Set[String] = IndexStore.search(
+      IndexStore.read(spark, store), q, "vec_id", "embedding", 5)
+      .collect().map(_.toString).toSet
+    val r0 = results()
+    val budget = maxFilesPerDir() + 2 // appends below won't reach it yet
+    // the no-op path must not touch the lock: a held lock is invisible
+    // to a maintainer that has nothing to do
+    val lock = new java.io.File(store, StoreMaintenance.LockName)
+    java.nio.file.Files.createFile(lock.toPath)
+    assert(StoreMaintenance.compactIfNeeded(spark, store, budget).isEmpty,
+      "under budget: must be a lock-free no-op")
+    // trip the budget with append waves
+    (1 to budget).foreach { i =>
+      IndexStore.append(emb.filter(col("vec_id") >= i * 100 &&
+        col("vec_id") < (i + 1) * 100), "vec_id", "embedding", store, 64)
+    }
+    assert(maxFilesPerDir() > budget, "appends must have tripped the budget")
+    // over budget + held lock: now it must refuse loudly, not skip
+    intercept[graft.sources.ConcurrentMaintenanceException] {
+      StoreMaintenance.compactIfNeeded(spark, store, budget)
+    }
+    lock.delete()
+    val preCompact = results()
+    val done = StoreMaintenance.compactIfNeeded(spark, store, budget)
+    assert(done.nonEmpty, "over budget: must rewrite")
+    assert(maxFilesPerDir() <= budget,
+      s"rewritten dirs must be back inside the budget, got ${maxFilesPerDir()}")
+    assert(results() == preCompact, "search results unchanged by maintenance")
+    assert(StoreMaintenance.compactIfNeeded(spark, store, budget).isEmpty,
+      "second call is a no-op: the debt is settled")
+  }
+
   test("MMR: picks are distinct, seed is the relevance argmax, diversity binds") {
     val mmr = graft.operators.Knn.vMmr(spark, sf).collect()
     val exact = graft.operators.Knn.vKnnExact(spark, sf).collect()
