@@ -3586,6 +3586,9 @@ object Oracles {
     // serve time — store search ≡ in-session search, oracle shared
     "v_opq_learned_store" -> vector("v_opq_learned"),
     "v_ivf_pq_store" -> vector("v_ivf_pq"),
+    // the residual brand travels with the store (_by_residual marker):
+    // persisted residual route ≡ in-session residual route
+    "v_ivf_pq_res_store" -> vector("v_ivf_pq_res"),
     "v_ivf_bq_store" -> vector("v_ivf_bq"),
     // store search ≡ in-session search holds with no training at all
     // here (sign codes are deterministic), and the shared oracle is

@@ -1404,45 +1404,99 @@ object Knn {
     * v_ivf_pq_res_recall measures what the residual buys over raw
     * encoding at identical index parameters.
     */
+  /** (vec_id, cid, v − centroid(cid)) — the residual frame every
+    * residual-PQ consumer encodes from: one broadcast centroid join +
+    * zip_with projection. Shared by vIvfPqRes and the residual
+    * IvfPqIndexStore write/append.
+    */
+  private[graft] def residualFrame(asg: DataFrame,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = asg.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(centroids.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("rcid", "rcv"))
+    asg.join(centDf, col("cid") === col("rcid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("v"), col("rcv"), (x, c) => x - c).as("v"))
+  }
+
+  /** Residual PQ codebooks for a corpus dir, registry-cached under a
+    * `#res` key (never clobbering the raw books): trains once per
+    * session on the bounded residual sample.
+    */
+  private[graft] def pqResBooksFor(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent(modelKey(spark, dir) + "#res", { _ =>
+      val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+        .transform(graft.Materialize.forceCached)
+      val (inv, centroids) = ivfModel(spark, dir, e)
+      trainPqBooks(residualFrame(inv, centroids).select(col("vec_id"), col("v"))
+        .transform(graft.Materialize.forceCached))
+    })
+
+  /** Per-(query, probed list) residual ADC lookup tables as one
+    * broadcast frame: the query's residual is taken against THAT
+    * list's centroid, tables built driver-side from the bounded probe
+    * set (queries × nprobe rows — the pqQueryTables pattern). Shared
+    * by vIvfPqRes and the residual IvfPqIndexStore.search.
+    */
+  private[graft] def pqResQueryTables(spark: SparkSession,
+      probes: Array[(Long, Int, Array[Double])],
+      centroids: Map[Int, Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val dsub = 64 / PqSubspaces
+    broadcast(probes.map { case (qid, pcid, qv) =>
+      val cv = centroids(pcid)
+      val qres = Array.tabulate(qv.length)(i => qv(i) - cv(i))
+      (qid, pcid, (0 until PqSubspaces).map(m =>
+        (0 until PqCodes).map(k =>
+          l2sq(qres.slice(m * dsub, (m + 1) * dsub), books(m)(k))).toSeq).toSeq)
+    }.toSeq.toDF("query_id", "pcid", "qdt"))
+  }
+
   def vIvfPqRes(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
       .transform(graft.Materialize.forceCached)
     val (inv, centroids) = ivfModel(spark, dir, e)
-    val cmap = centroids.toMap
-    import spark.implicits._
-    val centDf = broadcast(centroids.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
-      .toDF("rcid", "rcv"))
-    val resid = inv.join(centDf, col("cid") === col("rcid"))
-      .select(col("vec_id"), col("cid"),
-        zip_with(col("v"), col("rcv"), (x, c) => x - c).as("v"))
-      .transform(graft.Materialize.forceCached)
-    val books = pqCache.computeIfAbsent(modelKey(spark, dir) + "#res",
-      _ => trainPqBooks(resid.select(col("vec_id"), col("v"))))
+    val books = pqResBooksFor(spark, dir)
+    val resid = residualFrame(inv, centroids)
     // materialized BEFORE the probe join: the 8×16-candidate argmin
     // encode is a giant literal projection that would otherwise
     // recompute once per joined probe row (the join-fan-out gotcha —
     // same reason vIvfPq caches its coded frame)
     val coded = resid.select(col("vec_id"), col("cid"), pqCodesCol(books).as("codes"))
       .transform(graft.Materialize.forceCached)
-    val dsub = 64 / PqSubspaces
-    // (query, pcid) residual ADC tables, driver-built from the
-    // collected probe rows — bounded at queries × nprobe
-    val qdt = broadcast(ivfProbe(inv, centroids)
-      .select("query_id", "pcid", "qv").collect()
-      .map { r =>
-        val (qid, pcid, qv) = (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray)
-        val cv = cmap(pcid)
-        val qres = Array.tabulate(qv.length)(i => qv(i) - cv(i))
-        (qid, pcid, (0 until PqSubspaces).map(m =>
-          (0 until PqCodes).map(k =>
-            l2sq(qres.slice(m * dsub, (m + 1) * dsub), books(m)(k))).toSeq).toSeq)
-      }.toSeq.toDF("query_id", "pcid", "qdt"))
+    val qdt = pqResQueryTables(spark,
+      ivfProbe(inv, centroids).select("query_id", "pcid", "qv").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray)),
+      centroids.toMap, books)
     val scored = coded.join(qdt,
         col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), adcDistCol.as("adc_dist"))
     val w2 = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w2).cast("long")).filter(col("rnk") <= DefaultK)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_ivf_pq_res_store: the residual tier PERSISTED — what
+    * faiss.write_index actually saves for a default IndexIVFPQ. The
+    * store write reuses the session registry's centroids and residual
+    * codebooks (train once, persist many) and brands the layout with a
+    * `_by_residual` marker, so a fresh session's search knows to take
+    * query residuals per probed list without the caller remembering.
+    * Hash-shares v_ivf_pq_res's oracle: persisted route ≡ in-session
+    * residual route to the bit.
+    */
+  def vIvfPqResStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/ivfpqres_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.IvfPqIndexStore.write(emb, "vec_id", "embedding", path,
+      ivfModel = Some(ivfCentroids(spark, dir)),
+      pqModel = Some(pqResBooksFor(spark, dir)), byResidual = true)
+    graft.sources.IvfPqIndexStore.search(spark, path,
+      emb.filter(col("vec_id") < NumQueries), "vec_id", "embedding", DefaultK)
       .orderBy("query_id", "rnk")
   }
 

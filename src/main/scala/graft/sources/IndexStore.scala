@@ -1025,22 +1025,44 @@ object IvfPqIndexStore {
     df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", V.norm2(col("v")))
 
+  /** The faiss by_residual brand: its presence tells every later
+    * open (append from another session, a fresh session's search) that
+    * codes were taken over v − centroid(cid), so queries must derive
+    * per-probed-list residual tables — the knob travels WITH the data,
+    * not in somebody's head. Underscore prefix: invisible to the
+    * parquet reader.
+    */
+  private val ResidualMarker = "_by_residual"
+
+  def isResidual(path: String): Boolean =
+    new java.io.File(path, ResidualMarker).isFile
+
   /** Persist list-partitioned codes + both sidecars. Pass the models
     * from the session registry when they exist — a write never repeats
     * a training pass the session already paid for (train once, serve
-    * and persist many).
+    * and persist many). `byResidual = true` encodes v − centroid(cid)
+    * instead of raw vectors (faiss IndexIVFPQ's default) and brands
+    * the store so append/search stay consistent forever after.
     */
   def write(df: DataFrame, idCol: String, vecCol: String, path: String,
             ivfModel: Option[Array[(Int, Array[Double])]] = None,
-            pqModel: Option[Array[Array[Array[Double]]]] = None): Unit = {
+            pqModel: Option[Array[Array[Array[Double]]]] = None,
+            byResidual: Boolean = false): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val e = prepared(df, idCol, vecCol)
     val centroids = ivfModel.getOrElse(Knn.trainIvf(e))
-    val books = pqModel.getOrElse(Knn.trainPqBooks(e.select(col("vec_id"), col("v"))))
-    Knn.withCid(e, centroids)
-      .select(col("vec_id"), col("cid"), Knn.pqCodesCol(books).as("codes"))
+    val asg = Knn.withCid(e, centroids)
+    val enc =
+      if (byResidual)
+        graft.Materialize.forceCached(Knn.residualFrame(asg, centroids))
+      else asg
+    val books = pqModel.getOrElse(Knn.trainPqBooks(enc.select(col("vec_id"), col("v"))))
+    enc.select(col("vec_id"), col("cid"), Knn.pqCodesCol(books).as("codes"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
+    if (byResidual)
+      java.nio.file.Files.createFile(
+        new java.io.File(path, ResidualMarker).toPath)
     centroids.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv")
       .write.mode("overwrite").parquet(s"$path.centroids")
@@ -1058,8 +1080,11 @@ object IvfPqIndexStore {
     val spark = df.sparkSession
     val centroids = IvfIndexStore.readCentroids(spark, path)
     val books = PqIndexStore.readBooks(spark, path)
-    Knn.withCid(prepared(df, idCol, vecCol), centroids)
-      .select(col("vec_id"), col("cid"), Knn.pqCodesCol(books).as("codes"))
+    val asg = Knn.withCid(prepared(df, idCol, vecCol), centroids)
+    // the store's brand, not a caller flag: appended codes are taken
+    // over the same representation the store was written with
+    val enc = if (isResidual(path)) Knn.residualFrame(asg, centroids) else asg
+    enc.select(col("vec_id"), col("cid"), Knn.pqCodesCol(books).as("codes"))
       .write.mode("append").partitionBy("cid").parquet(path)
   }
 
@@ -1075,6 +1100,25 @@ object IvfPqIndexStore {
     val centroids = IvfIndexStore.readCentroids(spark, path)
     val books = PqIndexStore.readBooks(spark, path)
     val q = prepared(queries, idCol, vecCol)
+    if (isResidual(path)) {
+      // branded residual store: tables are per (query, probed list) —
+      // the query residual is taken against THAT list's centroid
+      val probeRows = IvfIndexStore.probeOf(q, centroids, nprobe)
+        .select("query_id", "pcid", "qv").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val qdt = Knn.pqResQueryTables(spark, probeRows, centroids.toMap, books)
+      val probedCids = probeRows.map(_._2).distinct.toSeq
+      val coded = spark.read.parquet(path)
+        .where(col("cid").isin(probedCids: _*)) // static file-level pruning
+      val scored = coded.join(qdt,
+          col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), Knn.adcDistCol.as("adc_dist"))
+      val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
+      return scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("adc_dist"))
+    }
     val qProbe = IvfIndexStore.probeOf(q, centroids, nprobe)
       .select("query_id", "pcid")
     val qs = q.orderBy("vec_id").collect()

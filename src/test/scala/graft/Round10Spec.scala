@@ -291,6 +291,34 @@ class Round10Spec extends SparkSpec {
       "second call is a no-op: the debt is settled")
   }
 
+  test("residual store: brand round-trips, frozen append equals one write, differs from raw") {
+    import graft.sources.IvfPqIndexStore
+    val emb = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_res_store").toString
+    IvfPqIndexStore.write(emb, "vec_id", "embedding", s"$base/one", byResidual = true)
+    assert(IvfPqIndexStore.isResidual(s"$base/one"), "brand must persist")
+    IvfPqIndexStore.write(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      s"$base/two",
+      ivfModel = Some(graft.sources.IvfIndexStore.readCentroids(spark, s"$base/one")),
+      pqModel = Some(graft.sources.PqIndexStore.readBooks(spark, s"$base/one")),
+      byResidual = true)
+    // append consults the store's brand, NOT a caller flag: wave-2 rows
+    // must come back residual-encoded or ranks shift
+    IvfPqIndexStore.append(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      s"$base/two")
+    val q = emb.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    def res(p: String) = IvfPqIndexStore
+      .search(spark, p, q, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rnk").collect().map(_.toString)
+    assert(res(s"$base/one").sameElements(res(s"$base/two")),
+      "appended residual store must rank identically to a one-shot write")
+    // and the residual store is genuinely a different index than raw
+    IvfPqIndexStore.write(emb, "vec_id", "embedding", s"$base/raw")
+    assert(!IvfPqIndexStore.isResidual(s"$base/raw"))
+    assert(!res(s"$base/one").sameElements(res(s"$base/raw")),
+      "residual and raw stores must differ somewhere (distances at minimum)")
+  }
+
   test("MMR: picks are distinct, seed is the relevance argmax, diversity binds") {
     val mmr = graft.operators.Knn.vMmr(spark, sf).collect()
     val exact = graft.operators.Knn.vKnnExact(spark, sf).collect()
