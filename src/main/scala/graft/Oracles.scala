@@ -2774,6 +2774,14 @@ object Oracles {
     "src_csv" -> formatsOracle,
     "src_json" -> formatsOracle,
     "src_orc" -> formatsOracle,
+    // the oracle derives (id, byte length, md5) from the TABLE — a
+    // hash match proves the file round-trip byte-exact without the
+    // oracle ever touching the files
+    "src_binary" -> s"""
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+        md5(text) AS content_md5
+      FROM documents WHERE doc_id < ${graft.sources.Formats.BinaryFixtureDocs}
+      ORDER BY doc_id""",
 
     "src_bucketed" -> s"""
       SELECT COUNT(*) AS n,

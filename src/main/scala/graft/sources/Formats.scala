@@ -66,6 +66,48 @@ object Formats {
     fidelityAgg(spark.read.orc(out))
   }
 
+  /** How many per-doc files the binary-ingest fixture materializes —
+    * bounded: the driver-side file writes below simulate the EXTERNAL
+    * filesystem the source reads, they are not part of the query.
+    */
+  val BinaryFixtureDocs = 64
+
+  /** src_binary: whole-file binary ingest — the reference's actual
+    * input path (build_faiss_db.py walks an image DIRECTORY; app.py
+    * reads an uploaded file), expressed as Spark's `binaryFile`
+    * source. The fixture writes one file per doc from the documents
+    * table (driver-side, bounded — it plays the external filesystem);
+    * the QUERY is the distributed part: a binaryFile scan over the
+    * directory with `pathGlobFilter` pruning at listing time, the doc
+    * id parsed from the path, and length + md5 computed from the raw
+    * bytes. The oracle never sees the files — it derives the same
+    * (doc_id, length, md5) from the documents TABLE, so a hash match
+    * proves the encode → file → scan → digest round-trip byte-exact.
+    * At 100 TB this is the image/audio corpus ingest pattern:
+    * binaryFile parallelizes by file across executors, the listing
+    * prunes by glob, and the content column flows straight into the
+    * decode pipelines (ImageDecode.pixelFrame).
+    */
+  def srcBinary(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(s"target/binsrc_${runTag(spark)}")
+    root.mkdirs()
+    Tables.documents(spark, dir)
+      .select("doc_id", "text").filter(col("doc_id") < BinaryFixtureDocs)
+      .collect().foreach { r =>
+        java.nio.file.Files.write(
+          new java.io.File(root, f"doc_${r.getLong(0)}%05d.bin").toPath,
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin") // pruned at listing, not scan
+      .load(root.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   /** src_partitioned: partitioned-table layout + dynamic partition
     * pruning (DPP) — the scan-pruning half of the layout story
     * (src_bucketed covers the shuffle half). The fact table (orders)
