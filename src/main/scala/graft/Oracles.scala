@@ -1641,6 +1641,35 @@ object Oracles {
       FROM sp s LEFT JOIN dup d ON d.h = s.h
       GROUP BY s.doc_id ORDER BY s.doc_id""",
 
+    // duplicated-span removal: keeper = min doc_id per dup hash keeps
+    // its copy; everyone else excises every covered word position.
+    // badpos expands bad starts into covered positions list-side
+    // (generate_series is a scalar list in DuckDB), kept filters by
+    // 1-based word index, and the md5 pins the whole rewritten text
+    "d_span_excise" -> s"""
+      WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sp0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+              FROM wt WHERE len(w) >= 5),
+      sph AS (SELECT doc_id, i,
+               CAST(('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15))
+                 AS BIGINT) % ${H.P31} AS h
+             FROM sp0),
+      spd AS (SELECT DISTINCT doc_id, h FROM sph),
+      dupk AS (SELECT h, MIN(doc_id) AS keeper FROM spd
+               GROUP BY h HAVING COUNT(*) >= 2),
+      badp AS (SELECT s.doc_id,
+                 list_distinct(flatten(list(generate_series(s.i, s.i + 4)))) AS badpos
+               FROM sph s JOIN dupk d ON d.h = s.h AND s.doc_id <> d.keeper
+               GROUP BY s.doc_id),
+      reb AS (SELECT t.doc_id, len(t.w) AS nw,
+                list_filter(t.w, (x, j) ->
+                  NOT list_contains(coalesce(b.badpos, []), j)) AS kept
+              FROM wt t LEFT JOIN badp b ON b.doc_id = t.doc_id)
+      SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        CAST(nw - len(kept) AS BIGINT) AS n_removed,
+        md5(coalesce(array_to_string(kept, ' '), '')) AS text_md5
+      FROM reb ORDER BY doc_id""",
+
     // per-source frequency cap: Spark's two-phase salted selection is
     // provably equal to this single window (phase 1 keeps a superset)
     "d_source_cap" -> """
@@ -3132,6 +3161,39 @@ object Oracles {
         ROUND(n_tokens / CAST(t_tot AS DOUBLE), 6) AS share,
         ROUND(sqrt(n_tokens / CAST(t_tot AS DOUBLE)) / z, 6) AS weight
       FROM per, zz ORDER BY lang""",
+
+    // mixture downsampling: the report's rates normalized to the most
+    // under-represented language, reproducible md5 Bernoulli thinning
+    "t_mix_sample" -> """
+      WITH per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t <> ''))) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tot,
+                list(n_tokens ORDER BY lang) AS cs FROM per),
+      zz AS (SELECT t_tot,
+               list_reduce(list_transform(cs,
+                 x -> sqrt(x / CAST(t_tot AS DOUBLE))), (a, b) -> a + b) AS z
+             FROM tot),
+      rep AS (SELECT lang, n_docs, n_tokens,
+                ROUND(n_tokens / CAST(t_tot AS DOUBLE), 6) AS share,
+                ROUND(sqrt(n_tokens / CAST(t_tot AS DOUBLE)) / z, 6) AS weight
+              FROM per, zz),
+      rmx AS (SELECT MAX(weight / share) AS rmax FROM rep),
+      rates AS (SELECT lang, n_docs, n_tokens,
+                  ROUND((weight / share) / rmax, 6) AS rate FROM rep, rmx),
+      kept AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 CAST(SUM(len(list_filter(regexp_split_to_array(trim(d.text), '\s+'),
+                   t -> t <> ''))) AS BIGINT) AS tokens_kept
+               FROM documents d JOIN rates r ON r.lang = d.lang
+               WHERE CAST(('0x' || substr(md5('mix_' || d.doc_id), 1, 15))
+                   AS BIGINT) % 1048576
+                 < CAST(FLOOR(r.rate * 1048576.0) AS BIGINT)
+               GROUP BY d.lang)
+      SELECT r.lang, r.n_docs, coalesce(k.n_kept, 0) AS n_kept,
+        r.n_tokens, coalesce(k.tokens_kept, 0) AS tokens_kept, r.rate
+      FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+      ORDER BY r.lang""",
 
     // DSIR importance weights: hashed-bigram bucket counts for the
     // 'en' target vs the whole corpus, add-1-smoothed log ratio,

@@ -758,6 +758,64 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d_span_excise: duplicated-span REMOVAL — the action after
+    * d_span_dedup's report (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": the duplicated substring is
+    * what gets removed, not the whole document). Every word position
+    * covered by a cross-document duplicated k-gram is excised, EXCEPT
+    * in the span's keeper doc (min doc_id containing the hash — the
+    * corpus keeps exactly one copy of every duplicated span). The
+    * rewrite is word-level: a kept word is one no excised k-gram
+    * start covers, and the surviving words re-join into the cleaned
+    * text.
+    *
+    * Scale shape: the span stream is the same one map-side projection
+    * d_span_dedup scans (k-gram md5 per position); keeper discovery is
+    * one count+min aggregate on the hash key; the excision itself is a
+    * per-doc HOF over (words, bad-starts) — the bad-start list is
+    * bounded by the doc's own length, so nothing quadratic and nothing
+    * driver-side. Output keeps (doc_id, n_words, n_removed, text_md5):
+    * the md5 pins the ENTIRE rewritten text byte-exactly against the
+    * oracle without hauling full documents through the gate.
+    */
+  def dSpanExcise(spark: SparkSession, dir: String): DataFrame =
+    spanExcise(Tables.documents(spark, dir))
+
+  /** The excision body over any (doc_id, text) frame — see
+    * [[dSpanExcise]]. Factored so specs can pin the keeper semantics
+    * on a corpus with a KNOWN duplicated span.
+    */
+  def spanExcise(docs: DataFrame): DataFrame = {
+    val k = SpanK
+    val spans = graft.Materialize.forceCached(spanHashes(docs))
+    val dup = spans.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h").as("dh"), col("keeper"))
+    // positional span stream (NOT distinct — every occurrence excises)
+    val pos = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => H.md5Long(array_join(slice(col("w"), i, lit(k)), " "), 15) % H.P31))
+          .as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).as("i"), col("h"))
+    val bad = pos.join(dup, col("h") === col("dh") && col("doc_id") =!= col("keeper"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("i"))).as("bad"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(bad, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("bad"), array().cast("array<int>")).as("bad"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        filter(col("w"), (x, j0) =>
+          !exists(col("bad"), i => i <= j0 + 1 && j0 + 1 <= i + (k - 1))).as("kept"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Max documents kept per source by d_source_cap. */
   val SourceCap = 15
 

@@ -380,6 +380,44 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** t_mix_sample: make the t_mix_report weights ACTIONABLE — a
+    * deterministic downsample to the temperature-balanced mixture.
+    * Per language the resampling factor is weight/share (how far the
+    * temperature target sits from the corpus's natural share),
+    * normalized so the most under-represented language keeps 100% —
+    * a pure DOWNSAMPLE, never upsampling (duplication is the dedup
+    * suite's enemy). Each doc draws a reproducible uniform from
+    * md5("mix_"+doc_id) (20-bit bucket) and survives iff it lands
+    * under the language's rate — rerunning the pipeline anywhere
+    * reproduces the same corpus, and an appended shard samples
+    * consistently without coordination (the d_source_cap hash-order
+    * idea applied to Bernoulli thinning). Scale shape: the report is
+    * one aggregate, the rates broadcast, the thinning is a map-side
+    * filter — no shuffle touches the corpus beyond the final per-lang
+    * count.
+    */
+  def tMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val rep = tMixReport(spark, dir) // lang, n_docs, n_tokens, share, weight
+    val rmax = rep.agg(max(col("weight") / col("share")).as("rmax"))
+    val rates = rep.crossJoin(broadcast(rmax))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round((col("weight") / col("share")) / col("rmax"), 6).as("rate"))
+    val u = H.md5Long(concat(lit("mix_"), col("doc_id").cast("string")), 15) % 1048576L
+    val kept = Tables.documents(spark, dir)
+      .select(col("lang").as("klang"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("ntok"))
+      .join(broadcast(rates.select(col("lang").as("klang"), col("rate"))), "klang")
+      .filter(u < floor(col("rate") * lit(1048576.0)).cast("long"))
+      .groupBy("klang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("ntok")).as("tokens_kept"))
+    rates.join(kept, col("lang") === col("klang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_tokens"), coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        col("rate"))
+      .orderBy("lang")
+  }
+
   /** t_dsir: DSIR-style importance weighting (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling") —
     * score every document by how target-like its hashed n-gram

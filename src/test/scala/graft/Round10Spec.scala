@@ -341,6 +341,47 @@ class Round10Spec extends SparkSpec {
       "MMR selected exactly the relevance top-5 everywhere — λ-penalty inert")
   }
 
+  test("span excise: keeper keeps its copy, the duplicate doc loses exactly the span") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo" // one 5-word span
+    val docs = Seq(
+      (1L, s"intro words here then $shared and a tail"),
+      (2L, s"different opening $shared closing remark now"),
+      (3L, "completely unique text with no shared span at all yes")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.spanExcise(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 is the keeper (min doc_id): nothing excised
+    assert(out(1L).getLong(2) == 0, "keeper must keep its copy")
+    // doc 2 loses the covered words: every position the duplicated
+    // 5-gram covers (the span's 5 words) disappears
+    assert(out(2L).getLong(2) == 5,
+      s"duplicate doc must lose the 5 covered words, lost ${out(2L).getLong(2)}")
+    // doc 3 untouched
+    assert(out(3L).getLong(2) == 0, "unique doc must be untouched")
+    // and the rewritten keeper text hashes like the original
+    val origMd5 = docs.filter(col("doc_id") === 1)
+      .select(org.apache.spark.sql.functions.md5(col("text").cast("binary")))
+      .collect()(0).getString(0)
+    assert(out(1L).getString(3) == origMd5, "keeper text must be byte-identical")
+  }
+
+  test("mix sample: the most under-represented language keeps everything") {
+    val out = graft.operators.TextAnalysis.tMixSample(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_kept <= n_docs (downsample only)")
+      val rate = r.getDouble(5)
+      assert(rate > 0.0 && rate <= 1.0, s"rate out of range: $rate")
+    }
+    val full = out.filter(_.getDouble(5) == 1.0)
+    assert(full.nonEmpty, "some language must anchor the normalization at rate 1")
+    full.foreach(r => assert(r.getLong(2) == r.getLong(1),
+      "rate-1 language must keep every doc"))
+    assert(out.exists(r => r.getLong(2) < r.getLong(1)),
+      "over-represented languages must actually thin")
+  }
+
   test("cluster sample: caps every cluster, keeps the longest docs, totals exact") {
     val out = graft.operators.Dedup.dClusterSample(spark, sf).collect()
     val byCid = out.groupBy(_.getInt(0))
