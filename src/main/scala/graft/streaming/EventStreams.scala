@@ -413,6 +413,46 @@ object EventStreams {
     * waves (spec-asserted, two waves). Small-file growth is absorbed
     * by the usual StoreMaintenance compaction pass.
     */
+  /** Streaming maintainer for the two-stage compressed tier: ingest
+    * embedding batches into a persisted IvfPqIndexStore. The FIRST
+    * wave trains (or inherits registry models via the pre-written
+    * store); every later wave assigns with the frozen coarse
+    * quantizer and encodes with the frozen codebooks — faiss add()
+    * per micro-batch, exactly-once by the checkpoint. If the store is
+    * residual-branded, appended codes come back residual-encoded (the
+    * brand travels with the data, never a maintainer flag). After
+    * each AvailableNow run the auto-compact policy bounds the
+    * small-file debt per list dir — lock-free when there is nothing
+    * to do.
+    */
+  def runIvfPqIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                     storePath: String,
+                     autoCompactMaxFiles: Option[Int] = None): StreamingQuery = {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream
+      .schema(vecSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val store = graft.sources.IvfPqIndexStore
+        val trained = new java.io.File(s"$storePath.books").exists()
+        if (trained) store.append(batch.toDF(), "vec_id", "embedding", storePath)
+        else store.write(batch.toDF(), "vec_id", "embedding", storePath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    autoCompactMaxFiles.foreach { max =>
+      graft.sources.StoreMaintenance.compactIfNeeded(spark, storePath, max)
+    }
+    q
+  }
+
   def runMihIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                    storePath: String,
                    autoCompactMaxFiles: Option[Int] = None): StreamingQuery = {

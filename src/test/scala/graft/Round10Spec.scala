@@ -341,6 +341,35 @@ class Round10Spec extends SparkSpec {
       "MMR selected exactly the relevance top-5 everywhere — λ-penalty inert")
   }
 
+  test("runIvfPqIngest: two-wave streamed IVF-PQ store searches like one write") {
+    import graft.sources.IvfPqIndexStore
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_ingest").toString
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/ivfpq")
+    // wave 1 must carry the training prefix intact (seed init reads
+    // the first PqCodes vec_ids) — split by range, not parity
+    emb.filter(col("vec_id") < 250).write.parquet(src)
+    graft.streaming.EventStreams.runIvfPqIngest(spark, src, ckpt, store,
+      autoCompactMaxFiles = Some(2))
+    emb.filter(col("vec_id") >= 250).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runIvfPqIngest(spark, src, ckpt, store,
+      autoCompactMaxFiles = Some(2))
+    // batch twin trained on wave 1's rows (the maintainer's training set)
+    val batchStore = s"$base/batch"
+    IvfPqIndexStore.write(emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      batchStore,
+      ivfModel = Some(graft.sources.IvfIndexStore.readCentroids(spark, store)),
+      pqModel = Some(graft.sources.PqIndexStore.readBooks(spark, store)))
+    IvfPqIndexStore.append(emb.filter(col("vec_id") >= 250), "vec_id", "embedding",
+      batchStore)
+    val q = emb.filter(col("vec_id") < 3)
+    def res(p: String) = IvfPqIndexStore.search(spark, p, q, "vec_id", "embedding", 3)
+      .orderBy("query_id", "rnk").collect().map(_.toString)
+    assert(res(store).sameElements(res(batchStore)),
+      "streamed two-wave IVF-PQ store must search identically to frozen batch writes")
+    assert(res(store).nonEmpty)
+  }
+
   test("span excise: keeper keeps its copy, the duplicate doc loses exactly the span") {
     import spark.implicits._
     val shared = "alpha bravo charlie delta echo" // one 5-word span
