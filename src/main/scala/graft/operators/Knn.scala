@@ -1521,8 +1521,10 @@ object Knn {
     val raw = vIvfPq(spark, dir)
       .select(col("query_id").as("pq"), col("neighbor_id").as("pn"))
     exact
-      .join(res, col("query_id") === col("rq") && col("neighbor_id") === col("rn"), "left")
-      .join(raw, col("query_id") === col("pq") && col("neighbor_id") === col("pn"), "left")
+      .join(broadcast(res),
+        col("query_id") === col("rq") && col("neighbor_id") === col("rn"), "left")
+      .join(broadcast(raw),
+        col("query_id") === col("pq") && col("neighbor_id") === col("pn"), "left")
       .groupBy("query_id")
       .agg(count(col("rn")).as("hits"),
         round(count(col("rn")) / lit(5.0), 6).as("recall"),

@@ -397,7 +397,9 @@ object TextAnalysis {
     * count.
     */
   def tMixSample(spark: SparkSession, dir: String): DataFrame = {
-    val rep = tMixReport(spark, dir) // lang, n_docs, n_tokens, share, weight
+    // materialized: rmax and the rate table both read it — uncached,
+    // the corpus-wide token count would run twice
+    val rep = graft.Materialize.forceCached(tMixReport(spark, dir))
     val rmax = rep.agg(max(col("weight") / col("share")).as("rmax"))
     val rates = rep.crossJoin(broadcast(rmax))
       .select(col("lang"), col("n_docs"), col("n_tokens"),

@@ -224,7 +224,17 @@ class Round7Spec extends SparkSpec {
       // memoize, a cached cross-query frame would die to Verify's
       // per-dump block cleanup), so its budget counts that shuffle too
       "t_bpe_apply" -> 3, "q_rate_store" -> 3, "d_embed_recall" -> 0,
-      "v_maxsim_store" -> 4, "v_maxsim_recall" -> 10)
+      "v_maxsim_store" -> 4, "v_maxsim_recall" -> 10,
+      // r10 second wave: residual tier (same 2-exchange shape as raw
+      // IVF-PQ — the residual upgrade must stay plan-free), MMR's
+      // packed-fold (windowed candidates + two pack aggs + sort),
+      // TopKAgg cluster cap, excision (span agg + keeper agg + rebuild
+      // join), mixture thinning (report agg + kept agg + sort), and
+      // the binaryFile ingest
+      "v_ivf_pq_res" -> 2, "v_ivf_pq_res_store" -> 2,
+      "v_ivf_pq_res_recall" -> 4, "v_mmr" -> 5,
+      "d_cluster_sample" -> 2, "d_span_excise" -> 4,
+      "t_mix_sample" -> 5, "src_binary" -> 1)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
