@@ -3169,19 +3169,10 @@ object Oracles {
                CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                  t -> t <> ''))) AS BIGINT) AS n_tokens
              FROM documents GROUP BY lang),
-      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tot,
-                list(n_tokens ORDER BY lang) AS cs FROM per),
-      zz AS (SELECT t_tot,
-               list_reduce(list_transform(cs,
-                 x -> sqrt(x / CAST(t_tot AS DOUBLE))), (a, b) -> a + b) AS z
-             FROM tot),
-      rep AS (SELECT lang, n_docs, n_tokens,
-                ROUND(n_tokens / CAST(t_tot AS DOUBLE), 6) AS share,
-                ROUND(sqrt(n_tokens / CAST(t_tot AS DOUBLE)) / z, 6) AS weight
-              FROM per, zz),
-      rmx AS (SELECT MAX(weight / share) AS rmax FROM rep),
+      mn AS (SELECT MIN(n_tokens) AS nt_min FROM per),
       rates AS (SELECT lang, n_docs, n_tokens,
-                  ROUND((weight / share) / rmax, 6) AS rate FROM rep, rmx),
+                  ROUND(sqrt(CAST(nt_min AS DOUBLE) / n_tokens), 6) AS rate
+                FROM per, mn),
       kept AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
                  CAST(SUM(len(list_filter(regexp_split_to_array(trim(d.text), '\s+'),
                    t -> t <> ''))) AS BIGINT) AS tokens_kept

@@ -1422,13 +1422,20 @@ object Knn {
 
   /** Residual PQ codebooks for a corpus dir, registry-cached under a
     * `#res` key (never clobbering the raw books): trains once per
-    * session on the bounded residual sample.
+    * session on the bounded residual sample. Pass the caller's
+    * already-materialized (inv, centroids) when they exist — a cache
+    * miss must not rebuild a second cached copy of the corpus and its
+    * assignment just to train.
     */
-  private[graft] def pqResBooksFor(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+  private[graft] def pqResBooksFor(spark: SparkSession, dir: String,
+      model: Option[(DataFrame, Array[(Int, Array[Double])])] = None)
+      : Array[Array[Array[Double]]] =
     pqCache.computeIfAbsent(modelKey(spark, dir) + "#res", { _ =>
-      val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
-        .transform(graft.Materialize.forceCached)
-      val (inv, centroids) = ivfModel(spark, dir, e)
+      val (inv, centroids) = model.getOrElse {
+        ivfModel(spark, dir,
+          corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+            .transform(graft.Materialize.forceCached))
+      }
       trainPqBooks(residualFrame(inv, centroids).select(col("vec_id"), col("v"))
         .transform(graft.Materialize.forceCached))
     })
@@ -1458,7 +1465,7 @@ object Knn {
     val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
       .transform(graft.Materialize.forceCached)
     val (inv, centroids) = ivfModel(spark, dir, e)
-    val books = pqResBooksFor(spark, dir)
+    val books = pqResBooksFor(spark, dir, Some((inv, centroids)))
     val resid = residualFrame(inv, centroids)
     // materialized BEFORE the probe join: the 8×16-candidate argmin
     // encode is a giant literal projection that would otherwise

@@ -386,24 +386,32 @@ object TextAnalysis {
     * temperature target sits from the corpus's natural share),
     * normalized so the most under-represented language keeps 100% —
     * a pure DOWNSAMPLE, never upsampling (duplication is the dedup
-    * suite's enemy). Each doc draws a reproducible uniform from
+    * suite's enemy). For the α=0.5 temperature that normalized ratio
+    * has a CLOSED FORM from raw token counts — (weight/share)/max ≡
+    * √(nt_min/nt_L) — and the engine computes exactly that: dividing
+    * the 6-dp-rounded report columns instead would turn a sub-ppm
+    * language's share into 0.0 and its rate into NULL/∞ (engine vs
+    * oracle divergence) — precisely the rare language that must
+    * anchor rate 1. Each doc then draws a reproducible uniform from
     * md5("mix_"+doc_id) (20-bit bucket) and survives iff it lands
     * under the language's rate — rerunning the pipeline anywhere
     * reproduces the same corpus, and an appended shard samples
     * consistently without coordination (the d_source_cap hash-order
-    * idea applied to Bernoulli thinning). Scale shape: the report is
-    * one aggregate, the rates broadcast, the thinning is a map-side
-    * filter — no shuffle touches the corpus beyond the final per-lang
-    * count.
+    * idea applied to Bernoulli thinning). Scale shape: one per-lang
+    * aggregate, rates broadcast, the thinning a map-side filter — no
+    * shuffle touches the corpus beyond the final per-lang count.
     */
   def tMixSample(spark: SparkSession, dir: String): DataFrame = {
-    // materialized: rmax and the rate table both read it — uncached,
-    // the corpus-wide token count would run twice
-    val rep = graft.Materialize.forceCached(tMixReport(spark, dir))
-    val rmax = rep.agg(max(col("weight") / col("share")).as("rmax"))
-    val rates = rep.crossJoin(broadcast(rmax))
+    // materialized: the min-tokens probe and the rate table both read
+    // it — uncached, the corpus-wide token count would run twice
+    val per = graft.Materialize.forceCached(
+      Tables.documents(spark, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(col("text"))).cast("long")).as("n_tokens")))
+    val ntmin = per.agg(min(col("n_tokens")).as("nt_min"))
+    val rates = per.crossJoin(broadcast(ntmin))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
-        round((col("weight") / col("share")) / col("rmax"), 6).as("rate"))
+        round(sqrt(col("nt_min").cast("double") / col("n_tokens")), 6).as("rate"))
     val u = H.md5Long(concat(lit("mix_"), col("doc_id").cast("string")), 15) % 1048576L
     val kept = Tables.documents(spark, dir)
       .select(col("lang").as("klang"), col("doc_id"),

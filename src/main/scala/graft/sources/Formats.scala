@@ -91,6 +91,12 @@ object Formats {
   def srcBinary(spark: SparkSession, dir: String): DataFrame = {
     val root = new java.io.File(s"target/binsrc_${runTag(spark)}")
     root.mkdirs()
+    // clear stale fixture files first: a prior invocation against a
+    // larger corpus leaves doc_*.bin files a smaller corpus's writes
+    // would not overwrite, and the scan would return phantom rows
+    // (the driver-side analog of write.mode("overwrite"))
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".bin")).foreach(_.delete())
     Tables.documents(spark, dir)
       .select("doc_id", "text").filter(col("doc_id") < BinaryFixtureDocs)
       .collect().foreach { r =>

@@ -437,10 +437,33 @@ object StoreMaintenance {
     require(maxFiles >= targetFiles,
       s"maxFiles ($maxFiles) must be >= targetFiles ($targetFiles)")
     val root = new java.io.File(path)
-    val dirty = leafPartitionDirs(root).exists(d => dataFiles(d).length > maxFiles)
+    val leafDirs = leafPartitionDirs(root)
+    // flat (unpartitioned) layouts — BqIndexStore's code table,
+    // PqIndexStore's .codes sidecar — have no col=val dirs: their
+    // debt is counted at the root, or the "bounded BY CONSTRUCTION"
+    // contract would silently not hold for exactly the stores
+    // purgeFiles exists for
+    val flatDirty = leafDirs.isEmpty && dataFiles(root).length > maxFiles
+    val dirty = flatDirty || leafDirs.exists(d => dataFiles(d).length > maxFiles)
     val crashed = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
       .exists(f => f.isDirectory && f.getName.startsWith(".compact_"))
     if (!dirty && !crashed) None
+    else if (flatDirty) Some(withLock(root) {
+      recover(path)
+      val files = dataFiles(root)
+      val shaped = recluster match {
+        case Some(c) => spark.read.parquet(root.getAbsolutePath)
+          .repartitionByRange(targetFiles, col(c)).sortWithinPartitions(c)
+        case None => spark.read.parquet(root.getAbsolutePath).coalesce(targetFiles)
+      }
+      // same crash-consistent root swap as purgeFiles (`.compact_.`)
+      val tmp = new java.io.File(root, swapTmpName("."))
+      shaped.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
+        java.util.Arrays.asList(files.map(_.getName): _*))
+      completeSwap(root, tmp)
+      (files.length, dataFiles(root).length)
+    })
     else Some(rewritePartitions(spark, path, n => n > maxFiles,
       rows => recluster match {
         case Some(c) => rows.repartitionByRange(targetFiles, col(c))

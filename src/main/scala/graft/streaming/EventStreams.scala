@@ -401,18 +401,44 @@ object EventStreams {
     q
   }
 
-  /** Incremental multi-index-hash maintenance — the streaming twin of
-    * BqIndexStore.writeMih (the radius tier's online contract: new
-    * fingerprint vectors must answer radius probes before the next
-    * batch lands). Each AvailableNow micro-batch sign-packs ONLY the
-    * delta and dynamic-partition-appends its (blk, bval) bucket rows;
-    * bucket rows are self-contained (codes ride inline), so ingest
-    * never reads existing state — the same log-structured no-RMW shape
-    * as runBloomIngest, and searchRadius over the store is equal by
-    * construction to a single batch build over the union of the
-    * waves (spec-asserted, two waves). Small-file growth is absorbed
-    * by the usual StoreMaintenance compaction pass.
+  /** Shared scaffold for the (vec_id, embedding) store maintainers:
+    * AvailableNow file delta → one foreachBatch ingest call per
+    * micro-batch (exactly-once by the checkpoint) → the lock-free
+    * auto-compact policy bounding small-file debt after the run. The
+    * maintainers differ ONLY in the per-batch ingest and the rewrite
+    * clustering — everything else must evolve in one place.
     */
+  private def runVecIngest(spark: SparkSession, srcDir: String,
+                           checkpoint: String, storePath: String,
+                           autoCompactMaxFiles: Option[Int],
+                           recluster: Option[String])(
+                           perBatch: DataFrame => Unit): StreamingQuery = {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream
+      .schema(vecSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        perBatch(batch.toDF())
+      }
+      .start()
+    q.awaitTermination()
+    // bounded maintenance debt: after each AvailableNow run, a
+    // lock-free listing decides whether any partition dir accumulated
+    // more than the budget; the rewrite (optionally range-reclustered
+    // so zone-map pruning contracts survive) only runs when it trips
+    autoCompactMaxFiles.foreach { max =>
+      graft.sources.StoreMaintenance.compactIfNeeded(
+        spark, storePath, max, recluster = recluster)
+    }
+    q
+  }
+
   /** Streaming maintainer for the two-stage compressed tier: ingest
     * embedding batches into a persisted IvfPqIndexStore. The FIRST
     * wave trains (or inherits registry models via the pre-written
@@ -427,63 +453,35 @@ object EventStreams {
     */
   def runIvfPqIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                      storePath: String,
-                     autoCompactMaxFiles: Option[Int] = None): StreamingQuery = {
-    val vecSchema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType))))
-    val q = spark.readStream
-      .schema(vecSchema)
-      .parquet(srcDir)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        val store = graft.sources.IvfPqIndexStore
-        val trained = new java.io.File(s"$storePath.books").exists()
-        if (trained) store.append(batch.toDF(), "vec_id", "embedding", storePath)
-        else store.write(batch.toDF(), "vec_id", "embedding", storePath)
-        ()
-      }
-      .start()
-    q.awaitTermination()
-    autoCompactMaxFiles.foreach { max =>
-      graft.sources.StoreMaintenance.compactIfNeeded(spark, storePath, max)
+                     autoCompactMaxFiles: Option[Int] = None): StreamingQuery =
+    runVecIngest(spark, srcDir, checkpoint, storePath,
+        autoCompactMaxFiles, recluster = None) { batch =>
+      val store = graft.sources.IvfPqIndexStore
+      val trained = new java.io.File(s"$storePath.books").exists()
+      if (trained) store.append(batch, "vec_id", "embedding", storePath)
+      else store.write(batch, "vec_id", "embedding", storePath)
     }
-    q
-  }
 
+  /** Incremental multi-index-hash maintenance — the streaming twin of
+    * BqIndexStore.writeMih (the radius tier's online contract: new
+    * fingerprint vectors must answer radius probes before the next
+    * batch lands). Each AvailableNow micro-batch sign-packs ONLY the
+    * delta and dynamic-partition-appends its (blk, bval) bucket rows;
+    * bucket rows are self-contained (codes ride inline), so ingest
+    * never reads existing state — the same log-structured no-RMW shape
+    * as runBloomIngest, and searchRadius over the store is equal by
+    * construction to a single batch build over the union of the
+    * waves (spec-asserted, two waves). Small-file growth is absorbed
+    * by the usual StoreMaintenance compaction pass.
+    */
   def runMihIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                    storePath: String,
-                   autoCompactMaxFiles: Option[Int] = None): StreamingQuery = {
-    val vecSchema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType))))
-    val q = spark.readStream
-      .schema(vecSchema)
-      .parquet(srcDir)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        graft.sources.BqIndexStore
-          .appendMih(batch.toDF(), "vec_id", "embedding", storePath)
-        ()
-      }
-      .start()
-    q.awaitTermination()
-    // bounded maintenance debt: after each AvailableNow run, a
-    // lock-free listing decides whether any blk dir accumulated more
-    // than the budget; the rewrite (bval-reclustered so the zone-map
-    // pruning contract survives) only runs when it trips — see
-    // StoreMaintenance.compactIfNeeded
-    autoCompactMaxFiles.foreach { max =>
-      graft.sources.StoreMaintenance.compactIfNeeded(
-        spark, storePath, max, recluster = Some("bval"))
+                   autoCompactMaxFiles: Option[Int] = None): StreamingQuery =
+    runVecIngest(spark, srcDir, checkpoint, storePath,
+        autoCompactMaxFiles, recluster = Some("bval")) { batch =>
+      graft.sources.BqIndexStore
+        .appendMih(batch, "vec_id", "embedding", storePath)
     }
-    q
-  }
 
   /** Incremental sketch maintenance — the streaming twin of
     * q_hll_rollup: each AvailableNow batch appends ONE HLL sketch row
