@@ -2060,8 +2060,19 @@ object Knn {
             round(lit(lam) * c.getField("sim") - lit(1 - lam) * pen, 6),
             c.getField("nid"), c.getField("sim"))
         })))))
-    packedC.join(packedP, "query_id")
-      .select(col("query_id"), posexplode(selCol).as(Seq("i", "s")))
+    // degenerate-input guards (latent at current corpus sizes, but the
+    // oracle's semantics): a query with ONE candidate has no pair rows —
+    // an inner join would drop its seed row, so packedP joins LEFT with
+    // an empty-pairs coalesce; and a query with fewer than DefaultK
+    // candidates exhausts the pool mid-fold — array_min over the empty
+    // filtered array appends null structs, which are dropped before
+    // posexplode (the oracle simply stops emitting rows there)
+    packedC.join(packedP, Seq("query_id"), "left")
+      .withColumn("prs", coalesce(col("prs"),
+        array().cast("array<struct<d:bigint,s:bigint,psim:double>>")))
+      .select(col("query_id"),
+        posexplode(filter(selCol, s => s.getField("nid").isNotNull))
+          .as(Seq("i", "s")))
       .select(col("query_id"), (col("i") + 1).cast("long").as("rnk"),
         col("s.nid").as("neighbor_id"), col("s.score").as("score"),
         col("s.sim").as("sim"))

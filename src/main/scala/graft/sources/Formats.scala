@@ -89,14 +89,15 @@ object Formats {
     * decode pipelines (ImageDecode.pixelFrame).
     */
   def srcBinary(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/binsrc_${runTag(spark)}")
-    root.mkdirs()
-    // clear stale fixture files first: a prior invocation against a
-    // larger corpus leaves doc_*.bin files a smaller corpus's writes
-    // would not overwrite, and the scan would return phantom rows
-    // (the driver-side analog of write.mode("overwrite"))
-    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".bin")).foreach(_.delete())
+    // each invocation gets a FRESH fixture subdirectory instead of a
+    // shared delete-then-rewrite dir: two concurrent invocations in one
+    // session (parallel query execution, or a re-run racing a lazy
+    // binaryFile listing from a prior DataFrame) must never observe a
+    // partially-deleted/rewritten fixture — phantom or missing rows
+    val parent = new java.io.File("target").getAbsoluteFile
+    parent.mkdirs()
+    val root = java.nio.file.Files.createTempDirectory(
+      parent.toPath, s"binsrc_${runTag(spark)}_").toFile
     Tables.documents(spark, dir)
       .select("doc_id", "text").filter(col("doc_id") < BinaryFixtureDocs)
       .collect().foreach { r =>

@@ -1176,10 +1176,22 @@ object IvfPqIndexStore {
     val books = PqIndexStore.readBooks(spark, path)
     val qProbe = IvfIndexStore.probeOf(prepared(queries, idCol, vecCol), centroids, nprobe)
     val dsub = 64 / Knn.PqSubspaces
+    // the store's brand decides the query-side encoding, exactly as in
+    // search()/append(): on a residual-branded store the lookup table
+    // for a (query, probed list) pair is built from the query's
+    // residual AGAINST THAT LIST's centroid — here as a map-side
+    // expression (the centroid set is a literal map keyed by pcid), so
+    // the batch path stays collect-free. Raw tables against residual
+    // codes would return silently wrong neighbors.
+    val encQv =
+      if (isResidual(path)) {
+        val centMap = typedLit(centroids.map { case (c, v) => c -> v.toSeq }.toMap)
+        zip_with(col("qv"), element_at(centMap, col("pcid")), (x, c) => x - c)
+      } else col("qv")
     val qdtCol = array((0 until Knn.PqSubspaces).map { m =>
       array((0 until Knn.PqCodes).map { kk =>
         aggregate(
-          zip_with(slice(col("qv"), m * dsub + 1, dsub), typedLit(books(m)(kk).toSeq),
+          zip_with(slice(encQv, m * dsub + 1, dsub), typedLit(books(m)(kk).toSeq),
             (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x)
       }: _*)

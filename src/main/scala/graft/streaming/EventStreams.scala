@@ -411,20 +411,23 @@ object EventStreams {
   private def runVecIngest(spark: SparkSession, srcDir: String,
                            checkpoint: String, storePath: String,
                            autoCompactMaxFiles: Option[Int],
-                           recluster: Option[String])(
-                           perBatch: DataFrame => Unit): StreamingQuery = {
+                           recluster: Option[String],
+                           maxFilesPerTrigger: Option[Int] = None)(
+                           perBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val vecSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
-    val q = spark.readStream
+    val reader = spark.readStream
       .schema(vecSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val q = reader
       .parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        perBatch(batch.toDF())
+                       bid: Long) =>
+        perBatch(batch.toDF(), bid)
       }
       .start()
     q.awaitTermination()
@@ -453,14 +456,48 @@ object EventStreams {
     */
   def runIvfPqIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                      storePath: String,
-                     autoCompactMaxFiles: Option[Int] = None): StreamingQuery =
-    runVecIngest(spark, srcDir, checkpoint, storePath,
-        autoCompactMaxFiles, recluster = None) { batch =>
-      val store = graft.sources.IvfPqIndexStore
-      val trained = new java.io.File(s"$storePath.books").exists()
+                     autoCompactMaxFiles: Option[Int] = None,
+                     maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val store = graft.sources.IvfPqIndexStore
+    val stage = s"$storePath.trainstage"
+    def trained = new java.io.File(s"$storePath.books").exists()
+    // auto-compaction runs AFTER the deferred first-wave training below,
+    // not inside the scaffold — compacting a store that does not exist
+    // yet is at best a wasted listing
+    val q = runVecIngest(spark, srcDir, checkpoint, storePath,
+        autoCompactMaxFiles = None, recluster = None,
+        maxFilesPerTrigger = maxFilesPerTrigger) { (batch, bid) =>
+      // the first wave may arrive as SEVERAL micro-batches (a source
+      // maxFilesPerTrigger, a future trigger default): training inside
+      // batch 0 alone would freeze the centroids/codebooks over an
+      // arbitrary partial sample and make batch≡stream equivalence
+      // depend on wave composition. Until the store is trained, batches
+      // only STAGE their raw rows; one training pass runs over the
+      // whole accumulated wave when the stream drains (below). Staged
+      // shards are batchId-keyed overwrites (the RateStore idempotency
+      // shape): foreachBatch is at-least-once, and a crash-replayed
+      // batch must REPLACE its shard, not double its rows into the
+      // training sample.
       if (trained) store.append(batch, "vec_id", "embedding", storePath)
-      else store.write(batch, "vec_id", "embedding", storePath)
+      else batch.write.mode("overwrite").parquet(s"$stage/bid=$bid")
     }
+    val stageDir = new java.io.File(stage)
+    if (!trained && stageDir.exists()) {
+      store.write(spark.read.parquet(stage), "vec_id", "embedding", storePath)
+      // the staged rows are recomputable from the checkpointed source
+      // (and now live in the store); a crash before this delete is
+      // harmless — trained=true blocks any retrain on the next run
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(stageDir)
+    }
+    autoCompactMaxFiles.foreach { max =>
+      graft.sources.StoreMaintenance.compactIfNeeded(spark, storePath, max)
+    }
+    q
+  }
 
   /** Incremental multi-index-hash maintenance — the streaming twin of
     * BqIndexStore.writeMih (the radius tier's online contract: new
@@ -478,7 +515,7 @@ object EventStreams {
                    storePath: String,
                    autoCompactMaxFiles: Option[Int] = None): StreamingQuery =
     runVecIngest(spark, srcDir, checkpoint, storePath,
-        autoCompactMaxFiles, recluster = Some("bval")) { batch =>
+        autoCompactMaxFiles, recluster = Some("bval")) { (batch, _) =>
       graft.sources.BqIndexStore
         .appendMih(batch, "vec_id", "embedding", storePath)
     }

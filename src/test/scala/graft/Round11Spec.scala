@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: residual-aware batch serving, deferred
+  * first-wave training for the streaming IVF-PQ maintainer, the SQL
+  * IVF-PQ serving leg, and the round's new gates.
+  */
+class Round11Spec extends SparkSpec {
+
+  test("IvfPqIndexStore.searchBatch honors the residual brand (≡ search)") {
+    import graft.sources.IvfPqIndexStore
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ivfpqres_batch").toString
+    val store = s"$base/res"
+    IvfPqIndexStore.write(emb, "vec_id", "embedding", store, byResidual = true)
+    assert(IvfPqIndexStore.isResidual(store))
+    val q = emb.filter(col("vec_id") < 5)
+    val single = IvfPqIndexStore.search(spark, store, q, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rnk").collect().map(_.toString)
+    val batch = IvfPqIndexStore.searchBatch(spark, store, q, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rnk").collect().map(_.toString)
+    assert(single.nonEmpty)
+    assert(batch.sameElements(single),
+      "batch serving must build residual ADC tables on a residual-branded store")
+    // and the residual tables genuinely differ from raw ones: a RAW
+    // store over the same data must NOT rank identically everywhere
+    // (else the brand branch is untestable dead code)
+    val rawStore = s"$base/raw"
+    IvfPqIndexStore.write(emb, "vec_id", "embedding", rawStore,
+      ivfModel = Some(graft.sources.IvfIndexStore.readCentroids(spark, store)))
+    val raw = IvfPqIndexStore.searchBatch(spark, rawStore, q, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rnk").collect().map(_.toString)
+    assert(!raw.sameElements(batch),
+      "raw-store batch results should differ from residual-store results")
+  }
+
+  test("runIvfPqIngest: multi-micro-batch first wave still trains on the whole wave") {
+    import graft.sources.IvfPqIndexStore
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_mb").toString
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/ivfpq")
+    // wave 1 lands as FOUR source files and maxFilesPerTrigger=1 forces
+    // four micro-batches: training must still see the whole wave (the
+    // old per-batch write() would freeze models over the first file)
+    emb.filter(col("vec_id") < 125).write.parquet(src)
+    emb.filter(col("vec_id") >= 125 && col("vec_id") < 250)
+      .write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runIvfPqIngest(spark, src, ckpt, store,
+      maxFilesPerTrigger = Some(1))
+    assert(!new java.io.File(s"$store.trainstage").exists(),
+      "training stage must be cleaned up once the models land")
+    // wave 2 appends with the frozen models
+    emb.filter(col("vec_id") >= 250).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runIvfPqIngest(spark, src, ckpt, store,
+      maxFilesPerTrigger = Some(1))
+    // batch twin: one write over ALL of wave 1, TRAINING ITS OWN models
+    // (deterministic Lloyd — if the maintainer had trained on a partial
+    // wave, the models and hence the rankings would diverge here)
+    val batchStore = s"$base/batch"
+    IvfPqIndexStore.write(emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      batchStore)
+    IvfPqIndexStore.append(emb.filter(col("vec_id") >= 250), "vec_id", "embedding",
+      batchStore)
+    val q = emb.filter(col("vec_id") < 3)
+    def res(p: String) = IvfPqIndexStore.search(spark, p, q, "vec_id", "embedding", 3)
+      .orderBy("query_id", "rnk").collect().map(_.toString)
+    assert(res(store).nonEmpty)
+    assert(res(store).sameElements(res(batchStore)),
+      "micro-batched first wave must train once over the whole wave")
+  }
+}
