@@ -4392,7 +4392,16 @@ object Oracles {
       GROUP BY e.query_id ORDER BY e.query_id"""
   )
 
+  val round11: Map[String, String] = Map(
+    // the composed two-stage SQL serving leg replays the in-session
+    // IVF-PQ routes bit-for-bit (probe CTE ≡ ivfProbe, map-side ADC
+    // fold ≡ adcDistCol; the brand sidecar flips the residual
+    // encoding), so both flavors hash-share the in-session oracles
+    "v_sql_store_ivfpq" -> vector("v_ivf_pq"),
+    "v_sql_store_ivfpq_res" -> vector("v_ivf_pq_res")
+  )
+
   def all: Map[String, String] =
     relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming ++
-      round2 ++ round3 ++ round6 ++ round8 ++ round9 ++ round10
+      round2 ++ round3 ++ round6 ++ round8 ++ round9 ++ round10 ++ round11
 }

@@ -2288,6 +2288,101 @@ object Knn {
       WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
   }
 
+  /** The composed two-stage serving statement behind v_sql_store_ivfpq
+    * and v_sql_store_ivfpq_res — ONE SQL text serving BOTH store
+    * flavors: the live-DPP probe CTE proven in v_sql_store_ivf
+    * composed with the map-side ADC fold proven in v_sql_store_pq,
+    * over the cid-partitioned code table plus three single-row packed
+    * sidecars (centroids, codebooks, brand). The brand is consulted IN
+    * the statement: `IF(bv.by_residual, …)` switches the query-side
+    * encoding to the residual against each probed list's centroid
+    * (carried through the probe sort struct), so a SQL-only user
+    * serves a residual-branded store without knowing it is one.
+    * The probe CTE stays exchange-free (array ops, no window — the
+    * r10 lesson: any exchange in the DPP build plan breaks AQE
+    * broadcast reuse and degrades the scan to literal-true), so the
+    * finalized plan carries a LIVE dynamic partition filter and the
+    * scan reads corpus·nprobe/nlist bytes of 8 B codes at any scale.
+    * The only exchanges are the k-bounded top-k window and the
+    * presentation sort — the same 2-exchange budget as the Scala
+    * twins (budget-spec-pinned).
+    */
+  private def sqlStoreIvfPqServe(spark: SparkSession, dir: String,
+                                 path: String, sfx: String): DataFrame = {
+    graft.GraftSession.sqlStore(spark, path, sfx)
+    spark.read.parquet(s"$path.centpack")
+      .createOrReplaceTempView(s"graft_store_${sfx}_cents")
+    spark.read.parquet(s"$path.bookpack")
+      .createOrReplaceTempView(s"graft_store_${sfx}_books")
+    spark.read.parquet(s"$path.brand")
+      .createOrReplaceTempView(s"graft_store_${sfx}_brand")
+    Tables.embeddings(spark, dir).createOrReplaceTempView(s"graft_sql_emb_$sfx")
+    val dsub = 64 / PqSubspaces
+    spark.sql(s"""
+      WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
+               CAST(embedding AS ARRAY<DOUBLE>) AS qv
+             FROM graft_sql_emb_$sfx WHERE vec_id < $NumQueries),
+      pr AS (SELECT /*+ BROADCAST(cp, bv) */ query_id, s.cid AS pcid,
+               IF(bv.by_residual,
+                  zip_with(qv, s.cv, (x, c) -> x - c), qv) AS qe
+             FROM q CROSS JOIN graft_store_${sfx}_cents cp
+                    CROSS JOIN graft_store_${sfx}_brand bv
+             LATERAL VIEW explode(slice(array_sort(transform(cp.cents,
+                 c -> struct(
+                   -ROUND(graft_dot(qv, c.cv) / (graft_norm(qv) * graft_norm(c.cv)), 6) AS nsim,
+                   c.cid AS cid, c.cv AS cv))), 1, $IvfNprobe)) t AS s),
+      sc AS (SELECT /*+ BROADCAST(pr, bp) */ pr.query_id, e.vec_id,
+              ROUND(SQRT(aggregate(sequence(0, ${PqSubspaces - 1}),
+                CAST(0.0 AS DOUBLE),
+                (acc, m) -> acc + aggregate(
+                  zip_with(slice(pr.qe, m * $dsub + 1, $dsub),
+                           element_at(element_at(bp.books, m + 1),
+                                      element_at(e.codes, m + 1) + 1),
+                           (x, y) -> (x - y) * (x - y)),
+                  CAST(0.0 AS DOUBLE), (a, x) -> a + x))), 6) AS adc_dist
+            FROM graft_store_$sfx e
+            CROSS JOIN graft_store_${sfx}_books bp
+            JOIN pr ON e.cid = pr.pcid AND e.vec_id <> pr.query_id),
+      r AS (SELECT query_id, vec_id AS neighbor_id, adc_dist,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rnk
+            FROM sc)
+      SELECT query_id, rnk, neighbor_id, adc_dist FROM r
+      WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
+  }
+
+  /** v_sql_store_ivfpq: the COMPOSED two-stage persisted tier for a
+    * SQL-only user — the eighth SQL serving leg, and the production
+    * one (faiss IndexIVFPQ, the reference's scale-path analog of
+    * app.py:143's index.search): coarse nprobe pruning AND compressed
+    * ADC scoring in one statement. Hash-shares v_ivf_pq's oracle:
+    * SQL route ≡ Scala store route ≡ in-session route, all to the bit.
+    */
+  def vSqlStoreIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/sqlivfpq_store_$tag/idx").getAbsolutePath
+    graft.sources.IvfPqIndexStore.write(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", path,
+      ivfModel = Some(ivfCentroids(spark, dir)),
+      pqModel = Some(pqBooksFor(spark, dir)))
+    sqlStoreIvfPqServe(spark, dir, path, "ivfpq")
+  }
+
+  /** v_sql_store_ivfpq_res: the SAME statement over a RESIDUAL-branded
+    * store — the brand sidecar flips the query-side encoding inside
+    * the SQL, nothing else changes (the faiss by_residual default,
+    * served to a SQL-only user). Hash-shares v_ivf_pq_res's oracle.
+    */
+  def vSqlStoreIvfPqRes(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/sqlivfpqres_store_$tag/idx").getAbsolutePath
+    graft.sources.IvfPqIndexStore.write(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", path,
+      ivfModel = Some(ivfCentroids(spark, dir)),
+      pqModel = Some(pqResBooksFor(spark, dir)), byResidual = true)
+    sqlStoreIvfPqServe(spark, dir, path, "ivfpqres")
+  }
+
   /** v_sql_store_bq: the BINARY persisted tier for a SQL-only user —
     * the fourth SQL serving leg (exact / pruned / compressed /
     * binary): the sign-code store binds as a view and one statement

@@ -1093,6 +1093,22 @@ object IvfPqIndexStore {
       perM.zipWithIndex.map { case (cv, k) => (m, k, cv.toSeq) }
     }.toSeq.toDF("m", "k", "cv")
       .write.mode("overwrite").parquet(s"$path.books")
+    // packed twins of both sidecars, for the SQL-only serving leg
+    // (v_sql_store_ivfpq): ONE row each, so a statement cross-joins
+    // them as single broadcast rows — the probe CTE derives nprobe
+    // lists with exchange-free array ops (keeping DPP broadcast reuse
+    // alive) and the ADC distance folds map-side via element_at
+    Seq(Tuple1(centroids.toSeq.sortBy(_._1).map { case (cid, cv) => (cid, cv.toSeq) }))
+      .toDF("cents")
+      .select(col("cents").cast("array<struct<cid:int,cv:array<double>>>").as("cents"))
+      .write.mode("overwrite").parquet(s"$path.centpack")
+    Seq(Tuple1(books.map(_.map(_.toSeq).toSeq).toSeq)).toDF("books")
+      .write.mode("overwrite").parquet(s"$path.bookpack")
+    // the brand as DATA: one boolean row a SQL-only user can bind and
+    // consult inside the statement (the marker file serves the Scala
+    // API; parquet serves SQL — written together, they cannot diverge)
+    Seq(Tuple1(byResidual)).toDF("by_residual")
+      .write.mode("overwrite").parquet(s"$path.brand")
   }
 
   /** faiss add(): assign new vectors with the FROZEN coarse quantizer,

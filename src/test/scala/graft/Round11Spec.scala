@@ -35,6 +35,39 @@ class Round11Spec extends SparkSpec {
       "raw-store batch results should differ from residual-store results")
   }
 
+  test("v_sql_store_ivfpq: live DPP, scan reads exactly the probed lists (both flavors)") {
+    for ((name, fn) <- Seq(
+        "v_sql_store_ivfpq" -> (operators.Knn.vSqlStoreIvfPq _),
+        "v_sql_store_ivfpq_res" -> (operators.Knn.vSqlStoreIvfPqRes _))) {
+      val sfx = if (name.endsWith("_res")) "ivfpqres" else "ivfpq"
+      val df = fn(spark, sf)
+      // live in the FINALIZED plan: the probe CTE is exchange-free by
+      // construction (array ops, no window), so AQE broadcast reuse
+      // holds and the cid-partitioned code scan prunes AT RUNTIME
+      assertLiveDpp(df, name)
+      // and EFFECTIVE: partitions-read == the probe set's distinct
+      // list count, independently recomputed (equality, not <, so the
+      // metric is pinned to the probe values even when tiny sf covers
+      // every list)
+      val probedDistinct = spark.sql(s"""
+        SELECT COUNT(DISTINCT pcid) FROM (
+          SELECT explode(transform(slice(array_sort(transform(cp.cents,
+              c -> struct(-ROUND(graft_dot(qv, c.cv) / (graft_norm(qv) * graft_norm(c.cv)), 6) AS nsim,
+                          c.cid AS cid))), 1, ${operators.Knn.IvfNprobe}),
+            s -> s.cid)) AS pcid
+          FROM (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv
+                FROM graft_sql_emb_$sfx
+                WHERE vec_id < ${operators.Knn.NumQueries}) q
+          CROSS JOIN graft_store_${sfx}_cents cp)""").collect()(0).getLong(0)
+      val read = dppScanPartitionsRead(df)
+      assert(read.nonEmpty,
+        s"$name: no executed scan carries a dynamic pruning partition filter")
+      assert(read.forall(_ == probedDistinct),
+        s"$name: DPP scan read $read list partitions; the probe set covers " +
+          s"$probedDistinct — the scan must read exactly the probed lists")
+    }
+  }
+
   test("runIvfPqIngest: multi-micro-batch first wave still trains on the whole wave") {
     import graft.sources.IvfPqIndexStore
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")

@@ -234,7 +234,11 @@ class Round7Spec extends SparkSpec {
       "v_ivf_pq_res" -> 2, "v_ivf_pq_res_store" -> 2,
       "v_ivf_pq_res_recall" -> 4, "v_mmr" -> 5,
       "d_cluster_sample" -> 2, "d_span_excise" -> 4,
-      "t_mix_sample" -> 5, "src_binary" -> 1)
+      "t_mix_sample" -> 5, "src_binary" -> 1,
+      // r11: the composed SQL IVF-PQ legs must hold the Scala twins'
+      // 2-exchange shape (top-k window + presentation sort) — the probe
+      // CTE and the ADC fold are broadcast/map-side by construction
+      "v_sql_store_ivfpq" -> 2, "v_sql_store_ivfpq_res" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
