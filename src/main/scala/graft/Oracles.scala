@@ -4398,7 +4398,14 @@ object Oracles {
     // fold ≡ adcDistCol; the brand sidecar flips the residual
     // encoding), so both flavors hash-share the in-session oracles
     "v_sql_store_ivfpq" -> vector("v_ivf_pq"),
-    "v_sql_store_ivfpq_res" -> vector("v_ivf_pq_res")
+    "v_sql_store_ivfpq_res" -> vector("v_ivf_pq_res"),
+
+    // the streaming maintainers in the gate: two AvailableNow waves
+    // through the maintainer, then the store's search — frozen-model
+    // streamed appends (and, for MIH, the auto-compact rewrite) must
+    // reproduce the in-session oracles bit-for-bit
+    "s_ivfpq_ingest" -> vector("v_ivf_pq"),
+    "s_mih_ingest" -> vector("v_bq_range")
   )
 
   def all: Map[String, String] =

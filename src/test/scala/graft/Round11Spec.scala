@@ -35,6 +35,103 @@ class Round11Spec extends SparkSpec {
       "raw-store batch results should differ from residual-store results")
   }
 
+  /** Max parquet files in any leaf dir of a (possibly partitioned)
+    * store layout — what compactIfNeeded's budget bounds.
+    */
+  private def maxLeafFiles(path: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.listFiles().exists(d => d.isDirectory && d.getName.contains("=")))
+        f.listFiles().filter(d => d.isDirectory && d.getName.contains("=")).toSeq
+          .flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(path))
+      .map(_.listFiles().count(x => x.isFile && x.getName.endsWith(".parquet")))
+      .max
+  }
+
+  test("runMaxsimIngest: auto-compaction bounds file debt, search unchanged") {
+    import graft.sources.MaxsimStore
+    val base = java.nio.file.Files.createTempDirectory("maxsim_ac").toString
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/idx")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    for (w <- 0 to 2) {
+      docs.filter(col("doc_id") % 3 === w).write.mode("append").parquet(src)
+      graft.streaming.EventStreams.runMaxsimIngest(spark, src, ckpt, store,
+        autoCompactMaxFiles = Some(2))
+    }
+    assert(maxLeafFiles(store) <= 2,
+      s"file budget violated after 3 waves: ${maxLeafFiles(store)} > 2")
+    MaxsimStore.write(docs, s"$base/one")
+    val q = docs.filter(col("doc_id") < 3)
+    assert(MaxsimStore.search(spark, store, q, 5).collect().map(_.toString).sorted
+      .sameElements(MaxsimStore.search(spark, s"$base/one", q, 5)
+        .collect().map(_.toString).sorted),
+      "compacted streamed store must serve exactly as the batch build")
+  }
+
+  test("runPhashIngest: auto-compaction bounds file debt, radius search unchanged") {
+    import spark.implicits._
+    import graft.sources.BqIndexStore
+    val payloads = (0L until 9L)
+      .map(id => (id, operators.ImageDecode.syntheticPng(16, 16, (31 * id + 5).toInt)))
+      .toDF("doc_id", "payload")
+    val base = java.nio.file.Files.createTempDirectory("phash_ac").toString
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/mih")
+    for (w <- 0 to 2) {
+      payloads.filter(col("doc_id") % 3 === w).write.mode("append").parquet(src)
+      graft.streaming.EventStreams.runPhashIngest(spark, src, ckpt, store,
+        autoCompactMaxFiles = Some(2))
+    }
+    assert(maxLeafFiles(store) <= 2,
+      s"file budget violated after 3 waves: ${maxLeafFiles(store)} > 2")
+    val codes = operators.ImagePipeline.phashFromFrame(
+        operators.ImageDecode.pixelFrame(payloads, "doc_id", "payload"))
+      .select(col("doc_id").as("id"),
+        col("phash").bitwiseAND(lit(4294967295L)).as("code_lo"),
+        shiftrightunsigned(col("phash"), 32).as("code_hi"))
+    BqIndexStore.appendMihCodes(codes, s"$base/batch")
+    val q = codes.select(col("id").as("query_id"),
+      col("code_lo").bitwiseXOR(lit(0x13L)).as("qlo"), col("code_hi").as("qhi"))
+    def res(p: String) = BqIndexStore.searchRadius(spark, p, q, radius = 7)
+      .collect().map(_.toString).sorted
+    assert(res(store).sameElements(res(s"$base/batch")),
+      "compacted streamed MIH store must answer radius probes as the batch build")
+    assert(res(store).nonEmpty)
+  }
+
+  test("runEmbedIngest: auto-compaction bounds the flat code table, search unchanged") {
+    import graft.operators.BatchInference.Md5EmbedLoader
+    import graft.sources.PqIndexStore
+    val base = java.nio.file.Files.createTempDirectory("embed_ac").toString
+    val (src, ckpt, idx) = (s"$base/in", s"$base/ckpt", s"$base/idx")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val loader = new Md5EmbedLoader(64)
+    // wave 1 must carry the doc_id<500 training prefix → range split
+    val cuts = Seq(0L -> 40L, 40L -> 50L, 50L -> 60L)
+    for ((lo, hi) <- cuts) {
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.mode("append").parquet(src)
+      graft.streaming.EventStreams.runEmbedIngest(spark, src, ckpt, idx, loader,
+        autoCompactMaxFiles = Some(2))
+    }
+    assert(maxLeafFiles(s"$idx.codes") <= 2,
+      s"flat code table over budget: ${maxLeafFiles(s"$idx.codes")} > 2")
+    // batch twin with the SAME books (frozen-model appends make the
+    // streamed store's codes equal to one encode pass over the union)
+    val all = graft.operators.BatchInference
+      .embedStage(docs.filter(col("doc_id") < 60), "payload", loader)
+    PqIndexStore.write(all, "doc_id", "embedding", s"$base/one",
+      model = Some(PqIndexStore.readBooks(spark, idx)))
+    val q = graft.operators.BatchInference.embedStage(
+      docs.filter(col("doc_id") === 0), "payload", loader)
+      .select(col("doc_id"), col("embedding"))
+    def res(p: String) = PqIndexStore.search(spark, p, q, "doc_id", "embedding", 5)
+      .collect().map(_.toString).sorted
+    assert(res(idx).sameElements(res(s"$base/one")),
+      "compacted streamed PQ index must search exactly as the batch build")
+  }
+
   test("v_sql_store_ivfpq: live DPP, scan reads exactly the probed lists (both flavors)") {
     for ((name, fn) <- Seq(
         "v_sql_store_ivfpq" -> (operators.Knn.vSqlStoreIvfPq _),
