@@ -4392,7 +4392,45 @@ object Oracles {
       GROUP BY e.query_id ORDER BY e.query_id"""
   )
 
+  /** The CLUSTERED evaluation frame (Knn.clusteredFrame replayed):
+    * v[i] = center(vec_id mod 8)[i−1] + 0.25·v0[i], centers from md5
+    * integer arithmetic CAST to double before the division, one IEEE
+    * addition per component — bit-identical to the engine's projection.
+    * Same output CTE names (e, n) and schema as normsCte, so every
+    * downstream training/recall replay composes unchanged.
+    */
+  private val cluNormsCte: String = """
+      e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v0 FROM embeddings),
+      e AS (SELECT vec_id, label,
+              list_transform(generate_series(1, 64), i ->
+                CAST((CAST(('0x' || substr(md5('ctr_' || (vec_id % 8) || '_' || (i - 1)), 1, 8)) AS BIGINT)
+                      % 2001 - 1000) AS DOUBLE) / 1000.0
+                + 0.25 * v0[i]) AS v
+            FROM e0),
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)"""
+
+  /** An isotropic-corpus oracle re-sourced from the clustered frame:
+    * the engine runs the SAME gate over `<dir>#clustered`, so the
+    * oracle is the same SQL with the source CTE swapped.
+    */
+  private def clustered(oracle: String): String = {
+    require(oracle.contains(normsCte), "oracle does not embed the norms CTE")
+    oracle.replace(normsCte, cluNormsCte)
+  }
+
   val round11: Map[String, String] = Map(
+    // clustered-corpus quality gates: the same recall gates that tie
+    // on the isotropic corpus, re-run where cluster structure exists —
+    // residual-vs-raw IVF-PQ, learned-OPQ-vs-PQ, BQ, Matryoshka, and
+    // the LSH blocking recall (engine: identical code over the
+    // #clustered virtual corpus; oracle: identical SQL over the
+    // clustered source CTE)
+    "vc_ivf_pq_res_recall" -> clustered(vector("v_ivf_pq_res_recall")),
+    "vc_pq_recall" -> clustered(vector("v_pq_recall")),
+    "vc_opq_learned_recall" -> clustered(vector("v_opq_learned_recall")),
+    "vc_bq_recall" -> clustered(vector("v_bq_recall")),
+    "vc_mrl_recall" -> clustered(vector("v_matryoshka_recall")),
+    "dc_embed_recall" -> clustered(round8("d_embed_recall")),
     // the composed two-stage SQL serving leg replays the in-session
     // IVF-PQ routes bit-for-bit (probe CTE ≡ ivfProbe, map-side ADC
     // fold ≡ adcDistCol; the brand sidecar flips the residual

@@ -532,6 +532,15 @@ object Dedup {
     * blocking tiers join on — materialized once, feeds both sides of
     * every band join.
     */
+  /** Embedding source honoring Knn's `#clustered` virtual-corpus
+    * suffix, so the blocking recall gates run unchanged over the
+    * clustered evaluation frame (dc_embed_recall).
+    */
+  private def embSrc(spark: SparkSession, dir: String): DataFrame =
+    if (dir.endsWith(Knn.ClusteredSuffix))
+      Knn.corpus(spark, dir).select(col("vec_id"), col("v").as("embedding"))
+    else Tables.embeddings(spark, dir)
+
   private def embedBanded(spark: SparkSession, dir: String,
                           maxId: Option[Int]): DataFrame = {
     val dim = 64
@@ -540,7 +549,7 @@ object Dedup {
     def bit(j: Int): Column = when(V.signedIntDot(col("vq"), signs(j)) > 0, 1).otherwise(0)
     def band(b: Int): Column =
       (0 until Knn.LshBandBits).map(r => bit(b * Knn.LshBandBits + r) * lit(1 << r)).reduce(_ + _)
-    forceCached(spread(Tables.embeddings(spark, dir))
+    forceCached(spread(embSrc(spark, dir))
       .filter(maxId.map(m => col("vec_id") < m).getOrElse(lit(true)))
       .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", V.norm2(col("v")))
@@ -624,7 +633,7 @@ object Dedup {
     val blocked = blockedPairs
       .orderBy(col("sim").desc, col("id1").asc, col("id2").asc).limit(k)
       .select("id1", "id2")
-    val e = forceCached(Tables.embeddings(spark, dir)
+    val e = forceCached(embSrc(spark, dir)
       .filter(col("vec_id") < sample)
       .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", V.norm2(col("v"))))

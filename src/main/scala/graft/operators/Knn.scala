@@ -24,11 +24,60 @@ object Knn {
   val DefaultK = 5
   val NumQueries = 10 // query set = vec_id < 10, standing in for app.py's uploaded image
 
+  /** Virtual-corpus suffix: `<dir>#clustered` routes corpus() (and the
+    * model registry, whose keys are the dir STRING) to the
+    * deterministic CLUSTERED twin of the embeddings table — so every
+    * tier and recall gate runs unchanged over clustered data by
+    * appending the suffix to the corpus dir. The synthetic embeddings
+    * are near-isotropic (pairwise cosine tops out ~0.5), which makes
+    * several quality gates measure structural ties: residual IVF-PQ ==
+    * raw (residuals only beat raw when the coarse quantizer explains
+    * real cluster structure), OPQ == PQ, and LSH blocking recall is
+    * bounded by the absence of truly-near pairs. The clustered twin
+    * exists to give those gates discriminating power (the vc_ and dc_
+    * queries), side by side with the honest isotropic numbers.
+    */
+  private[graft] val ClusteredSuffix = "#clustered"
+
+  /** Cluster mixture count — deliberately equal to IvfClusters, so the
+    * coarse quantizer CAN explain the structure (the precondition for
+    * the residual win faiss's by_residual default is built on).
+    */
+  val CluCenters = 8
+
+  /** Scale of the isotropic residual kept around each center: centers
+    * span [-1,1] per dim while offsets span ±0.25·|component|, so
+    * clusters are well separated yet overlap enough that recall gates
+    * are not trivially 1.0.
+    */
+  val CluEps = 0.25
+
+  /** The clustered frame: v[d] = center(vec_id mod 8)[d] + 0.25·v0[d],
+    * with center components derived from md5 (the engine's standard
+    * oracle-replayable randomness) and v0 the original embedding. One
+    * map-side projection over the raw table — at 100 TB the derivation
+    * is free, and DuckDB replays it bit-for-bit (integer md5 arithmetic,
+    * CAST-to-double division, one addition per component).
+    */
+  private[graft] def clusteredFrame(spark: SparkSession, rawDir: String): DataFrame = {
+    val v0 = V.toDouble(col("embedding"))
+    val vCol = array((0 until 64).map { d =>
+      (HashFns.md5Long(concat(lit("ctr_"), (col("vec_id") % CluCenters).cast("string"),
+          lit("_" + d)), 8) % 2001 - 1000).cast("double") / lit(1000.0) +
+        lit(CluEps) * element_at(v0, d + 1)
+    }: _*)
+    Tables.embeddings(spark, rawDir)
+      .select(col("vec_id"), col("label"), vCol.as("v"))
+      .withColumn("nrm", V.norm2(col("v")))
+  }
+
   /** Corpus with vector cast to double + precomputed norm (computed once
     * per row, before any join fan-out).
     */
   private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    if (dir.endsWith(ClusteredSuffix))
+      clusteredFrame(spark, dir.stripSuffix(ClusteredSuffix))
+    else Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), V.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", V.norm2(col("v")))
 

@@ -165,6 +165,45 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("clustered corpus: the quality gates discriminate where isotropic ties") {
+    import graft.operators.{Dedup, Knn}
+    val clu = sf + Knn.ClusteredSuffix
+    // the headline separation the residual tier was built for: faiss's
+    // by_residual default WINS when the coarse quantizer explains real
+    // cluster structure (isotropic corpus measured an exact 13=13 tie)
+    val res = Knn.vIvfPqResRecall(spark, clu).collect()
+    val resHits = res.map(_.getAs[Long]("hits")).sum
+    val rawHits = res.map(_.getAs[Long]("raw_hits")).sum
+    assert(resHits > rawHits,
+      s"residual IVF-PQ must beat raw encoding on clustered data ($resHits vs $rawHits)")
+    // blocking recall: near pairs now exist, and the banded LSH must
+    // catch them — clustered recall strictly above the honest
+    // isotropic number (0.26–0.40)
+    val dcRecall = Dedup.dEmbedRecall(spark, clu).collect()(0).getAs[Double]("recall")
+    val isoRecall = Dedup.dEmbedRecall(spark, sf).collect()(0).getAs[Double]("recall")
+    assert(dcRecall > isoRecall,
+      s"clustered blocking recall ($dcRecall) must exceed isotropic ($isoRecall)")
+    assert(dcRecall >= 0.9,
+      s"same-cluster pairs are near by construction; recall should clear 0.9, got $dcRecall")
+    // and the clustered frame itself is genuinely clustered: vectors
+    // sharing a center are closer than vectors across centers
+    val cc = Knn.corpus(spark, clu).select(col("vec_id"), col("v"), col("nrm")).limit(64)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val same = for (a <- cc; b <- cc
+      if a._1 < b._1 && a._1 % Knn.CluCenters == b._1 % Knn.CluCenters)
+      yield cos(a._2, b._2)
+    val diff = for (a <- cc; b <- cc
+      if a._1 < b._1 && a._1 % Knn.CluCenters != b._1 % Knn.CluCenters)
+      yield cos(a._2, b._2)
+    assert(same.min > diff.max,
+      s"cluster separation must be clean: min same-cluster cosine ${same.min} " +
+        s"<= max cross-cluster ${diff.max}")
+  }
+
   test("runIvfPqIngest: multi-micro-batch first wave still trains on the whole wave") {
     import graft.sources.IvfPqIndexStore
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
