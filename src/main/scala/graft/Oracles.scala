@@ -885,11 +885,14 @@ object Oracles {
     * round and DuckDB inlines per reference. Ends with `mmrall`
     * (query_id, rnk, neighbor_id, score, sim).
     */
+  /** The exact-retrieval candidate block (v_mmr's front half): top-20
+    * cosine per query into `mcand`. The greedy trajectory itself lives
+    * in [[mmrGreedyCte]] so the persisted tiers can rerank their OWN
+    * candidate sets (v_mmr_store).
+    */
   private def mmrCte: String = {
-    import graft.operators.Knn.{NumQueries, DefaultK, MmrCandidates, MmrLambda}
-    val lam = MmrLambda
-    val sb = new StringBuilder
-    sb.append(s"""
+    import graft.operators.Knn.{NumQueries, MmrCandidates}
+    s"""
       mq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
              FROM n WHERE vec_id < $NumQueries),
       msims AS (SELECT query_id, n.vec_id AS neighbor_id,
@@ -899,7 +902,18 @@ object Oracles {
                 SELECT query_id, neighbor_id, sim,
                   ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY sim DESC, neighbor_id) AS crnk
-                FROM msims) t WHERE crnk <= $MmrCandidates),
+                FROM msims) t WHERE crnk <= $MmrCandidates)""" + mmrGreedyCte
+  }
+
+  /** The unrolled MMR greedy rounds over whatever `mcand` (query_id,
+    * neighbor_id, sim) a caller composes, pair cosines from `n`; ends
+    * with `mmrall` (query_id, rnk, neighbor_id, score, sim).
+    */
+  private def mmrGreedyCte: String = {
+    import graft.operators.Knn.{DefaultK, MmrLambda}
+    val lam = MmrLambda
+    val sb = new StringBuilder
+    sb.append(s""",
       mpair AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS d,
                   b.neighbor_id AS s,
                   ROUND(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS psim
@@ -4443,7 +4457,76 @@ object Oracles {
     // streamed appends (and, for MIH, the auto-compact rewrite) must
     // reproduce the in-session oracles bit-for-bit
     "s_ivfpq_ingest" -> vector("v_ivf_pq"),
-    "s_mih_ingest" -> vector("v_bq_range")
+    "s_mih_ingest" -> vector("v_bq_range"),
+
+    // MMR over the persisted multiprobe tier: the candidate set is the
+    // Hamming-≤1-blocked top-20 (v_ann_store_mp's semantics), then the
+    // same unrolled greedy trajectory as v_mmr over it
+    "v_mmr_store" -> {
+      import graft.operators.Knn.MmrCandidates
+      s"""
+      WITH $lshBandsCte,
+      smq AS (SELECT b.vec_id AS query_id, b.band0 AS qb0, n.v AS qv, n.nrm AS qn
+              FROM bands b JOIN n ON n.vec_id = b.vec_id WHERE b.vec_id < 10),
+      scand AS (SELECT query_id, qv, qn, b.vec_id AS neighbor_id
+                FROM smq JOIN bands b
+                  ON b.vec_id <> query_id
+                 AND bit_count(xor(b.band0, qb0)) <= 1),
+      ssim AS (SELECT query_id, neighbor_id,
+                 ROUND(list_dot_product(qv, y.v) / (qn * y.nrm), 6) AS sim
+               FROM scand JOIN n y ON y.vec_id = neighbor_id),
+      mcand AS MATERIALIZED (SELECT query_id, neighbor_id, sim FROM (
+                SELECT query_id, neighbor_id, sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS crnk
+                FROM ssim) t WHERE crnk <= $MmrCandidates)$mmrGreedyCte
+      SELECT query_id, rnk, neighbor_id, score, sim FROM mmrall
+      ORDER BY query_id, rnk"""
+    },
+
+    // maximal-span excision: duplicated k-gram starts (keeper-aware)
+    // merge into maximal contiguous regions via gaps-and-islands
+    // (break when i − previous start > 5 ⇔ coverage no longer
+    // contiguous), only regions >= 8 words excise, rewrite md5-pinned
+    "d_span_excise_max" -> s"""
+      WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sp0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+              FROM wt WHERE len(w) >= 5),
+      sph AS (SELECT doc_id, i,
+               CAST(('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15))
+                 AS BIGINT) % ${H.P31} AS h
+             FROM sp0),
+      spd AS (SELECT DISTINCT doc_id, h FROM sph),
+      dupk AS (SELECT h, MIN(doc_id) AS keeper FROM spd
+               GROUP BY h HAVING COUNT(*) >= 2),
+      bads AS (SELECT DISTINCT s.doc_id, s.i
+               FROM sph s JOIN dupk d ON d.h = s.h AND s.doc_id <> d.keeper),
+      isl0 AS (SELECT doc_id, i,
+                 CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 5
+                      THEN 0 ELSE 1 END AS brk
+               FROM bads),
+      isl1 AS (SELECT doc_id, i,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+               FROM isl0),
+      spans AS (SELECT doc_id, isl, MIN(i) AS s, MAX(i) + 4 AS e
+                FROM isl1 GROUP BY doc_id, isl
+                HAVING MAX(i) + 4 - MIN(i) + 1 >= 8),
+      perdoc AS (SELECT doc_id, COUNT(*) AS n_spans,
+                   SUM(e - s + 1) AS n_rem,
+                   list_distinct(flatten(list(generate_series(s, e)))) AS badpos
+                 FROM spans GROUP BY doc_id),
+      reb AS (SELECT t.doc_id, len(t.w) AS nw,
+                coalesce(p.n_spans, 0) AS n_spans,
+                coalesce(p.n_rem, 0) AS n_rem,
+                list_filter(t.w, (x, j) ->
+                  NOT list_contains(coalesce(p.badpos, []), j)) AS kept
+              FROM wt t LEFT JOIN perdoc p ON p.doc_id = t.doc_id)
+      SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        CAST(n_spans AS BIGINT) AS n_spans,
+        CAST(n_rem AS BIGINT) AS n_removed,
+        md5(coalesce(array_to_string(kept, ' '), '')) AS text_md5
+      FROM reb ORDER BY doc_id"""
   )
 
   def all: Map[String, String] =

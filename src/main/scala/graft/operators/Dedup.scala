@@ -825,6 +825,86 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Minimum MAXIMAL-span length (words) d_span_excise_max removes —
+    * Lee et al. excise duplicated substrings over a length floor, not
+    * every duplicated k-gram (their threshold is 50 BPE tokens at web
+    * scale; 8 words is the same idea at this corpus's document sizes:
+    * above one k-gram, so isolated 5-gram collisions survive, while
+    * genuinely repeated passages go).
+    */
+  val MinExciseLen = 8
+
+  /** d_span_excise_max: MAXIMAL duplicated-span excision — the faithful
+    * form of Lee et al.'s removal semantics. d_span_excise removes at
+    * fixed k-gram granularity (every covered word goes, even for an
+    * isolated 5-gram collision); here adjacent duplicated k-gram starts
+    * first MERGE into maximal contiguous duplicated regions (a
+    * gaps-and-islands pass — q_gaps_islands' machinery applied to the
+    * bad-start list), and only regions of at least MinExciseLen words
+    * are excised, once per region. Keeper semantics unchanged: a
+    * k-gram's keeper doc (min doc_id) never counts it as bad, so the
+    * corpus keeps one copy of every duplicated passage.
+    *
+    * Scale shape: identical to d_span_excise up to the per-doc fold —
+    * one map-side span projection, one count+min aggregate on the hash,
+    * and the island merge runs INSIDE the per-doc HOF over the sorted
+    * bad-start array (bounded by the doc's own length): a fold that
+    * either extends the last island or opens a new one, then a length
+    * filter, then the rewrite. No extra shuffle over d_span_excise.
+    * Output pins the rewrite by md5 and reports the excised maximal
+    * span count per doc.
+    */
+  def dSpanExciseMax(spark: SparkSession, dir: String): DataFrame =
+    spanExciseMax(Tables.documents(spark, dir))
+
+  /** The maximal-span excision body — see [[dSpanExciseMax]]. */
+  def spanExciseMax(docs: DataFrame): DataFrame = {
+    val k = SpanK
+    val spans = graft.Materialize.forceCached(spanHashes(docs))
+    val dup = spans.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h").as("dh"), col("keeper"))
+    val pos = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => H.md5Long(array_join(slice(col("w"), i, lit(k)), " "), 15) % H.P31))
+          .as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).as("i"), col("h"))
+    val bad = pos.join(dup, col("h") === col("dh") && col("doc_id") =!= col("keeper"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("i"))).as("bad"))
+    // gaps-and-islands merge over the sorted starts: start i extends the
+    // last island when its coverage [i, i+k-1] is contiguous with it
+    // (i <= last.e + 1 ⇔ i − previous start <= k), else opens a new one
+    def lastOf(acc: Column): Column = element_at(acc, -1)
+    val emptyIslands = array().cast("array<struct<s:int,e:int>>")
+    val mergedCol = aggregate(col("bad"), emptyIslands, (acc, i) =>
+      when(size(acc) === 0 || i > lastOf(acc).getField("e") + 1,
+        concat(acc, array(struct(i.cast("int").as("s"), (i + (k - 1)).cast("int").as("e")))))
+        .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(lastOf(acc).getField("s").as("s"),
+            (i + (k - 1)).cast("int").as("e"))))))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(bad, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("bad"), array().cast("array<int>")).as("bad"))
+      .withColumn("islands",
+        filter(mergedCol, sp =>
+          sp.getField("e") - sp.getField("s") + 1 >= MinExciseLen))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        size(col("islands")).cast("long").as("n_spans"),
+        aggregate(col("islands"), lit(0),
+          (a, sp) => a + sp.getField("e") - sp.getField("s") + 1)
+          .cast("long").as("n_removed"),
+        md5(array_join(filter(col("w"), (x, j0) =>
+          !exists(col("islands"), sp =>
+            sp.getField("s") <= j0 + 1 && j0 + 1 <= sp.getField("e"))), " ")
+          .cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Max documents kept per source by d_source_cap. */
   val SourceCap = 15
 

@@ -2060,6 +2060,16 @@ object Knn {
       .filter(col("crnk") <= MmrCandidates)
       .select("query_id", "neighbor_id", "sim")
       .transform(graft.Materialize.forceCached)
+    mmrRerank(e, cands)
+  }
+
+  /** The MMR packed-array greedy fold over an arbitrary (query_id,
+    * neighbor_id, sim) candidate set — factored from [[vMmr]] so the
+    * persisted serving tiers diversify their own (cheaper) candidates
+    * (v_mmr_store). `e` supplies the candidate vectors for the pairwise
+    * cosines; `cands` must already be materialized by the caller.
+    */
+  private def mmrRerank(e: DataFrame, cands: DataFrame): DataFrame = {
     // pairwise candidate-candidate cosines: 20×20 per query, bounded
     val cv = cands.join(e, col("neighbor_id") === col("vec_id"))
       .select(col("query_id"), col("neighbor_id"), col("v"), col("nrm"))
@@ -2126,6 +2136,34 @@ object Knn {
         col("s.nid").as("neighbor_id"), col("s.score").as("score"),
         col("s.sim").as("sim"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** v_mmr_store: MMR diversification over the PERSISTED multiprobe
+    * serving tier — production diversifies CHEAP candidates, not a
+    * fresh exact retrieval: the candidate set is searchAnnProbed's
+    * Hamming-≤1-blocked top-20 over the banded store (file-pruned to
+    * ≤5/16 of the index), and the same packed-array greedy fold
+    * reranks it (v_mmr's trajectory machinery, v_ann_store_mp's
+    * candidate tier — composed). Queries whose blocked pool runs
+    * short exercise the degenerate-input guards: the fold just stops
+    * early, exactly as the oracle's unrolled rounds do. The oracle
+    * replays blocking, candidate ranking, AND every greedy round.
+    */
+  def vMmrStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/mmr_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    val cands = graft.sources.IndexStore
+      .searchAnnProbed(spark, path, queries, "vec_id", "embedding", MmrCandidates,
+        dim = 64)
+      .select("query_id", "neighbor_id", "sim")
+      .transform(graft.Materialize.forceCached)
+    val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+      .transform(graft.Materialize.forceCached)
+    mmrRerank(e, cands)
   }
 
 

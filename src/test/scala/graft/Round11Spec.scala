@@ -165,6 +165,45 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("maximal-span excision: overlapping spans merge, short duplicates survive") {
+    import spark.implicits._
+    // a 10-word duplicated PASSAGE (six overlapping bad 5-gram starts
+    // merge into one maximal span of length 10 >= 8) and an isolated
+    // duplicated 5-gram (length 5 < 8 — must SURVIVE the floor, the
+    // behavior that distinguishes this from d_span_excise)
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val short5 = "s1 s2 s3 s4 s5"
+    val docs = Seq(
+      (1L, s"keeper intro $passage keeper tail $short5"),
+      (2L, s"other opening $passage closing words"),
+      (3L, s"unrelated body holding $short5 and nothing else dup"),
+      (4L, "totally unique text with no shared span at all here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.spanExciseMax(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // keeper (doc 1) keeps everything
+    assert(out(1L).getLong(2) == 0 && out(1L).getLong(3) == 0,
+      "keeper must keep its copy of every span")
+    // doc 2 loses exactly the 10-word passage as ONE maximal span
+    assert(out(2L).getLong(2) == 1, s"expected 1 maximal span, got ${out(2L).getLong(2)}")
+    assert(out(2L).getLong(3) == 10,
+      s"the merged maximal span covers 10 words, removed ${out(2L).getLong(3)}")
+    // doc 3's isolated duplicated 5-gram is BELOW the floor: untouched
+    assert(out(3L).getLong(2) == 0 && out(3L).getLong(3) == 0,
+      "an isolated duplicated 5-gram is below the length floor and must survive")
+    // while the fixed-granularity excision WOULD have removed it
+    val fixed = graft.operators.Dedup.spanExcise(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixed(3L) == 5,
+      "sanity: fixed-granularity excision removes the short duplicate (the floor is the difference)")
+    // doc 2's rewritten text is exactly the passage-free original
+    val expect = docs.sparkSession.createDataFrame(Seq(
+      Tuple1("other opening closing words"))).toDF("t")
+      .select(org.apache.spark.sql.functions.md5(col("t").cast("binary")))
+      .collect()(0).getString(0)
+    assert(out(2L).getString(4) == expect, "rewritten text must drop only the passage")
+  }
+
   test("clustered corpus: the quality gates discriminate where isotropic ties") {
     import graft.operators.{Dedup, Knn}
     val clu = sf + Knn.ClusteredSuffix

@@ -238,7 +238,15 @@ class Round7Spec extends SparkSpec {
       // r11: the composed SQL IVF-PQ legs must hold the Scala twins'
       // 2-exchange shape (top-k window + presentation sort) — the probe
       // CTE and the ADC fold are broadcast/map-side by construction
-      "v_sql_store_ivfpq" -> 2, "v_sql_store_ivfpq_res" -> 2)
+      "v_sql_store_ivfpq" -> 2, "v_sql_store_ivfpq_res" -> 2,
+      // r11 second wave: streamed-store gates serve like their batch
+      // twins (top-k window + sort); maximal excision adds only the
+      // island fold to d_span_excise's plan; the store MMR swaps the
+      // exact retrieval for the probed tier at the same budget; the
+      // clustered gates share their isotropic twins' shapes
+      "s_ivfpq_ingest" -> 2, "s_mih_ingest" -> 2,
+      "d_span_excise_max" -> 4, "v_mmr_store" -> 5,
+      "vc_ivf_pq_res_recall" -> 4, "dc_embed_recall" -> 0)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
