@@ -4459,6 +4459,118 @@ object Oracles {
     "s_ivfpq_ingest" -> vector("v_ivf_pq"),
     "s_mih_ingest" -> vector("v_bq_range"),
 
+    // the r11 curation funnel: Gopher keep → MAXIMAL-span excision
+    // token accounting → multiprobe SemDeDup keepers (recursive
+    // components over the embedding edges) → temperature mixture at
+    // the survivors' token mass → packing — every stage replayed
+    "t_curation_pipeline2" -> s"""
+      WITH RECURSIVE $lshBandsCte,
+      cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+               FROM bands a JOIN bands b
+                 ON a.vec_id < b.vec_id
+                AND (bit_count(xor(a.band0, b.band0)) <= 1
+                  OR bit_count(xor(a.band1, b.band1)) <= 1)),
+      sims AS (SELECT id1, id2,
+                 ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS sim
+               FROM cand JOIN n x ON x.vec_id = id1 JOIN n y ON y.vec_id = id2),
+      und AS (SELECT DISTINCT id1 AS doc1, id2 AS doc2 FROM sims WHERE sim >= 0.45),
+      edges AS (SELECT doc1 AS a, doc2 AS b FROM und
+                UNION SELECT doc2, doc1 FROM und),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      lbl AS (SELECT a AS ld, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+      semk AS (SELECT em.vec_id AS doc_id,
+                 CASE WHEN COALESCE(l.label, em.vec_id) = em.vec_id
+                   THEN 1 ELSE 0 END AS is_keeper
+               FROM embeddings em LEFT JOIN lbl l ON l.ld = em.vec_id),
+      gt AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 t -> t <> '') AS w
+             FROM documents),
+      gf AS (SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               ROUND(CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+                 / len(w), 6) AS mean_wlen,
+               CAST(len(list_filter(w,
+                 t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')))
+                 AS BIGINT) AS stop_count,
+               ROUND(CAST(len(list_filter(w,
+                 t -> regexp_matches(t, '^[a-z]+$$'))) AS DOUBLE)
+                 / len(w), 6) AS alpha_frac
+             FROM gt),
+      keepq AS (SELECT doc_id,
+                  (n_words >= 30 AND n_words <= 5000
+                    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+                    AND stop_count >= 2 AND alpha_frac >= 0.8) AS keep
+                FROM gf),
+      xwt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      xsp0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+               FROM xwt WHERE len(w) >= 5),
+      xsph AS (SELECT doc_id, i,
+                 CAST(('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15))
+                   AS BIGINT) % ${H.P31} AS h
+               FROM xsp0),
+      xspd AS (SELECT DISTINCT doc_id, h FROM xsph),
+      xdupk AS (SELECT h, MIN(doc_id) AS keeper FROM xspd
+                GROUP BY h HAVING COUNT(*) >= 2),
+      xbads AS (SELECT DISTINCT s.doc_id, s.i
+                FROM xsph s JOIN xdupk d ON d.h = s.h AND s.doc_id <> d.keeper),
+      xisl0 AS (SELECT doc_id, i,
+                  CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 5
+                       THEN 0 ELSE 1 END AS brk
+                FROM xbads),
+      xisl1 AS (SELECT doc_id, i,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+                FROM xisl0),
+      xspans AS (SELECT doc_id, isl, MIN(i) AS s, MAX(i) + 4 AS e
+                 FROM xisl1 GROUP BY doc_id, isl
+                 HAVING MAX(i) + 4 - MIN(i) + 1 >= 8),
+      xrem AS (SELECT doc_id, SUM(e - s + 1) AS n_rem FROM xspans GROUP BY doc_id),
+      xtoks AS (SELECT t.doc_id,
+                  CAST(len(t.w) - COALESCE(r.n_rem, 0) AS BIGINT) AS n_toks
+                FROM xwt t LEFT JOIN xrem r ON r.doc_id = t.doc_id),
+      st AS (SELECT d.doc_id, d.lang, k.keep,
+               (k.keep AND s.is_keeper = 1) AS survives, x.n_toks
+             FROM documents d
+             JOIN keepq k ON k.doc_id = d.doc_id
+             JOIN xtoks x ON x.doc_id = d.doc_id
+             JOIN semk s ON s.doc_id = d.doc_id),
+      per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_survive,
+                SUM(n_toks) AS lang_tokens
+              FROM st WHERE survives GROUP BY lang),
+      ntmin AS (SELECT MIN(lang_tokens) AS nt_min FROM per),
+      rates AS (SELECT lang, n_survive,
+                  ROUND(sqrt(CAST(nt_min AS DOUBLE) / lang_tokens), 6) AS rate
+                FROM per CROSS JOIN ntmin),
+      samp AS (SELECT st.doc_id, st.lang, st.n_toks
+               FROM st JOIN rates r ON r.lang = st.lang
+               WHERE st.survives
+                 AND CAST(('0x' || substr(md5('mix2_' || st.doc_id), 1, 15)) AS BIGINT)
+                     % 1048576 < CAST(FLOOR(r.rate * 1048576.0) AS BIGINT)),
+      cum AS (SELECT doc_id, lang, n_toks,
+                SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM samp),
+      packed AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(n_toks) AS BIGINT) AS tokens_kept,
+                   MAX(CAST(FLOOR((cum - n_toks) / 512) AS BIGINT)) + 1 AS n_seqs
+                 FROM cum GROUP BY lang),
+      base AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+               FROM st GROUP BY lang)
+      SELECT b.lang, b.n_docs, b.n_quality,
+        COALESCE(r.n_survive, 0) AS n_survive,
+        COALESCE(r.rate, 0.0) AS rate,
+        COALESCE(p.n_kept, 0) AS n_kept,
+        COALESCE(p.tokens_kept, 0) AS tokens_kept,
+        COALESCE(p.n_seqs, 0) AS n_seqs
+      FROM base b LEFT JOIN rates r ON r.lang = b.lang
+      LEFT JOIN packed p ON p.lang = b.lang
+      ORDER BY b.lang""",
+
     // MMR over the persisted multiprobe tier: the candidate set is the
     // Hamming-≤1-blocked top-20 (v_ann_store_mp's semantics), then the
     // same unrolled greedy trajectory as v_mmr over it

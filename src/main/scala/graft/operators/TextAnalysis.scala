@@ -578,6 +578,71 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** t_curation_pipeline2: the r8–r10 curation additions composed as
+    * ONE plan — the successor of t_curation_pipeline (whose stages
+    * predate them). Per document: Gopher quality gate (map-side) →
+    * MAXIMAL-span EXCISION (d_span_excise_max's rewrite accounting:
+    * the doc survives with its duplicated passages removed, instead of
+    * d_span_dedup's whole-doc drop) → semantic dedup keepers
+    * (multiprobe SemDeDup components over the doc embeddings, doc_id ≡
+    * vec_id) → temperature-mixture downsampling at t_mix_sample's
+    * rates computed over the SURVIVORS' post-excision token mass →
+    * fixed-budget sequence packing of the final kept docs. Reported as
+    * a per-language funnel (n_docs → n_quality → n_survive → n_kept,
+    * plus the sampling rate, kept tokens, and packed sequence count).
+    * Proves the new stages compose without a driver round-trip: one
+    * plan, every stage's shuffle shape unchanged from its standalone
+    * gate.
+    */
+  def tCurationPipeline2(spark: SparkSession, dir: String): DataFrame = {
+    val quality = tGopherQuality(spark, dir).select(col("doc_id"), col("keep"))
+    // post-excision token accounting: kept words after removing the
+    // >= MinExciseLen maximal duplicated regions (keeper-aware)
+    val excised = Dedup.spanExciseMax(Tables.documents(spark, dir))
+      .select(col("doc_id").as("x_id"),
+        (col("n_words") - col("n_removed")).as("n_toks"))
+    val sem = Dedup.dSemdedup(spark, dir)
+      .select(col("vec_id").as("s_id"), col("is_keeper"))
+    val staged = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(quality, "doc_id")
+      .join(excised, col("doc_id") === col("x_id"))
+      .join(sem, col("doc_id") === col("s_id"))
+      .withColumn("survives", col("keep") && col("is_keeper") === 1L)
+      .select("doc_id", "lang", "keep", "survives", "n_toks")
+      .transform(graft.Materialize.forceCached)
+    val per = staged.filter(col("survives")).groupBy("lang")
+      .agg(count(lit(1)).as("n_survive"), sum(col("n_toks")).as("lang_tokens"))
+    val ntmin = per.agg(min(col("lang_tokens")).as("nt_min"))
+    val rates = per.crossJoin(broadcast(ntmin))
+      .select(col("lang").as("rlang"), col("n_survive"),
+        round(sqrt(col("nt_min").cast("double") / col("lang_tokens")), 6).as("rate"))
+    val u = H.md5Long(concat(lit("mix2_"), col("doc_id").cast("string")), 15) % 1048576L
+    val sampled = staged.filter(col("survives"))
+      .join(broadcast(rates.select(col("rlang"), col("rate"))),
+        col("lang") === col("rlang"))
+      .filter(u < floor(col("rate") * lit(1048576.0)).cast("long"))
+    val wp = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = sampled
+      .withColumn("cum", sum(col("n_toks")).over(wp))
+      .withColumn("seq_id", floor((col("cum") - col("n_toks")) / 512).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("tokens_kept"),
+        (max(col("seq_id")) + 1).as("n_seqs"))
+    staged.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"))
+      .join(rates, col("lang") === col("rlang"), "left")
+      .join(packed, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_quality"),
+        coalesce(col("n_survive"), lit(0L)).as("n_survive"),
+        coalesce(col("rate"), lit(0.0)).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"))
+      .orderBy("lang")
+  }
+
   /** Dimensionality of the feature-hashed document embedding. */
   val HashEmbedDim = 32
 

@@ -246,7 +246,11 @@ class Round7Spec extends SparkSpec {
       // clustered gates share their isotropic twins' shapes
       "s_ivfpq_ingest" -> 2, "s_mih_ingest" -> 2,
       "d_span_excise_max" -> 4, "v_mmr_store" -> 5,
-      "vc_ivf_pq_res_recall" -> 4, "dc_embed_recall" -> 0)
+      "vc_ivf_pq_res_recall" -> 4, "dc_embed_recall" -> 0,
+      // the 5-stage funnel: quality/excise/sem joins + mixture rate
+      // aggs + packing window + report sort (semdedup's iterative
+      // passes materialize behind lineage cuts, not in this plan)
+      "t_curation_pipeline2" -> 9)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
