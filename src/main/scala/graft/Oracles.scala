@@ -4458,6 +4458,10 @@ object Oracles {
     // reproduce the in-session oracles bit-for-bit
     "s_ivfpq_ingest" -> vector("v_ivf_pq"),
     "s_mih_ingest" -> vector("v_bq_range"),
+    "v_sql_store_ivfbq" -> vector("v_ivf_bq"),
+    "s_maxsim_ingest" -> vMaxsimSql,
+    "s_span_ingest" -> dedup("d_span_dedup"),
+    "s_bitmap_ingest" -> relational("q_bitmap_distinct"),
 
     // the r11 curation funnel: Gopher keep → MAXIMAL-span excision
     // token accounting → multiprobe SemDeDup keepers (recursive

@@ -2470,6 +2470,69 @@ object Knn {
     sqlStoreIvfPqServe(spark, dir, path, "ivfpqres")
   }
 
+  /** v_sql_store_ivfbq: the coarse×binary persisted tier for a
+    * SQL-only user — the NINTH SQL serving leg (faiss IndexBinaryIVF +
+    * rerank, entirely in SQL): the exchange-free live-DPP probe CTE
+    * prunes the cid-partitioned sign-code table to nprobe lists, the
+    * query's own sign words derive IN SQL (an integer bit-OR fold over
+    * the embedding's signs — bqWords restated), Hamming ranks inside
+    * the probed lists (graft_hamming over two words), the top-20
+    * survivors rerank by exact cosine against the raw table, top-5.
+    * Hash-shares v_ivf_bq's oracle: SQL ≡ Scala store ≡ in-session.
+    */
+  def vSqlStoreIvfBq(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/sqlivfbq_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.IvfBqIndexStore.write(emb, "vec_id", "embedding", path,
+      model = Some(ivfCentroids(spark, dir)))
+    graft.GraftSession.sqlStore(spark, path, "ivfbq")
+    spark.read.parquet(s"$path.centpack")
+      .createOrReplaceTempView("graft_store_ivfbq_cents")
+    emb.createOrReplaceTempView("graft_sql_emb_ivfbq")
+    spark.sql(s"""
+      WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
+               CAST(embedding AS ARRAY<DOUBLE>) AS qv
+             FROM graft_sql_emb_ivfbq WHERE vec_id < $NumQueries),
+      qc AS (SELECT query_id, qv,
+               aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) ->
+                 acc | IF(element_at(qv, i) > CAST(0.0 AS DOUBLE),
+                   shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))) AS qlo,
+               aggregate(sequence(33, 64), CAST(0 AS BIGINT), (acc, i) ->
+                 acc | IF(element_at(qv, i) > CAST(0.0 AS DOUBLE),
+                   shiftleft(CAST(1 AS BIGINT), i - 33), CAST(0 AS BIGINT))) AS qhi
+             FROM q),
+      pr AS (SELECT /*+ BROADCAST(cp) */ query_id, qlo, qhi, s.cid AS pcid
+             FROM qc CROSS JOIN graft_store_ivfbq_cents cp
+             LATERAL VIEW explode(slice(array_sort(transform(cp.cents,
+                 c -> struct(
+                   -ROUND(graft_dot(qv, c.cv) / (graft_norm(qv) * graft_norm(c.cv)), 6) AS nsim,
+                   c.cid AS cid))), 1, $IvfNprobe)) t AS s),
+      ham AS (SELECT /*+ BROADCAST(pr) */ pr.query_id, e.vec_id AS neighbor_id,
+                CAST(graft_hamming(e.code_lo, pr.qlo)
+                   + graft_hamming(e.code_hi, pr.qhi) AS BIGINT) AS hamming
+              FROM graft_store_ivfbq e
+              JOIN pr ON e.cid = pr.pcid AND e.vec_id <> pr.query_id),
+      cand AS (SELECT query_id, neighbor_id, hamming FROM (
+                 SELECT query_id, neighbor_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY hamming ASC, neighbor_id ASC) AS hrnk
+                 FROM ham) t WHERE hrnk <= 20),
+      rr AS (SELECT /*+ BROADCAST(cand, q) */ c.query_id, c.neighbor_id, c.hamming,
+               ROUND(graft_dot(q.qv, CAST(n.embedding AS ARRAY<DOUBLE>))
+                 / (graft_norm(q.qv)
+                    * graft_norm(CAST(n.embedding AS ARRAY<DOUBLE>))), 6) AS sim
+             FROM graft_sql_emb_ivfbq n
+             JOIN cand c ON n.vec_id = c.neighbor_id
+             JOIN q ON q.query_id = c.query_id),
+      r AS (SELECT query_id, neighbor_id, hamming, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+            FROM rr)
+      SELECT query_id, rnk, neighbor_id, hamming, sim FROM r
+      WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
+  }
+
   /** v_sql_store_bq: the BINARY persisted tier for a SQL-only user —
     * the fourth SQL serving leg (exact / pruned / compressed /
     * binary): the sign-code store binds as a view and one statement

@@ -1435,6 +1435,12 @@ object IvfBqIndexStore {
     centroids.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv")
       .write.mode("overwrite").parquet(s"$path.centroids")
+    // packed one-row twin for the SQL serving leg (v_sql_store_ivfbq):
+    // exchange-free probe derivation keeps DPP broadcast reuse alive
+    Seq(Tuple1(centroids.toSeq.sortBy(_._1).map { case (cid, cv) => (cid, cv.toSeq) }))
+      .toDF("cents")
+      .select(col("cents").cast("array<struct<cid:int,cv:array<double>>>").as("cents"))
+      .write.mode("overwrite").parquet(s"$path.centpack")
   }
 
   /** Frozen-centroid append: new vectors assign against the persisted

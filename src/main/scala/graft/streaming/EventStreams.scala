@@ -885,4 +885,68 @@ object EventStreams {
       .searchRadius(spark, store, Knn.bqCorruptedQueries(codes), radius = 7)
       .orderBy("query_id", "neighbor_id")
   }
+
+  /** s_maxsim_ingest: the streaming late-interaction maintainer IN the
+    * driver gate — two AvailableNow document waves through
+    * runMaxsimIngest (second under the auto-compact policy), then the
+    * store search hash-matches v_maxsim's oracle: the streamed
+    * hash-bucketed layout AND the compaction rewrite serve exactly as
+    * the in-session operator. Idempotent across invocations.
+    */
+  def sMaxsimIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Knn
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(s"target/smaxsim_store_$tag").getAbsolutePath
+    val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    if (!new java.io.File(store).exists()) {
+      docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
+      runMaxsimIngest(spark, src, ckpt, store)
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+      runMaxsimIngest(spark, src, ckpt, store, autoCompactMaxFiles = Some(4))
+    }
+    graft.sources.MaxsimStore
+      .search(spark, store, docs.filter(col("doc_id") < 3), Knn.DefaultK)
+  }
+
+  /** s_span_ingest: the streaming span-store maintainer IN the driver
+    * gate — two document waves through runSpanIngest, then the report
+    * over the incrementally built store hash-matches d_span_dedup's
+    * oracle (span occurrence counts are additive over appends, proven
+    * by the hash, not a spec). Idempotent across invocations.
+    */
+  def sSpanIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(s"target/sspan_store_$tag").getAbsolutePath
+    val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/spans")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    if (!new java.io.File(store).exists()) {
+      docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
+      runSpanIngest(spark, src, ckpt, store)
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+      runSpanIngest(spark, src, ckpt, store)
+    }
+    spanDedupReport(spark, store)
+  }
+
+  /** s_bitmap_ingest: the streaming exact-distinct maintainer IN the
+    * driver gate — two OVERLAPPING event waves (split by event id, so
+    * the same user lands in both) through runBitmapIngest, then the
+    * re-ORed shard report hash-matches q_bitmap_distinct's plain
+    * COUNT(DISTINCT) oracle: bit_or idempotence across streamed
+    * appends proven by the hash. Idempotent across invocations.
+    */
+  def sBitmapIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(s"target/sbitmap_store_$tag").getAbsolutePath
+    val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/shards")
+    val ev = Tables.events(spark, dir)
+    if (!new java.io.File(store).exists()) {
+      ev.filter(col("event_id") % 2 === 0).write.mode("overwrite").parquet(src)
+      runBitmapIngest(spark, src, ckpt, store)
+      ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+      runBitmapIngest(spark, src, ckpt, store)
+    }
+    bitmapDistinctReport(spark, store)
+  }
 }

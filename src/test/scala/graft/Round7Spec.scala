@@ -250,7 +250,13 @@ class Round7Spec extends SparkSpec {
       // the 5-stage funnel: quality/excise/sem joins + mixture rate
       // aggs + packing window + report sort (semdedup's iterative
       // passes materialize behind lineage cuts, not in this plan)
-      "t_curation_pipeline2" -> 9)
+      "t_curation_pipeline2" -> 9,
+      // r11 third wave: the coarse×binary SQL leg holds v_ivf_bq's
+      // 2-exchange shape (probe/hamming/rerank all broadcast; only the
+      // two windows... which share query_id partitioning → Hamming
+      // top-20 + final sort), and the streamed-store report gates
+      "v_sql_store_ivfbq" -> 2, "s_maxsim_ingest" -> 4,
+      "s_span_ingest" -> 3, "s_bitmap_ingest" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
