@@ -4445,6 +4445,14 @@ object Oracles {
     "vc_bq_recall" -> clustered(vector("v_bq_recall")),
     "vc_mrl_recall" -> clustered(vector("v_matryoshka_recall")),
     "dc_embed_recall" -> clustered(round8("d_embed_recall")),
+    // SemDeDup over the clustered corpus: the multiprobe edges +
+    // components should rediscover the 8 planted mixture components
+    "dc_semdedup" -> clustered(dedup("d_semdedup")),
+    // coarse-pruning recall on clustered data (with the quantizer
+    // explaining the structure, the query's own list holds its
+    // neighborhood — contrast with the isotropic number)
+    "vc_ivf_recall" -> clustered(vector("v_ivf_recall")),
+    "vc_ivf_pq_recall" -> clustered(vector("v_ivf_pq_recall")),
     // the composed two-stage SQL serving leg replays the in-session
     // IVF-PQ routes bit-for-bit (probe CTE ≡ ivfProbe, map-side ADC
     // fold ≡ adcDistCol; the brand sidecar flips the residual

@@ -698,7 +698,7 @@ object Dedup {
       .distinct()
     val labels = connectedComponents(edges)
       .select(col("doc").as("ld"), col("label"))
-    Tables.embeddings(spark, dir).select(col("vec_id"))
+    embSrc(spark, dir).select(col("vec_id"))
       .join(labels, col("vec_id") === col("ld"), "left")
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("component"),

@@ -135,8 +135,9 @@ class Round11Spec extends SparkSpec {
   test("v_sql_store_ivfpq: live DPP, scan reads exactly the probed lists (both flavors)") {
     for ((name, fn) <- Seq(
         "v_sql_store_ivfpq" -> (operators.Knn.vSqlStoreIvfPq _),
-        "v_sql_store_ivfpq_res" -> (operators.Knn.vSqlStoreIvfPqRes _))) {
-      val sfx = if (name.endsWith("_res")) "ivfpqres" else "ivfpq"
+        "v_sql_store_ivfpq_res" -> (operators.Knn.vSqlStoreIvfPqRes _),
+        "v_sql_store_ivfbq" -> (operators.Knn.vSqlStoreIvfBq _))) {
+      val sfx = name.stripPrefix("v_sql_store_").replace("_res", "res")
       val df = fn(spark, sf)
       // live in the FINALIZED plan: the probe CTE is exchange-free by
       // construction (array ops, no window), so AQE broadcast reuse
@@ -241,6 +242,18 @@ class Round11Spec extends SparkSpec {
     assert(same.min > diff.max,
       s"cluster separation must be clean: min same-cluster cosine ${same.min} " +
         s"<= max cross-cluster ${diff.max}")
+    // SemDeDup rediscovers the planted structure: the multiprobe edges
+    // + components collapse the corpus to exactly the 8 mixture
+    // components (one keeper each)
+    val sem = Dedup.dSemdedup(spark, clu)
+      .select("component").distinct().count()
+    assert(sem == Knn.CluCenters,
+      s"SemDeDup should find the $sem planted components, expected ${Knn.CluCenters}")
+    // and coarse pruning is LOSSLESS when the quantizer explains the
+    // structure: every exact neighbor lives in the query's own list
+    val ivfClu = Knn.vIvfRecall(spark, clu).collect().map(_.getAs[Double]("recall"))
+    assert(ivfClu.forall(_ == 1.0),
+      s"clustered IVF recall must be 1.0 per query, got ${ivfClu.mkString(",")}")
   }
 
   test("runIvfPqIngest: multi-micro-batch first wave still trains on the whole wave") {
