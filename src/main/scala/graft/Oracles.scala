@@ -4467,6 +4467,7 @@ object Oracles {
     "s_ivfpq_ingest" -> vector("v_ivf_pq"),
     "s_mih_ingest" -> vector("v_bq_range"),
     "v_sql_store_ivfbq" -> vector("v_ivf_bq"),
+    "v_sql_store_annmp" -> round10("v_ann_store_mp"),
     "s_maxsim_ingest" -> vMaxsimSql,
     "s_span_ingest" -> dedup("d_span_dedup"),
     "s_bitmap_ingest" -> relational("q_bitmap_distinct"),

@@ -2533,6 +2533,57 @@ object Knn {
       WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
   }
 
+  /** v_sql_store_annmp: the banded MULTIPROBE store for a SQL-only
+    * user — the TENTH SQL serving leg, covering the last partitioned
+    * store family the SQL story lacked (IndexStore's band0= layout).
+    * The query's own LSH band derives IN SQL from first principles —
+    * md5 hyperplane signs (the hyperplaneSign arithmetic restated:
+    * first hex digit < 8 ⇔ +1), integer quantized dots, 4 sign bits
+    * packed — then the 5-bucket probe set (own band0 + 4 single-bit
+    * flips) explodes on the broadcast side and the join on the band0
+    * PARTITION column prunes the store scan through runtime DPP
+    * (exchange-free probe plan, as with the IVF legs). Exact cosine
+    * rescoring inside the probed buckets, top-5. Hash-shares
+    * v_ann_store_mp's oracle (the Hamming-≤1 blocking semantics).
+    */
+  def vSqlStoreAnnMp(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/sqlannmp_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
+    graft.GraftSession.sqlStore(spark, path, "annmp")
+    emb.createOrReplaceTempView("graft_sql_emb_annmp")
+    // Σ_d sign(j,d)·round(1000·qv[d]) — V.signedIntDot ∘ V.quantize
+    // restated as one integer fold; sign(j,d) = first md5 hex digit of
+    // 'hp_j_d' below 8 (HashFns.hyperplaneSign's arithmetic)
+    def dotExpr(j: Int): String =
+      s"""aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, d) ->
+           acc + IF(instr('0123456789abcdef',
+                      substr(md5(concat('hp_', '$j', '_', CAST(d AS STRING))), 1, 1)) <= 8,
+                    CAST(1 AS BIGINT), CAST(-1 AS BIGINT))
+                 * CAST(ROUND(element_at(qv, d) * 1000, 0) AS BIGINT))"""
+    val band0Expr = (0 until 4)
+      .map(j => s"IF(${dotExpr(j)} > 0, ${1 << j}, 0)").mkString(" + ")
+    spark.sql(s"""
+      WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
+               CAST(embedding AS ARRAY<DOUBLE>) AS qv
+             FROM graft_sql_emb_annmp WHERE vec_id < $NumQueries),
+      qb AS (SELECT query_id, qv, $band0Expr AS qb0 FROM q),
+      pr AS (SELECT query_id, qv, pb FROM qb
+             LATERAL VIEW explode(array(qb0, qb0 ^ 1, qb0 ^ 2, qb0 ^ 4, qb0 ^ 8))
+               t AS pb),
+      s AS (SELECT /*+ BROADCAST(pr) */ pr.query_id, e.id AS neighbor_id,
+              ROUND(graft_dot(pr.qv, e.v) / (graft_norm(pr.qv) * e.nrm), 6) AS sim
+            FROM graft_store_annmp e
+            JOIN pr ON e.band0 = pr.pb AND e.id <> pr.query_id),
+      r AS (SELECT query_id, neighbor_id, sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+            FROM s)
+      SELECT query_id, rnk, neighbor_id, sim FROM r
+      WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
+  }
+
   /** v_sql_store_bq: the BINARY persisted tier for a SQL-only user —
     * the fourth SQL serving leg (exact / pruned / compressed /
     * binary): the sign-code store binds as a view and one statement

@@ -166,6 +166,35 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("v_sql_store_annmp: live DPP over band0, scan reads exactly the probed buckets") {
+    val df = operators.Knn.vSqlStoreAnnMp(spark, sf)
+    assertLiveDpp(df, "v_sql_store_annmp")
+    // independent probe-set recompute: band0 from first principles
+    // (hyperplaneSign + HALF_UP quantize — the banding the store and
+    // the SQL statement must both reproduce), probes = own bucket + 4
+    // single-bit flips over the 10 queries
+    val qs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < operators.Knn.NumQueries)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    def band0(v: Array[Double]): Int = {
+      val vq = v.map(x => BigDecimal(x * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      (0 until 4).map { j =>
+        val dot = vq.indices.map(d =>
+          graft.functions.HashFns.hyperplaneSign(j, d + 1) * vq(d)).sum
+        if (dot > 0) 1 << j else 0
+      }.sum
+    }
+    val probed = qs.flatMap { v =>
+      val b = band0(v); Seq(b, b ^ 1, b ^ 2, b ^ 4, b ^ 8)
+    }.distinct.length.toLong
+    val read = dppScanPartitionsRead(df)
+    assert(read.nonEmpty, "no executed scan carries a dynamic pruning partition filter")
+    assert(read.forall(_ == probed),
+      s"DPP scan read $read band partitions; the probe set covers $probed")
+  }
+
   test("maximal-span excision: overlapping spans merge, short duplicates survive") {
     import spark.implicits._
     // a 10-word duplicated PASSAGE (six overlapping bad 5-gram starts

@@ -255,7 +255,7 @@ class Round7Spec extends SparkSpec {
       // 2-exchange shape (probe/hamming/rerank all broadcast; only the
       // two windows... which share query_id partitioning → Hamming
       // top-20 + final sort), and the streamed-store report gates
-      "v_sql_store_ivfbq" -> 2, "s_maxsim_ingest" -> 4,
+      "v_sql_store_ivfbq" -> 2, "v_sql_store_annmp" -> 2, "s_maxsim_ingest" -> 4,
       "s_span_ingest" -> 3, "s_bitmap_ingest" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
