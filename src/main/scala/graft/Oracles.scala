@@ -4471,6 +4471,16 @@ object Oracles {
     "s_maxsim_ingest" -> vMaxsimSql,
     "s_span_ingest" -> dedup("d_span_dedup"),
     "s_bitmap_ingest" -> relational("q_bitmap_distinct"),
+    "s_rate_ingest" -> qAnomalySql,
+    "s_kmv_ingest" -> round8("q_kmv_store"),
+    "s_bloom_ingest" -> dedup("d_bloom"),
+    // streamed HLL merge gate: exact distinct + literal-TRUE tolerance
+    // flags (the q_approx_distinct_err shape) — a drifted merged
+    // sketch breaks the hash
+    "s_hll_ingest" -> """
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        TRUE AS within_tol
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     // the r11 curation funnel: Gopher keep → MAXIMAL-span excision
     // token accounting → multiprobe SemDeDup keepers (recursive

@@ -1125,12 +1125,25 @@ object Dedup {
       .groupBy("word")
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
 
+  /** The filter-size formula dBloom and its streaming gate share:
+    * m = 16n bits rounded up to whole 32-bit words.
+    */
+  private[graft] def bloomMBits(nIns: Long): Long = 32L * ((16L * nIns + 31L) / 32L)
+
   def dBloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val nIns = docs.filter(col("doc_id") % 5 =!= 0).count()
-    val mBits = 32L * ((16L * nIns + 31L) / 32L)
+    val mBits = bloomMBits(docs.filter(col("doc_id") % 5 =!= 0).count())
+    bloomCohortReport(docs,
+      bloomWords(docs.filter(col("doc_id") % 5 =!= 0), mBits), mBits)
+  }
+
+  /** The cohort gates over ANY (word, bits) filter table — factored so
+    * the streaming ingest gate (s_bloom_ingest) probes the merged
+    * incrementally-built filter through the identical report.
+    */
+  private[graft] def bloomCohortReport(docs: DataFrame, words: DataFrame,
+                                       mBits: Long): DataFrame = {
     val pos = bloomPositions(docs, mBits)
-    val words = bloomWords(docs.filter(col("doc_id") % 5 =!= 0), mBits)
     val inb = pos.join(words, Seq("word"), "left")
       .groupBy("doc_id")
       .agg(min(when(expr("shiftright(bits, bit) & 1") === 1, 1).otherwise(0)).as("inb"))

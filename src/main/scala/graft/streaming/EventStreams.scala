@@ -949,4 +949,96 @@ object EventStreams {
     }
     bitmapDistinctReport(spark, store)
   }
+
+  /** Shared wave scaffolding for the event-sourced streaming gates:
+    * split the events table into two file waves by `splitCol` parity,
+    * run `ingest` after each wave lands (guarded so re-invocations —
+    * Bench reps — only read the store).
+    */
+  private def twoEventWaves(spark: SparkSession, dir: String, root: String,
+                            splitCol: String)(
+                            ingest: (String, String, String) => Unit): String = {
+    val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/store")
+    if (!new java.io.File(store).exists()) {
+      val ev = Tables.events(spark, dir)
+      ev.filter(col(splitCol) % 2 === 0).write.mode("overwrite").parquet(src)
+      ingest(src, ckpt, store)
+      ev.filter(col(splitCol) % 2 === 1).write.mode("append").parquet(src)
+      ingest(src, ckpt, store)
+    }
+    store
+  }
+
+  private def gateTag(spark: SparkSession): String =
+    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** s_rate_ingest: the streaming rate-store maintainer IN the driver
+    * gate — two DISJOINT event-id waves (additive counts: disjointness
+    * models the checkpointed source's exactly-once delivery) through
+    * runRateIngest's batchId-keyed idempotent shards, then the z-score
+    * anomaly ranking from the store hash-matches q_anomaly's oracle.
+    */
+  def sRateIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(s"target/srate_store_${gateTag(spark)}").getAbsolutePath
+    val store = twoEventWaves(spark, dir, root, "event_id")(
+      runRateIngest(spark, _, _, _))
+    graft.sources.RateStore.report(spark, store)
+  }
+
+  /** s_kmv_ingest: the streaming KMV maintainer IN the driver gate —
+    * two event-id waves that OVERLAP in users (the k-smallest-of-union
+    * re-aggregation absorbs the overlap) through runKmvIngest, then
+    * the pairwise source overlap report hash-matches q_kmv_store's
+    * deterministic-estimate oracle.
+    */
+  def sKmvIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(s"target/skmv_store_${gateTag(spark)}").getAbsolutePath
+    val store = twoEventWaves(spark, dir, root, "event_id")(
+      runKmvIngest(spark, _, _, _))
+    graft.sources.KmvStore.report(spark, store)
+  }
+
+  /** s_hll_ingest: the streaming HLL maintainer IN the driver gate —
+    * two event waves append per-type kilobyte sketches, the merged
+    * estimate joins the exact distinct twin, and the within-5% flags
+    * go to the oracle as literal TRUEs (the q_approx_distinct_err gate
+    * shape): sketch drift after a streamed merge breaks the hash.
+    */
+  def sHllIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(s"target/shll_store_${gateTag(spark)}").getAbsolutePath
+    val store = twoEventWaves(spark, dir, root, "event_id")(
+      runHllIngest(spark, _, _, _))
+    val est = hllDistinctReport(spark, store)
+      .select(col("event_type").as("et"), col("est"))
+    Tables.events(spark, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .join(est, col("event_type") === col("et"))
+      .select(col("event_type"), col("n_users"),
+        (abs(col("est") - col("n_users")) <= col("n_users") * 0.05).as("within_tol"))
+      .orderBy("event_type")
+  }
+
+  /** s_bloom_ingest: the streaming Bloom maintainer IN the driver
+    * gate — the INSERTED cohort (doc_id%5≠0, dBloom's fixture) streams
+    * through runBloomIngest in two waves, the log-structured shards
+    * re-OR at read (mergedBloom), and the identical cohort report runs
+    * against the merged filter: hash-matching d_bloom's oracle proves
+    * no-false-negatives, true-positive dups, AND the fp budget hold
+    * over a filter that was never built in one piece.
+    */
+  def sBloomIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val root = new java.io.File(s"target/sbloom_store_${gateTag(spark)}").getAbsolutePath
+    val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/store")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val ins = docs.filter(col("doc_id") % 5 =!= 0)
+    val mBits = Dedup.bloomMBits(ins.count())
+    if (!new java.io.File(store).exists()) {
+      ins.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
+      runBloomIngest(spark, src, ckpt, store, mBits)
+      ins.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+      runBloomIngest(spark, src, ckpt, store, mBits)
+    }
+    Dedup.bloomCohortReport(docs, mergedBloom(spark, store), mBits)
+  }
 }

@@ -256,7 +256,11 @@ class Round7Spec extends SparkSpec {
       // two windows... which share query_id partitioning → Hamming
       // top-20 + final sort), and the streamed-store report gates
       "v_sql_store_ivfbq" -> 2, "v_sql_store_annmp" -> 2, "s_maxsim_ingest" -> 4,
-      "s_span_ingest" -> 3, "s_bitmap_ingest" -> 3)
+      "s_span_ingest" -> 3, "s_bitmap_ingest" -> 3,
+      // streamed-store reports (the store reads replay their batch
+      // twins' shapes; kmv's pairwise overlap joins dominate its count)
+      "s_rate_ingest" -> 3, "s_kmv_ingest" -> 9,
+      "s_hll_ingest" -> 4, "s_bloom_ingest" -> 5)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
