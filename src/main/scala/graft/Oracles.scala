@@ -4467,6 +4467,33 @@ object Oracles {
     "s_ivfpq_ingest" -> vector("v_ivf_pq"),
     "s_mih_ingest" -> vector("v_bq_range"),
     "v_sql_store_ivfbq" -> vector("v_ivf_bq"),
+    "s_knn_serve" -> vector("v_knn_exact"),
+
+    // filtered search on the COMPRESSED tier: Lloyd + probe + PQ
+    // training replayed, the label equality applied to candidates
+    // BEFORE ADC ranking (the engine's probe-join filter semantics)
+    "v_ivfpq_filtered" -> s"""
+      WITH $ivfCte, ${pqCteBody()},
+      flab AS (SELECT vec_id, label FROM embeddings),
+      fq AS (SELECT p.query_id, p.pcid, l.label AS qlabel
+             FROM ivfprobe p JOIN flab l ON l.vec_id = p.query_id),
+      fcand AS (SELECT f.query_id, f.qlabel, a.vec_id AS cv
+                FROM fq f
+                JOIN ivfasg a ON a.cid = f.pcid AND a.vec_id <> f.query_id
+                JOIN flab nl ON nl.vec_id = a.vec_id AND nl.label = f.qlabel),
+      fscore AS (SELECT t.query_id, c.qlabel, c.cv AS vec_id,
+                   ROUND(sqrt(list_reduce(list(t.d2 ORDER BY t.m), (a, b) -> a + b)), 6)
+                     AS adc_dist
+                 FROM pcodes pc
+                   JOIN fcand c ON pc.vec_id = c.cv
+                   JOIN pdt t ON t.query_id = c.query_id AND t.m = pc.m AND t.k = pc.code
+                 GROUP BY t.query_id, c.qlabel, c.cv)
+      SELECT query_id, qlabel AS label, rnk, neighbor_id, adc_dist FROM (
+        SELECT query_id, qlabel, vec_id AS neighbor_id, adc_dist,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rnk
+        FROM fscore) t WHERE rnk <= 3
+      ORDER BY query_id, rnk""",
     "v_sql_store_annmp" -> round10("v_ann_store_mp"),
     "s_maxsim_ingest" -> vMaxsimSql,
     "s_span_ingest" -> dedup("d_span_dedup"),

@@ -1320,6 +1320,29 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_ivfpq_filtered: attribute-filtered search on the COMPRESSED
+    * persisted tier — the faiss IDSelector-on-IndexIVFPQ combination
+    * (v_ivf_filtered × v_ivf_pq_store composed): labels live INLINE in
+    * the cid-partitioned code rows, the scan reads only the probed
+    * list directories, and the per-query label equality rides the
+    * probe join, so out-of-filter rows never reach the ADC top-k heap
+    * — all of it over 8 B codes, never floats. The oracle replays
+    * Lloyd + probe + PQ training + the label filter.
+    */
+  def vIvfPqFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/ivfpqfil_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.IvfPqIndexStore.write(emb, "vec_id", "embedding", path,
+      ivfModel = Some(ivfCentroids(spark, dir)),
+      pqModel = Some(pqBooksFor(spark, dir)), metaCols = Seq("label"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    graft.sources.IvfPqIndexStore
+      .searchFiltered(spark, path, queries, "vec_id", "embedding", 3, Seq("label"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_ivf_bq_recall: recall@5 of the coarse×binary tier vs exact
     * cosine top-5 — what nprobe pruning PLUS 64× compression together
     * cost, next to v_ivf_recall (pruning alone) and v_bq_recall

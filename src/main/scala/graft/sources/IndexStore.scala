@@ -1070,10 +1070,13 @@ object IvfPqIndexStore {
   def write(df: DataFrame, idCol: String, vecCol: String, path: String,
             ivfModel: Option[Array[(Int, Array[Double])]] = None,
             pqModel: Option[Array[Array[Array[Double]]]] = None,
-            byResidual: Boolean = false): Unit = {
+            byResidual: Boolean = false,
+            metaCols: Seq[String] = Nil): Unit = {
+    require(metaCols.isEmpty || !byResidual,
+      "inline metadata on a residual-branded store is not supported yet")
     val spark = df.sparkSession
     import spark.implicits._
-    val e = prepared(df, idCol, vecCol)
+    val e = IvfIndexStore.prepared(df, idCol, vecCol, metaCols)
     val centroids = ivfModel.getOrElse(Knn.trainIvf(e))
     val asg = Knn.withCid(e, centroids)
     val enc =
@@ -1081,7 +1084,8 @@ object IvfPqIndexStore {
         graft.Materialize.forceCached(Knn.residualFrame(asg, centroids))
       else asg
     val books = pqModel.getOrElse(Knn.trainPqBooks(enc.select(col("vec_id"), col("v"))))
-    enc.select(col("vec_id"), col("cid"), Knn.pqCodesCol(books).as("codes"))
+    enc.select(col("vec_id") +: col("cid") +: metaCols.map(col)
+        :+ Knn.pqCodesCol(books).as("codes"): _*)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     if (byResidual)
       java.nio.file.Files.createFile(
@@ -1219,6 +1223,48 @@ object IvfPqIndexStore {
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
+
+  /** Attribute-filtered search on the COMPRESSED persisted tier (the
+    * faiss IDSelector-on-IndexIVFPQ combination): the scan still reads
+    * only the probed cid=NN directories (static IN), and INSIDE them
+    * the per-query metadata equality rides the probe join — so the
+    * filter applies before any candidate reaches the ADC top-k heap,
+    * on 8 B code rows, never floats. Requires the store written with
+    * the match columns inline (`write(..., metaCols)`) — the
+    * v_filtered_store argument applied to the IVF-PQ layout.
+    */
+  def searchFiltered(spark: SparkSession, path: String, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     matchCols: Seq[String],
+                     nprobe: Int = Knn.IvfNprobe): DataFrame = {
+    require(!isResidual(path),
+      "filtered search over a residual-branded store is not supported yet")
+    val centroids = IvfIndexStore.readCentroids(spark, path)
+    val books = PqIndexStore.readBooks(spark, path)
+    val q = queries.select(col(idCol).as("vec_id")
+        +: col(vecCol).cast("array<double>").as("v")
+        +: matchCols.map(c => col(c).as(s"q_$c")): _*)
+      .withColumn("nrm", V.norm2(col("v")))
+    val qProbe = IvfIndexStore.probeOf(q, centroids, nprobe, matchCols.map(c => s"q_$c"))
+    val probedCids = qProbe.select("pcid").distinct().collect().map(_.getInt(0)).toSeq
+    val qs = q.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qdt = Knn.pqQueryTables(spark, qs, books)
+    val probes = qProbe
+      .select(col("query_id") +: col("pcid") +: matchCols.map(c => col(s"q_$c")): _*)
+      .join(qdt, "query_id")
+    val coded = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids: _*)) // static file-level pruning
+    val cond = matchCols.map(c => col(c) === col(s"q_$c"))
+      .foldLeft(col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))(_ && _)
+    val scored = coded.join(broadcast(probes), cond)
+      .select(col("query_id") +: matchCols.map(col)
+        :+ col("vec_id") :+ Knn.adcDistCol.as("adc_dist"): _*)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select(col("query_id") +: matchCols.map(col)
+        :+ col("rnk") :+ col("vec_id").as("neighbor_id") :+ col("adc_dist"): _*)
   }
 }
 

@@ -972,6 +972,33 @@ object EventStreams {
   private def gateTag(spark: SparkSession): String =
     spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** s_knn_serve: the QUERY-side streaming twin in the driver gate —
+    * two AvailableNow waves of query vectors stream through
+    * runKnnServe against a persisted flat store, each batch's exact
+    * top-k appended to the result sink; the accumulated sink
+    * hash-matches v_knn_exact's oracle, so the serving stream's
+    * micro-batch plan is proven byte-equal to the batch search, not
+    * just spec-asserted. Idempotent across invocations.
+    */
+  def sKnnServe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Knn
+    val root = new java.io.File(s"target/sknn_store_${gateTag(spark)}").getAbsolutePath
+    val (qsrc, ckpt, store, out) =
+      (s"$root/q", s"$root/ckpt", s"$root/idx", s"$root/out")
+    val emb = Tables.embeddings(spark, dir)
+    if (!new java.io.File(out).exists()) {
+      graft.sources.IndexStore.write(emb, "vec_id", "embedding", store, dim = 64)
+      emb.filter(col("vec_id") < 5).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(qsrc)
+      runKnnServe(spark, qsrc, ckpt, store, out, k = Knn.DefaultK)
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < Knn.NumQueries)
+        .select("vec_id", "embedding")
+        .write.mode("append").parquet(qsrc)
+      runKnnServe(spark, qsrc, ckpt, store, out, k = Knn.DefaultK)
+    }
+    spark.read.parquet(out).orderBy("query_id", "rnk")
+  }
+
   /** s_rate_ingest: the streaming rate-store maintainer IN the driver
     * gate — two DISJOINT event-id waves (additive counts: disjointness
     * models the checkpointed source's exactly-once delivery) through
