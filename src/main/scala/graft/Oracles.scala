@@ -2023,6 +2023,33 @@ object Oracles {
       SELECT doc_id, pos, h FROM r WHERE pos <= 4 ORDER BY doc_id, pos"""
   )
 
+  /** The decode-fed pHash derivation (closed pixel form → separable
+    * fixed-point DCT → rank-32 median), factored so the streamed
+    * radius gate (s_phash_ingest) composes the brute-force radius
+    * check over the same fingerprints. Ends with `pdd`/`pmd`.
+    */
+  private def decodePhashCte: String = {
+    val basisValues = graft.operators.ImagePipeline.dctBasis
+      .map { case (u, y, c) => s"($u, $y, $c)" }.mkString(", ")
+    s"""pa AS (SELECT doc_id FROM documents WHERE doc_id < 8),
+      pys AS (SELECT unnest(generate_series(0, 15)) AS y),
+      pxs AS (SELECT unnest(generate_series(0, 15)) AS x),
+      ppx AS (SELECT doc_id, y, x,
+                ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
+              FROM pa CROSS JOIN pys CROSS JOIN pxs),
+      pcb AS (SELECT * FROM (VALUES $basisValues) AS t(bu, b_y, cw)),
+      pt1 AS (SELECT doc_id, bu AS u, x, CAST(SUM(cw * px) AS BIGINT) AS t
+             FROM ppx JOIN pcb ON ppx.y = pcb.b_y
+             GROUP BY doc_id, bu, x),
+      pd2 AS (SELECT doc_id, u, c2.bu AS v, CAST(SUM(c2.cw * t) AS BIGINT) AS coef
+             FROM pt1 JOIN pcb c2 ON pt1.x = c2.b_y
+             GROUP BY doc_id, u, c2.bu),
+      pdd AS (SELECT * FROM pd2 WHERE u < 8 AND v < 8 AND NOT (u = 0 AND v = 0)),
+      prk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY coef, u, v) AS rk FROM pdd),
+      pmd AS (SELECT doc_id AS mdid, coef AS median FROM prk WHERE rk = 32)"""
+  }
+
   val multimodal: Map[String, String] = Map(
     "m_bbox" -> """
       WITH c AS (SELECT doc_id,
@@ -2166,27 +2193,8 @@ object Oracles {
     // decode-fed pHash: the full separable DCT -> rank-32 median ->
     // bit-pack derivation over the closed pixel form; the engine must
     // reproduce it through the real PNG encode -> decode round-trip
-    "m_decode_phash" -> {
-      val basisValues = graft.operators.ImagePipeline.dctBasis
-        .map { case (u, y, c) => s"($u, $y, $c)" }.mkString(", ")
-      s"""
-      WITH pa AS (SELECT doc_id FROM documents WHERE doc_id < 8),
-      pys AS (SELECT unnest(generate_series(0, 15)) AS y),
-      pxs AS (SELECT unnest(generate_series(0, 15)) AS x),
-      ppx AS (SELECT doc_id, y, x,
-                ((31 * doc_id + 5) + 7 * y + 13 * x) % 256 AS px
-              FROM pa CROSS JOIN pys CROSS JOIN pxs),
-      pcb AS (SELECT * FROM (VALUES $basisValues) AS t(bu, b_y, cw)),
-      pt1 AS (SELECT doc_id, bu AS u, x, CAST(SUM(cw * px) AS BIGINT) AS t
-             FROM ppx JOIN pcb ON ppx.y = pcb.b_y
-             GROUP BY doc_id, bu, x),
-      pd2 AS (SELECT doc_id, u, c2.bu AS v, CAST(SUM(c2.cw * t) AS BIGINT) AS coef
-             FROM pt1 JOIN pcb c2 ON pt1.x = c2.b_y
-             GROUP BY doc_id, u, c2.bu),
-      pdd AS (SELECT * FROM pd2 WHERE u < 8 AND v < 8 AND NOT (u = 0 AND v = 0)),
-      prk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-               ORDER BY coef, u, v) AS rk FROM pdd),
-      pmd AS (SELECT doc_id AS mdid, coef AS median FROM prk WHERE rk = 32)
+    "m_decode_phash" -> s"""
+      WITH $decodePhashCte
       SELECT pdd.doc_id,
         CAST(SUM(CASE WHEN coef > median
                  THEN (CAST(1 AS BIGINT) << (u * 8 + v - 1)) ELSE 0 END) AS BIGINT)
@@ -2194,8 +2202,7 @@ object Oracles {
         COUNT(*) FILTER (WHERE coef > median) AS n_bits,
         MAX(median) AS median
       FROM pdd JOIN pmd ON pdd.doc_id = mdid
-      GROUP BY pdd.doc_id ORDER BY pdd.doc_id"""
-    },
+      GROUP BY pdd.doc_id ORDER BY pdd.doc_id""",
 
     "m_gamma_lut" -> """
       SELECT intensity,
@@ -4468,6 +4475,29 @@ object Oracles {
     "s_mih_ingest" -> vector("v_bq_range"),
     "v_sql_store_ivfbq" -> vector("v_ivf_bq"),
     "s_knn_serve" -> vector("v_knn_exact"),
+
+    // streamed decode→pHash→MIH store probed by corrupted
+    // fingerprints: the oracle recomputes the hashes from the closed
+    // pixel form and BRUTE-FORCES the radius contract
+    "s_phash_ingest" -> s"""
+      WITH $decodePhashCte,
+      pph AS (SELECT pdd.doc_id,
+                CAST(SUM(CASE WHEN coef > median
+                         THEN (CAST(1 AS BIGINT) << (u * 8 + v - 1)) ELSE 0 END)
+                  AS BIGINT) AS phash
+              FROM pdd JOIN pmd ON pdd.doc_id = mdid
+              GROUP BY pdd.doc_id),
+      pw AS (SELECT doc_id, phash & 4294967295 AS code_lo,
+               phash >> 32 AS code_hi FROM pph),
+      pq AS (SELECT doc_id AS query_id, xor(code_lo, 19) AS qlo, code_hi AS qhi
+             FROM pw)
+      SELECT q.query_id, c.doc_id AS neighbor_id,
+        CAST(bit_count(xor(c.code_lo, q.qlo))
+           + bit_count(xor(c.code_hi, q.qhi)) AS BIGINT) AS hamming
+      FROM pq q CROSS JOIN pw c
+      WHERE bit_count(xor(c.code_lo, q.qlo))
+          + bit_count(xor(c.code_hi, q.qhi)) <= 7
+      ORDER BY q.query_id, neighbor_id""",
 
     // filtered search on the COMPRESSED tier: Lloyd + probe + PQ
     // training replayed, the label equality applied to candidates

@@ -999,6 +999,44 @@ object EventStreams {
     spark.read.parquet(out).orderBy("query_id", "rnk")
   }
 
+  /** s_phash_ingest: the multimodal streaming maintainer IN the driver
+    * gate — two waves of raw image payloads through runPhashIngest
+    * (REAL decode → fixed-point-DCT pHash → MIH bucket append; second
+    * wave under the auto-compact policy), then every fingerprint,
+    * corrupted by 3 bit flips, probes the streamed store for its
+    * source. The oracle recomputes the fingerprints from the CLOSED
+    * pixel form (the m_decode_phash derivation) and brute-forces the
+    * radius contract, so the hash proves decode → DCT → pack → MIH
+    * layout → pigeonhole pruning lossless over a store built purely
+    * from streamed appends. Idempotent across invocations.
+    */
+  def sPhashIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ImageDecode, ImagePipeline}
+    import spark.implicits._
+    val root = new java.io.File(s"target/sphash_store_${gateTag(spark)}").getAbsolutePath
+    val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/mih")
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 8)
+      .as[Long]
+      .map(id => (id, ImageDecode.syntheticPng(16, 16, seed = (31 * id + 5).toInt)))
+      .toDF("doc_id", "payload")
+    if (!new java.io.File(store).exists()) {
+      payloads.filter(col("doc_id") < 4).write.mode("overwrite").parquet(src)
+      runPhashIngest(spark, src, ckpt, store)
+      payloads.filter(col("doc_id") >= 4).write.mode("append").parquet(src)
+      runPhashIngest(spark, src, ckpt, store, autoCompactMaxFiles = Some(4))
+    }
+    val codes = ImagePipeline.phashFromFrame(
+        ImageDecode.pixelFrame(payloads, "doc_id", "payload"))
+      .select(col("doc_id").as("id"),
+        col("phash").bitwiseAND(lit(4294967295L)).as("code_lo"),
+        shiftrightunsigned(col("phash"), 32).as("code_hi"))
+    val q = codes.select(col("id").as("query_id"),
+      col("code_lo").bitwiseXOR(lit(0x13L)).as("qlo"), col("code_hi").as("qhi"))
+    graft.sources.BqIndexStore.searchRadius(spark, store, q, radius = 7)
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** s_rate_ingest: the streaming rate-store maintainer IN the driver
     * gate — two DISJOINT event-id waves (additive counts: disjointness
     * models the checkpointed source's exactly-once delivery) through

@@ -261,7 +261,8 @@ class Round7Spec extends SparkSpec {
       // twins' shapes; kmv's pairwise overlap joins dominate its count)
       "s_rate_ingest" -> 3, "s_kmv_ingest" -> 9,
       "s_hll_ingest" -> 4, "s_bloom_ingest" -> 5,
-      "v_ivfpq_filtered" -> 2, "s_knn_serve" -> 1)
+      "v_ivfpq_filtered" -> 2, "s_knn_serve" -> 1,
+      "s_phash_ingest" -> 9)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
