@@ -285,6 +285,23 @@ class Round11Spec extends SparkSpec {
       s"clustered IVF recall must be 1.0 per query, got ${ivfClu.mkString(",")}")
   }
 
+  test("IvfPqIndexStore: the .brand parquet sidecar and the marker file agree") {
+    // the marker serves the Scala API, the parquet sidecar serves SQL;
+    // they are written together and must never diverge
+    import graft.sources.IvfPqIndexStore
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .filter(col("vec_id") < 100)
+    val base = java.nio.file.Files.createTempDirectory("brand_agree").toString
+    for ((flavor, res) <- Seq("raw" -> false, "res" -> true)) {
+      val p = s"$base/$flavor"
+      IvfPqIndexStore.write(emb, "vec_id", "embedding", p, byResidual = res)
+      assert(IvfPqIndexStore.isResidual(p) == res, s"$flavor: marker mismatch")
+      val sidecar = spark.read.parquet(s"$p.brand").collect()
+      assert(sidecar.length == 1 && sidecar(0).getBoolean(0) == res,
+        s"$flavor: .brand sidecar must hold by_residual=$res")
+    }
+  }
+
   test("runIvfPqIngest: multi-micro-batch first wave still trains on the whole wave") {
     import graft.sources.IvfPqIndexStore
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
