@@ -4459,6 +4459,9 @@ object Oracles {
     // explaining the structure, the query's own list holds its
     // neighborhood — contrast with the isotropic number)
     "vc_ivf_recall" -> clustered(vector("v_ivf_recall")),
+    // the LSH ANN tier's recall on clustered data — completes the
+    // clustered twin for EVERY recall gate in the suite
+    "vc_recall" -> clustered(vector("v_recall")),
     "vc_ivf_pq_recall" -> clustered(vector("v_ivf_pq_recall")),
     // the composed two-stage SQL serving leg replays the in-session
     // IVF-PQ routes bit-for-bit (probe CTE ≡ ivfProbe, map-side ADC
