@@ -4724,7 +4724,58 @@ object Oracles {
       FROM reb ORDER BY doc_id"""
   )
 
+  /** Round-12 additions: the last spec-only streaming APIs moved into
+    * the oracle gate (sessionize / dedup / upsert / stream-join, each
+    * run as two checkpointed AvailableNow waves whose accumulated sink
+    * must hash-match the one-shot batch semantics), plus the purge
+    * lifecycle and the JPEG decode path.
+    */
+  val round12: Map[String, String] = Map(
+    // streamed two-wave sessionization (state + timeouts across waves,
+    // flush sentinel closing the trailing sessions) must reproduce the
+    // batch gap-sessionization exactly; sessions key by START TIME —
+    // the replayable natural key the streaming form emits
+    "s_sessionize" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_ms,
+          CASE WHEN lag(ts_ms) OVER w IS NULL
+                 OR ts_ms - lag(ts_ms) OVER w > 30*60*1000
+               THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      sess AS (
+        SELECT user_id, ts_ms,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, MIN(ts_ms) AS session_start_ms,
+        COUNT(*) AS n_events,
+        CAST(FLOOR((MAX(ts_ms) - MIN(ts_ms)) / 1000.0) AS BIGINT) AS duration_s
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start_ms""",
+
+    // two-wave watermark-bounded dedup: the key projection of the
+    // accumulated sink — eviction must lose no key, the stream must
+    // invent none
+    "s_dedup_stream" -> """
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type""",
+
+    // two-wave checkpointed update-mode counts + latest-batch-wins
+    // read ≡ the one-shot batch aggregation
+    "s_upsert" -> """
+      SELECT event_type, COUNT(*) AS n FROM events
+      GROUP BY event_type ORDER BY event_type""",
+
+    // the WATERMARKED stream-stream join, two waves, join state
+    // outliving the wave boundary — same semantics as the batch twin
+    "s_stream_join" -> streaming("s_interval_join")
+  )
+
   def all: Map[String, String] =
     relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming ++
-      round2 ++ round3 ++ round6 ++ round8 ++ round9 ++ round10 ++ round11
+      round2 ++ round3 ++ round6 ++ round8 ++ round9 ++ round10 ++ round11 ++
+      round12
 }

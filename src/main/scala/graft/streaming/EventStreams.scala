@@ -21,6 +21,18 @@ case class SessionState(sessionId: Long, startMs: Long, lastMs: Long, n: Long)
 /** Closed session emitted by the sessionizer. */
 case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_s: Long)
 
+/** State for the NATURAL-KEY sessionizer: no cross-session counter, so
+  * a timeout can evict the whole entry (see sessionizeStreamNat).
+  */
+case class SessionNatState(startMs: Long, lastMs: Long, n: Long)
+
+/** Closed session keyed by its start time instead of an ordinal — the
+  * replayable form: any two runs that see the same events emit the
+  * same rows, no matter where state was evicted in between.
+  */
+case class SessionNatOut(user_id: Long, session_start_ms: Long,
+                         n_events: Long, duration_s: Long)
+
 /** Structured Streaming over the events table: the same windowed
   * aggregation expressed as a stream (readStream → watermark → window)
   * and as its batch twin (what the driver verifies against DuckDB).
@@ -169,19 +181,129 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
   }
 
+  /** The GATE-complete sessionizer: same 30-minute-gap fold and
+    * watermark-timeout eviction as [[sessionizeStreamEvt]], but the
+    * session key is its START TIME, not an ordinal. The ordinal form
+    * must either keep a per-user counter alive forever (state that
+    * never evicts) or restart numbering after an eviction (ids that
+    * depend on where the watermark happened to fall); the natural key
+    * has neither problem — a timeout removes the WHOLE state entry and
+    * the emitted rows are a pure function of the event stream, so
+    * N streamed waves reproduce the batch sessionization exactly
+    * (s_sessionize hash-matches the DuckDB oracle on it). Reads a
+    * plain parquet directory (the incremental-wave layout), not the
+    * glob-filtered testdata dir.
+    */
+  def sessionizeStreamNat(spark: SparkSession, srcDir: String): Dataset[SessionNatOut] = {
+    import spark.implicits._
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .parquet(srcDir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("ts"))
+      .as[SessionEventT]
+
+    val gapMs = SessionGapMs // local copy — see sessionizeStreamEvt
+
+    def close(user: Long, st: SessionNatState): SessionNatOut =
+      SessionNatOut(user, st.startMs, st.n, (st.lastMs - st.startMs) / 1000)
+
+    def fold(user: Long, events: Iterator[SessionEventT],
+             state: GroupState[SessionNatState]): Iterator[SessionNatOut] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator.single(close(user, st))
+      } else {
+        val sorted = events.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+        var st = state.getOption.orNull
+        val out = Seq.newBuilder[SessionNatOut]
+        sorted.foreach { e =>
+          if (st == null) {
+            st = SessionNatState(e.ts_ms, e.ts_ms, 1L)
+          } else if (e.ts_ms - st.lastMs > gapMs) {
+            out += close(user, st)
+            st = SessionNatState(e.ts_ms, e.ts_ms, 1L)
+          } else {
+            st = st.copy(lastMs = e.ts_ms, n = st.n + 1)
+          }
+        }
+        if (st != null) {
+          state.update(st)
+          state.setTimeoutTimestamp(st.lastMs + gapMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
+  /** Incremental sessionization run: AvailableNow over the source dir,
+    * closed sessions appended to a parquet sink — the nightly "close
+    * out yesterday's sessions" job shape.
+    */
+  def runSessionizeIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                          outPath: String): StreamingQuery = {
+    val q = sessionizeStreamNat(spark, srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[SessionNatOut], _: Long) =>
+        batch.toDF().write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming deduplication: first event per (user_id, event_type)
     * key, with watermark-bounded state (dropDuplicatesWithinWatermark
     * evicts keys once the watermark passes — bounded state at 100 TB,
     * unlike a plain dropDuplicates whose state grows forever).
     */
   def dedupStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    dedupStreamFrom(spark, dir, glob = Some("events.parquet"))
+
+  /** The same bounded-state dedup over a plain directory (the
+    * incremental-wave layout runDedupIngest feeds).
+    */
+  def dedupStreamFrom(spark: SparkSession, srcDir: String,
+                      glob: Option[String] = None): DataFrame = {
+    val reader = spark.readStream.schema(eventsSchema)
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader
+      .parquet(srcDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
+  }
+
+  /** Incremental dedup run: AvailableNow + checkpoint, first-seen rows
+    * appended to the sink. State carries across runs, so a key seen in
+    * an earlier wave is not re-emitted by a later one (within the
+    * watermark horizon — the API's documented bound).
+    */
+  def runDedupIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                     outPath: String): StreamingQuery = {
+    val q = dedupStreamFrom(spark, srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        batch.write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
 
   /** Stream-stream interval join: purchases joined to the same user's
     * views from the preceding 30 minutes, both sides watermarked so
@@ -189,12 +311,19 @@ object EventStreams {
     * the interval are evicted). The batch twin below is what the spec
     * asserts against.
     */
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    def side(t: String) = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .filter(col("event_type") === t)
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    streamStreamJoinFrom(spark, dir, glob = Some("events.parquet"))
+
+  /** The same watermarked join over a plain directory (the
+    * incremental-wave layout runStreamJoinIngest feeds).
+    */
+  def streamStreamJoinFrom(spark: SparkSession, srcDir: String,
+                           glob: Option[String] = None): DataFrame = {
+    def side(t: String) = {
+      val reader = spark.readStream.schema(eventsSchema)
+      glob.foreach(g => reader.option("pathGlobFilter", g))
+      reader.parquet(srcDir).filter(col("event_type") === t)
+    }
     val views = side("view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
@@ -229,6 +358,29 @@ object EventStreams {
       .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
   }
 
+  /** Incremental stream-stream-join run: AvailableNow + checkpoint,
+    * matched pairs appended to the sink. Join state (the watermark-
+    * bounded view buffer) carries across runs, so a purchase arriving
+    * in a later wave still finds its in-window views from an earlier
+    * one — exactly-once by the checkpoint.
+    */
+  def runStreamJoinIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                          outPath: String): StreamingQuery = {
+    val q = streamStreamJoinFrom(spark, srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        batch.write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** foreachBatch sink: per micro-batch, append the updated per-type
     * counts tagged with the batch id to a parquet target (idempotent
     * append — re-running a batch rewrites the same rows; readers
@@ -254,6 +406,39 @@ object EventStreams {
       }
       .start()
     q.processAllAvailable()
+    q
+  }
+
+  /** The CHECKPOINTED upsert pipeline: AvailableNow runs over the
+    * source dir keep the aggregation state (per-type running counts)
+    * across runs, and each micro-batch appends its updated rows tagged
+    * with the batch id — the exactly-once upsert-sink shape
+    * [[runForeachBatchUpsert]] demonstrates, plus the durable-state
+    * half: a later wave UPDATES the counts the earlier wave
+    * established, and [[resolveUpserts]]' latest-batch-wins read
+    * serves the merged table. With a lakehouse table the foreachBatch
+    * body becomes a MERGE; the batch-id tagging is the idempotency
+    * that survives foreachBatch's at-least-once replay either way.
+    */
+  def runUpsertIncremental(spark: SparkSession, srcDir: String, checkpoint: String,
+                           target: String): StreamingQuery = {
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .parquet(srcDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(target)
+        ()
+      }
+      .start()
+    q.awaitTermination()
     q
   }
 
@@ -971,6 +1156,112 @@ object EventStreams {
 
   private def gateTag(spark: SparkSession): String =
     spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Two TIME-SPLIT event waves (events up to the midpoint of the time
+    * range, then the rest) — the wave layout for WATERMARKED gates. A
+    * parity split would land half of wave 2 below the watermark wave 1
+    * advanced, and the stream would (legitimately, per the watermark
+    * contract) drop it as late; splitting on event time models what a
+    * checkpointed source actually delivers — files arriving in rough
+    * event-time order. Returns the corpus max event ts (for flush
+    * sentinels).
+    */
+  private def twoTimeWaves(spark: SparkSession, dir: String, src: String)(
+      ingest: () => Unit): java.sql.Timestamp = {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val (mn, mx) = (r.getTimestamp(0), r.getTimestamp(1))
+    val mid = new java.sql.Timestamp((mn.getTime + mx.getTime) / 2)
+    ev.filter(col("ts") <= lit(mid)).write.mode("overwrite").parquet(src)
+    ingest()
+    ev.filter(col("ts") > lit(mid)).write.mode("append").parquet(src)
+    ingest()
+    mx
+  }
+
+  /** s_sessionize: the stateful streaming sessionizer IN the driver
+    * gate — two time-split waves flow through [[runSessionizeIngest]]
+    * (flatMapGroupsWithState, event-time timeouts, checkpointed state
+    * carrying open sessions ACROSS the waves), then a flush sentinel
+    * 2 h past the corpus advances the watermark beyond every open
+    * session's timeout so the trailing sessions close too. The
+    * accumulated sink hash-matches the batch sessionization oracle:
+    * gap semantics, cross-wave session continuity, timeout eviction,
+    * and the natural session key are all proven by the hash, not a
+    * spec subset-check. Idempotent across invocations.
+    */
+  def sSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = new java.io.File(s"target/ssess_store_${gateTag(spark)}").getAbsolutePath
+    val (src, ckpt, out) = (s"$root/in", s"$root/ckpt", s"$root/out")
+    if (!new java.io.File(out).exists()) {
+      val mx = twoTimeWaves(spark, dir, src)(
+        () => runSessionizeIngest(spark, src, ckpt, out))
+      // flush wave: one sentinel event far past the corpus; its only
+      // job is the watermark advance (its own open session never
+      // emits, and the read filters its user out regardless)
+      Seq((-1L, new java.sql.Timestamp(mx.getTime + 2L * 3600 * 1000),
+          -1L, "flush", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(src)
+      runSessionizeIngest(spark, src, ckpt, out)
+    }
+    spark.read.parquet(out).filter(col("user_id") >= 0)
+      .select("user_id", "session_start_ms", "n_events", "duration_s")
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  /** s_dedup_stream: the watermark-bounded streaming dedup IN the
+    * driver gate — two time-split waves through [[runDedupIngest]]
+    * (state carries across the waves via the checkpoint), then the
+    * key projection of the accumulated sink hash-matches the plain
+    * SELECT DISTINCT oracle: the eviction policy loses NO key and the
+    * stream invents none. (Exactly-one-emission-per-key within the
+    * watermark horizon is the API's documented bound and stays
+    * spec-asserted — a key recurring beyond the horizon legitimately
+    * re-emits, which is why the serving read is a distinct.)
+    */
+  def sDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(s"target/sdedup_store_${gateTag(spark)}").getAbsolutePath
+    val (src, ckpt, out) = (s"$root/in", s"$root/ckpt", s"$root/out")
+    if (!new java.io.File(out).exists())
+      twoTimeWaves(spark, dir, src)(() => runDedupIngest(spark, src, ckpt, out))
+    spark.read.parquet(out)
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+  }
+
+  /** s_upsert: the checkpointed upsert pipeline IN the driver gate —
+    * two event-id-parity waves through [[runUpsertIncremental]] (the
+    * running per-type counts live in checkpointed state, so wave 2
+    * UPDATES wave 1's rows rather than recounting them), then the
+    * latest-batch-wins read hash-matches the one-shot batch count
+    * oracle: durable aggregation state plus the idempotent upsert sink
+    * reproduce the batch table exactly. Idempotent across invocations.
+    */
+  def sUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(s"target/supsert_store_${gateTag(spark)}").getAbsolutePath
+    val store = twoEventWaves(spark, dir, root, "event_id")(
+      runUpsertIncremental(spark, _, _, _))
+    resolveUpserts(spark, store).orderBy("event_type")
+  }
+
+  /** s_stream_join: the watermarked stream-stream interval join IN the
+    * driver gate — two time-split waves through [[runStreamJoinIngest]].
+    * Wave-boundary matches are the load-bearing part: a wave-2
+    * purchase must still find its in-window wave-1 views, i.e. the
+    * join state outlived the wave under the watermark's eviction rule
+    * (views evict only once the watermark passes view_ts + 30 min).
+    * The accumulated sink hash-matches s_interval_join's batch oracle.
+    */
+  def sStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(s"target/sjoin_store_${gateTag(spark)}").getAbsolutePath
+    val (src, ckpt, out) = (s"$root/in", s"$root/ckpt", s"$root/out")
+    if (!new java.io.File(out).exists())
+      twoTimeWaves(spark, dir, src)(() => runStreamJoinIngest(spark, src, ckpt, out))
+    spark.read.parquet(out).orderBy("purchase_id", "view_id")
+  }
 
   /** s_knn_serve: the QUERY-side streaming twin in the driver gate —
     * two AvailableNow waves of query vectors stream through
