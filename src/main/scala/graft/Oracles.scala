@@ -4771,7 +4771,47 @@ object Oracles {
 
     // the WATERMARKED stream-stream join, two waves, join state
     // outliving the wave boundary — same semantics as the batch twin
-    "s_stream_join" -> streaming("s_interval_join")
+    "s_stream_join" -> streaming("s_interval_join"),
+
+    // payload→featurize→PQ streaming maintainer: binary float32 blobs
+    // streamed through the pluggable featurizer into frozen-codebook
+    // appends must serve exactly the in-session PQ ranking
+    "s_embed_ingest" -> vector("v_pq"),
+
+    // the lossy decode path: the committed fixture grids as literals
+    // (the src_binary table-derived-oracle trick — DuckDB never sees an
+    // image); the engine must reproduce them from the raw JPEG bytes
+    "m_decode_jpeg" -> {
+      val rows = graft.operators.JpegFixtures.all.toSeq.sortBy(_._1)
+        .flatMap { case (id, (_, w, h, px)) =>
+          for (y <- 0 until h; x <- 0 until w)
+            yield s"($id, $y, $x, ${px(y * w + x)})"
+        }
+      s"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(y AS INTEGER) AS y,
+        CAST(x AS INTEGER) AS x, CAST(px AS INTEGER) AS px
+      FROM (VALUES ${rows.mkString(", ")}) AS t(doc_id, y, x, px)
+      ORDER BY doc_id, y, x"""
+    },
+
+    // right-to-be-forgotten on the persisted flat store: victims = the
+    // exact rank-1 neighbors of queries 0..2 (recomputed here), serving
+    // = exact top-5 over table-minus-victims — a purge that missed a
+    // row, or nuked a clean one, breaks the hash
+    "q_purge_store" -> s"""
+      WITH $knnCte,
+      victims AS (SELECT DISTINCT neighbor_id FROM r
+                  WHERE rnk = 1 AND query_id < 3),
+      s2 AS (SELECT query_id, vec_id AS neighbor_id,
+               ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+             FROM n CROSS JOIN q WHERE vec_id <> query_id
+               AND vec_id NOT IN (SELECT neighbor_id FROM victims)),
+      r2 AS (SELECT query_id, neighbor_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+             FROM s2)
+      SELECT query_id, rnk, neighbor_id, sim FROM r2
+      WHERE rnk <= 5 ORDER BY query_id, rnk"""
   )
 
   def all: Map[String, String] =

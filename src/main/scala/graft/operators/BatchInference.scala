@@ -214,6 +214,23 @@ object BatchInference {
     }
   }
 
+  /** Pass-through featurizer for PRE-EMBEDDED corpora: the payload IS
+    * the vector, serialized as big-endian float32 words (the layout an
+    * upstream embedding service writes its blobs in). float → double
+    * widening is exact, so downstream quantizers see bit-identical
+    * values to reading the float column directly — which is what lets
+    * the streaming ingest gate share the in-session oracle.
+    */
+  final class Float32PayloadLoader(val dim: Int) extends EmbedLoader {
+    def load(): EmbedModel = new EmbedModel {
+      def embedBatch(payloads: Array[Array[Byte]]): Array[Array[Double]] =
+        payloads.map { bytes =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          Array.fill(bytes.length / 4)(bb.getFloat.toDouble)
+        }
+    }
+  }
+
   /** The same fake model behind the Arrow boundary: reads each payload
     * out of the columnar batch (a real model would hand the buffers to
     * its runtime without this copy).

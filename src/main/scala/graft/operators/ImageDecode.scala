@@ -304,6 +304,28 @@ object ImageDecode {
       .orderBy("doc_id")
   }
 
+  /** m_decode_jpeg: the LOSSY decode path inside the oracle gate. The
+    * PNG/BMP gates derive their oracle from a closed pixel form; JPEG
+    * has none, so the ground truth is the committed fixture grid
+    * ([[JpegFixtures]] — ramps encoded once by this JVM's javax.imageio
+    * JPEG writer, decoded grids committed alongside the payloads). The
+    * query decodes the committed PAYLOADS through the real pixelFrame
+    * path; the DuckDB oracle replays the committed GRIDS as literals —
+    * the src_binary trick (the oracle never touches an image), applied
+    * to the one decode format that was only spec-gated. A codec drift
+    * or a luma-math regression breaks the hash.
+    */
+  def mDecodeJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = JpegFixtures.all.toSeq.sortBy(_._1)
+      .map { case (id, (b64, _, _, _)) =>
+        (id, java.util.Base64.getDecoder.decode(b64))
+      }
+      .toDF("doc_id", "payload")
+    pixelFrame(payloads, "doc_id", "payload")
+      .orderBy("doc_id", "y", "x")
+  }
+
   /** Deterministic synthetic PNG (spec/dev helper): pixel (x, y) has
     * gray value ((seed + 7·y + 13·x) mod 256), so every decoded value
     * is predictable driver-side without any image library.

@@ -2829,6 +2829,39 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** q_purge_store: the right-to-be-forgotten lifecycle IN the driver
+    * gate — write the banded flat store, purge a deterministic victim
+    * set (each query<3's exact rank-1 neighbor — guaranteed to change
+    * results, so a silently failed purge breaks the hash), then serve:
+    * the search must hash-match the exact top-5 over table-minus-
+    * victims, recomputed independently by the oracle. The purge itself
+    * is the crash-consistent partition rewrite (one pushed-down
+    * discovery scan, hit dirs swapped atomically; Round12Spec pins the
+    * untouched band0 partitions byte-identical). Deletion-by-key on a
+    * 100 TB store therefore costs O(hit partitions), not a rebuild —
+    * faiss remove_ids, minus the full-index rewrite.
+    */
+  def qPurgeStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/purge_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    // k-bounded collect: 3 victim ids (the gate's deletion request)
+    val victims = vKnnExact(spark, dir)
+      .filter(col("rnk") === 1 && col("query_id") < 3)
+      .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSeq
+    if (!new java.io.File(path).exists()) {
+      graft.sources.IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
+      graft.sources.StoreMaintenance.purge(spark, path, "id", victims)
+    }
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.IndexStore
+      .search(graft.sources.IndexStore.read(spark, path), queries,
+        "vec_id", "embedding", DefaultK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_pq_store: the persisted PQ path inside the correctness gate —
     * codes + codebook sidecar written to disk, ADC search over the
     * loaded index, hash-matched against v_pq's oracle.

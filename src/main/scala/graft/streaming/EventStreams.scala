@@ -1042,6 +1042,50 @@ object EventStreams {
       .orderBy("query_id", "rnk")
   }
 
+  /** s_embed_ingest: the payload→featurize→PQ maintainer IN the driver
+    * gate — the one vector maintainer that was still spec-only. Two
+    * AvailableNow waves of RAW BINARY payloads (each embedding
+    * serialized as big-endian float32 words — the pre-embedded-corpus
+    * blob layout) flow through runEmbedIngest: batched featurization
+    * via the pluggable EmbedLoader, then frozen-codebook appends into
+    * the persisted PQ store. The store is seeded with the session
+    * registry's codebooks and zero rows (the sIvfPqIngest seeding
+    * rationale: the gate corpus IS the training prefix, so every data
+    * row must route through the streamed frozen-model append). The
+    * final ADC search hash-matches v_pq's oracle: payload encode →
+    * stream → featurize → quantize → store → search, lossless
+    * end-to-end. Idempotent across invocations.
+    */
+  def sEmbedIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Knn
+    import spark.implicits._
+    val root = new java.io.File(s"target/sembed_store_${gateTag(spark)}").getAbsolutePath
+    val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
+    val emb = Tables.embeddings(spark, dir)
+    if (!new java.io.File(s"$store.codes").exists()) {
+      graft.sources.PqIndexStore.write(
+        emb.filter(col("vec_id") < 0), "vec_id", "embedding", store,
+        model = Some(Knn.pqBooksFor(spark, dir)))
+      val payloads = emb.select("vec_id", "embedding")
+        .as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          val bb = java.nio.ByteBuffer.allocate(4 * v.length)
+          v.foreach(bb.putFloat)
+          (id, bb.array())
+        }
+        .toDF("doc_id", "payload")
+      val loader = new graft.operators.BatchInference.Float32PayloadLoader(64)
+      payloads.filter(col("doc_id") < 250).write.mode("overwrite").parquet(src)
+      runEmbedIngest(spark, src, ckpt, store, loader)
+      payloads.filter(col("doc_id") >= 250).write.mode("append").parquet(src)
+      runEmbedIngest(spark, src, ckpt, store, loader, autoCompactMaxFiles = Some(4))
+    }
+    graft.sources.PqIndexStore.search(spark, store,
+      emb.filter(col("vec_id") < Knn.NumQueries), "vec_id", "embedding",
+      Knn.DefaultK)
+      .orderBy("query_id", "rnk")
+  }
+
   /** s_mih_ingest: the streaming multi-index-hash maintainer IN the
     * driver gate — two AvailableNow waves through runMihIngest (both
     * waves genuinely streamed: MIH appends are structure-free, nothing
