@@ -1189,9 +1189,26 @@ object IvfPqIndexStore {
     * identical to search()'s). Use when the query set is itself a
     * table, not a handful of uploads.
     */
+  /** Past this list count, the residual encoding derives from a
+    * broadcast centroid JOIN instead of a literal map: a production
+    * nlist (4k–64k × 64 dims) as a typedLit would put a multi-MB
+    * literal in the plan tree — slow analysis/codegen and a bloated
+    * task binary shipped with EVERY stage. At gate-scale nlist the
+    * literal is cheaper (no extra join node); Round12Spec pins the two
+    * forms rank-identical on a residual store.
+    */
+  private[graft] val ResidualLiteralMaxLists = 256
+
   def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  nprobe: Int = Knn.IvfNprobe): DataFrame = {
+                  nprobe: Int = Knn.IvfNprobe): DataFrame =
+    searchBatchImpl(spark, path, queries, idCol, vecCol, k, nprobe,
+      ResidualLiteralMaxLists)
+
+  private[graft] def searchBatchImpl(spark: SparkSession, path: String,
+                                     queries: DataFrame, idCol: String,
+                                     vecCol: String, k: Int, nprobe: Int,
+                                     literalMax: Int): DataFrame = {
     val centroids = IvfIndexStore.readCentroids(spark, path)
     val books = PqIndexStore.readBooks(spark, path)
     val qProbe = IvfIndexStore.probeOf(prepared(queries, idCol, vecCol), centroids, nprobe)
@@ -1199,24 +1216,34 @@ object IvfPqIndexStore {
     // the store's brand decides the query-side encoding, exactly as in
     // search()/append(): on a residual-branded store the lookup table
     // for a (query, probed list) pair is built from the query's
-    // residual AGAINST THAT LIST's centroid — here as a map-side
-    // expression (the centroid set is a literal map keyed by pcid), so
-    // the batch path stays collect-free. Raw tables against residual
-    // codes would return silently wrong neighbors.
-    val encQv =
-      if (isResidual(path)) {
+    // residual AGAINST THAT LIST's centroid — as a map-side expression
+    // against a literal centroid map when the coarse book is small, as
+    // a broadcast join on pcid past ResidualLiteralMaxLists. Either
+    // way the batch path stays collect-free. Raw tables against
+    // residual codes would return silently wrong neighbors.
+    val enc =
+      if (!isResidual(path)) qProbe.withColumn("eqv", col("qv"))
+      else if (centroids.length <= literalMax) {
         val centMap = typedLit(centroids.map { case (c, v) => c -> v.toSeq }.toMap)
-        zip_with(col("qv"), element_at(centMap, col("pcid")), (x, c) => x - c)
-      } else col("qv")
+        qProbe.withColumn("eqv",
+          zip_with(col("qv"), element_at(centMap, col("pcid")), (x, c) => x - c))
+      } else {
+        import spark.implicits._
+        val centDf = centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+          .toDF("ccid", "cvec")
+        qProbe.join(broadcast(centDf), col("pcid") === col("ccid"))
+          .withColumn("eqv", zip_with(col("qv"), col("cvec"), (x, c) => x - c))
+          .drop("ccid", "cvec")
+      }
     val qdtCol = array((0 until Knn.PqSubspaces).map { m =>
       array((0 until Knn.PqCodes).map { kk =>
         aggregate(
-          zip_with(slice(encQv, m * dsub + 1, dsub), typedLit(books(m)(kk).toSeq),
+          zip_with(slice(col("eqv"), m * dsub + 1, dsub), typedLit(books(m)(kk).toSeq),
             (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x)
       }: _*)
     }: _*)
-    val probes = qProbe.select(col("query_id"), col("pcid"), qdtCol.as("qdt"))
+    val probes = enc.select(col("query_id"), col("pcid"), qdtCol.as("qdt"))
     val scored = spark.read.parquet(path).join(broadcast(probes),
         col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), Knn.adcDistCol.as("adc_dist"))
