@@ -4778,6 +4778,12 @@ object Oracles {
     // appends must serve exactly the in-session PQ ranking
     "s_embed_ingest" -> vector("v_pq"),
 
+    // the eleventh SQL serving leg: the MIH radius store queried from
+    // pure SQL — probe derivation (sign pack, corruption mask, 8
+    // byte-block buckets) and Hamming verification in one statement,
+    // proven lossless against the brute-force radius oracle
+    "v_sql_store_mih" -> vector("v_bq_range"),
+
     // the lossy decode path: the committed fixture grids as literals
     // (the src_binary table-derived-oracle trick — DuckDB never sees an
     // image); the engine must reproduce them from the raw JPEG bytes

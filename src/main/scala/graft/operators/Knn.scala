@@ -1191,12 +1191,19 @@ object Knn {
     * fingerprint probing for its source. Expects (vec_id, code_lo,
     * code_hi); returns (query_id, qlo, qhi).
     */
+  /** SQL text of the 5-bit corruption mask over one code word (lo or
+    * hi half) — shared by the DataFrame query builder and the SQL-only
+    * serving leg (v_sql_store_mih), so the two probe constructions
+    * cannot drift. Plain Spark SQL (pmod/shiftleft/CASE).
+    */
+  private[graft] def bqCorruptMaskSql(lo: Boolean): String = (0 until 5).map { j =>
+    val p = s"pmod(query_id + ${13 * j}, 64)"
+    if (lo) s"(CASE WHEN $p < 32 THEN shiftleft(CAST(1 AS BIGINT), CAST($p AS INT)) ELSE CAST(0 AS BIGINT) END)"
+    else s"(CASE WHEN $p >= 32 THEN shiftleft(CAST(1 AS BIGINT), CAST($p AS INT) - 32) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" | ")
+
   private[graft] def bqCorruptedQueries(codes: DataFrame): DataFrame = {
-    def maskHalf(lo: Boolean): String = (0 until 5).map { j =>
-      val p = s"pmod(query_id + ${13 * j}, 64)"
-      if (lo) s"(CASE WHEN $p < 32 THEN shiftleft(CAST(1 AS BIGINT), CAST($p AS INT)) ELSE CAST(0 AS BIGINT) END)"
-      else s"(CASE WHEN $p >= 32 THEN shiftleft(CAST(1 AS BIGINT), CAST($p AS INT) - 32) ELSE CAST(0 AS BIGINT) END)"
-    }.mkString(" | ")
+    def maskHalf(lo: Boolean): String = bqCorruptMaskSql(lo)
     codes.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("code_lo"), col("code_hi"))
       .select(col("query_id"),
@@ -2554,6 +2561,62 @@ object Knn {
             FROM rr)
       SELECT query_id, rnk, neighbor_id, hamming, sim FROM r
       WHERE rnk <= $DefaultK ORDER BY query_id, rnk""")
+  }
+
+  /** v_sql_store_mih: the multi-index-hash RADIUS store for a SQL-only
+    * user — the ELEVENTH SQL serving leg, completing SQL parity for
+    * the last persisted tier family (BqIndexStore's blk=/bval MIH
+    * layout). One statement derives everything the fingerprint-lookup
+    * contract needs from first principles: the query's sign-packed
+    * words (the qc fold), the 5-bit corruption mask (the SAME SQL text
+    * bqCorruptedQueries compiles — shared via bqCorruptMaskSql, so the
+    * probe constructions cannot drift), the 8 byte-block (blk, bval)
+    * probes, the bucket equi-join, and the pigeonhole-lossless
+    * Hamming-≤7 verification over the inline code words. The join
+    * lands on the blk PARTITION column (runtime DPP; trivially all-8
+    * here since a radius probe touches every block — the per-file
+    * bval zone-map skip inside each dir is the engine leg's static-IN
+    * job, BqIndexStore.searchRadius). Hash-shares v_bq_range's
+    * brute-force oracle: bucket generation + dedup + verification all
+    * proven lossless from pure SQL.
+    */
+  def vSqlStoreMih(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/sqlmih_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.BqIndexStore.writeMih(emb, "vec_id", "embedding", path)
+    graft.GraftSession.sqlStore(spark, path, "mih")
+    emb.createOrReplaceTempView("graft_sql_emb_mih")
+    spark.sql(s"""
+      WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
+               CAST(embedding AS ARRAY<DOUBLE>) AS qv
+             FROM graft_sql_emb_mih WHERE vec_id < $NumQueries),
+      qc AS (SELECT query_id,
+               aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) ->
+                 acc | IF(element_at(qv, i) > CAST(0.0 AS DOUBLE),
+                   shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))) AS clo,
+               aggregate(sequence(33, 64), CAST(0 AS BIGINT), (acc, i) ->
+                 acc | IF(element_at(qv, i) > CAST(0.0 AS DOUBLE),
+                   shiftleft(CAST(1 AS BIGINT), i - 33), CAST(0 AS BIGINT))) AS chi
+             FROM q),
+      qx AS (SELECT query_id,
+               clo ^ (${bqCorruptMaskSql(lo = true)}) AS qlo,
+               chi ^ (${bqCorruptMaskSql(lo = false)}) AS qhi
+             FROM qc),
+      pr AS (SELECT query_id, qlo, qhi, pblk,
+               shiftrightunsigned(IF(pblk < 4, qlo, qhi), (pblk % 4) * 8)
+                 & CAST(255 AS BIGINT) AS pbval
+             FROM qx LATERAL VIEW explode(sequence(0, 7)) t AS pblk),
+      cand AS (SELECT /*+ BROADCAST(pr) */ DISTINCT
+                 pr.query_id, e.id, e.code_lo, e.code_hi, pr.qlo, pr.qhi
+               FROM graft_store_mih e
+               JOIN pr ON e.blk = pr.pblk AND e.bval = pr.pbval)
+      SELECT query_id, id AS neighbor_id,
+        CAST(graft_hamming(code_lo, qlo)
+           + graft_hamming(code_hi, qhi) AS BIGINT) AS hamming
+      FROM cand
+      WHERE graft_hamming(code_lo, qlo) + graft_hamming(code_hi, qhi) <= 7
+      ORDER BY query_id, neighbor_id""")
   }
 
   /** v_sql_store_annmp: the banded MULTIPROBE store for a SQL-only
