@@ -4778,6 +4778,16 @@ object Oracles {
     // appends must serve exactly the in-session PQ ranking
     "s_embed_ingest" -> vector("v_pq"),
 
+    // clustered twins for the remaining recall gates that only had
+    // isotropic numbers: the coarse×binary tier, the persisted banded
+    // multiprobe tier, and the multiprobe blocking recall. (v_maxsim's
+    // recall gate has no clustered twin by scope: the #clustered
+    // virtual corpus is an embeddings-table construct, while maxsim's
+    // token vectors derive from document TEXT.)
+    "vc_ivf_bq_recall" -> clustered(vector("v_ivf_bq_recall")),
+    "vc_annmp_recall" -> clustered(round10("v_ann_store_recall")),
+    "dc_embed_mp_recall" -> clustered(round9("d_embed_mp_recall")),
+
     // the eleventh SQL serving leg: the MIH radius store queried from
     // pure SQL — probe derivation (sign pack, corruption mask, 8
     // byte-block buckets) and Hamming verification in one statement,

@@ -3015,13 +3015,18 @@ object Knn {
     */
   def vAnnStoreMp(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/annmp_store_$tag/idx").getAbsolutePath
-    val emb = Tables.embeddings(spark, dir)
-    graft.sources.IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
-    val queries = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("embedding"))
+    // corpus-aware (the #clustered routing): the store write sources
+    // the same double frame corpus() serves — identical values to the
+    // former raw-float write (float→double widening is exact), and the
+    // clustered twin lands in its own store directory
+    val flavor = if (dir.endsWith(ClusteredSuffix)) "_clu" else ""
+    val path = new java.io.File(s"target/annmp_store$flavor" + s"_$tag/idx").getAbsolutePath
+    val e = corpus(spark, dir)
+    graft.sources.IndexStore.write(e, "vec_id", "v", path, dim = 64)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v"))
     graft.sources.IndexStore
-      .searchAnnProbed(spark, path, queries, "vec_id", "embedding", DefaultK, dim = 64)
+      .searchAnnProbed(spark, path, queries, "vec_id", "v", DefaultK, dim = 64)
       .orderBy("query_id", "rnk")
   }
 
