@@ -4773,6 +4773,11 @@ object Oracles {
     // outliving the wave boundary — same semantics as the batch twin
     "s_stream_join" -> streaming("s_interval_join"),
 
+    // the checkpointed-file-log ingest: two runIncremental waves must
+    // land exactly the source rows — no file skipped, none reprocessed
+    "s_incremental" -> """
+      SELECT event_id, user_id, event_type FROM events ORDER BY event_id""",
+
     // payload→featurize→PQ streaming maintainer: binary float32 blobs
     // streamed through the pluggable featurizer into frozen-codebook
     // appends must serve exactly the in-session PQ ranking

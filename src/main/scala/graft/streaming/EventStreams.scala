@@ -1291,6 +1291,23 @@ object EventStreams {
     resolveUpserts(spark, store).orderBy("event_type")
   }
 
+  /** s_incremental: the checkpointed-file-log ingest contract IN the
+    * driver gate — two waves through runIncremental, then the target's
+    * row set must hash-match the source table exactly: run 2 picked up
+    * exactly the delta (a skipped file loses rows, a reprocessed file
+    * duplicates them — either breaks the hash). The "process tonight's
+    * new files" primitive every other maintainer builds on, proven at
+    * the row level.
+    */
+  def sIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(s"target/sincr_store_${gateTag(spark)}").getAbsolutePath
+    val store = twoEventWaves(spark, dir, root, "event_id")(
+      runIncremental(spark, _, _, _))
+    spark.read.parquet(store)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
   /** s_stream_join: the watermarked stream-stream interval join IN the
     * driver gate — two time-split waves through [[runStreamJoinIngest]].
     * Wave-boundary matches are the load-bearing part: a wave-2
