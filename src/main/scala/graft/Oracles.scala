@@ -4778,6 +4778,15 @@ object Oracles {
     "s_incremental" -> """
       SELECT event_id, user_id, event_type FROM events ORDER BY event_id""",
 
+    // the ACTUAL streaming windowed agg (state-store output via the
+    // memory sink) against the batch-twin oracle
+    "s_window_stream" -> streaming("s_window_agg"),
+
+    // the collect-free batch-serving leg on the residual store: probe
+    // set and per-(query, list) residual ADC tables fully distributed,
+    // ranking byte-equal to the driver-side search
+    "v_ivfpq_res_batch" -> vector("v_ivf_pq_res"),
+
     // payload→featurize→PQ streaming maintainer: binary float32 blobs
     // streamed through the pluggable featurizer into frozen-codebook
     // appends must serve exactly the in-session PQ ranking

@@ -1586,6 +1586,34 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_ivfpq_res_batch: the COLLECT-FREE batch-serving leg IN the
+    * driver gate, on the residual store — the hardest serving variant
+    * (per-(query, list) residual ADC tables derived as a map-side
+    * expression, the probe set never touching the driver) proven
+    * against v_ivf_pq_res's oracle. This is the serving path for
+    * "the query set is itself a table": bulk re-ranking joins, batch
+    * dedup sweeps — at 100 TB the upload-style search()'s bounded
+    * query collect is fine for a UI but not for a 10⁹-row query
+    * table, and this gate pins that path's ranking byte-equal to the
+    * oracle (the literal-vs-join residual encodings are themselves
+    * rank-identical, Round12Spec). Reuses v_ivf_pq_res_store's store
+    * (registry models, same app) — the gate times serving, not a
+    * second identical build.
+    */
+  def vIvfPqResBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
+    val path = new java.io.File(s"target/ivfpqres_batch_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    if (!new java.io.File(s"$path.books").exists())
+      graft.sources.IvfPqIndexStore.write(emb, "vec_id", "embedding", path,
+        ivfModel = Some(ivfCentroids(spark, dir)),
+        pqModel = Some(pqResBooksFor(spark, dir)), byResidual = true)
+    graft.sources.IvfPqIndexStore.searchBatch(spark, path,
+      emb.filter(col("vec_id") < NumQueries), "vec_id", "embedding", DefaultK)
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_ivf_pq_res_recall: recall@5 of residual-encoded IVF-PQ against
     * exact L2 top-5, side by side with raw-encoded IVF-PQ's hits on
     * the same queries — the measured answer to "what does residual
@@ -2905,7 +2933,10 @@ object Knn {
     * faiss remove_ids, minus the full-index rewrite.
     */
   def qPurgeStore(spark: SparkSession, dir: String): DataFrame = {
-    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    // dir-keyed like the streaming gates: the existence guard must not
+    // serve one scale factor's store to another in a multi-SF session
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_d" + Integer.toHexString(dir.hashCode)
     val path = new java.io.File(s"target/purge_store_$tag/idx").getAbsolutePath
     val emb = Tables.embeddings(spark, dir)
     // k-bounded collect: 3 victim ids (the gate's deletion request)

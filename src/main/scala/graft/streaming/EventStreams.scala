@@ -982,6 +982,24 @@ object EventStreams {
       .select("event_type", "n")
   }
 
+  /** s_window_stream: the ACTUAL streaming windowed aggregation IN the
+    * driver gate — windowAggStream (readStream → watermark → tumbling
+    * window, complete mode to the memory sink) driven to completion,
+    * its state-store output formatted exactly like the batch twin and
+    * hash-matched against s_window_agg's oracle: the streaming partial
+    * agg + state store reproduce the batch aggregation bit-for-bit,
+    * closing the one F-section API row that predated the gate itself.
+    */
+  def sWindowStream(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"swindowstream_${gateTag(spark, dir)}"
+    if (!spark.catalog.tableExists(name))
+      runToMemory(spark, dir, name).stop()
+    spark.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** s_sliding_agg: 30-minute windows sliding every 15 — each event
     * lands in exactly two windows. Same plan shape streaming or batch:
     * the window expression expands rows map-side, then one partial agg.
@@ -1022,7 +1040,7 @@ object EventStreams {
     */
   def sIvfPqIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Knn
-    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = gateTag(spark, dir)
     val root = new java.io.File(s"target/sivfpq_store_$tag").getAbsolutePath
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
     val emb = Tables.embeddings(spark, dir)
@@ -1059,7 +1077,7 @@ object EventStreams {
   def sEmbedIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Knn
     import spark.implicits._
-    val root = new java.io.File(s"target/sembed_store_${gateTag(spark)}").getAbsolutePath
+    val root = new java.io.File(s"target/sembed_store_${gateTag(spark, dir)}").getAbsolutePath
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
     val emb = Tables.embeddings(spark, dir)
     if (!new java.io.File(s"$store.codes").exists()) {
@@ -1098,7 +1116,7 @@ object EventStreams {
     */
   def sMihIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Knn
-    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = gateTag(spark, dir)
     val root = new java.io.File(s"target/smih_store_$tag").getAbsolutePath
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
     val emb = Tables.embeddings(spark, dir)
@@ -1124,7 +1142,7 @@ object EventStreams {
     */
   def sMaxsimIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Knn
-    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = gateTag(spark, dir)
     val root = new java.io.File(s"target/smaxsim_store_$tag").getAbsolutePath
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
@@ -1145,7 +1163,7 @@ object EventStreams {
     * by the hash, not a spec). Idempotent across invocations.
     */
   def sSpanIngest(spark: SparkSession, dir: String): DataFrame = {
-    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = gateTag(spark, dir)
     val root = new java.io.File(s"target/sspan_store_$tag").getAbsolutePath
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/spans")
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
@@ -1166,7 +1184,7 @@ object EventStreams {
     * appends proven by the hash. Idempotent across invocations.
     */
   def sBitmapIngest(spark: SparkSession, dir: String): DataFrame = {
-    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = gateTag(spark, dir)
     val root = new java.io.File(s"target/sbitmap_store_$tag").getAbsolutePath
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/shards")
     val ev = Tables.events(spark, dir)
@@ -1198,8 +1216,14 @@ object EventStreams {
     store
   }
 
-  private def gateTag(spark: SparkSession): String =
-    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+  /** Store tag for the existence-guarded gates: app id PLUS the corpus
+    * dir, so a session touching several scale factors (SweepBench)
+    * builds one store per corpus instead of silently serving the first
+    * SF's store to the second.
+    */
+  private def gateTag(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_d" + Integer.toHexString(dir.hashCode)
 
   /** Two TIME-SPLIT event waves (events up to the midpoint of the time
     * range, then the rest) — the wave layout for WATERMARKED gates. A
@@ -1237,7 +1261,7 @@ object EventStreams {
     */
   def sSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = new java.io.File(s"target/ssess_store_${gateTag(spark)}").getAbsolutePath
+    val root = new java.io.File(s"target/ssess_store_${gateTag(spark, dir)}").getAbsolutePath
     val (src, ckpt, out) = (s"$root/in", s"$root/ckpt", s"$root/out")
     if (!new java.io.File(out).exists()) {
       val mx = twoTimeWaves(spark, dir, src)(
@@ -1267,7 +1291,7 @@ object EventStreams {
     * re-emits, which is why the serving read is a distinct.)
     */
   def sDedupStream(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/sdedup_store_${gateTag(spark)}").getAbsolutePath
+    val root = new java.io.File(s"target/sdedup_store_${gateTag(spark, dir)}").getAbsolutePath
     val (src, ckpt, out) = (s"$root/in", s"$root/ckpt", s"$root/out")
     if (!new java.io.File(out).exists())
       twoTimeWaves(spark, dir, src)(() => runDedupIngest(spark, src, ckpt, out))
@@ -1285,7 +1309,7 @@ object EventStreams {
     * reproduce the batch table exactly. Idempotent across invocations.
     */
   def sUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/supsert_store_${gateTag(spark)}").getAbsolutePath
+    val root = new java.io.File(s"target/supsert_store_${gateTag(spark, dir)}").getAbsolutePath
     val store = twoEventWaves(spark, dir, root, "event_id")(
       runUpsertIncremental(spark, _, _, _))
     resolveUpserts(spark, store).orderBy("event_type")
@@ -1300,7 +1324,7 @@ object EventStreams {
     * the row level.
     */
   def sIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/sincr_store_${gateTag(spark)}").getAbsolutePath
+    val root = new java.io.File(s"target/sincr_store_${gateTag(spark, dir)}").getAbsolutePath
     val store = twoEventWaves(spark, dir, root, "event_id")(
       runIncremental(spark, _, _, _))
     spark.read.parquet(store)
@@ -1317,7 +1341,7 @@ object EventStreams {
     * The accumulated sink hash-matches s_interval_join's batch oracle.
     */
   def sStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/sjoin_store_${gateTag(spark)}").getAbsolutePath
+    val root = new java.io.File(s"target/sjoin_store_${gateTag(spark, dir)}").getAbsolutePath
     val (src, ckpt, out) = (s"$root/in", s"$root/ckpt", s"$root/out")
     if (!new java.io.File(out).exists())
       twoTimeWaves(spark, dir, src)(() => runStreamJoinIngest(spark, src, ckpt, out))
@@ -1334,7 +1358,7 @@ object EventStreams {
     */
   def sKnnServe(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Knn
-    val root = new java.io.File(s"target/sknn_store_${gateTag(spark)}").getAbsolutePath
+    val root = new java.io.File(s"target/sknn_store_${gateTag(spark, dir)}").getAbsolutePath
     val (qsrc, ckpt, store, out) =
       (s"$root/q", s"$root/ckpt", s"$root/idx", s"$root/out")
     val emb = Tables.embeddings(spark, dir)
@@ -1365,7 +1389,7 @@ object EventStreams {
   def sPhashIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{ImageDecode, ImagePipeline}
     import spark.implicits._
-    val root = new java.io.File(s"target/sphash_store_${gateTag(spark)}").getAbsolutePath
+    val root = new java.io.File(s"target/sphash_store_${gateTag(spark, dir)}").getAbsolutePath
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/mih")
     val payloads = Tables.documents(spark, dir)
       .select(col("doc_id")).filter(col("doc_id") < 8)
@@ -1396,7 +1420,7 @@ object EventStreams {
     * anomaly ranking from the store hash-matches q_anomaly's oracle.
     */
   def sRateIngest(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/srate_store_${gateTag(spark)}").getAbsolutePath
+    val root = new java.io.File(s"target/srate_store_${gateTag(spark, dir)}").getAbsolutePath
     val store = twoEventWaves(spark, dir, root, "event_id")(
       runRateIngest(spark, _, _, _))
     graft.sources.RateStore.report(spark, store)
@@ -1409,7 +1433,7 @@ object EventStreams {
     * deterministic-estimate oracle.
     */
   def sKmvIngest(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/skmv_store_${gateTag(spark)}").getAbsolutePath
+    val root = new java.io.File(s"target/skmv_store_${gateTag(spark, dir)}").getAbsolutePath
     val store = twoEventWaves(spark, dir, root, "event_id")(
       runKmvIngest(spark, _, _, _))
     graft.sources.KmvStore.report(spark, store)
@@ -1422,7 +1446,7 @@ object EventStreams {
     * shape): sketch drift after a streamed merge breaks the hash.
     */
   def sHllIngest(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/shll_store_${gateTag(spark)}").getAbsolutePath
+    val root = new java.io.File(s"target/shll_store_${gateTag(spark, dir)}").getAbsolutePath
     val store = twoEventWaves(spark, dir, root, "event_id")(
       runHllIngest(spark, _, _, _))
     val est = hllDistinctReport(spark, store)
@@ -1445,7 +1469,7 @@ object EventStreams {
     */
   def sBloomIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
-    val root = new java.io.File(s"target/sbloom_store_${gateTag(spark)}").getAbsolutePath
+    val root = new java.io.File(s"target/sbloom_store_${gateTag(spark, dir)}").getAbsolutePath
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/store")
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val ins = docs.filter(col("doc_id") % 5 =!= 0)
