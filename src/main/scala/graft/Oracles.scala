@@ -4787,6 +4787,21 @@ object Oracles {
     // ranking byte-equal to the driver-side search
     "v_ivfpq_res_batch" -> vector("v_ivf_pq_res"),
 
+    // the DPP batch path of the IVF store, hash-proven against the
+    // in-session oracle (not just spec-equal to the static-IN path)
+    "v_ivf_batch" -> vector("v_ivf"),
+
+    // MIH purge: victims 1 and 5 excised from the corpus side of the
+    // brute-force radius oracle — their corrupted fingerprints lose
+    // the radius-5 self-match, so a missed block breaks the hash
+    "q_purge_mih" -> {
+      val base = vector("v_bq_range")
+      val from = "FROM rbq c CROSS JOIN rqc q"
+      require(base.contains(from), "v_bq_range oracle shape changed")
+      base.replace(from,
+        "FROM (SELECT * FROM rbq WHERE vec_id NOT IN (1, 5)) c CROSS JOIN rqc q")
+    },
+
     // payload→featurize→PQ streaming maintainer: binary float32 blobs
     // streamed through the pluggable featurizer into frozen-codebook
     // appends must serve exactly the in-session PQ ranking

@@ -2920,6 +2920,51 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_ivf_batch: the DPP-pruned batch-serving path of the IVF store
+    * IN the driver gate — IvfIndexStore.searchBatch (the route search()
+    * auto-takes above SearchBatchThreshold query rows) invoked
+    * directly on the gate's query set, so the runtime-subquery pruning
+    * path is hash-proven equal to v_ivf's oracle, not just to the
+    * static-IN path by spec. Both scan shapes must rank identically;
+    * they differ only in HOW the cid= directories prune.
+    */
+  def vIvfBatch(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(s"target/ivfbatch_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.IvfIndexStore.write(emb, "vec_id", "embedding", path,
+      model = Some(ivfCentroids(spark, dir)))
+    graft.sources.IvfIndexStore.searchBatch(spark, path,
+      emb.filter(col("vec_id") < NumQueries).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", DefaultK)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q_purge_mih: right-to-be-forgotten on the MULTI-INDEX layout IN
+    * the driver gate (BqIndexStore.purgeMih — each victim has rows in
+    * all 8 blk= partitions, so the purge must find and rewrite every
+    * one, reclustered on bval to keep the zone-map pruning contract).
+    * Victims are two query sources (vec_id 1 and 5): their corrupted
+    * fingerprints lose their radius-5 self-match, so a purge that
+    * missed any block breaks the hash against the brute-force
+    * table-minus-victims oracle.
+    */
+  def qPurgeMih(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
+    val path = new java.io.File(s"target/purge_mih_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    if (!new java.io.File(path).exists()) {
+      graft.sources.BqIndexStore.writeMih(emb, "vec_id", "embedding", path)
+      graft.sources.BqIndexStore.purgeMih(spark, path, Seq(1L, 5L))
+    }
+    val codes = corpus(spark, dir).select(col("vec_id"),
+      bqWords(col("v"), 0).as("code_lo"), bqWords(col("v"), 32).as("code_hi"))
+    graft.sources.BqIndexStore
+      .searchRadius(spark, path, bqCorruptedQueries(codes), radius = 7)
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** q_purge_store: the right-to-be-forgotten lifecycle IN the driver
     * gate — write the banded flat store, purge a deterministic victim
     * set (each query<3's exact rank-1 neighbor — guaranteed to change
