@@ -133,6 +133,14 @@ object EventStreams {
     * session is emitted and evicted. This is how streaming state stays
     * bounded over months of uptime: watermark-driven eviction, not
     * table growth.
+    *
+    * Caveat of the ORDINAL session id: eviction removes the per-user
+    * counter, so a user who returns after a timeout restarts at
+    * session_id 1 — fine for per-session consumers, wrong for anyone
+    * joining on (user_id, session_id) across evictions. The
+    * gate-complete form is [[sessionizeStreamNat]], whose natural
+    * start-time key is replayable through any eviction (that is the
+    * variant the s_sessionize oracle gate runs).
     */
   def sessionizeStreamEvt(spark: SparkSession, dir: String): Dataset[SessionOut] = {
     import spark.implicits._
