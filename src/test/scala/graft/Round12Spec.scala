@@ -71,6 +71,28 @@ class Round12Spec extends SparkSpec {
     assert(spark.read.parquet(store).count() == emb.count() - 1)
   }
 
+  test("v_sql_store_mih: live DPP on blk, one broadcast bucket join, no cartesian") {
+    val df = graft.operators.Knn.vSqlStoreMih(spark, sf)
+    val plan = assertLiveDpp(df, "v_sql_store_mih")
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket probe must be a broadcast hash join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the radius contract must never degrade to a pair scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the tiny probe side must never force a shuffle join")
+  }
+
+  test("existence-guarded gate stores are keyed per corpus dir") {
+    import graft.streaming.EventStreams
+    // one session, two corpus dirs: the second call must BUILD its own
+    // store (different row universe), not serve the first dir's store
+    val a = EventStreams.sSessionize(spark, sf).count() // sf0.001
+    val b = EventStreams.sSessionize(spark, "/root/testdata/sf0.01").count()
+    assert(a != b,
+      s"two scale factors returned the same sessionization ($a rows) — " +
+        "the guarded store leaked across corpus dirs")
+  }
+
   test("sessionizeStreamNat: timeout eviction keeps the natural key replayable") {
     import spark.implicits._
     import graft.streaming.EventStreams
