@@ -4791,6 +4791,10 @@ object Oracles {
     // in-session oracle (not just spec-equal to the static-IN path)
     "v_ivf_batch" -> vector("v_ivf"),
 
+    // append -> compact -> serve: the full-rewrite compaction proven
+    // lossless by the exact-search hash over the whole corpus
+    "q_compact_store" -> vector("v_knn_exact"),
+
     // MIH purge: victims 1 and 5 excised from the corpus side of the
     // brute-force radius oracle — their corrupted fingerprints lose
     // the radius-5 self-match, so a missed block breaks the hash

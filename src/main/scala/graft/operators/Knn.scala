@@ -2965,6 +2965,37 @@ object Knn {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** q_compact_store: the append → small-file debt → compaction
+    * lifecycle IN the driver gate. The store is built as two appends
+    * (each landing its own files per band0 partition), then
+    * StoreMaintenance.compact rewrites every partition to one file
+    * through the crash-consistent manifest swap — and the post-compact
+    * search must hash-match v_knn_exact's oracle over the FULL corpus:
+    * a compaction that dropped, duplicated, or corrupted any row
+    * breaks the hash. (s_mih_ingest proves the budgeted
+    * compactIfNeeded flavor the same way; this gates the full rewrite.)
+    */
+  def qCompactStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
+    val path = new java.io.File(s"target/compact_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    if (!new java.io.File(path).exists()) {
+      graft.sources.IndexStore.write(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path, dim = 64)
+      graft.sources.IndexStore.append(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path, dim = 64)
+      graft.sources.StoreMaintenance.compact(spark, path)
+    }
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.IndexStore
+      .search(graft.sources.IndexStore.read(spark, path), queries,
+        "vec_id", "embedding", DefaultK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** q_purge_store: the right-to-be-forgotten lifecycle IN the driver
     * gate — write the banded flat store, purge a deterministic victim
     * set (each query<3's exact rank-1 neighbor — guaranteed to change
