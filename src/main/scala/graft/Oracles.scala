@@ -4795,6 +4795,85 @@ object Oracles {
     // lossless by the exact-search hash over the whole corpus
     "q_compact_store" -> vector("v_knn_exact"),
 
+    // Okapi BM25 (k1=1.2, b=0.75, Lucene idf): every double op in the
+    // same IEEE order as the engine (left-assoc mul/div chains, exact
+    // dyadic 0.75/0.25, integer-exact dl/sum_dl via BIGINT casts —
+    // DuckDB SUM(BIGINT) is HUGEINT), and the per-document sum is a
+    // tok-ordered fold replaying the engine's sorted 0.0-seeded
+    // aggregate bit-for-bit
+    "t_bm25" -> s"""
+      WITH $tokensCte,
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
+      dfx AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      dln AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dln),
+      qt AS (SELECT doc_id AS q_id, tok FROM tf WHERE doc_id < 3),
+      c AS (SELECT q.q_id, t.doc_id, t.tok,
+              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                * (t.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+                (t.tf + 1.2 * (0.25 + 0.75 * dl
+                  / (CAST(sum_dl AS DOUBLE) / n_docs))) AS c
+            FROM tf t JOIN qt q ON t.tok = q.tok AND t.doc_id <> q.q_id
+            JOIN dfx ON dfx.tok = t.tok
+            JOIN dln ON dln.doc_id = t.doc_id
+            CROSS JOIN st),
+      s AS (SELECT q_id, doc_id,
+              ROUND(list_reduce(list(c ORDER BY tok), (a, x) -> a + x), 6) AS score
+            FROM c GROUP BY q_id, doc_id),
+      r AS (SELECT q_id, doc_id, score,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+            FROM s)
+      SELECT q_id AS query_id, rnk, doc_id, score FROM r
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    // RRF fusion of the exact-cosine top-10 with the BM25 top-10 —
+    // both leg rankings fully replayed, the fused score a fixed-order
+    // two-term sum on a FULL OUTER join (the engine's exact shape)
+    "v_hybrid_bm25" -> s"""
+      WITH $knnCte,
+      v10 AS (SELECT query_id, neighbor_id, rnk FROM r
+              WHERE query_id < 3 AND rnk <= 10),
+      btf AS (SELECT d.doc_id, tok, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents) d
+              WHERE tok <> '' GROUP BY d.doc_id, tok),
+      bdf AS (SELECT tok, COUNT(*) AS df FROM btf GROUP BY tok),
+      bdl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM btf GROUP BY doc_id),
+      bst AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM bdl),
+      bqt AS (SELECT doc_id AS q_id, tok FROM btf WHERE doc_id < 3),
+      bc AS (SELECT bq.q_id, t.doc_id, t.tok,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (t.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * dl
+                   / (CAST(sum_dl AS DOUBLE) / n_docs))) AS c
+             FROM btf t JOIN bqt bq ON t.tok = bq.tok AND t.doc_id <> bq.q_id
+             JOIN bdf ON bdf.tok = t.tok
+             JOIN bdl ON bdl.doc_id = t.doc_id
+             CROSS JOIN bst),
+      bs AS (SELECT q_id, doc_id,
+               ROUND(list_reduce(list(c ORDER BY tok), (a, x) -> a + x), 6) AS score
+             FROM bc GROUP BY q_id, doc_id),
+      b10 AS (SELECT q_id, doc_id, rnk FROM (
+                SELECT q_id, doc_id,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+                FROM bs) t WHERE rnk <= 10),
+      fused AS (SELECT COALESCE(v.query_id, b.q_id) AS query_id,
+                  COALESCE(v.neighbor_id, b.doc_id) AS doc_id,
+                  ROUND((CASE WHEN v.rnk IS NOT NULL
+                           THEN 1.0 / (60 + v.rnk) ELSE 0.0 END)
+                      + (CASE WHEN b.rnk IS NOT NULL
+                           THEN 1.0 / (60 + b.rnk) ELSE 0.0 END), 6) AS fused
+                FROM v10 v FULL OUTER JOIN b10 b
+                  ON v.query_id = b.q_id AND v.neighbor_id = b.doc_id),
+      fr AS (SELECT query_id, doc_id, fused,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY fused DESC, doc_id ASC) AS BIGINT) AS rnk
+             FROM fused)
+      SELECT query_id, rnk, doc_id, fused FROM fr
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
     // MIH purge: victims 1 and 5 excised from the corpus side of the
     // brute-force radius oracle — their corrupted fingerprints lose
     // the radius-5 self-match, so a missed block breaks the hash

@@ -1974,6 +1974,39 @@ object Knn {
       .search(spark, path, docs.filter(col("doc_id") < 3), DefaultK)
   }
 
+  /** v_hybrid_bm25: PRODUCTION-shape hybrid search — reciprocal-rank
+    * fusion of the exact cosine ranking with the Okapi BM25 ranking
+    * (v_rrf_fusion's lexical leg is raw shingle overlap; this one is
+    * the length-normalized idf-weighted scorer real deployments pair
+    * with a vector index). Each leg keeps its own top-10 for the 3
+    * query documents; fusion = Σ 1/(60+rank) over the legs a
+    * candidate appears in, computed as a fixed-order two-term sum on
+    * a FULL OUTER join of the legs, so the oracle replays it exactly.
+    * Scale shape: both legs are already blocked/broadcast plans; the
+    * fusion join touches ≤ 10+10 rows per query.
+    */
+  def vHybridBm25(spark: SparkSession, dir: String): DataFrame = {
+    val (nq, legK) = (3, 10)
+    val vec = knnBase(spark, dir, legK).filter(col("query_id") < nq)
+      .select(col("query_id").as("vq"), col("neighbor_id").as("vc"),
+        col("rnk").as("vrnk"))
+    val lex = TextAnalysis.bm25Ranked(spark, dir, nq, legK)
+      .select(col("q_id").as("lq"), col("doc_id").as("lc"), col("rnk").as("lrnk"))
+    val fused = vec.join(lex,
+        col("vq") === col("lq") && col("vc") === col("lc"), "full_outer")
+      .select(coalesce(col("vq"), col("lq")).as("query_id"),
+        coalesce(col("vc"), col("lc")).as("doc_id"),
+        round(
+          when(col("vrnk").isNotNull, lit(1.0) / (lit(60) + col("vrnk")))
+            .otherwise(lit(0.0)) +
+          when(col("lrnk").isNotNull, lit(1.0) / (lit(60) + col("lrnk")))
+            .otherwise(lit(0.0)), 6).as("fused"))
+    val w = Window.partitionBy("query_id").orderBy(col("fused").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
+      .select("query_id", "rnk", "doc_id", "fused")
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_rrf_fusion: hybrid search — reciprocal-rank fusion of the
     * vector ranking (exact cosine) with a lexical ranking (shared
     * distinct 5-gram shingles with the query's document), the

@@ -222,6 +222,62 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** t_bm25: Okapi BM25 lexical ranking (k1=1.2, b=0.75, the
+    * Robertson/Lucene idf form ln((N−df+0.5)/(df+0.5)+1)) — the
+    * standard text scorer a hybrid-search user pairs with the vector
+    * tiers (v_rrf_fusion's lexical leg uses raw shingle overlap; this
+    * is the length-normalized, idf-weighted upgrade). Scale shape: an
+    * inverted-index join — the 3 query documents' DISTINCT terms
+    * broadcast against the (doc, term, tf) table, so candidate
+    * generation is an equi-join on the term and never a text-to-text
+    * pair scan; df and doc lengths derive from that same table (one
+    * tokenize pass over the corpus); corpus stats ride a broadcast
+    * 1-row aggregate. The per-document score sums its matched terms
+    * through a tok-sorted 0.0-seeded fold, so IEEE addition order is
+    * pinned and the DuckDB oracle replays it bit-for-bit (the msum
+    * discipline; a bare SUM(double) would be partition-order noise).
+    */
+  def tBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Ranked(spark, dir, nq = 3, k = 5)
+      .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
+
+  /** The reusable BM25 leg: per query document (doc_id < nq), the
+    * top-k BM25-ranked other documents — (q_id, rnk, doc_id, score).
+    * Shared by the standalone t_bm25 gate and the v_hybrid_bm25
+    * fusion.
+    */
+  private[operators] def bm25Ranked(spark: SparkSession, dir: String,
+                                    nq: Int, k: Int): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val docToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val tf = docToks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .transform(graft.Materialize.forceCached) // feeds tf, df, dl, AND the query side
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // exact-integer sums keep avgdl deterministic across partitionings
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qt = tf.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("tok").as("qtok"))
+    val contrib = tf.join(broadcast(qt),
+        col("tok") === col("qtok") && col("doc_id") =!= col("q_id"))
+      .join(df, "tok").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"), col("tok"),
+        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n_docs"))))
+        ).as("c"))
+    val scored = contrib.groupBy("q_id", "doc_id")
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("tok"), col("c")))),
+        lit(0.0), (acc, s) => acc + s.getField("c")), 6).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select("q_id", "rnk", "doc_id", "score")
+  }
+
   /** t_bpe_tokens: BPE-style pre-tokenization counting — pieces are
     * maximal letter runs, digit runs, or single punctuation marks
     * (the split a byte-pair tokenizer's pre-tokenizer makes before
