@@ -225,8 +225,13 @@ object BatchInference {
     def load(): EmbedModel = new EmbedModel {
       def embedBatch(payloads: Array[Array[Byte]]): Array[Array[Double]] =
         payloads.map { bytes =>
+          // fail at the featurize boundary, not as an opaque
+          // quantizer/ADC error later: a truncated or misaligned blob
+          // must never silently yield a shorter vector
+          require(bytes.length == 4 * dim,
+            s"Float32 payload is ${bytes.length} bytes; expected ${4 * dim} (dim=$dim)")
           val bb = java.nio.ByteBuffer.wrap(bytes)
-          Array.fill(bytes.length / 4)(bb.getFloat.toDouble)
+          Array.fill(dim)(bb.getFloat.toDouble)
         }
     }
   }

@@ -317,6 +317,16 @@ object ImageDecode {
     */
   def mDecodeJpeg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // fail at the source with the codec named, not as an opaque oracle
+    // hash break: the committed grids are only valid under a compatible
+    // javax.imageio build (JpegFixtures.GeneratedUnder)
+    JpegFixtures.codecDrift().foreach { diff =>
+      throw new IllegalStateException(
+        s"JPEG codec drift: $diff. Fixtures were generated under " +
+          s"${JpegFixtures.GeneratedUnder}; this JVM is " +
+          s"${System.getProperty("java.runtime.version")}. Regenerate with " +
+          "graft.tools.JpegFixtureGen and re-commit JpegFixtures + oracle grids.")
+    }
     val payloads = JpegFixtures.all.toSeq.sortBy(_._1)
       .map { case (id, (b64, _, _, _)) =>
         (id, java.util.Base64.getDecoder.decode(b64))

@@ -16,6 +16,35 @@ package graft.operators
   */
 object JpegFixtures {
 
+  /** The toolchain the committed grids were generated under. JPEG
+    * decode output is implementation-defined (IDCT variants differ by
+    * ±1 luma across codec builds), so the grids are only guaranteed to
+    * reproduce under a compatible javax.imageio build. [[codecDrift]]
+    * turns a mismatch into a named diagnostic instead of a spurious
+    * downstream hash break; regenerate with graft.tools.JpegFixtureGen
+    * (and re-commit BOTH the grids and this header) when pinning a new
+    * toolchain.
+    */
+  val GeneratedUnder = "OpenJDK 17 (Debian 17.0.20+8, javax.imageio JPEGImageReader)"
+
+  /** Decodes fixture 0's committed payload through the REAL decode path
+    * and diffs it against the committed grid: Some(message) when this
+    * JVM's JPEG codec disagrees with the generating toolchain, None
+    * when the fixtures are valid here. Called by the m_decode_jpeg gate
+    * so codec drift fails loudly at the source.
+    */
+  def codecDrift(): Option[String] = {
+    val (b64, w, h, grid) = all(0L)
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val (dw, dh, px) = ImageDecode.decodeGray(bytes)
+    if (dw != w || dh != h)
+      Some(s"decoded ${dw}x$dh, fixtures committed as ${w}x$h")
+    else if (!java.util.Arrays.equals(px, grid)) {
+      val bad = px.indices.find(i => px(i) != grid(i)).get
+      Some(s"luma[$bad] = ${px(bad)}, committed ${grid(bad)}")
+    } else None
+  }
+
   /** doc_id -> (base64 payload, width, height, decoded BT.601 luma). */
   val all: Map[Long, (String, Int, Int, Array[Int])] = Map(
 // fixture 0: 8x6 seed=17 (636 bytes)

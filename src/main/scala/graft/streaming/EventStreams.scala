@@ -260,8 +260,13 @@ object EventStreams {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[SessionNatOut], _: Long) =>
-        batch.toDF().write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: Dataset[SessionNatOut], batchId: Long) =>
+        // foreachBatch is at-least-once: a crash between sink write and
+        // checkpoint commit replays the batch. Writing each batch as an
+        // overwrite of its OWN bid= directory makes the replay replace
+        // its shard instead of duplicating closed sessions (batch ids
+        // are checkpointed, so they never collide across restarts).
+        batch.toDF().write.mode("overwrite").parquet(s"$outPath/bid=$batchId")
         ()
       }
       .start()
@@ -304,8 +309,9 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        batch.write.mode("append").parquet(outPath)
+                       batchId: Long) =>
+        // idempotent bid= shard per batch — see runSessionizeIngest
+        batch.write.mode("overwrite").parquet(s"$outPath/bid=$batchId")
         ()
       }
       .start()
@@ -380,8 +386,9 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        batch.write.mode("append").parquet(outPath)
+                       batchId: Long) =>
+        // idempotent bid= shard per batch — see runSessionizeIngest
+        batch.write.mode("overwrite").parquet(s"$outPath/bid=$batchId")
         ()
       }
       .start()
@@ -1101,9 +1108,13 @@ object EventStreams {
         }
         .toDF("doc_id", "payload")
       val loader = new graft.operators.BatchInference.Float32PayloadLoader(64)
-      payloads.filter(col("doc_id") < 250).write.mode("overwrite").parquet(src)
+      // split at the corpus midpoint (not a fixed id) so BOTH waves are
+      // non-empty at every scale factor — the cross-wave frozen-codebook
+      // append is the contract this gate exists to exercise
+      val mid = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2 + 1
+      payloads.filter(col("doc_id") < mid).write.mode("overwrite").parquet(src)
       runEmbedIngest(spark, src, ckpt, store, loader)
-      payloads.filter(col("doc_id") >= 250).write.mode("append").parquet(src)
+      payloads.filter(col("doc_id") >= mid).write.mode("append").parquet(src)
       runEmbedIngest(spark, src, ckpt, store, loader, autoCompactMaxFiles = Some(4))
     }
     graft.sources.PqIndexStore.search(spark, store,
@@ -1353,7 +1364,9 @@ object EventStreams {
     val (src, ckpt, out) = (s"$root/in", s"$root/ckpt", s"$root/out")
     if (!new java.io.File(out).exists())
       twoTimeWaves(spark, dir, src)(() => runStreamJoinIngest(spark, src, ckpt, out))
-    spark.read.parquet(out).orderBy("purchase_id", "view_id")
+    spark.read.parquet(out)
+      .select("purchase_id", "view_id", "user_id") // bid= shard key stays internal
+      .orderBy("purchase_id", "view_id")
   }
 
   /** s_knn_serve: the QUERY-side streaming twin in the driver gate —
