@@ -4942,8 +4942,159 @@ object Oracles {
       WHERE rnk <= 5 ORDER BY query_id, rnk"""
   )
 
+  // ---- round 13: model drift -----------------------------------------
+
+  /** Drift-cohort norms (Knn.driftFrame replayed): same md5-center
+    * recipe as cluNormsCte but the `dctr_` seed family, residual scale
+    * 1.0, and ids offset by 1000000. Emits `dfn` (vec_id, v, nrm).
+    */
+  private val driftNormsCte: String = """
+      dfe AS (SELECT rid + 1000000 AS vec_id,
+              list_transform(generate_series(1, 64), i ->
+                CAST((CAST(('0x' || substr(md5('dctr_' || (rid % 8) || '_' || (i - 1)), 1, 8)) AS BIGINT)
+                      % 2001 - 1000) AS DOUBLE) / 1000.0
+                + 1.0 * v0[i]) AS v
+            FROM (SELECT vec_id AS rid, embedding::DOUBLE[] AS v0 FROM embeddings) t0),
+      dfn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dfe)"""
+
+  /** Parameterized Lloyd replay (the ivfCte training section with a
+    * caller-chosen CTE prefix and train source) — lets one oracle hold
+    * TWO deterministic trainings (frozen + retrained). Requires a
+    * `ddims` dim-index CTE in scope; emits `${pfx}cent$IvfIters`.
+    */
+  private def lloydCte(pfx: String, train: String): String = {
+    import graft.operators.Knn.{IvfClusters, IvfIters}
+    val sb = new StringBuilder
+    sb.append(s"""
+      ${pfx}cent0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                  v AS cv, sqrt(list_dot_product(v, v)) AS cn
+                FROM $train WHERE vec_id < $IvfClusters)""")
+    for (i <- 1 to IvfIters) {
+      sb.append(s""",
+      ${pfx}asg$i AS (SELECT vec_id, v, nrm, cid FROM (
+            SELECT t0.vec_id, t0.v, t0.nrm, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY t0.vec_id ORDER BY
+                ROUND(list_dot_product(t0.v, c.cv) / (t0.nrm * c.cn), 6) DESC,
+                c.cid ASC) AS rn
+            FROM $train t0 CROSS JOIN ${pfx}cent${i - 1} c) t WHERE rn = 1),
+      ${pfx}cm$i AS (SELECT cid, d,
+            list_reduce(list(v[d] ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS m
+          FROM ${pfx}asg$i CROSS JOIN ddims GROUP BY cid, d),
+      ${pfx}cent$i AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+            SELECT cid, list(m ORDER BY d) AS cv FROM ${pfx}cm$i GROUP BY cid) t)""")
+    }
+    sb.toString
+  }
+
+  /** One IVF search + recall leg over `comb`/`dq`/`dex` (drift oracle
+    * scaffolding): assign, probe DriftNprobe lists, top-5, recall@5.
+    */
+  private def driftLegCte(pfx: String, tag: String): String = {
+    import graft.operators.Knn.{IvfIters, DriftNprobe, DefaultK}
+    val cent = s"${pfx}cent$IvfIters"
+    s"""
+      ${pfx}asg AS (SELECT vec_id, v, nrm, cid FROM (
+            SELECT b.vec_id, b.v, b.nrm, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                ROUND(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 6) DESC,
+                c.cid ASC) AS rn
+            FROM comb b CROSS JOIN $cent c) t WHERE rn = 1),
+      ${pfx}probe AS (SELECT query_id, qv, qn, cid AS pcid FROM (
+            SELECT q.query_id, q.qv, q.qn, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                ROUND(list_dot_product(q.qv, c.cv) / (q.qn * c.cn), 6) DESC,
+                c.cid ASC) AS rn
+            FROM dq q CROSS JOIN $cent c) t WHERE rn <= $DriftNprobe),
+      ${pfx}top AS (SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                ROUND(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) DESC,
+                a.vec_id ASC) AS rnk
+            FROM ${pfx}probe p JOIN ${pfx}asg a
+              ON a.cid = p.pcid AND a.vec_id <> p.query_id) t WHERE rnk <= $DefaultK),
+      ${pfx}rec AS (SELECT e.query_id,
+              CAST(COUNT(m.neighbor_id) AS BIGINT) AS hits_$tag,
+              ROUND(COUNT(m.neighbor_id) / 5.0, 6) AS recall_$tag
+            FROM dex e LEFT JOIN ${pfx}top m
+              ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id)"""
+  }
+
+  /** Shared drift scaffolding: raw + drifted sources, post-append
+    * corpus, appended queries, exact ground truth, frozen training.
+    */
+  private def driftBaseCte: String = {
+    import graft.operators.Knn.{IvfTrainSample, NumQueries, DriftOffset, DefaultK}
+    s"""$normsCte, $driftNormsCte,
+      ddims AS (SELECT unnest(generate_series(1, 64)) AS d),
+      comb AS (SELECT vec_id, v, nrm FROM n
+               UNION ALL SELECT vec_id, v, nrm FROM dfn),
+      dq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+             FROM dfn WHERE vec_id < ${DriftOffset + NumQueries}),
+      dex AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, b.vec_id AS neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                ROUND(list_dot_product(q.qv, b.v) / (q.qn * b.nrm), 6) DESC,
+                b.vec_id ASC) AS rnk
+            FROM comb b CROSS JOIN dq q
+            WHERE b.vec_id <> q.query_id) t WHERE rnk <= $DefaultK),
+      fztrain AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < $IvfTrainSample),
+      ${lloydCte("fz", "fztrain")}"""
+  }
+
+  val round13: Map[String, String] = {
+    import graft.operators.Knn.{IvfTrainSample, IvfIters, DriftOffset}
+    val half = IvfTrainSample / 2
+    Map(
+      // frozen-model append drift: Lloyd replayed TWICE (isotropic-
+      // prefix training vs bounded 50/50 post-append retrain), both
+      // searches probed at DriftNprobe, recall@5 on the appended
+      // cohort's queries against exact cosine over the post-append
+      // corpus
+      "v_ivf_drift_recall" -> s"""
+      WITH $driftBaseCte,
+      rttrain AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < $half
+                  UNION ALL
+                  SELECT vec_id - $DriftOffset + $half AS vec_id, v, nrm
+                  FROM dfn WHERE vec_id < ${DriftOffset + half}),
+      ${lloydCte("rt", "rttrain")},
+      ${driftLegCte("fz", "frozen")},
+      ${driftLegCte("rt", "retrained")}
+      SELECT f.query_id, f.hits_frozen, f.recall_frozen,
+        r.hits_retrained, r.recall_retrained
+      FROM fzrec f JOIN rtrec r ON r.query_id = f.query_id
+      ORDER BY f.query_id""",
+
+      // retrain advisor: per-(cohort, frozen-list) rank-based
+      // assignment-similarity quantiles (value at row ceil(p·n) of the
+      // (asim, vec_id)-sorted list — no interpolation, engine-exact)
+      "v_ivf_drift_report" -> s"""
+      WITH $driftBaseCte,
+      rall AS (SELECT 'train' AS cohort, vec_id, v, nrm FROM n
+                 WHERE vec_id < $IvfTrainSample
+               UNION ALL SELECT 'appended', vec_id, v, nrm FROM dfn),
+      rasg AS (SELECT cohort, vec_id, cid, asim FROM (
+            SELECT r.cohort, r.vec_id, c.cid,
+              ROUND(list_dot_product(r.v, c.cv) / (r.nrm * c.cn), 6) AS asim,
+              ROW_NUMBER() OVER (PARTITION BY r.cohort, r.vec_id ORDER BY
+                ROUND(list_dot_product(r.v, c.cv) / (r.nrm * c.cn), 6) DESC,
+                c.cid ASC) AS rn
+            FROM rall r CROSS JOIN fzcent$IvfIters c) t WHERE rn = 1),
+      rrank AS (SELECT cohort, cid, asim,
+              ROW_NUMBER() OVER (PARTITION BY cohort, cid
+                ORDER BY asim ASC, vec_id ASC) AS rn,
+              COUNT(*) OVER (PARTITION BY cohort, cid) AS n
+            FROM rasg)
+      SELECT cohort, CAST(cid AS BIGINT) AS cid, MAX(n) AS n,
+        MAX(CASE WHEN rn = CAST(CEIL(n * 0.25) AS BIGINT) THEN asim END) AS q25,
+        MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN asim END) AS q50,
+        MAX(CASE WHEN rn = CAST(CEIL(n * 0.75) AS BIGINT) THEN asim END) AS q75
+      FROM rrank GROUP BY cohort, cid ORDER BY cohort, cid"""
+    )
+  }
+
   def all: Map[String, String] =
     relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming ++
       round2 ++ round3 ++ round6 ++ round8 ++ round9 ++ round10 ++ round11 ++
-      round12
+      round12 ++ round13
 }

@@ -3274,6 +3274,201 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  // ---- Model drift: the frozen-model append contract ----------------
+  //
+  // Every persisted ANN tier appends under FROZEN models (train-once,
+  // SURVEY §5). Production's failure mode is recall decay when appended
+  // data drifts from the training distribution: the frozen coarse
+  // quantizer neither separates the new clusters (probe reads too many
+  // lists) nor keeps them whole (a split cluster loses neighbors outside
+  // the probed list). This gate measures that decay directly — append a
+  // clustered cohort to the isotropic-trained quantizer, compare
+  // recall@5 on the appended queries against a quantizer retrained on a
+  // bounded post-append sample — plus the retrain-advisor report (the
+  // per-list assignment-quality quantiles faiss users derive by hand to
+  // answer "rebuild the index?").
+
+  /** Appended-cohort ids live at rawId + DriftOffset, so the cohort is
+    * disjoint from every raw vec_id at any scale factor and the offset
+    * itself marks provenance in results.
+    */
+  val DriftOffset = 1000000L
+
+  /** Drift-cohort residual scale. Deliberately LARGER than CluEps: the
+    * gate needs clusters that are tight enough for retraining to
+    * capture (cos within a cluster ≈ 0.9) yet broad enough that the
+    * frozen isotropic quantizer's argmax boundaries cut through them —
+    * the split that costs frozen recall. Centers use the `dctr_` seed
+    * family so the drift mixture is independent of the `#clustered`
+    * twin's.
+    */
+  val DriftEps = 1.0
+
+  /** The drift gate probes ONE list. nprobe=1 is the sharpest drift
+    * signal: with a split cluster, the second-nearest list is usually
+    * the other half of the split, so nprobe≥2 papers over exactly the
+    * decay the gate exists to expose (tuning nprobe up IS the
+    * production mitigation; the gate measures the un-mitigated state).
+    */
+  val DriftNprobe = 1
+
+  /** The appended cohort: a deterministic 8-mixture over the raw
+    * embeddings (centers from md5 integer arithmetic — the engine's
+    * oracle-replayable randomness; residual = DriftEps·v0), ids offset
+    * by DriftOffset. One map-side projection, oracle-replayable
+    * bit-for-bit (same recipe as clusteredFrame).
+    */
+  private[graft] def driftFrame(spark: SparkSession, rawDir: String): DataFrame = {
+    val v0 = V.toDouble(col("embedding"))
+    val vCol = array((0 until 64).map { d =>
+      (HashFns.md5Long(concat(lit("dctr_"), (col("vec_id") % CluCenters).cast("string"),
+          lit("_" + d)), 8) % 2001 - 1000).cast("double") / lit(1000.0) +
+        lit(DriftEps) * element_at(v0, d + 1)
+    }: _*)
+    Tables.embeddings(spark, rawDir)
+      .select((col("vec_id") + DriftOffset).as("vec_id"), vCol.as("v"))
+      .withColumn("nrm", V.norm2(col("v")))
+  }
+
+  /** Post-append corpus: isotropic base ∪ drifted appended cohort. */
+  private def driftCombined(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir).select("vec_id", "v", "nrm")
+      .union(driftFrame(spark, dir).select("vec_id", "v", "nrm"))
+
+  /** The retrained quantizer: Lloyd over a bounded 50/50 post-append
+    * mixture (first IvfTrainSample/2 of each cohort, appended ids
+    * remapped after the raw half so the deterministic init and the
+    * sorted fold replay in the oracle). Cached per (session, corpus)
+    * beside the frozen model — same bounded-training contract, so the
+    * retrain cost the advisor report weighs is corpus-size-independent
+    * too.
+    */
+  private def driftRetrainedCentroids(spark: SparkSession,
+                                      dir: String): Array[(Int, Array[Double])] =
+    ivfCache.computeIfAbsent(modelKey(spark, dir) + "#drift-retrain", _ => {
+      val half = IvfTrainSample / 2
+      val raw = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+        .filter(col("vec_id") < half)
+      val app = driftFrame(spark, dir)
+        .filter(col("vec_id") < DriftOffset + half)
+        .select((col("vec_id") - DriftOffset + half).as("vec_id"), col("v"), col("nrm"))
+      trainIvf(raw.union(app).transform(graft.Materialize.forceCached))
+    })
+
+  /** withCid + the winning similarity itself (the advisor's raw
+    * signal): argmax over (round-6 sim, -cid) structs, both fields kept.
+    */
+  private def withCidSim(df: DataFrame,
+                         centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val cands = array(centroids.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        round(V.cosinePre(V.dot(col("v"), typedLit(cv.toSeq)), col("nrm"), lit(cn)), 6)
+          .as("sim"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    df.withColumn("best", array_max(cands))
+      .withColumn("cid", -col("best").getField("ncid"))
+      .withColumn("asim", col("best").getField("sim"))
+      .drop("best")
+  }
+
+  /** IVF search of `comb` under literal `cents` for an explicit query
+    * frame (query_id, qv, qn): probe `nprobe` lists, top-5 by (sim
+    * DESC, id). Same plan family as vIvf — assignment and probe are
+    * map-side literal projections, candidates an equi-join on cid.
+    */
+  private def driftSearch(comb: DataFrame, cents: Array[(Int, Array[Double])],
+                          queries: DataFrame, nprobe: Int): DataFrame = {
+    val asg = withCid(comb, cents)
+    val cands = array_sort(array(cents.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        (-round(V.cosinePre(V.dot(col("qv"), typedLit(cv.toSeq)), col("qn"), lit(cn)), 6))
+          .as("nsim"),
+        lit(cid).as("cid"))
+    }: _*))
+    val probes = queries.withColumn("pcid",
+      explode(transform(slice(cands, 1, nprobe), s => s.getField("cid"))))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    asg.join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= DefaultK)
+  }
+
+  /** Exact cosine top-5 over `comb` for an explicit query frame. */
+  private def driftExact(comb: DataFrame, queries: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    comb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= DefaultK)
+      .select("query_id", "neighbor_id")
+  }
+
+  private def driftRecall(exact: DataFrame, ann: DataFrame, tag: String): DataFrame =
+    exact.join(ann.select(col("query_id").as("aq"), col("neighbor_id").as("an")),
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+      .groupBy("query_id")
+      .agg(count(col("an")).as(s"hits_$tag"),
+        round(count(col("an")) / lit(5.0), 6).as(s"recall_$tag"))
+
+  /** v_ivf_drift_recall: recall@5 on the APPENDED cohort's queries,
+    * frozen quantizer vs retrained, side by side — the number that
+    * answers "did the append decay the index?". Ground truth is exact
+    * cosine top-5 over the post-append corpus.
+    */
+  def vIvfDriftRecall(spark: SparkSession, dir: String): DataFrame = {
+    val comb = driftCombined(spark, dir).transform(graft.Materialize.forceCached)
+    val q = driftFrame(spark, dir)
+      .filter(col("vec_id") < DriftOffset + NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = driftExact(comb, q).transform(graft.Materialize.forceCached)
+    val fz = driftRecall(exact,
+      driftSearch(comb, ivfCentroids(spark, dir), q, DriftNprobe), "frozen")
+    val rt = driftRecall(exact,
+      driftSearch(comb, driftRetrainedCentroids(spark, dir), q, DriftNprobe), "retrained")
+    fz.join(rt.withColumnRenamed("query_id", "rq"), col("query_id") === col("rq"))
+      .select("query_id", "hits_frozen", "recall_frozen",
+        "hits_retrained", "recall_retrained")
+      .orderBy("query_id")
+  }
+
+  /** v_ivf_drift_report: the retrain advisor — per-list assignment-
+    * similarity quantiles under the FROZEN quantizer, training cohort
+    * vs appended cohort. Quantiles are rank-based (value at row
+    * ceil(p·n) of the (asim, vec_id)-sorted list — deterministic in
+    * any engine, no interpolation). An appended q50 sitting far below
+    * the training q50 on the same list is the "rebuild the index"
+    * signal; the per-list counts expose crowding (many appended
+    * clusters funneled into few lists).
+    */
+  def vIvfDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroids(spark, dir)
+    val train = corpus(spark, dir).select("vec_id", "v", "nrm")
+      .filter(col("vec_id") < IvfTrainSample)
+      .withColumn("cohort", lit("train"))
+    val app = driftFrame(spark, dir).select("vec_id", "v", "nrm")
+      .withColumn("cohort", lit("appended"))
+    val w = Window.partitionBy("cohort", "cid")
+    withCidSim(train.union(app), cents)
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("asim").asc, col("vec_id").asc)))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy("cohort", "cid")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === ceil(col("n") * 0.25), col("asim"))).as("q25"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("asim"))).as("q50"),
+        max(when(col("rn") === ceil(col("n") * 0.75), col("asim"))).as("q75"))
+      .select(col("cohort"), col("cid").cast("long").as("cid"), col("n"),
+        col("q25"), col("q50"), col("q75"))
+      .orderBy("cohort", "cid")
+  }
+
   /** v_centroid_label: per-label centroid statistics via exact integer
     * sums of quantized components (order-independent → oracle-safe).
     */
