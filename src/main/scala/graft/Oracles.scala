@@ -5042,10 +5042,56 @@ object Oracles {
       ${lloydCte("fz", "fztrain")}"""
   }
 
+  /** IVF tuning curve: one full-fan-out candidate pass (probe rank
+    * kept), recall@5 per probe level vs exact cosine. Composes over
+    * ivfCte (so the clustered() source swap reuses it verbatim).
+    */
+  private def ivfCurveSql: String = {
+    import graft.operators.Knn.{IvfIters, NumQueries, DefaultK, CurveProbes}
+    val denom = s"${5.0 * NumQueries}"
+    s"""
+      WITH $ivfCte,
+      cvlv AS (SELECT unnest([${CurveProbes.mkString(", ")}]) AS nprobe),
+      cvp AS (SELECT query_id, qv, qn, cid AS pcid, rn AS prank FROM (
+            SELECT q.query_id, q.qv, q.qn, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                ROUND(list_dot_product(q.qv, c.cv) / (q.qn * c.cn), 6) DESC,
+                c.cid ASC) AS rn
+            FROM ivfq q CROSS JOIN cent$IvfIters c) t),
+      cvc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                ROUND(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) AS sim,
+                p.prank
+              FROM cvp p JOIN ivfasg a
+                ON a.cid = p.pcid AND a.vec_id <> p.query_id),
+      cvt AS (SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT l.nprobe, c.query_id, c.neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY l.nprobe, c.query_id
+                ORDER BY c.sim DESC, c.neighbor_id) AS rnk
+            FROM cvlv l JOIN cvc c ON c.prank <= l.nprobe) t WHERE rnk <= $DefaultK),
+      cex_s AS (SELECT q2.query_id, n.vec_id AS neighbor_id,
+              ROUND(list_dot_product(q2.qv, n.v) / (q2.qn * n.nrm), 6) AS sim
+            FROM n CROSS JOIN ivfq q2 WHERE n.vec_id <> q2.query_id),
+      cex AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM cex_s) t WHERE rnk <= $DefaultK)
+      SELECT CAST(l.nprobe AS BIGINT) AS nprobe,
+        CAST(COUNT(m.neighbor_id) AS BIGINT) AS hits,
+        ROUND(COUNT(m.neighbor_id) / $denom, 6) AS recall
+      FROM cvlv l CROSS JOIN cex e
+      LEFT JOIN cvt m ON m.nprobe = l.nprobe
+        AND m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
+      GROUP BY l.nprobe ORDER BY nprobe"""
+  }
+
   val round13: Map[String, String] = {
     import graft.operators.Knn.{IvfTrainSample, IvfIters, DriftOffset}
     val half = IvfTrainSample / 2
     Map(
+      // the IVF tuning curve, isotropic + clustered flavors
+      "v_ivf_curve" -> ivfCurveSql,
+      "vc_ivf_curve" -> clustered(ivfCurveSql),
       // frozen-model append drift: Lloyd replayed TWICE (isotropic-
       // prefix training vs bounded 50/50 post-append retrain), both
       // searches probed at DriftNprobe, recall@5 on the appended

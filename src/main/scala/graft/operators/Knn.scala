@@ -3469,6 +3469,55 @@ object Knn {
       .orderBy("cohort", "cid")
   }
 
+  /** Probe levels of the IVF tuning-curve gate: 1 → nlist. The last
+    * level probes EVERY list, so its candidates are the full corpus and
+    * its recall vs exact cosine is 1.0 by construction — the curve's
+    * fixed upper anchor. Monotonicity is structural too (probed sets
+    * grow by prefix of the same ranking → candidate supersets), which
+    * is exactly why the gate can spec-pin the shape.
+    */
+  val CurveProbes: Seq[Int] = Seq(1, 2, 4, IvfClusters)
+
+  /** v_ivf_curve: recall@5 vs nprobe in one report — the tuning curve
+    * every IVF user derives by hand before picking a probe budget. One
+    * candidate pass at full fan-out (prank kept), then each level is a
+    * k-bounded window over its prefix; the corpus is scanned once.
+    */
+  def vIvfCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+      .transform(graft.Materialize.forceCached)
+    val (inv, cents) = ivfModel(spark, dir, e)
+    val ranked = array_sort(array(cents.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        (-round(V.cosinePre(V.dot(col("v"), typedLit(cv.toSeq)), col("nrm"), lit(cn)), 6))
+          .as("nsim"),
+        lit(cid).as("cid"))
+    }: _*))
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        posexplode(transform(ranked, s => s.getField("cid"))).as(Seq("pos", "pcid")))
+    val cand = inv.join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"),
+        (col("pos") + 1).as("prank"))
+      .transform(graft.Materialize.forceCached)
+    val exact = knnBase(spark, dir, DefaultK).select("query_id", "neighbor_id")
+      .transform(graft.Materialize.forceCached)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    CurveProbes.map { p =>
+      val top = cand.filter(col("prank") <= p)
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= DefaultK)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      exact.join(top,
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+        .agg(count(col("an")).as("hits"),
+          round(count(col("an")) / lit(5.0 * NumQueries), 6).as("recall"))
+        .select(lit(p.toLong).as("nprobe"), col("hits"), col("recall"))
+    }.reduce(_ union _).orderBy("nprobe")
+  }
+
   /** v_centroid_label: per-label centroid statistics via exact integer
     * sums of quantized components (order-independent → oracle-safe).
     */

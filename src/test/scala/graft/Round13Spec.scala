@@ -45,6 +45,25 @@ class Round13Spec extends SparkSpec {
       s"appended per-list counts too uniform: ${counts.toSeq}")
   }
 
+  test("IVF tuning curve: monotone, anchored at 1.0, non-trivial when isotropic") {
+    import graft.operators.Knn
+    def curve(dir: String): Seq[(Long, Double)] =
+      Knn.vIvfCurve(spark, dir).collect()
+        .map(r => (r.getAs[Long]("nprobe"), r.getAs[Double]("recall"))).toSeq
+    for ((tag, c) <- Seq("isotropic" -> curve(sf),
+                         "clustered" -> curve(sf + Knn.ClusteredSuffix))) {
+      assert(c.map(_._1) == Knn.CurveProbes.map(_.toLong), s"$tag levels")
+      assert(c.sliding(2).forall(w => w(1)._2 >= w(0)._2),
+        s"$tag curve must be monotone (probe supersets): $c")
+      assert(c.last._2 == 1.0,
+        s"$tag nprobe=nlist probes everything — recall must anchor at 1.0: $c")
+    }
+    // the isotropic curve is the non-trivial one: coarse pruning on
+    // structureless data must actually cost recall at nprobe=1
+    assert(curve(sf).head._2 < 1.0,
+      "isotropic nprobe=1 recall hit 1.0 — the curve stopped measuring pruning loss")
+  }
+
   test("sessionize sink: a replayed batch replaces its bid= shard") {
     import graft.streaming.EventStreams
     import spark.implicits._
