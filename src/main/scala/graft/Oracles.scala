@@ -5092,6 +5092,14 @@ object Oracles {
       // the IVF tuning curve, isotropic + clustered flavors
       "v_ivf_curve" -> ivfCurveSql,
       "vc_ivf_curve" -> clustered(ivfCurveSql),
+
+      // the persisted lexical tier: store search, streamed-maintainer
+      // search, and the twelfth SQL leg all hash-share t_bm25's
+      // one-shot oracle — append algebra, batchId-shard idempotency,
+      // and SQL-surface parity proven by the same hash
+      "v_bm25_store" -> round12("t_bm25"),
+      "s_bm25_ingest" -> round12("t_bm25"),
+      "v_sql_store_bm25" -> round12("t_bm25"),
       // frozen-model append drift: Lloyd replayed TWICE (isotropic-
       // prefix training vs bounded 50/50 post-append retrain), both
       // searches probed at DriftNprobe, recall@5 on the appended

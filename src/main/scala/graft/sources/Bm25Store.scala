@@ -1,0 +1,265 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{HashFns => H}
+
+/** Persisted lexical ranking tier — the postings-list store behind
+  * Okapi BM25 (t_bm25's in-session twin made durable).
+  *
+  * At 100 TB the inverted index is a WRITTEN layout, not a per-query
+  * derivation: tokenizing the corpus per search is the full-scan the
+  * store exists to avoid. Layout:
+  *
+  *  - `path/tb=<0..15>/` — postings rows (tok, doc_id, tf), hash-
+  *    partitioned by token bucket. A token's postings live in exactly
+  *    ONE tb dir, so a query's term set prunes the scan to its buckets
+  *    (runtime DPP on the tb equi-join) AND per-term document
+  *    frequencies re-derive from the probed buckets alone — df needs
+  *    no sidecar and stays correct under any append.
+  *  - `path.dl/` — per-document token counts (doc_id, dl): the BM25
+  *    length normalizer, joined per candidate doc (equi-join on
+  *    doc_id — bucket by doc_id on a real cluster to co-locate).
+  *  - `path.stats/` — one (n_docs, sum_dl) partial row per wave/batch.
+  *    Corpus stats are additive over DOC-DISJOINT waves, so serving
+  *    re-sums kilobytes of shards instead of scanning dl.
+  *
+  * Append contract: waves must be doc-disjoint (a document's postings
+  * land whole, exactly once) — the same exactly-once-per-row contract
+  * RateStore documents; the streaming maintainer gets it from
+  * [[appendBatch]]'s batchId-keyed idempotent shards. NOTHING trains:
+  * unlike the vector tiers there is no frozen model to drift — df, dl
+  * and the stats re-derive additively, which is why a two-wave append
+  * hash-matches the one-shot oracle with no retrain caveat.
+  */
+object Bm25Store {
+
+  /** Token-hash bucket count. 16 keeps gate-scale dirs readable; at
+    * 100 TB raise it so a bucket's postings fit an executor — the
+    * layout is unchanged (the bucket fn is seeded by name, not count).
+    */
+  val Buckets = 16
+
+  /** (k1, b) — the standard Okapi constants t_bm25 uses. */
+  val K1 = 1.2
+  val B = 0.75
+
+  private[sources] def tokensOf(text: Column): Column =
+    graft.operators.Dedup.tokens(text)
+
+  /** Token bucket: md5 integer arithmetic (oracle/SQL-replayable). */
+  private[graft] def tb(tok: Column): Column =
+    H.md5Long(concat(lit("bm25tb_"), tok), 8) % Buckets
+
+  /** Postings rows of a (doc_id, text) batch. */
+  private[graft] def postingsRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokensOf(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", tb(col("tok")))
+
+  /** dl sidecar rows: per-doc total tokens (docs with ≥1 token only —
+    * the same universe bm25Ranked's dl aggregate sees).
+    */
+  private[graft] def dlRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokensOf(col("text"))).as("tok"))
+      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+
+  private def statsRows(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  def write(docs: DataFrame, path: String): Unit = {
+    postingsRows(docs).write.mode("overwrite").partitionBy("tb").parquet(path)
+    val dl = dlRows(docs).transform(graft.Materialize.forceCached)
+    dl.write.mode("overwrite").parquet(path + ".dl")
+    statsRows(dl).write.mode("overwrite").parquet(path + ".stats")
+  }
+
+  /** Append a DOC-DISJOINT wave: postings land in their tb dirs, dl
+    * rows and a stats partial append — all three additive by the
+    * disjointness contract.
+    */
+  def append(docs: DataFrame, path: String): Unit = {
+    postingsRows(docs).write.mode("append").partitionBy("tb").parquet(path)
+    val dl = dlRows(docs).transform(graft.Materialize.forceCached)
+    dl.write.mode("append").parquet(path + ".dl")
+    statsRows(dl).write.mode("append").parquet(path + ".stats")
+  }
+
+  /** Idempotent per-batch shard for at-least-once executors (the
+    * RateStore recipe): postings/dl/stats land under bid=<id> subtrees
+    * written with OVERWRITE, so a replayed batch REPLACES its shard.
+    * Readers see bid as an extra partition column; serving ignores it.
+    * A store is either wave-appended or stream-maintained — the two
+    * layouts don't mix.
+    */
+  def appendBatch(docs: DataFrame, path: String, batchId: Long): Unit = {
+    postingsRows(docs).write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/bid=$batchId")
+    val dl = dlRows(docs).transform(graft.Materialize.forceCached)
+    dl.write.mode("overwrite").parquet(s"$path.dl/bid=$batchId")
+    statsRows(dl).write.mode("overwrite").parquet(s"$path.stats/bid=$batchId")
+  }
+
+  /** Merge-compact: rewrite each tb dir's append debt to one file
+    * (rows are unique per (tok, doc) under the disjointness contract —
+    * compaction is purely physical). Crash-consistent via
+    * StoreMaintenance's temp-dir + manifest swap.
+    */
+  def compact(spark: SparkSession, path: String): (Int, Int) =
+    StoreMaintenance.rewritePartitions(spark, path, _ > 1,
+      rows => rows.coalesce(1))
+
+  /** All postings of any query term — the one store read behind
+    * [[search]]. The bucket set is a STATIC partition filter (the
+    * query's distinct tb values collect driver-side — bounded by
+    * min(#query terms, Buckets), the same bounded-upload-collect
+    * contract IndexStore.search carries), so the scan prunes to the
+    * query's buckets in any plan, with no DPP fragility; the broadcast
+    * tok equi-join then narrows rows inside the probed buckets.
+    */
+  private[graft] def candidates(spark: SparkSession, path: String,
+                                qt: DataFrame): DataFrame = {
+    val qtbs = qt.select("qtb").distinct().collect().map(_.getLong(0))
+    spark.read.parquet(path).select("tok", "doc_id", "tf", "tb")
+      .filter(col("tb").isin(qtbs: _*))
+      .join(broadcast(qt.select("qtok", "qtb").distinct()),
+        col("tok") === col("qtok") && col("tb") === col("qtb"))
+      .select("tok", "doc_id", "tf")
+  }
+
+  /** BM25 top-k over the store for a (q_id, text) query frame.
+    *
+    * The query side never reads the store: terms tokenize map-side and
+    * broadcast. ONE postings read serves both candidate generation and
+    * df — the probed rows ARE every posting of every query term, so
+    * df(tok) is their per-token count (exactly the full-corpus df).
+    * The bucket filter prunes the scan to the query's tb dirs
+    * ([[candidates]]). Scoring replays t_bm25's arithmetic verbatim
+    * (tok-sorted 0.0-seeded fold, round 6) — the store search
+    * hash-shares t_bm25's oracle.
+    */
+  def search(spark: SparkSession, path: String, queries: DataFrame,
+             k: Int): DataFrame = {
+    val qt = queries
+      .select(col("q_id"), explode(array_distinct(tokensOf(col("text")))).as("qtok"))
+      .withColumn("qtb", tb(col("qtok")))
+      .transform(graft.Materialize.forceCached)
+    val cand0 = candidates(spark, path, qt)
+      .transform(graft.Materialize.forceCached) // feeds df AND the contrib join
+    val df = cand0.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(path + ".dl").select("doc_id", "dl")
+    val stats = spark.read.parquet(path + ".stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val contrib = cand0.join(broadcast(qt.select("q_id", "qtok")),
+        col("tok") === col("qtok") && col("doc_id") =!= col("q_id"))
+      .join(df, "tok").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"), col("tok"),
+        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) +
+            lit(B) * col("dl") / (col("sum_dl").cast("double") / col("n_docs"))))
+        ).as("c"))
+    val scored = contrib.groupBy("q_id", "doc_id")
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("tok"), col("c")))),
+        lit(0.0), (acc, s) => acc + s.getField("c")), 6).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select("q_id", "rnk", "doc_id", "score")
+  }
+}
+
+/** Driver-gate queries for the BM25 store. */
+object Bm25StoreQueries {
+
+  private def tag(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_d" + Integer.toHexString(dir.hashCode)
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+
+  private def queriesOf(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("text"))
+
+  /** v_bm25_store: two doc-disjoint waves (write + append) through the
+    * persisted postings layout, compact, then serve — hash-matches
+    * t_bm25's one-shot oracle: the append algebra (postings/df/dl/
+    * stats all additive) and the compaction are proven lossless by the
+    * hash, not asserted.
+    */
+  def vBm25Store(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/bm25_store_${tag(spark, dir)}/idx").getAbsolutePath
+    if (!new java.io.File(path).exists()) {
+      val d = docs(spark, dir)
+      Bm25Store.write(d.filter(col("doc_id") % 2 === 0), path)
+      Bm25Store.append(d.filter(col("doc_id") % 2 === 1), path)
+      Bm25Store.compact(spark, path)
+    }
+    Bm25Store.search(spark, path, queriesOf(spark, dir), k = 5)
+      .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_sql_store_bm25: the TWELFTH SQL serving leg — a SQL-only user
+    * ranks BM25 against the persisted postings store. Query terms
+    * tokenize IN SQL (the same trim/split/filter as Dedup.tokens) with
+    * the md5 token bucket restated, candidates prune via the tb join,
+    * df re-derives from the probed rows, and the score replays the
+    * tok-sorted 0.0-seeded fold — hash-shares t_bm25's oracle with the
+    * engine leg, so the two surfaces cannot drift.
+    */
+  def vSqlStoreBm25(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/sqlbm25_store_${tag(spark, dir)}/idx").getAbsolutePath
+    if (!new java.io.File(path).exists())
+      Bm25Store.write(docs(spark, dir), path)
+    graft.GraftSession.sqlStore(spark, path, "bm25")
+    spark.read.parquet(path + ".dl").createOrReplaceTempView("graft_store_bm25_dl")
+    spark.read.parquet(path + ".stats").createOrReplaceTempView("graft_store_bm25_stats")
+    docs(spark, dir).createOrReplaceTempView("graft_sql_docs_bm25")
+    spark.sql(s"""
+      WITH qt0 AS (SELECT doc_id AS q_id,
+               explode(array_distinct(filter(split(trim(text), '\\\\s+'),
+                 t -> t != ''))) AS qtok
+             FROM graft_sql_docs_bm25 WHERE doc_id < 3),
+      qt AS (SELECT q_id, qtok,
+               CAST(conv(substring(md5(concat('bm25tb_', qtok)), 1, 8), 16, 10)
+                 AS BIGINT) % ${Bm25Store.Buckets} AS qtb
+             FROM qt0),
+      qk AS (SELECT DISTINCT qtok, qtb FROM qt),
+      cand0 AS (SELECT /*+ BROADCAST(qk) */ p.tok, p.doc_id, p.tf
+                FROM graft_store_bm25 p
+                JOIN qk ON p.tok = qk.qtok AND p.tb = qk.qtb),
+      dfv AS (SELECT tok, COUNT(*) AS df FROM cand0 GROUP BY tok),
+      st AS (SELECT SUM(n_docs) AS n_docs, SUM(sum_dl) AS sum_dl
+             FROM graft_store_bm25_stats),
+      contrib AS (SELECT /*+ BROADCAST(qt, st) */ q.q_id, c.doc_id, c.tok,
+               ln((st.n_docs - f.df + 0.5D) / (f.df + 0.5D) + 1.0D) *
+                 (c.tf * ${Bm25Store.K1 + 1}D) /
+                 (c.tf + ${Bm25Store.K1}D * (${1.0 - Bm25Store.B}D +
+                   ${Bm25Store.B}D * l.dl /
+                     (CAST(st.sum_dl AS DOUBLE) / st.n_docs))) AS c
+             FROM cand0 c
+             JOIN qt q ON c.tok = q.qtok AND c.doc_id <> q.q_id
+             JOIN dfv f ON f.tok = c.tok
+             JOIN graft_store_bm25_dl l ON l.doc_id = c.doc_id
+             CROSS JOIN st),
+      scored AS (SELECT q_id, doc_id,
+               ROUND(aggregate(array_sort(collect_list(struct(tok, c))),
+                 CAST(0 AS DOUBLE), (acc, s) -> acc + s.c), 6) AS score
+             FROM contrib GROUP BY q_id, doc_id),
+      ranked AS (SELECT q_id AS query_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk,
+               doc_id, score
+             FROM scored)
+      SELECT query_id, rnk, doc_id, score FROM ranked
+      WHERE rnk <= 5 ORDER BY query_id, rnk""")
+  }
+}

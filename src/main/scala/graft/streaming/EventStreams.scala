@@ -1195,6 +1195,62 @@ object EventStreams {
     spanDedupReport(spark, store)
   }
 
+  /** Streaming maintainer of the persisted BM25 postings store
+    * (sources.Bm25Store): each AvailableNow batch of (doc_id, text)
+    * rows tokenizes map-side and lands its postings/dl/stats as
+    * batchId-keyed idempotent shards (Bm25Store.appendBatch — the
+    * RateStore recipe: postings and stats are ADDITIVE, so an
+    * at-least-once replay must REPLACE its shard, not re-add it).
+    * Nothing trains, so there is no frozen-model caveat: df, dl and
+    * the corpus stats re-derive additively at serve time and a
+    * streamed store serves bit-identically to a one-shot build.
+    */
+  def runBm25Ingest(spark: SparkSession, srcDir: String, checkpoint: String,
+                    storePath: String): StreamingQuery = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream
+      .schema(docSchema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        graft.sources.Bm25Store.appendBatch(batch.toDF(), storePath, batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** s_bm25_ingest: the streaming postings-store maintainer IN the
+    * driver gate — two document waves through runBm25Ingest (batchId-
+    * keyed idempotent shards), then the store search hash-matches
+    * t_bm25's one-shot oracle: the additive df/dl/stats algebra across
+    * streamed appends is proven by the hash. Idempotent across
+    * invocations.
+    */
+  def sBm25Ingest(spark: SparkSession, dir: String): DataFrame = {
+    val tag = gateTag(spark, dir)
+    val root = new java.io.File(s"target/sbm25_store_$tag").getAbsolutePath
+    val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    if (!new java.io.File(store).exists()) {
+      docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
+      runBm25Ingest(spark, src, ckpt, store)
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+      runBm25Ingest(spark, src, ckpt, store)
+    }
+    graft.sources.Bm25Store.search(spark, store,
+        docs.filter(col("doc_id") < 3).select(col("doc_id").as("q_id"), col("text")),
+        k = 5)
+      .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** s_bitmap_ingest: the streaming exact-distinct maintainer IN the
     * driver gate — two OVERLAPPING event waves (split by event id, so
     * the same user lands in both) through runBitmapIngest, then the

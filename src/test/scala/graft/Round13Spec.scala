@@ -102,6 +102,51 @@ class Round13Spec extends SparkSpec {
       "a replayed batch changed the sessionize sink — shard not idempotent")
   }
 
+  test("bm25 store: short query prunes the postings scan to its buckets") {
+    import graft.sources.Bm25Store
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("bm25_prune").toString
+    val store = s"$base/idx"
+    Bm25Store.write(docs, store)
+    val total = new java.io.File(store).listFiles()
+      .count(_.getName.startsWith("tb="))
+    assert(total > 2, s"corpus should spread over buckets, got $total dirs")
+    // a one-term query probes exactly one bucket
+    val qt = spark.range(1).select(lit(0L).as("q_id"), lit("the").as("qtok"))
+      .withColumn("qtb", Bm25Store.tb(col("qtok")))
+    val cand = Bm25Store.candidates(spark, store, qt)
+    cand.collect()
+    val reads = executedFileScans(cand)
+      .filter(_.metrics.contains("numPartitions"))
+      .map(_.metrics("numPartitions").value)
+    assert(reads.nonEmpty && reads.max <= 1,
+      s"one-term probe must read one tb dir of $total, read $reads")
+  }
+
+  test("bm25 store: a replayed streamed batch replaces its shards") {
+    import graft.sources.Bm25Store
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("bm25_replay").toString
+    val store = s"$base/idx"
+    val w0 = docs.filter(col("doc_id") % 2 === 0)
+    val w1 = docs.filter(col("doc_id") % 2 === 1)
+    Bm25Store.appendBatch(w0, store, 0L)
+    Bm25Store.appendBatch(w1, store, 1L)
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("text"))
+    def served(): Seq[String] =
+      Bm25Store.search(spark, store, q, 5).orderBy("q_id", "rnk")
+        .collect().map(_.toString).toSeq
+    val expected = served()
+    assert(expected.nonEmpty)
+    // at-least-once replay of a committed batch: the bid= overwrite
+    // must REPLACE postings/dl/stats shards — stats are additive, so a
+    // plain re-append would shift every score
+    Bm25Store.appendBatch(w1, store, 1L)
+    assert(served() == expected,
+      "a replayed batch changed BM25 scores — shards not idempotent")
+  }
+
   test("JPEG fixtures decode identically under this JVM's codec") {
     assert(graft.operators.JpegFixtures.codecDrift().isEmpty,
       "committed JPEG grids no longer reproduce — regenerate fixtures " +
