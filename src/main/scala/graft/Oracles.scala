@@ -5085,10 +5085,34 @@ object Oracles {
       GROUP BY l.nprobe ORDER BY nprobe"""
   }
 
+  /** A documents-sourced oracle re-sourced from the NEAR-DUP frame
+    * (Knn.nearDupDocs replayed: 40 shared md5 family pseudo-words +
+    * the doc's own 120-char prefix) — the engine runs the same gate
+    * over `<dir>#neardup`, so the oracle is the same SQL with the
+    * documents source CTE swapped (the text-side clustered() analog).
+    */
+  private def nearDup(oracle: String): String = {
+    import graft.operators.Knn.{NdFamilies, NdWords}
+    require(oracle.contains(shinglesCte), "oracle does not embed the shingles CTE")
+    val words = (0 until NdWords).map(j =>
+      s"'w' || substr(md5('fam_' || (doc_id % $NdFamilies) || '_$j'), 1, 6) || ' '")
+      .mkString(" || ")
+    val ndCte = s"""
+      nddocs AS (SELECT doc_id, $words || substr(text, 1, 120) AS text
+             FROM documents),"""
+    oracle.replace(shinglesCte,
+      ndCte + shinglesCte.replace("FROM documents", "FROM nddocs"))
+  }
+
   val round13: Map[String, String] = {
     import graft.operators.Knn.{IvfTrainSample, IvfIters, DriftOffset}
     val half = IvfTrainSample / 2
     Map(
+      // the late-interaction recall twin over planted near-dup
+      // DOCUMENT families (closes the r12 verdict's half-item: maxsim
+      // vectors derive from text, so the twin needed a text-side
+      // corpus, not the embedding routing)
+      "vc_maxsim_recall" -> nearDup(vMaxsimRecallSql),
       // the IVF tuning curve, isotropic + clustered flavors
       "v_ivf_curve" -> ivfCurveSql,
       "vc_ivf_curve" -> clustered(ivfCurveSql),

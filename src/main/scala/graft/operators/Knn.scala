@@ -1837,6 +1837,41 @@ object Knn {
     * partition, and the shingle md5 stream is the CPU-heavy stage.
     * Shared by v_maxsim and the persisted MaxsimStore.
     */
+  /** Virtual-corpus suffix for DOCUMENTS — the text-side analog of
+    * [[ClusteredSuffix]]: `<dir>#neardup` routes [[maxsimDocs]] to a
+    * deterministic template-family rewrite of the documents table, so
+    * text-derived gates (maxsim's shingle vector sets) get planted
+    * near-duplicate structure the embedding-corpus routing cannot
+    * reach (maxsim vectors derive from text, not the embeddings
+    * table — the reason the r12 verdict's vc_maxsim twin needed its
+    * own corpus).
+    */
+  private[graft] val NearDupSuffix = "#neardup"
+  val NdFamilies = 8
+  val NdWords = 40
+
+  /** The near-dup frame: doc text = 40 shared family pseudo-words
+    * (md5-derived, family = doc_id mod 8) + the doc's own 120-char
+    * original prefix. Family members share a long exact passage (the
+    * near-dup structure) while tails keep them distinct. One map-side
+    * projection; DuckDB replays the string ops bit-for-bit.
+    */
+  private[graft] def nearDupDocs(spark: SparkSession, rawDir: String): DataFrame = {
+    val fam = (col("doc_id") % NdFamilies).cast("string")
+    val words: Seq[Column] = (0 until NdWords).map { j =>
+      concat(lit("w"),
+        substring(md5(concat(lit("fam_"), fam, lit("_" + j))), 1, 6), lit(" "))
+    }
+    Tables.documents(spark, rawDir).select(col("doc_id"),
+      concat(words :+ substring(col("text"), 1, 120): _*).as("text"))
+  }
+
+  /** Documents with the `#neardup` virtual-corpus routing applied. */
+  private[graft] def maxsimDocs(spark: SparkSession, dir: String): DataFrame =
+    if (dir.endsWith(NearDupSuffix))
+      nearDupDocs(spark, dir.stripSuffix(NearDupSuffix))
+    else Tables.documents(spark, dir).select("doc_id", "text")
+
   private[graft] def maxsimVecRows(docs: DataFrame): DataFrame = {
     val hv: Seq[Column] = (1 to MvDim).map(k =>
       (HashFns.md5Long(
@@ -1912,7 +1947,7 @@ object Knn {
   }
 
   def vMaxsim(spark: SparkSession, dir: String): DataFrame = {
-    val sampled = maxsimVecRows(Tables.documents(spark, dir).select("doc_id", "text"))
+    val sampled = maxsimVecRows(maxsimDocs(spark, dir))
       .transform(graft.Materialize.forceCached) // feeds queries, index, corpus side
     val qs = sampled.filter(col("doc_id") < 3)
       .select(col("doc_id").as("q_id"), col("h"))
@@ -1934,7 +1969,7 @@ object Knn {
     * branch, never the serving path.
     */
   def vMaxsimRecall(spark: SparkSession, dir: String): DataFrame = {
-    val sampled = maxsimVecRows(Tables.documents(spark, dir).select("doc_id", "text"))
+    val sampled = maxsimVecRows(maxsimDocs(spark, dir))
       .transform(graft.Materialize.forceCached)
     val qs = sampled.filter(col("doc_id") < 3)
       .select(col("doc_id").as("q_id"), col("h"))

@@ -102,6 +102,20 @@ class Round13Spec extends SparkSpec {
       "a replayed batch changed the sessionize sink — shard not idempotent")
   }
 
+  test("near-dup document corpus: maxsim blocking recovers planted families") {
+    import graft.operators.Knn
+    // the #neardup frame: family members share the 40-word template
+    val nd = Knn.nearDupDocs(spark, sf)
+    val fams = nd.filter(col("doc_id") % 8 === 2).select("text")
+      .limit(2).collect().map(_.getString(0))
+    assert(fams.length == 2 && fams(0).take(280) == fams(1).take(280),
+      "same-family docs must share the template prefix")
+    val rows = Knn.vMaxsimRecall(spark, sf + Knn.NearDupSuffix).collect()
+    val avg = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(avg >= 0.8,
+      s"fingerprint blocking must recover the planted families, recall=$avg")
+  }
+
   test("bm25 store: short query prunes the postings scan to its buckets") {
     import graft.sources.Bm25Store
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
