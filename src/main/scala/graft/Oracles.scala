@@ -4893,9 +4893,9 @@ object Oracles {
     // clustered twins for the remaining recall gates that only had
     // isotropic numbers: the coarse×binary tier, the persisted banded
     // multiprobe tier, and the multiprobe blocking recall. (v_maxsim's
-    // recall gate has no clustered twin by scope: the #clustered
-    // virtual corpus is an embeddings-table construct, while maxsim's
-    // token vectors derive from document TEXT.)
+    // recall gate could not use the #clustered embedding routing —
+    // maxsim's token vectors derive from document TEXT; r13's #neardup
+    // document corpus closed that twin as vc_maxsim_recall.)
     "vc_ivf_bq_recall" -> clustered(vector("v_ivf_bq_recall")),
     "vc_annmp_recall" -> clustered(round10("v_ann_store_recall")),
     "dc_embed_mp_recall" -> clustered(round9("d_embed_mp_recall")),
@@ -5091,17 +5091,133 @@ object Oracles {
     * over `<dir>#neardup`, so the oracle is the same SQL with the
     * documents source CTE swapped (the text-side clustered() analog).
     */
-  private def nearDup(oracle: String): String = {
+  /** The near-dup text projection (Knn.nearDupDocs replayed): 40
+    * shared md5 family pseudo-words + the doc's own 120-char prefix.
+    */
+  private def ndWordsSql: String = {
     import graft.operators.Knn.{NdFamilies, NdWords}
-    require(oracle.contains(shinglesCte), "oracle does not embed the shingles CTE")
-    val words = (0 until NdWords).map(j =>
+    (0 until NdWords).map(j =>
       s"'w' || substr(md5('fam_' || (doc_id % $NdFamilies) || '_$j'), 1, 6) || ' '")
       .mkString(" || ")
-    val ndCte = s"""
-      nddocs AS (SELECT doc_id, $words || substr(text, 1, 120) AS text
-             FROM documents),"""
+  }
+
+  private def ndDocsCte: String = s"""
+      nddocs AS (SELECT doc_id, $ndWordsSql || substr(text, 1, 120) AS text
+             FROM documents)"""
+
+  private def nearDup(oracle: String): String = {
+    require(oracle.contains(shinglesCte), "oracle does not embed the shingles CTE")
     oracle.replace(shinglesCte,
-      ndCte + shinglesCte.replace("FROM documents", "FROM nddocs"))
+      ndDocsCte + "," + shinglesCte.replace("FROM documents", "FROM nddocs"))
+  }
+
+  /** The hybrid-fusion quality gate: clustered-LSH leg vs near-dup
+    * BM25 leg vs their RRF fusion, recall@5 against exact cosine plus
+    * family-precision@5, per query. Wrapped in clustered() so the
+    * embeddings source is the clustered frame; the documents source is
+    * the near-dup projection inline.
+    */
+  private def hybridRecallSql: String = {
+    import graft.operators.Knn.NdFamilies
+    s"""
+      WITH $lshBandsCte,
+      hq AS (SELECT b.vec_id AS query_id, b.band0 AS qb0, b.band1 AS qb1,
+               n.v AS qv, n.nrm AS qn
+             FROM bands b JOIN n ON n.vec_id = b.vec_id WHERE b.vec_id < 3),
+      hcand AS (SELECT query_id, qv, qn, b.vec_id AS neighbor_id
+                FROM hq JOIN bands b
+                  ON b.vec_id <> query_id AND (b.band0 = qb0 OR b.band1 = qb1)),
+      hs AS (SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, y.v) / (qn * y.nrm), 6) AS sim
+             FROM hcand JOIN n y ON y.vec_id = neighbor_id),
+      v10 AS (SELECT query_id, neighbor_id, rnk FROM (
+               SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+               FROM hs) t WHERE rnk <= 10),
+      $ndDocsCte,
+      btf AS (SELECT d.doc_id, tok, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM nddocs) d
+              WHERE tok <> '' GROUP BY d.doc_id, tok),
+      bdf AS (SELECT tok, COUNT(*) AS df FROM btf GROUP BY tok),
+      bdl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM btf GROUP BY doc_id),
+      bst AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM bdl),
+      bqt AS (SELECT doc_id AS q_id, tok FROM btf WHERE doc_id < 3),
+      bc AS (SELECT bq.q_id, t.doc_id, t.tok,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (t.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * dl
+                   / (CAST(sum_dl AS DOUBLE) / n_docs))) AS c
+             FROM btf t JOIN bqt bq ON t.tok = bq.tok AND t.doc_id <> bq.q_id
+             JOIN bdf ON bdf.tok = t.tok
+             JOIN bdl ON bdl.doc_id = t.doc_id
+             CROSS JOIN bst),
+      bs AS (SELECT q_id, doc_id,
+               ROUND(list_reduce(list(c ORDER BY tok), (a, x) -> a + x), 6) AS score
+             FROM bc GROUP BY q_id, doc_id),
+      b10 AS (SELECT q_id, doc_id, rnk FROM (
+                SELECT q_id, doc_id,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+                FROM bs) t WHERE rnk <= 10),
+      fused AS (SELECT COALESCE(v.query_id, b.q_id) AS query_id,
+                  COALESCE(v.neighbor_id, b.doc_id) AS doc_id,
+                  ROUND((CASE WHEN v.rnk IS NOT NULL
+                           THEN 1.0 / (60 + v.rnk) ELSE 0.0 END)
+                      + (CASE WHEN b.rnk IS NOT NULL
+                           THEN 1.0 / (60 + b.rnk) ELSE 0.0 END), 6) AS f
+                FROM v10 v FULL OUTER JOIN b10 b
+                  ON v.query_id = b.q_id AND v.neighbor_id = b.doc_id),
+      ftop AS (SELECT query_id, doc_id FROM (
+               SELECT query_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY f DESC, doc_id ASC) AS rnk
+               FROM fused) t WHERE rnk <= 5),
+      vtop AS (SELECT query_id, neighbor_id AS doc_id FROM v10 WHERE rnk <= 5),
+      ltop AS (SELECT q_id AS query_id, doc_id FROM b10 WHERE rnk <= 5),
+      hex_s AS (SELECT q2.query_id, n.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(q2.qv, n.v) / (q2.qn * n.nrm), 6) AS sim
+               FROM n CROSS JOIN (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                                  FROM n WHERE vec_id < 3) q2
+               WHERE n.vec_id <> q2.query_id),
+      hex5 AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM hex_s) t WHERE rnk <= 5),
+      rv AS (SELECT e.query_id, ROUND(COUNT(m.doc_id) / 5.0, 6) AS recall_vec
+             FROM hex5 e LEFT JOIN vtop m
+               ON m.query_id = e.query_id AND m.doc_id = e.neighbor_id
+             GROUP BY e.query_id),
+      rl AS (SELECT e.query_id, ROUND(COUNT(m.doc_id) / 5.0, 6) AS recall_lex
+             FROM hex5 e LEFT JOIN ltop m
+               ON m.query_id = e.query_id AND m.doc_id = e.neighbor_id
+             GROUP BY e.query_id),
+      rf AS (SELECT e.query_id, ROUND(COUNT(m.doc_id) / 5.0, 6) AS recall_fused
+             FROM hex5 e LEFT JOIN ftop m
+               ON m.query_id = e.query_id AND m.doc_id = e.neighbor_id
+             GROUP BY e.query_id),
+      fv AS (SELECT query_id, ROUND(CAST(SUM(CASE WHEN doc_id % $NdFamilies =
+               query_id % $NdFamilies THEN 1 ELSE 0 END) AS BIGINT) / 5.0, 6)
+               AS fam_vec
+             FROM vtop GROUP BY query_id),
+      fl AS (SELECT query_id, ROUND(CAST(SUM(CASE WHEN doc_id % $NdFamilies =
+               query_id % $NdFamilies THEN 1 ELSE 0 END) AS BIGINT) / 5.0, 6)
+               AS fam_lex
+             FROM ltop GROUP BY query_id),
+      ff AS (SELECT query_id, ROUND(CAST(SUM(CASE WHEN doc_id % $NdFamilies =
+               query_id % $NdFamilies THEN 1 ELSE 0 END) AS BIGINT) / 5.0, 6)
+               AS fam_fused
+             FROM ftop GROUP BY query_id)
+      SELECT rv.query_id, recall_vec, recall_lex, recall_fused,
+        fam_vec, fam_lex, fam_fused
+      FROM rv JOIN rl ON rl.query_id = rv.query_id
+      JOIN rf ON rf.query_id = rv.query_id
+      JOIN fv ON fv.query_id = rv.query_id
+      JOIN fl ON fl.query_id = rv.query_id
+      JOIN ff ON ff.query_id = rv.query_id
+      ORDER BY rv.query_id"""
   }
 
   val round13: Map[String, String] = {
@@ -5113,6 +5229,12 @@ object Oracles {
       // vectors derive from text, so the twin needed a text-side
       // corpus, not the embedding routing)
       "vc_maxsim_recall" -> nearDup(vMaxsimRecallSql),
+
+      // hybrid fusion quality: clustered-LSH leg × near-dup BM25 leg ×
+      // RRF, recall@5 vs exact cosine + family-precision@5 — the
+      // two-sided honest result (fusion preserves coarse relevance,
+      // dilutes the stronger leg's fine-grained recall) spec-pinned
+      "vc_hybrid_recall" -> clustered(hybridRecallSql),
       // the IVF tuning curve, isotropic + clustered flavors
       "v_ivf_curve" -> ivfCurveSql,
       "vc_ivf_curve" -> clustered(ivfCurveSql),

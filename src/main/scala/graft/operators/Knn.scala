@@ -406,12 +406,19 @@ object Knn {
     * scale this is the shuffle-on-bucket path, no broadcast of the
     * corpus ever needed).
     */
-  def vAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+  def vAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshRanked(spark, dir, NumQueries, 3)
+
+  /** The LSH ANN leg with explicit query-prefix and k — vAnnLsh's body
+    * parameterized so the hybrid fusion gate can draw a deeper leg.
+    */
+  private[graft] def annLshRanked(spark: SparkSession, dir: String,
+                                  nq: Int, k: Int): DataFrame = {
     val dim = 64
     val e = withBands(
       corpus(spark, dir).withColumn("vq", V.quantize(col("v"))), dim)
       .select("vec_id", "v", "nrm", "band0", "band1")
-    val q = e.filter(col("vec_id") < NumQueries)
+    val q = e.filter(col("vec_id") < nq)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("band0").as("qb0"), col("band1").as("qb1"))
     // OR-of-bands is not hash-joinable; a union of two equi-joins is
@@ -425,7 +432,7 @@ object Knn {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 3)
+    cands.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "sim")
       .orderBy("query_id", "rnk")
   }
@@ -2040,6 +2047,79 @@ object Knn {
     fused.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
       .select("query_id", "rnk", "doc_id", "fused")
       .orderBy("query_id", "rnk")
+  }
+
+  /** vc_hybrid_recall: the hybrid-fusion QUALITY gate — v_hybrid_bm25
+    * ships the production fusion shape; this measures whether fusing
+    * actually helps, on corpora where both legs carry partial signal.
+    * The two virtual corpora are family-ALIGNED by construction (both
+    * cluster on id mod 8): the vector leg is the LSH ANN top-10 over
+    * `#clustered` embeddings (blocking loses some neighbors), the
+    * lexical leg is BM25 top-10 over `#neardup` documents (a noisy
+    * text proxy of the same families). Ground truth is exact cosine
+    * top-5 over the clustered corpus; the report carries BOTH recall@5
+    * of each leg vs the fusion AND the coarse family-precision@5 (the
+    * fraction of a top-5 in the query's planted family). The measured
+    * result is the honest TWO-SIDED one: fusion preserves the coarse
+    * relevance both legs agree on (fam_fused = 1.0 = both legs) while
+    * DILUTING the exact-ID recall of the stronger leg (0.4 vs the
+    * vector leg's 1.0) — because the legs' within-family orderings are
+    * independent noise here, this is precisely the production failure
+    * mode of naively fusing in a leg that is uninformative for the
+    * fine-grained truth. RRF's win requires correlated relevance;
+    * the gate pins both sides so neither story can silently drift.
+    */
+  def vHybridRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (nq, legK) = (3, 10)
+    val cdir = dir + ClusteredSuffix
+    val vec = annLshRanked(spark, cdir, nq, legK)
+      .select(col("query_id").as("vq"), col("neighbor_id").as("vc"),
+        col("rnk").as("vrnk"))
+      .transform(graft.Materialize.forceCached)
+    val lex = TextAnalysis.bm25RankedDocs(nearDupDocs(spark, dir), nq, legK)
+      .select(col("q_id").as("lq"), col("doc_id").as("lc"), col("rnk").as("lrnk"))
+      .transform(graft.Materialize.forceCached)
+    val exact = knnBase(spark, cdir, DefaultK).filter(col("query_id") < nq)
+      .select("query_id", "neighbor_id")
+      .transform(graft.Materialize.forceCached)
+    val fused = vec.join(lex,
+        col("vq") === col("lq") && col("vc") === col("lc"), "full_outer")
+      .select(coalesce(col("vq"), col("lq")).as("query_id"),
+        coalesce(col("vc"), col("lc")).as("doc_id"),
+        round(
+          when(col("vrnk").isNotNull, lit(1.0) / (lit(60) + col("vrnk")))
+            .otherwise(lit(0.0)) +
+          when(col("lrnk").isNotNull, lit(1.0) / (lit(60) + col("lrnk")))
+            .otherwise(lit(0.0)), 6).as("fused"))
+    val w = Window.partitionBy("query_id").orderBy(col("fused").desc, col("doc_id").asc)
+    val ftop = fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= DefaultK).select("query_id", "doc_id")
+    def recallOf(leg: DataFrame, tag: String): DataFrame =
+      exact.join(leg.select(col("query_id").as("aq"), col("doc_id").as("an")),
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+        .groupBy("query_id")
+        .agg(round(count(col("an")) / lit(DefaultK.toDouble), 6).as(s"recall_$tag"))
+    def famOf(leg: DataFrame, tag: String): DataFrame =
+      leg.groupBy("query_id")
+        .agg(round(
+          sum(when(col("doc_id") % NdFamilies === col("query_id") % NdFamilies,
+            1).otherwise(0)) / lit(DefaultK.toDouble), 6).as(s"fam_$tag"))
+    val vtop = vec.filter(col("vrnk") <= DefaultK)
+      .select(col("vq").as("query_id"), col("vc").as("doc_id"))
+    val ltop = lex.filter(col("lrnk") <= DefaultK)
+      .select(col("lq").as("query_id"), col("lc").as("doc_id"))
+    val legs = Seq(
+      recallOf(vtop, "vec"), recallOf(ltop, "lex"), recallOf(ftop, "fused"),
+      famOf(vtop, "vec"), famOf(ltop, "lex"), famOf(ftop, "fused"))
+    legs.zipWithIndex.map { case (d, i) =>
+      if (i == 0) d else d.withColumnRenamed("query_id", s"q$i")
+    }.reduceLeft { (acc, d) =>
+      val qc = d.columns.find(_.startsWith("q")).get
+      acc.join(d, col("query_id") === col(qc)).drop(qc)
+    }
+      .select("query_id", "recall_vec", "recall_lex", "recall_fused",
+        "fam_vec", "fam_lex", "fam_fused")
+      .orderBy("query_id")
   }
 
   /** v_rrf_fusion: hybrid search — reciprocal-rank fusion of the

@@ -248,9 +248,17 @@ object TextAnalysis {
     * fusion.
     */
   private[operators] def bm25Ranked(spark: SparkSession, dir: String,
-                                    nq: Int, k: Int): DataFrame = {
+                                    nq: Int, k: Int): DataFrame =
+    bm25RankedDocs(Tables.documents(spark, dir).select("doc_id", "text"), nq, k)
+
+  /** The same BM25 leg over an explicit (doc_id, text) frame — lets
+    * virtual corpora (Knn.nearDupDocs) route through the identical
+    * scorer.
+    */
+  private[operators] def bm25RankedDocs(docs: DataFrame,
+                                        nq: Int, k: Int): DataFrame = {
     val (k1, b) = (1.2, 0.75)
-    val docToks = Tables.documents(spark, dir)
+    val docToks = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
     val tf = docToks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .transform(graft.Materialize.forceCached) // feeds tf, df, dl, AND the query side

@@ -116,6 +116,25 @@ class Round13Spec extends SparkSpec {
       s"fingerprint blocking must recover the planted families, recall=$avg")
   }
 
+  test("hybrid fusion gate: coarse relevance preserved, fine recall diluted") {
+    import graft.operators.Knn
+    val rows = Knn.vHybridRecall(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      def d(c: String) = r.getAs[Double](c)
+      // both legs find the planted family; fusion keeps it
+      assert(d("fam_vec") == 1.0 && d("fam_lex") == 1.0 && d("fam_fused") == 1.0,
+        s"family precision must survive fusion: $r")
+      // the two-sided honest result: the lexical leg is noise for the
+      // exact-cosine truth, so RRF DILUTES the strong leg — naively
+      // fusing an uninformative leg costs fine-grained recall
+      assert(d("recall_vec") == 1.0 && d("recall_lex") == 0.0,
+        s"leg recalls drifted: $r")
+      assert(d("recall_fused") > 0.0 && d("recall_fused") < d("recall_vec"),
+        s"fusion dilution signal lost: $r")
+    }
+  }
+
   test("bm25 store: short query prunes the postings scan to its buckets") {
     import graft.sources.Bm25Store
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
