@@ -5243,6 +5243,10 @@ object Oracles {
       // search, and the twelfth SQL leg all hash-share t_bm25's
       // one-shot oracle — append algebra, batchId-shard idempotency,
       // and SQL-surface parity proven by the same hash
+      // vacuum is purely physical: the post-vacuum search must still
+      // hash-match the table-minus-victims oracle
+      "q_vacuum_store" -> round12("q_purge_store"),
+
       "v_bm25_store" -> round12("t_bm25"),
       "s_bm25_ingest" -> round12("t_bm25"),
       "v_sql_store_bm25" -> round12("t_bm25"),

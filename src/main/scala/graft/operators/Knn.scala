@@ -3180,6 +3180,49 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** q_vacuum_store: the FULL store lifecycle ending in VACUUM, in the
+    * driver gate — two appends (small-file debt), compact (retires the
+    * appended files into `.retired/v1/`), purge the q_purge_store
+    * victim set (retires the hit partitions' pre-purge files into
+    * v2), then vacuum with a zero horizon (forced — the gate is its
+    * own only reader) reclaims both snapshot versions. The post-vacuum
+    * search must hash-match the table-minus-victims oracle
+    * (q_purge_store's): vacuum is purely physical, results unchanged,
+    * and the spec additionally pins that the retired dirs existed
+    * before and are gone after (dir count drops) while a snapshot read
+    * INSIDE the retention horizon survives.
+    */
+  def qVacuumStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
+    val path = new java.io.File(s"target/vacuum_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    // k-bounded collect: 3 victim ids (the gate's deletion request)
+    val victims = vKnnExact(spark, dir)
+      .filter(col("rnk") === 1 && col("query_id") < 3)
+      .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSeq
+    if (!new java.io.File(path).exists()) {
+      graft.sources.IndexStore.write(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path, dim = 64)
+      graft.sources.IndexStore.append(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path, dim = 64)
+      graft.sources.StoreMaintenance.compact(spark, path)
+      graft.sources.StoreMaintenance.purge(spark, path, "id", victims)
+      val retired = graft.sources.StoreMaintenance.versions(path)
+      require(retired.nonEmpty, "lifecycle must have retired snapshots to vacuum")
+      graft.sources.StoreMaintenance.vacuum(path, retentionMs = 0, force = true)
+      require(graft.sources.StoreMaintenance.versions(path).isEmpty,
+        "vacuum must reclaim every aged snapshot version")
+    }
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.IndexStore
+      .search(graft.sources.IndexStore.read(spark, path), queries,
+        "vec_id", "embedding", DefaultK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_pq_store: the persisted PQ path inside the correctness gate —
     * codes + codebook sidecar written to disk, ADC search over the
     * loaded index, hash-matched against v_pq's oracle.

@@ -206,7 +206,10 @@ object IndexStore {
   *     `_SUCCESS` only after every part file is durable.
   *  2. write `.compact_<part>/manifest` — the exact list of OLD data
   *     files to retire. Its presence asserts step 1 completed.
-  *  3. delete the manifest-listed files, move the rewritten files in,
+  *  3. RETIRE the manifest-listed files into `.retired/v<N>/` (never
+  *     delete — [[StoreMaintenance.vacuum]] reclaims them past the
+  *     retention horizon, and [[StoreMaintenance.readBefore]] replays
+  *     the pre-op state until then), move the rewritten files in,
   *     remove the temp dir (manifest last).
   *
   * Recovery rule (run [[recover]] before serving after a crash): a
@@ -338,14 +341,101 @@ object StoreMaintenance {
     if (rel == ".") root else new java.io.File(root, rel)
   }
 
-  /** Step 3 of the swap, idempotent: retire manifest-listed files,
-    * move rewritten files into the partition dir, clear the temp dir
-    * (manifest deleted last, so a crash anywhere re-runs cleanly).
+  /** Version-keyed retired-snapshot area under the store root.
+    * Dot-prefixed, so parquet discovery and every maintenance listing
+    * skip it. Layout: `.retired/v<N>/<encoded relDir>/` holds the
+    * COMPLETE pre-op data files of each partition dir maintenance
+    * version N rewrote, plus an `_added` sidecar naming the files the
+    * op moved in — together the exact lineage [[readBefore]] replays
+    * and [[vacuum]] eventually reclaims.
+    */
+  val RetiredDirName = ".retired"
+
+  /** Rel-dir key for the store root itself (flat layouts swap "."). */
+  private val RootRelKey = "_root_"
+
+  /** Durable version high-water mark: `.retired/_hwm` survives vacuum,
+    * so version numbers NEVER restart after snapshots are reclaimed —
+    * [[readBefore]] uses the gap between the mark and the snapshots
+    * still on disk to fail CLOSED on a vacuumed lineage instead of
+    * silently serving the wrong state.
+    */
+  private def hwmFile(root: java.io.File) =
+    new java.io.File(root, s"$RetiredDirName/_hwm")
+
+  private def readHwm(root: java.io.File): Long =
+    if (hwmFile(root).isFile)
+      scala.util.Try(java.nio.file.Files.readAllLines(hwmFile(root).toPath)
+        .get(0).toLong).getOrElse(0L)
+    else 0L
+
+  /** Next maintenance version: one past the max across committed
+    * retired snapshots, in-flight temp dirs (a crashed pass's version
+    * must never be reissued), and the durable high-water mark (a
+    * vacuumed version must never be reissued either). Persists the new
+    * mark. Call under the lock.
+    */
+  private[sources] def allocateVersion(root: java.io.File): Long = {
+    val fromRetired = versionsOf(root)
+    val fromTmps = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".compact_"))
+      .flatMap { t =>
+        val vf = new java.io.File(t, "retire_version")
+        if (vf.isFile)
+          scala.util.Try(
+            java.nio.file.Files.readAllLines(vf.toPath).get(0).toLong).toOption
+        else None
+      }
+    val v = (fromRetired ++ fromTmps :+ readHwm(root)).foldLeft(0L)(math.max) + 1
+    new java.io.File(root, RetiredDirName).mkdirs()
+    java.nio.file.Files.write(hwmFile(root).toPath,
+      java.util.Collections.singletonList(v.toString))
+    v
+  }
+
+  /** Step 2 of the swap: the manifest of OLD files to retire plus the
+    * maintenance version the retired snapshot will file under.
+    */
+  private def commitManifest(tmp: java.io.File, files: Array[java.io.File],
+                             version: Long): Unit = {
+    java.nio.file.Files.write(new java.io.File(tmp, "retire_version").toPath,
+      java.util.Collections.singletonList(version.toString))
+    java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
+      java.util.Arrays.asList(files.map(_.getName): _*))
+  }
+
+  /** Step 3 of the swap, idempotent: RETIRE manifest-listed files into
+    * the version's snapshot dir (never delete — [[vacuum]] reclaims
+    * them past the retention horizon; until then [[readBefore]] can
+    * replay the pre-op state), move rewritten files into the partition
+    * dir, clear the temp dir (manifest deleted last, so a crash
+    * anywhere re-runs cleanly; the `_added` lineage sidecar is written
+    * first, so a partially-moved re-run never loses it).
     */
   private def completeSwap(pdir: java.io.File, tmp: java.io.File): Unit = {
+    val root = tmp.getParentFile
     val manifest = new java.io.File(tmp, "manifest")
+    val vFile = new java.io.File(tmp, "retire_version")
+    val version =
+      if (vFile.isFile)
+        java.nio.file.Files.readAllLines(vFile.toPath).get(0).toLong
+      else allocateVersion(root) // pre-versioning temp dir (recovery)
+    val relKey = {
+      val rel = tmp.getName.stripPrefix(".compact_")
+      if (rel == ".") RootRelKey else rel
+    }
+    val retireDir = new java.io.File(root, s"$RetiredDirName/v$version/$relKey")
+    retireDir.mkdirs()
+    val addedF = new java.io.File(retireDir, "_added")
+    if (!addedF.isFile)
+      java.nio.file.Files.write(addedF.toPath,
+        java.util.Arrays.asList(dataFiles(tmp).map(_.getName): _*))
     java.nio.file.Files.readAllLines(manifest.toPath).forEach { name =>
-      new java.io.File(pdir, name).delete()
+      val src = new java.io.File(pdir, name)
+      if (src.isFile)
+        java.nio.file.Files.move(src.toPath,
+          new java.io.File(retireDir, name).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       new java.io.File(pdir, "." + name + ".crc").delete()
     }
     dataFiles(tmp).foreach { f =>
@@ -358,6 +448,108 @@ object StoreMaintenance {
       .filter(_.getName != "manifest").foreach(_.delete())
     manifest.delete()
     tmp.delete()
+  }
+
+  private def versionsOf(root: java.io.File): Seq[Long] =
+    Option(new java.io.File(root, RetiredDirName).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).sorted.toSeq
+
+  /** Committed maintenance versions with a retired snapshot still on
+    * disk, ascending — the store's replayable lineage.
+    */
+  def versions(path: String): Seq[Long] = versionsOf(new java.io.File(path))
+
+  /** Snapshot read over the manifest lineage: the store's data rows as
+    * they stood BEFORE maintenance version `version` landed — the
+    * pre-purge audit read (the right-to-be-forgotten counterpart
+    * auditors ask for), served entirely from files still on disk.
+    * Reconstruction walks versions ≥ `version` newest-first, undoing
+    * each op per partition dir: drop the files its `_added` sidecar
+    * names, restore its retired files. Exact for maintenance ops;
+    * appends are additive and unversioned (an append between `version`
+    * and the next op is included — document reads accordingly).
+    * Returns DATA columns only: snapshot files are read directly, so
+    * `col=val` partition-derived columns don't re-attach (every store
+    * keys rows by id, which is what an audit read joins on). Fails
+    * when [[vacuum]] already reclaimed a needed snapshot.
+    */
+  def readBefore(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val root = new java.io.File(path)
+    // fail CLOSED on a reclaimed lineage: every maintenance version in
+    // [version, hwm] must still have its snapshot on disk, or the
+    // reconstruction would silently serve a post-op state
+    val present = versionsOf(root).toSet
+    val vacuumed = (math.max(version, 1L) to readHwm(root)).filterNot(present)
+    require(vacuumed.isEmpty,
+      s"snapshot(s) v${vacuumed.mkString(",v")} already vacuumed under $path — " +
+        s"read-before-v$version is no longer reconstructible")
+    val live = scala.collection.mutable.Map.empty[String, Set[java.io.File]]
+    val leaves = leafPartitionDirs(root)
+    if (leaves.isEmpty) live(RootRelKey) = dataFiles(root).toSet
+    else leaves.foreach { d =>
+      live(relPath(root, d).replace("/", "%2F")) = dataFiles(d).toSet
+    }
+    versionsOf(root).filter(_ >= version).sorted.reverse.foreach { w =>
+      val vdir = new java.io.File(root, s"$RetiredDirName/v$w")
+      Option(vdir.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).foreach { rdir =>
+          val addedF = new java.io.File(rdir, "_added")
+          val added: Set[String] =
+            if (addedF.isFile) {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.readAllLines(addedF.toPath).asScala.toSet
+            } else Set.empty
+          val cur = live.getOrElse(rdir.getName, Set.empty[java.io.File])
+          live(rdir.getName) =
+            cur.filterNot(f => added.contains(f.getName)) ++ dataFiles(rdir)
+        }
+    }
+    val files = live.values.flatten.map(_.getAbsolutePath).toSeq.sorted
+    require(files.nonEmpty,
+      s"no snapshot files for read-before-v$version under $path " +
+        "(vacuumed past the horizon?)")
+    spark.read.parquet(files: _*)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+  }
+
+  /** Default vacuum retention floor (the Delta default: 7 days). */
+  val DefaultMinRetentionMs: Long = 7L * 24 * 3600 * 1000
+
+  /** The Delta-VACUUM analog: delete retired snapshot versions older
+    * than the retention horizon, REFUSE a horizon under the
+    * `minRetentionMs` floor unless forced — a snapshot reader
+    * ([[readBefore]]) planned inside the horizon must find its files.
+    * Age is the version dir's mtime (stamped when its last swap
+    * completed). Runs under the maintenance lock, so it never races a
+    * pass that is mid-retire. Returns (versions deleted, kept).
+    */
+  def vacuum(path: String, retentionMs: Long,
+             minRetentionMs: Long = DefaultMinRetentionMs,
+             force: Boolean = false): (Int, Int) = {
+    require(retentionMs >= 0, "retention must be non-negative")
+    if (retentionMs < minRetentionMs && !force)
+      throw new IllegalArgumentException(
+        s"vacuum retention ${retentionMs}ms is under the ${minRetentionMs}ms " +
+          "floor; an in-flight snapshot read inside the horizon would lose " +
+          "its files — pass force=true only when no readers can be active")
+    val root = new java.io.File(path)
+    withLock(root) {
+      val cutoff = System.currentTimeMillis() - retentionMs
+      var deleted = 0
+      var kept = 0
+      versionsOf(root).foreach { w =>
+        val vdir = new java.io.File(root, s"$RetiredDirName/v$w")
+        if (vdir.lastModified() < cutoff) { rmTree(vdir); deleted += 1 }
+        else kept += 1
+      }
+      (deleted, kept)
+    }
   }
 
   /** Finish or discard interrupted compactions under `path` — see the
@@ -450,6 +642,7 @@ object StoreMaintenance {
     if (!dirty && !crashed) None
     else if (flatDirty) Some(withLock(root) {
       recover(path)
+      val version = allocateVersion(root)
       val files = dataFiles(root)
       val shaped = recluster match {
         case Some(c) => spark.read.parquet(root.getAbsolutePath)
@@ -459,8 +652,7 @@ object StoreMaintenance {
       // same crash-consistent root swap as purgeFiles (`.compact_.`)
       val tmp = new java.io.File(root, swapTmpName("."))
       shaped.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
-        java.util.Arrays.asList(files.map(_.getName): _*))
+      commitManifest(tmp, files, version)
       completeSwap(root, tmp)
       (files.length, dataFiles(root).length)
     })
@@ -509,6 +701,9 @@ object StoreMaintenance {
     // instead of thousands of sequential ~100 ms jobs.
     val hitRows = hitsByRelDir(
       spark.read.parquet(parts.map(_.getAbsolutePath): _*), root, idCol, ids)
+    // lazy: a no-op pass (no hits) must not burn a version number —
+    // readBefore fails closed on any allocated-but-snapshotless version
+    lazy val version = allocateVersion(root)
     var rewritten = 0
     var removed = 0L
     parts.foreach { pdir =>
@@ -524,8 +719,7 @@ object StoreMaintenance {
         }
         val tmp = new java.io.File(root, swapTmpName(rel))
         shaped.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
-          java.util.Arrays.asList(files.map(_.getName): _*))
+        commitManifest(tmp, files, version)
         completeSwap(pdir, tmp)
         rewritten += 1
         removed += hitRows(rel)
@@ -595,6 +789,7 @@ object StoreMaintenance {
     // only copy of already-retired rows, and writing this pass's
     // rewrite over the same temp path would destroy it
     recover(path)
+    lazy val version = allocateVersion(root) // lazy: see purge
     val parts = leafPartitionDirs(root)
     var before = 0
     var after = 0
@@ -607,8 +802,7 @@ object StoreMaintenance {
           .write.mode("overwrite").parquet(tmp.getAbsolutePath)
         // manifest AFTER the rewrite committed: its presence tells
         // recovery the temp contents are complete and authoritative
-        java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
-          java.util.Arrays.asList(files.map(_.getName): _*))
+        commitManifest(tmp, files, version)
         completeSwap(pdir, tmp)
         after += dataFiles(pdir).length
       } else after += files.length
@@ -651,8 +845,7 @@ object StoreMaintenance {
       .where(!col(idCol).isin(ids: _*))
     val tmp = new java.io.File(root, swapTmpName("."))
     keep.coalesce(victims.length).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
-      java.util.Arrays.asList(victims.map(_.getName): _*))
+    commitManifest(tmp, victims, allocateVersion(root))
     completeSwap(root, tmp)
     (victims.length, hitCount)
     }

@@ -180,6 +180,55 @@ class Round13Spec extends SparkSpec {
       "a replayed batch changed BM25 scores — shards not idempotent")
   }
 
+  test("store lineage: readBefore replays pre-op states; vacuum honors retention") {
+    import graft.sources.{IndexStore, StoreMaintenance => SM}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("lineage").toString
+    val store = s"$base/idx"
+    IndexStore.write(emb, "vec_id", "embedding", store, dim = 64)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val v0Ids = ids(spark.read.parquet(store))
+    SM.purge(spark, store, "id", Seq(7L))   // maintenance v1
+    SM.purge(spark, store, "id", Seq(11L))  // maintenance v2
+    assert(SM.versions(store) == Seq(1L, 2L))
+    // as-of reads: before v1 = original; before v2 = original minus 7
+    assert(ids(SM.readBefore(spark, store, 1)) == v0Ids)
+    assert(ids(SM.readBefore(spark, store, 2)) == v0Ids.filterNot(_ == 7L))
+    // before a future version = the live state
+    assert(ids(SM.readBefore(spark, store, 99)) == v0Ids.filterNot(
+      id => id == 7L || id == 11L))
+    // a no-op purge burns no version (readBefore stays reconstructible)
+    SM.purge(spark, store, "id", Seq(999999L))
+    assert(SM.versions(store) == Seq(1L, 2L))
+    assert(ids(SM.readBefore(spark, store, 1)) == v0Ids)
+    // vacuum under the retention floor refuses
+    intercept[IllegalArgumentException](SM.vacuum(store, retentionMs = 1000))
+    // inside retention: nothing reclaimed; a stale snapshot reader
+    // planned BEFORE the vacuum still completes intact
+    val staleSnap = SM.readBefore(spark, store, 1)
+    val (d0, k0) = SM.vacuum(store, SM.DefaultMinRetentionMs)
+    assert(d0 == 0 && k0 == 2, s"inside-horizon snapshots must survive ($d0, $k0)")
+    assert(ids(staleSnap) == v0Ids, "stale snapshot reader lost rows to vacuum")
+    // age both snapshots past the horizon: vacuum reclaims them and
+    // readBefore fails CLOSED instead of serving a post-op state
+    val aged = System.currentTimeMillis() - SM.DefaultMinRetentionMs - 3600 * 1000
+    Seq(1, 2).foreach { v =>
+      assert(new java.io.File(s"$store/.retired/v$v").setLastModified(aged))
+    }
+    val (d1, k1) = SM.vacuum(store, SM.DefaultMinRetentionMs)
+    assert(d1 == 2 && k1 == 0)
+    assert(SM.versions(store).isEmpty)
+    intercept[IllegalArgumentException](SM.readBefore(spark, store, 1))
+    // versions never restart after vacuum (the durable high-water mark)
+    SM.purge(spark, store, "id", Seq(13L))
+    assert(SM.versions(store) == Seq(3L),
+      "a vacuumed version number must never be reissued")
+    // and the live store is untouched throughout
+    assert(ids(spark.read.parquet(store)) ==
+      v0Ids.filterNot(id => id == 7L || id == 11L || id == 13L))
+  }
+
   test("JPEG fixtures decode identically under this JVM's codec") {
     assert(graft.operators.JpegFixtures.codecDrift().isEmpty,
       "committed JPEG grids no longer reproduce — regenerate fixtures " +
