@@ -5250,6 +5250,21 @@ object Oracles {
       "v_bm25_store" -> round12("t_bm25"),
       "s_bm25_ingest" -> round12("t_bm25"),
       "v_sql_store_bm25" -> round12("t_bm25"),
+
+      // lexical-tier purge: postings, dl, AND the negative stats
+      // correction must land exactly on the corpus-minus-victims BM25
+      "v_bm25_purge" -> {
+        val base = round12("t_bm25")
+        require(base.sliding("FROM documents".length).count(_ == "FROM documents") == 1,
+          "t_bm25 oracle shape changed")
+        base.replace("FROM documents",
+          "FROM (SELECT * FROM documents WHERE doc_id NOT IN (3, 4))")
+      },
+
+      // the pre-purge audit read over the retired-snapshot lineage:
+      // readBefore(1) restores the purge victims bit-for-bit, so the
+      // snapshot search hash-matches the FULL-corpus exact oracle
+      "q_snapshot_store" -> vector("v_knn_exact"),
       // frozen-model append drift: Lloyd replayed TWICE (isotropic-
       // prefix training vs bounded 50/50 post-append retrain), both
       // searches probed at DriftNprobe, recall@5 on the appended

@@ -3223,6 +3223,41 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** q_snapshot_store: TIME TRAVEL in the driver gate — write the
+    * store, purge the q_purge_store victim set (maintenance v1), then
+    * serve an exact search over StoreMaintenance.readBefore(1): the
+    * pre-purge audit read must hash-match v_knn_exact's FULL-corpus
+    * oracle, i.e. the snapshot restores the victims bit-for-bit while
+    * the live store (q_purge_store's gate) keeps them gone. Proves the
+    * retired-snapshot lineage end to end by hash, not spec.
+    */
+  def qSnapshotStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
+    val path = new java.io.File(s"target/snap_store_$tag/idx").getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    // k-bounded collect: 3 victim ids (the gate's deletion request)
+    val victims = vKnnExact(spark, dir)
+      .filter(col("rnk") === 1 && col("query_id") < 3)
+      .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSeq
+    if (!new java.io.File(path).exists()) {
+      graft.sources.IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
+      graft.sources.StoreMaintenance.purge(spark, path, "id", victims)
+    }
+    val snap = graft.sources.StoreMaintenance.readBefore(spark, path, 1)
+      .select(col("id"), col("v"), col("nrm"))
+    val q = corpus(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    snap.join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(V.cosinePre(V.dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= DefaultK)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_pq_store: the persisted PQ path inside the correctness gate —
     * codes + codebook sidecar written to disk, ADC search over the
     * loaded index, hash-matched against v_pq's oracle.

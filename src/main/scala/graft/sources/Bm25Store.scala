@@ -112,6 +112,44 @@ object Bm25Store {
     StoreMaintenance.rewritePartitions(spark, path, _ > 1,
       rows => rows.coalesce(1))
 
+  /** Delete documents from the lexical tier — right-to-be-forgotten
+    * for BM25, the purge leg every persisted tier carries. Postings
+    * purge from their tb= dirs (partitioned flavor; a victim usually
+    * has rows in MANY buckets); the dl sidecar purges in whichever
+    * layout it has (wave-flat or streamed bid= dirs); the stats
+    * sidecar appends a NEGATIVE correction shard — stats stay
+    * ADDITIVE, so streamed maintainers keep appending partials and the
+    * serve-time re-sum lands exactly on the corpus-minus-victims
+    * value (a rewrite would race in-flight appends). df needs nothing:
+    * it re-derives from the probed postings, which no longer hold the
+    * victims. Returns (postings partitions rewritten, rows removed).
+    */
+  def purge(spark: SparkSession, path: String, docIds: Seq[Long]): (Int, Long) = {
+    // capture the victims' dl BEFORE removing them (the stats delta);
+    // bounded collect: one aggregate row
+    val victimStats = spark.read.parquet(path + ".dl")
+      .filter(col("doc_id").isin(docIds: _*))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .collect()(0)
+    val (nV, sV) = (victimStats.getLong(0), victimStats.getLong(1))
+    val res = StoreMaintenance.purge(spark, path, "doc_id", docIds)
+    val dlPath = path + ".dl"
+    if (StoreMaintenance.purge(spark, dlPath, "doc_id", docIds)._2 == 0)
+      StoreMaintenance.purgeFiles(spark, dlPath, "doc_id", docIds)
+    if (nV > 0) {
+      import spark.implicits._
+      val statsRoot = new java.io.File(path + ".stats")
+      val streamed = Option(statsRoot.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.contains("="))
+      // streamed layouts are partitioned by bid — corrections land
+      // under a reserved negative shard so the layouts never mix
+      val target = if (streamed) s"$path.stats/bid=-1" else path + ".stats"
+      Seq((-nV, -sV)).toDF("n_docs", "sum_dl")
+        .coalesce(1).write.mode("append").parquet(target)
+    }
+    res
+  }
+
   /** All postings of any query term — the one store read behind
     * [[search]]. The bucket set is a STATIC partition filter (the
     * query's distinct tb values collect driver-side — bounded by
@@ -200,6 +238,26 @@ object Bm25StoreQueries {
       Bm25Store.write(d.filter(col("doc_id") % 2 === 0), path)
       Bm25Store.append(d.filter(col("doc_id") % 2 === 1), path)
       Bm25Store.compact(spark, path)
+    }
+    Bm25Store.search(spark, path, queriesOf(spark, dir), k = 5)
+      .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_bm25_purge: right-to-be-forgotten on the lexical tier IN the
+    * driver gate — build the postings store, purge docs 3 and 4
+    * (victims chosen outside the query set so the queries survive),
+    * then serve: the search must hash-match t_bm25's oracle over the
+    * corpus MINUS the victims — postings, dl, df re-derivation, AND
+    * the negative stats correction all proven exact by the hash (a
+    * stats delta that was off by one token would shift every score).
+    */
+  def vBm25Purge(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/bm25purge_store_${tag(spark, dir)}/idx").getAbsolutePath
+    if (!new java.io.File(path).exists()) {
+      Bm25Store.write(docs(spark, dir), path)
+      Bm25Store.purge(spark, path, Seq(3L, 4L))
     }
     Bm25Store.search(spark, path, queriesOf(spark, dir), k = 5)
       .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"), col("score"))

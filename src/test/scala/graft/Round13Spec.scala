@@ -180,6 +180,28 @@ class Round13Spec extends SparkSpec {
       "a replayed batch changed BM25 scores — shards not idempotent")
   }
 
+  test("bm25 purge on a STREAMED store: bid layouts purge and correct exactly") {
+    import graft.sources.Bm25Store
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("bm25_spurge").toString
+    val store = s"$base/idx"
+    Bm25Store.appendBatch(docs.filter(col("doc_id") % 2 === 0), store, 0L)
+    Bm25Store.appendBatch(docs.filter(col("doc_id") % 2 === 1), store, 1L)
+    Bm25Store.purge(spark, store, Seq(3L, 4L))
+    // ground truth: a one-shot build over corpus-minus-victims
+    val ref = s"$base/ref"
+    Bm25Store.write(docs.filter(!col("doc_id").isin(3L, 4L)), ref)
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("text"))
+    def served(p: String): Seq[String] =
+      Bm25Store.search(spark, p, q, 5).orderBy("q_id", "rnk")
+        .collect().map(_.toString).toSeq
+    assert(served(store).nonEmpty)
+    assert(served(store) == served(ref),
+      "streamed-layout purge (bid= postings/dl + negative stats shard) " +
+        "must serve exactly the one-shot corpus-minus-victims ranking")
+  }
+
   test("store lineage: readBefore replays pre-op states; vacuum honors retention") {
     import graft.sources.{IndexStore, StoreMaintenance => SM}
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
