@@ -2095,7 +2095,8 @@ object Knn {
     val ftop = fused.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= DefaultK).select("query_id", "doc_id")
     def recallOf(leg: DataFrame, tag: String): DataFrame =
-      exact.join(leg.select(col("query_id").as("aq"), col("doc_id").as("an")),
+      exact.join(
+          broadcast(leg.select(col("query_id").as("aq"), col("doc_id").as("an"))),
           col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
         .groupBy("query_id")
         .agg(round(count(col("an")) / lit(DefaultK.toDouble), 6).as(s"recall_$tag"))
@@ -2115,7 +2116,7 @@ object Knn {
       if (i == 0) d else d.withColumnRenamed("query_id", s"q$i")
     }.reduceLeft { (acc, d) =>
       val qc = d.columns.find(_.startsWith("q")).get
-      acc.join(d, col("query_id") === col(qc)).drop(qc)
+      acc.join(broadcast(d), col("query_id") === col(qc)).drop(qc)
     }
       .select("query_id", "recall_vec", "recall_lex", "recall_fused",
         "fam_vec", "fam_lex", "fam_fused")
@@ -3604,7 +3605,8 @@ object Knn {
   }
 
   private def driftRecall(exact: DataFrame, ann: DataFrame, tag: String): DataFrame =
-    exact.join(ann.select(col("query_id").as("aq"), col("neighbor_id").as("an")),
+    exact.join(
+        broadcast(ann.select(col("query_id").as("aq"), col("neighbor_id").as("an"))),
         col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
       .groupBy("query_id")
       .agg(count(col("an")).as(s"hits_$tag"),
@@ -3625,7 +3627,8 @@ object Knn {
       driftSearch(comb, ivfCentroids(spark, dir), q, DriftNprobe), "frozen")
     val rt = driftRecall(exact,
       driftSearch(comb, driftRetrainedCentroids(spark, dir), q, DriftNprobe), "retrained")
-    fz.join(rt.withColumnRenamed("query_id", "rq"), col("query_id") === col("rq"))
+    fz.join(broadcast(rt.withColumnRenamed("query_id", "rq")),
+        col("query_id") === col("rq"))
       .select("query_id", "hits_frozen", "recall_frozen",
         "hits_retrained", "recall_retrained")
       .orderBy("query_id")
@@ -3703,7 +3706,7 @@ object Knn {
       val top = cand.filter(col("prank") <= p)
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= DefaultK)
         .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
-      exact.join(top,
+      exact.join(broadcast(top),
           col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
         .agg(count(col("an")).as("hits"),
           round(count(col("an")) / lit(5.0 * NumQueries), 6).as("recall"))

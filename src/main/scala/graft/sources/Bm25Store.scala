@@ -193,7 +193,8 @@ object Bm25Store {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val contrib = cand0.join(broadcast(qt.select("q_id", "qtok")),
         col("tok") === col("qtok") && col("doc_id") =!= col("q_id"))
-      .join(df, "tok").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .join(broadcast(df), "tok") // df rows ≤ query-term count
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
       .select(col("q_id"), col("doc_id"), col("tok"),
         (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
           (col("tf") * lit(K1 + 1)) /
