@@ -3539,15 +3539,23 @@ object Knn {
     */
   private def driftRetrainedCentroids(spark: SparkSession,
                                       dir: String): Array[(Int, Array[Double])] =
-    ivfCache.computeIfAbsent(modelKey(spark, dir) + "#drift-retrain", _ => {
-      val half = IvfTrainSample / 2
-      val raw = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
-        .filter(col("vec_id") < half)
-      val app = driftFrame(spark, dir)
-        .filter(col("vec_id") < DriftOffset + half)
-        .select((col("vec_id") - DriftOffset + half).as("vec_id"), col("v"), col("nrm"))
-      trainIvf(raw.union(app).transform(graft.Materialize.forceCached))
-    })
+    ivfCache.computeIfAbsent(modelKey(spark, dir) + "#drift-retrain",
+      _ => trainIvf(driftMixedSample(spark, dir)))
+
+  /** The bounded 50/50 post-append training mixture (first
+    * IvfTrainSample/2 of each cohort, appended ids remapped after the
+    * raw half) — shared by the coarse-quantizer retrain and the PQ
+    * codebook retrain so both drift gates weigh the same retrain cost.
+    */
+  private def driftMixedSample(spark: SparkSession, dir: String): DataFrame = {
+    val half = IvfTrainSample / 2
+    val raw = corpus(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+      .filter(col("vec_id") < half)
+    val app = driftFrame(spark, dir)
+      .filter(col("vec_id") < DriftOffset + half)
+      .select((col("vec_id") - DriftOffset + half).as("vec_id"), col("v"), col("nrm"))
+    raw.union(app).transform(graft.Materialize.forceCached)
+  }
 
   /** withCid + the winning similarity itself (the advisor's raw
     * signal): argmax over (round-6 sim, -cid) structs, both fields kept.
@@ -3572,9 +3580,12 @@ object Knn {
     * DESC, id). Same plan family as vIvf — assignment and probe are
     * map-side literal projections, candidates an equi-join on cid.
     */
-  private def driftSearch(comb: DataFrame, cents: Array[(Int, Array[Double])],
-                          queries: DataFrame, nprobe: Int): DataFrame = {
-    val asg = withCid(comb, cents)
+  /** nprobe nearest lists per (query_id, qv, qn) row under literal
+    * centroids — the ivfProbe construction for an explicit query frame
+    * (round-6 in-engine so probe ranking replays in the oracle).
+    */
+  private def driftProbes(queries: DataFrame, cents: Array[(Int, Array[Double])],
+                          nprobe: Int): DataFrame = {
     val cands = array_sort(array(cents.map { case (cid, cv) =>
       val cn = math.sqrt(cv.map(x => x * x).sum)
       struct(
@@ -3582,8 +3593,14 @@ object Knn {
           .as("nsim"),
         lit(cid).as("cid"))
     }: _*))
-    val probes = queries.withColumn("pcid",
+    queries.withColumn("pcid",
       explode(transform(slice(cands, 1, nprobe), s => s.getField("cid"))))
+  }
+
+  private def driftSearch(comb: DataFrame, cents: Array[(Int, Array[Double])],
+                          queries: DataFrame, nprobe: Int): DataFrame = {
+    val asg = withCid(comb, cents)
+    val probes = driftProbes(queries, cents, nprobe)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     asg.join(broadcast(probes),
         col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
