@@ -5230,6 +5230,26 @@ object Oracles {
       // corpus, not the embedding routing)
       "vc_maxsim_recall" -> nearDup(vMaxsimRecallSql),
 
+      // MinHash banding recall on the planted families — the text
+      // dedup suite's discriminating-power twin (band pairs replayed,
+      // per-query family roster from the near-dup projection itself)
+      "dn_minhash_recall" -> nearDup(s"""
+      WITH $bandPairsCte,
+      dnf AS (SELECT doc1 AS q, doc2 AS p FROM pairs WHERE doc1 < 10
+              UNION ALL
+              SELECT doc2 AS q, doc1 AS p FROM pairs WHERE doc2 < 10),
+      dng AS (SELECT q, COUNT(DISTINCT p) AS n_found
+              FROM dnf WHERE p % 8 = q % 8 GROUP BY q),
+      dfs AS (SELECT doc_id % 8 AS fam, COUNT(*) AS n FROM nddocs
+              GROUP BY doc_id % 8),
+      dqs AS (SELECT doc_id AS q, doc_id % 8 AS fam FROM nddocs WHERE doc_id < 10)
+      SELECT dqs.q AS query_id, CAST(dfs.n - 1 AS BIGINT) AS n_family,
+        CAST(COALESCE(dng.n_found, 0) AS BIGINT) AS n_found,
+        ROUND(COALESCE(dng.n_found, 0) / CAST(dfs.n - 1 AS DOUBLE), 6) AS recall
+      FROM dqs JOIN dfs ON dfs.fam = dqs.fam
+      LEFT JOIN dng ON dng.q = dqs.q
+      ORDER BY query_id"""),
+
       // hybrid fusion quality: clustered-LSH leg × near-dup BM25 leg ×
       // RRF, recall@5 vs exact cosine + family-precision@5 — the
       // two-sided honest result (fusion preserves coarse relevance,

@@ -93,6 +93,50 @@ object Dedup {
     * space is generated only inside band buckets (equi-join on the band
     * hash), never as a cross product.
     */
+  /** dn_minhash_recall: MinHash band blocking measured on PLANTED
+    * near-duplicate families — the dn_ (dedup × `#neardup` document
+    * corpus) twin that gives the text-dedup suite discriminating
+    * power the raw corpus lacks (no true near-dups there). Family
+    * members share a 280-char template (shingle Jaccard ≈ 0.5), so
+    * 4×4 banding finds a characteristic fraction of each query's
+    * family — the per-query recall this reports, against the exact
+    * family roster. Bounded: only the 10-query prefix's partners are
+    * rostered; the pair generation itself stays band-blocked.
+    */
+  def dnMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val fams = graft.operators.Knn.NdFamilies
+    val docs = graft.operators.Knn.nearDupDocs(spark, dir)
+    val sigs = forceCached(withSignature(docs))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => bandKey(col("sig"), b)): _*))
+        .as(Seq("band_id", "band_key")))
+    val l = bands.select(col("doc_id").as("doc1"), col("band_id"), col("band_key"))
+    val r = bands.select(col("doc_id").as("doc2"), col("band_id").as("band_id2"),
+      col("band_key").as("band_key2"))
+    val pairs = l.join(r,
+        col("band_id") === col("band_id2") && col("band_key") === col("band_key2") &&
+        col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    val found = pairs.filter(col("doc1") < 10)
+        .select(col("doc1").as("q"), col("doc2").as("p"))
+      .union(pairs.filter(col("doc2") < 10)
+        .select(col("doc2").as("q"), col("doc1").as("p")))
+    val sameFam = found.filter(col("p") % fams === col("q") % fams)
+      .groupBy("q").agg(countDistinct(col("p")).as("n_found"))
+    val famSize = docs.select((col("doc_id") % fams).as("fam"))
+      .groupBy("fam").agg(count(lit(1)).as("n"))
+    docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q"), (col("doc_id") % fams).as("fam"))
+      .join(broadcast(famSize), "fam")
+      .join(broadcast(sameFam), Seq("q"), "left")
+      .select(col("q").as("query_id"),
+        (col("n") - 1).as("n_family"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        round(coalesce(col("n_found"), lit(0L)) / (col("n") - 1).cast("double"), 6)
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
   def dMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sigs = forceCached(withSignature(
       Tables.documents(spark, dir).select(col("doc_id"), col("text"))))

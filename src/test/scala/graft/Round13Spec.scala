@@ -135,6 +135,17 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("minhash banding recovers a meaningful share of planted families") {
+    val rows = graft.operators.Dedup.dnMinhashRecall(spark, sf).collect()
+    val avg = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    // ~0.5 shingle Jaccard through 4x4 banding: characteristic partial
+    // recall — well above chance, below 1.0 (0.67 at sf0.001)
+    assert(avg > 0.4 && avg < 1.0,
+      s"banding recall on planted families out of band: $avg")
+    assert(rows.forall(_.getAs[Long]("n_family") > 10),
+      "families must be non-trivial")
+  }
+
   test("bm25 store: short query prunes the postings scan to its buckets") {
     import graft.sources.Bm25Store
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
