@@ -348,6 +348,13 @@ object StoreMaintenance {
     * version N rewrote, plus an `_added` sidecar naming the files the
     * op moved in — together the exact lineage [[readBefore]] replays
     * and [[vacuum]] eventually reclaims.
+    *
+    * Operational note: snapshots accumulate ONE VERSION PER
+    * MAINTENANCE PASS until vacuumed — a streaming maintainer running
+    * compactIfNeeded per wave must pair it with a SCHEDULED vacuum
+    * (the Delta operating model), or retired bytes grow with batch
+    * count. Snapshot size is bounded by the rewritten dirs' pre-op
+    * bytes, never the corpus.
     */
   val RetiredDirName = ".retired"
 
@@ -470,6 +477,10 @@ object StoreMaintenance {
     * names, restore its retired files. Exact for maintenance ops;
     * appends are additive and unversioned (an append between `version`
     * and the next op is included — document reads accordingly).
+    * Assumes a SETTLED store: after an unclean shutdown run
+    * [[recover]] (or [[openChecked]]) first, as any reader must — an
+    * unfinished committed swap's rows live in its temp dir, which this
+    * reconstruction (like live discovery) does not read.
     * Returns DATA columns only: snapshot files are read directly, so
     * `col=val` partition-derived columns don't re-attach (every store
     * keys rows by id, which is what an audit read joins on). Fails

@@ -262,6 +262,25 @@ class Round13Spec extends SparkSpec {
       v0Ids.filterNot(id => id == 7L || id == 11L || id == 13L))
   }
 
+  test("vacuum refuses while another maintainer holds the store lock") {
+    import graft.sources.{IndexStore, StoreMaintenance => SM}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("vac_lock").toString
+    val store = s"$base/idx"
+    IndexStore.write(emb, "vec_id", "embedding", store, dim = 64)
+    SM.purge(spark, store, "id", Seq(5L))
+    val lock = new java.io.File(store, SM.LockName)
+    java.nio.file.Files.write(lock.toPath,
+      java.util.Collections.singletonList("test-holder"))
+    try intercept[graft.sources.ConcurrentMaintenanceException](
+      SM.vacuum(store, retentionMs = 0, force = true))
+    finally lock.delete()
+    // lock released → reclaims normally
+    val aged = System.currentTimeMillis() - 3600 * 1000
+    new java.io.File(s"$store/.retired/v1").setLastModified(aged)
+    assert(SM.vacuum(store, retentionMs = 0, force = true)._1 == 1)
+  }
+
   test("JPEG fixtures decode identically under this JVM's codec") {
     assert(graft.operators.JpegFixtures.codecDrift().isEmpty,
       "committed JPEG grids no longer reproduce — regenerate fixtures " +
