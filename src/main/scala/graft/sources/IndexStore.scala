@@ -540,6 +540,28 @@ object StoreMaintenance {
     * completed). Runs under the maintenance lock, so it never races a
     * pass that is mid-retire. Returns (versions deleted, kept).
     */
+  /** Opportunistic vacuum for streaming maintainers — the
+    * [[compactIfNeeded]] recipe applied to snapshot retention: a
+    * LOCK-FREE directory listing decides whether any retired version
+    * has aged past the horizon, and returns None without taking the
+    * lock otherwise. A per-wave caller pays one listing in steady
+    * state and never contends with a live maintenance pass; when
+    * versions age out, the real [[vacuum]] runs under the lock. This
+    * is the scheduled-vacuum half of the retire-not-delete operating
+    * model (the snapshot debt of per-wave compaction is bounded BY
+    * CONSTRUCTION instead of by somebody remembering a nightly job).
+    */
+  def vacuumIfAged(path: String, retentionMs: Long,
+                   minRetentionMs: Long = DefaultMinRetentionMs,
+                   force: Boolean = false): Option[(Int, Int)] = {
+    val root = new java.io.File(path)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val aged = versionsOf(root).exists(w =>
+      new java.io.File(root, s"$RetiredDirName/v$w").lastModified() < cutoff)
+    if (!aged) None
+    else Some(vacuum(path, retentionMs, minRetentionMs, force))
+  }
+
   def vacuum(path: String, retentionMs: Long,
              minRetentionMs: Long = DefaultMinRetentionMs,
              force: Boolean = false): (Int, Int) = {

@@ -262,6 +262,28 @@ class Round13Spec extends SparkSpec {
       v0Ids.filterNot(id => id == 7L || id == 11L || id == 13L))
   }
 
+  test("vacuumIfAged: lock-free no-op in steady state, reclaims when aged") {
+    import graft.sources.{IndexStore, StoreMaintenance => SM}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("vac_aged").toString
+    val store = s"$base/idx"
+    IndexStore.write(emb, "vec_id", "embedding", store, dim = 64)
+    SM.purge(spark, store, "id", Seq(9L))
+    // fresh snapshot inside the horizon: no-op WITHOUT taking the lock
+    // — proven by holding the lock ourselves while calling it
+    val lock = new java.io.File(store, SM.LockName)
+    java.nio.file.Files.write(lock.toPath,
+      java.util.Collections.singletonList("test-holder"))
+    try assert(SM.vacuumIfAged(store, SM.DefaultMinRetentionMs).isEmpty,
+      "steady state must not need the lock")
+    finally lock.delete()
+    // aged past the horizon: the real vacuum runs and reclaims
+    val aged = System.currentTimeMillis() - SM.DefaultMinRetentionMs - 3600 * 1000
+    new java.io.File(s"$store/.retired/v1").setLastModified(aged)
+    assert(SM.vacuumIfAged(store, SM.DefaultMinRetentionMs) == Some((1, 0)))
+    assert(SM.versions(store).isEmpty)
+  }
+
   test("vacuum refuses while another maintainer holds the store lock") {
     import graft.sources.{IndexStore, StoreMaintenance => SM}
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
