@@ -5281,6 +5281,15 @@ object Oracles {
           "FROM (SELECT * FROM documents WHERE doc_id NOT IN (3, 4))")
       },
 
+      // the drift measurement against the PERSISTED layout: frozen
+      // sidecar append + the store's own nprobe=1 search must land on
+      // the in-session frozen leg's numbers exactly
+      "v_ivf_drift_store" -> s"""
+      WITH $driftBaseCte,
+      ${driftLegCte("fz", "frozen")}
+      SELECT query_id, hits_frozen AS hits, recall_frozen AS recall
+      FROM fzrec ORDER BY query_id""",
+
       // the pre-purge audit read over the retired-snapshot lineage:
       // readBefore(1) restores the purge victims bit-for-bit, so the
       // snapshot search hash-matches the FULL-corpus exact oracle

@@ -3651,6 +3651,47 @@ object Knn {
       .orderBy("query_id")
   }
 
+  /** v_ivf_drift_store: the drift measurement made against the REAL
+    * persisted layout — the API whose contract motivated the gate.
+    * IvfIndexStore.write persists the isotropic-trained model
+    * (train-once, from the session registry), IvfIndexStore.append
+    * lands the drifted cohort under the FROZEN sidecar centroids (the
+    * production append path), and the store's own search at
+    * DriftNprobe serves the appended queries: recall@5 vs exact
+    * cosine over the post-append corpus must hash-match the
+    * in-session frozen leg's oracle — the number v_ivf_drift_recall
+    * reports is thereby proven to be THE STORE'S number, not a
+    * simulation's.
+    */
+  def vIvfDriftStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
+    val path = new java.io.File(s"target/drift_store_$tag/idx").getAbsolutePath
+    if (!new java.io.File(path).exists()) {
+      graft.sources.IvfIndexStore.write(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", path,
+        model = Some(ivfCentroids(spark, dir)))
+      graft.sources.IvfIndexStore.append(
+        driftFrame(spark, dir).select("vec_id", "v"), "vec_id", "v", path)
+    }
+    val queries = driftFrame(spark, dir)
+      .filter(col("vec_id") < DriftOffset + NumQueries)
+    val ann = graft.sources.IvfIndexStore.search(spark, path,
+        queries.select("vec_id", "v"), "vec_id", "v", DefaultK,
+        nprobe = DriftNprobe)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val comb = driftCombined(spark, dir).transform(graft.Materialize.forceCached)
+    val exact = driftExact(comb,
+      queries.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")))
+    exact.join(broadcast(ann),
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+      .groupBy("query_id")
+      .agg(count(col("an")).as("hits"),
+        round(count(col("an")) / lit(5.0), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** v_ivf_drift_report: the retrain advisor — per-list assignment-
     * similarity quantiles under the FROZEN quantizer, training cohort
     * vs appended cohort. Quantiles are rank-based (value at row
