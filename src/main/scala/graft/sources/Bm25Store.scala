@@ -132,10 +132,18 @@ object Bm25Store {
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
       .collect()(0)
     val (nV, sV) = (victimStats.getLong(0), victimStats.getLong(1))
-    val res = StoreMaintenance.purge(spark, path, "doc_id", docIds)
-    val dlPath = path + ".dl"
-    if (StoreMaintenance.purge(spark, dlPath, "doc_id", docIds)._2 == 0)
-      StoreMaintenance.purgeFiles(spark, dlPath, "doc_id", docIds)
+    // The negative stats correction lands BEFORE any mutation, as ONE
+    // atomically-moved file whose name keys the victim set — the
+    // purge's recovery contract. The three mutations here (stats
+    // correction, postings purge, dl purge) are not one transaction;
+    // what makes a crashed purge safe to REPLAY is (a) the correction
+    // is derived from the still-intact dl and lands first, (b) its
+    // victim-keyed filename makes the replay skip the write instead of
+    // double-subtracting, (c) the two partition purges are natural
+    // no-ops on already-purged ids. Under the OLD order (correction
+    // last) a crash after the dl purge lost the delta forever: the
+    // replay re-derived nV = 0 from the purged dl and every later BM25
+    // score silently used overcounted corpus stats.
     if (nV > 0) {
       import spark.implicits._
       val statsRoot = new java.io.File(path + ".stats")
@@ -143,10 +151,33 @@ object Bm25Store {
         .exists(f => f.isDirectory && f.getName.contains("="))
       // streamed layouts are partitioned by bid — corrections land
       // under a reserved negative shard so the layouts never mix
-      val target = if (streamed) s"$path.stats/bid=-1" else path + ".stats"
-      Seq((-nV, -sV)).toDF("n_docs", "sum_dl")
-        .coalesce(1).write.mode("append").parquet(target)
+      val targetDir = new java.io.File(
+        if (streamed) s"$path.stats/bid=-1" else path + ".stats")
+      val key = Integer.toHexString(
+        java.util.Arrays.hashCode(docIds.sorted.toArray[Long]))
+      val corr = new java.io.File(targetDir, s"purge_$key.parquet")
+      if (!corr.isFile) {
+        // write to a sibling temp dir, then MOVE the single data file
+        // in under its deterministic name — the move is atomic, so a
+        // reader never sees a partial correction and a replayed purge
+        // sees either the finished file (skip) or nothing (rewrite)
+        val tmp = new java.io.File(s"$path.stats_tmp")
+        StoreMaintenance.rmTree(tmp)
+        Seq((-nV, -sV)).toDF("n_docs", "sum_dl")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = Option(tmp.listFiles()).getOrElse(Array.empty)
+          .find(f => f.isFile && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"correction write produced no parquet in $tmp"))
+        targetDir.mkdirs()
+        java.nio.file.Files.move(part.toPath, corr.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        StoreMaintenance.rmTree(tmp)
+      }
     }
+    val res = StoreMaintenance.purge(spark, path, "doc_id", docIds)
+    val dlPath = path + ".dl"
+    if (StoreMaintenance.purge(spark, dlPath, "doc_id", docIds)._2 == 0)
+      StoreMaintenance.purgeFiles(spark, dlPath, "doc_id", docIds)
     res
   }
 
@@ -178,9 +209,17 @@ object Bm25Store {
     * ([[candidates]]). Scoring replays t_bm25's arithmetic verbatim
     * (tok-sorted 0.0-seeded fold, round 6) — the store search
     * hash-shares t_bm25's oracle.
+    *
+    * SELF-EXCLUSION CONTRACT: with the default `excludeSelf = true`, a
+    * corpus document whose doc_id equals the query's q_id is dropped
+    * from that query's results — the gates (and t_bm25) query WITH
+    * corpus documents, where ranking yourself first is noise. A caller
+    * whose q_id space is independent of corpus doc_ids must pass
+    * `excludeSelf = false`, or any coincidental id collision silently
+    * loses that document from that query's ranking.
     */
   def search(spark: SparkSession, path: String, queries: DataFrame,
-             k: Int): DataFrame = {
+             k: Int, excludeSelf: Boolean = true): DataFrame = {
     val qt = queries
       .select(col("q_id"), explode(array_distinct(tokensOf(col("text")))).as("qtok"))
       .withColumn("qtb", tb(col("qtok")))
@@ -191,8 +230,10 @@ object Bm25Store {
     val dl = spark.read.parquet(path + ".dl").select("doc_id", "dl")
     val stats = spark.read.parquet(path + ".stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    val contrib = cand0.join(broadcast(qt.select("q_id", "qtok")),
-        col("tok") === col("qtok") && col("doc_id") =!= col("q_id"))
+    val selfCond =
+      if (excludeSelf) col("tok") === col("qtok") && col("doc_id") =!= col("q_id")
+      else col("tok") === col("qtok")
+    val contrib = cand0.join(broadcast(qt.select("q_id", "qtok")), selfCond)
       .join(broadcast(df), "tok") // df rows ≤ query-term count
       .join(dl, "doc_id").crossJoin(broadcast(stats))
       .select(col("q_id"), col("doc_id"), col("tok"),

@@ -376,6 +376,33 @@ object StoreMaintenance {
         .get(0).toLong).getOrElse(0L)
     else 0L
 
+  /** Durable per-version vacuum tombstones: `.retired/_vacuumed` lists
+    * every version [[vacuum]] actually reclaimed, one per line. This is
+    * what lets [[readBefore]] tell a RECLAIMED version (must fail
+    * closed — its lineage is gone) from a version number that was
+    * allocated but never committed (a crashed pass whose temp dir
+    * [[recover]] discarded — nothing landed, nothing to undo). Without
+    * the distinction, a crash between allocateVersion's hwm persist and
+    * the swap commit would leave a permanent hwm-vs-snapshot gap that
+    * reads as 'already vacuumed' forever.
+    */
+  private def vacuumedFile(root: java.io.File) =
+    new java.io.File(root, s"$RetiredDirName/_vacuumed")
+
+  private def readVacuumed(root: java.io.File): Set[Long] =
+    if (vacuumedFile(root).isFile) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(vacuumedFile(root).toPath).asScala
+        .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+    } else Set.empty
+
+  private def recordVacuumed(root: java.io.File, versions: Seq[Long]): Unit =
+    if (versions.nonEmpty) {
+      val all = (readVacuumed(root) ++ versions).toSeq.sorted
+      java.nio.file.Files.write(vacuumedFile(root).toPath,
+        java.util.Arrays.asList(all.map(_.toString): _*))
+    }
+
   /** Next maintenance version: one past the max across committed
     * retired snapshots, in-flight temp dirs (a crashed pass's version
     * must never be reissued), and the durable high-water mark (a
@@ -490,9 +517,13 @@ object StoreMaintenance {
     val root = new java.io.File(path)
     // fail CLOSED on a reclaimed lineage: every maintenance version in
     // [version, hwm] must still have its snapshot on disk, or the
-    // reconstruction would silently serve a post-op state
+    // reconstruction would silently serve a post-op state. A version
+    // number that is missing but NOT tombstoned in `.retired/_vacuumed`
+    // was allocated and never committed (recover() discarded its temp
+    // dir) — nothing landed under it, so it cannot block the read
     val present = versionsOf(root).toSet
-    val vacuumed = (math.max(version, 1L) to readHwm(root)).filterNot(present)
+    val vacuumed = (math.max(version, 1L) to readHwm(root))
+      .filterNot(present).filter(readVacuumed(root))
     require(vacuumed.isEmpty,
       s"snapshot(s) v${vacuumed.mkString(",v")} already vacuumed under $path — " +
         s"read-before-v$version is no longer reconstructible")
@@ -524,7 +555,7 @@ object StoreMaintenance {
     spark.read.parquet(files: _*)
   }
 
-  private def rmTree(f: java.io.File): Unit = {
+  private[sources] def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete()
   }
@@ -556,8 +587,11 @@ object StoreMaintenance {
                    force: Boolean = false): Option[(Int, Int)] = {
     val root = new java.io.File(path)
     val cutoff = System.currentTimeMillis() - retentionMs
+    // <=, not <: with retentionMs=0 a version stamped this very
+    // millisecond must already count as aged, or forced-zero-retention
+    // callers (gates, tests) flake on mtime granularity
     val aged = versionsOf(root).exists(w =>
-      new java.io.File(root, s"$RetiredDirName/v$w").lastModified() < cutoff)
+      new java.io.File(root, s"$RetiredDirName/v$w").lastModified() <= cutoff)
     if (!aged) None
     else Some(vacuum(path, retentionMs, minRetentionMs, force))
   }
@@ -578,7 +612,14 @@ object StoreMaintenance {
       var kept = 0
       versionsOf(root).foreach { w =>
         val vdir = new java.io.File(root, s"$RetiredDirName/v$w")
-        if (vdir.lastModified() < cutoff) { rmTree(vdir); deleted += 1 }
+        // <= so a zero horizon reclaims a version stamped this same
+        // millisecond (coarse fs mtime granularity widens that window)
+        if (vdir.lastModified() <= cutoff) {
+          // tombstone FIRST: if the rmTree below is interrupted, a
+          // half-deleted snapshot must already read as vacuumed
+          recordVacuumed(root, Seq(w))
+          rmTree(vdir); deleted += 1
+        }
         else kept += 1
       }
       (deleted, kept)

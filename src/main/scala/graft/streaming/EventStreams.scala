@@ -249,12 +249,33 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
   }
 
+  /** The bid=-sharded sinks (sessionize / dedup / stream-join) are NOT
+    * backward compatible with the flat appended-part-file layout they
+    * replaced: parquet partition discovery rejects a directory mixing
+    * root-level data files with bid= partition dirs. A checkpointed
+    * stream resuming over a legacy sink must fail HERE with a
+    * migration message, not later with Spark's opaque discovery error.
+    * (Migration: move the legacy files under a one-off `bid=-1/` dir —
+    * readers treat it as any other shard.)
+    */
+  private def requireBidLayout(outPath: String): Unit = {
+    val root = new java.io.File(outPath)
+    val legacy = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+    require(legacy.isEmpty,
+      s"sink $outPath holds ${legacy.length} root-level data file(s) from the " +
+        "pre-bid= flat layout; partition discovery cannot mix them with bid= " +
+        "shards — move them under a bid=-1/ subdirectory first")
+  }
+
   /** Incremental sessionization run: AvailableNow over the source dir,
     * closed sessions appended to a parquet sink — the nightly "close
     * out yesterday's sessions" job shape.
     */
   def runSessionizeIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                           outPath: String): StreamingQuery = {
+    requireBidLayout(outPath)
     val q = sessionizeStreamNat(spark, srcDir)
       .writeStream
       .outputMode("append")
@@ -303,6 +324,7 @@ object EventStreams {
     */
   def runDedupIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                      outPath: String): StreamingQuery = {
+    requireBidLayout(outPath)
     val q = dedupStreamFrom(spark, srcDir)
       .writeStream
       .outputMode("append")
@@ -380,6 +402,7 @@ object EventStreams {
     */
   def runStreamJoinIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                           outPath: String): StreamingQuery = {
+    requireBidLayout(outPath)
     val q = streamStreamJoinFrom(spark, srcDir)
       .writeStream
       .outputMode("append")
