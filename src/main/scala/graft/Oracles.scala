@@ -5341,8 +5341,32 @@ object Oracles {
     )
   }
 
+  // ---- round 14: retrain remediation + lexical tier depth ------------
+
+  val round14: Map[String, String] = {
+    import graft.operators.Knn.{IvfTrainSample, DriftOffset}
+    val half = IvfTrainSample / 2
+    Map(
+      // the remediation: the store's own search AFTER
+      // IvfIndexStore.retrain must land exactly on the RETRAINED leg
+      // of the drift oracle — the same bounded 50/50 post-append Lloyd
+      // replay, recall@5 restored to 1.0 (vs the frozen leg's 0.5
+      // that v_ivf_drift_store pins on the same lifecycle)
+      "v_ivf_retrain_store" -> s"""
+      WITH $driftBaseCte,
+      rttrain AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < $half
+                  UNION ALL
+                  SELECT vec_id - $DriftOffset + $half AS vec_id, v, nrm
+                  FROM dfn WHERE vec_id < ${DriftOffset + half}),
+      ${lloydCte("rt", "rttrain")},
+      ${driftLegCte("rt", "retrained")}
+      SELECT query_id, hits_retrained AS hits, recall_retrained AS recall
+      FROM rtrec ORDER BY query_id"""
+    )
+  }
+
   def all: Map[String, String] =
     relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming ++
       round2 ++ round3 ++ round6 ++ round8 ++ round9 ++ round10 ++ round11 ++
-      round12 ++ round13
+      round12 ++ round13 ++ round14
 }

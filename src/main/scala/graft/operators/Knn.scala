@@ -3692,6 +3692,52 @@ object Knn {
       .orderBy("query_id")
   }
 
+  /** v_ivf_retrain_store: the REMEDIATION the drift gates close over —
+    * same store lifecycle as v_ivf_drift_store (train-once write of
+    * the isotropic model, frozen-sidecar append of the drifted
+    * cohort), then IvfIndexStore.retrain on the bounded 50/50
+    * post-append mixture (driftMixedSample — the advisor's contract)
+    * rebuilds the lists atomically under the retrained quantizer. The
+    * store's own nprobe=1 search over the appended queries must
+    * hash-match the RETRAINED leg of v_ivf_drift_recall's oracle:
+    * recall@5 on the appended cohort restored from the frozen 0.5 to
+    * 1.0 (both numbers oracle-pinned, and the restored one is THE
+    * STORE'S, not a simulation's). The pre-retrain layout stays
+    * auditable: readBefore(retrain version) replays it, the frozen
+    * centroids sit in `.retired/v<v>/_sidecar_centroids/`
+    * (Round14Spec pins both).
+    */
+  def vIvfRetrainStore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
+    val path = new java.io.File(s"target/retrain_store_$tag/idx").getAbsolutePath
+    if (!new java.io.File(path).exists()) {
+      graft.sources.IvfIndexStore.write(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", path,
+        model = Some(ivfCentroids(spark, dir)))
+      graft.sources.IvfIndexStore.append(
+        driftFrame(spark, dir).select("vec_id", "v"), "vec_id", "v", path)
+      graft.sources.IvfIndexStore.retrain(spark, path,
+        driftMixedSample(spark, dir))
+    }
+    val queries = driftFrame(spark, dir)
+      .filter(col("vec_id") < DriftOffset + NumQueries)
+    val ann = graft.sources.IvfIndexStore.search(spark, path,
+        queries.select("vec_id", "v"), "vec_id", "v", DefaultK,
+        nprobe = DriftNprobe)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val comb = driftCombined(spark, dir).transform(graft.Materialize.forceCached)
+    val exact = driftExact(comb,
+      queries.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")))
+    exact.join(broadcast(ann),
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+      .groupBy("query_id")
+      .agg(count(col("an")).as("hits"),
+        round(count(col("an")) / lit(5.0), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** v_ivf_drift_report: the retrain advisor — per-list assignment-
     * similarity quantiles under the FROZEN quantizer, training cohort
     * vs appended cohort. Quantiles are rank-based (value at row

@@ -536,7 +536,10 @@ object StoreMaintenance {
     versionsOf(root).filter(_ >= version).sorted.reverse.foreach { w =>
       val vdir = new java.io.File(root, s"$RetiredDirName/v$w")
       Option(vdir.listFiles()).getOrElse(Array.empty)
-        .filter(_.isDirectory).foreach { rdir =>
+        // _-prefixed dirs are non-data lineage artifacts (retired
+        // model sidecars, e.g. _sidecar_centroids), not partition dirs
+        .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+        .foreach { rdir =>
           val addedF = new java.io.File(rdir, "_added")
           val added: Set[String] =
             if (addedF.isFile) {
@@ -626,18 +629,39 @@ object StoreMaintenance {
     }
   }
 
+  /** Staging root for [[rewriteLayout]]'s one-job whole-layout write.
+    * Dot-prefixed: invisible to parquet discovery and every listing.
+    */
+  private val StageDirName = ".rewrite_stage"
+
   /** Finish or discard interrupted compactions under `path` — see the
     * crash-consistency contract above. Returns (swaps completed,
     * uncommitted temp dirs discarded).
+    *
+    * Group commits: a root-level `.commit_group_<v>` marker names temp
+    * dirs that commit AS A UNIT ([[rewriteLayout]]'s single commit
+    * point — its members deliberately carry no per-dir _SUCCESS, so
+    * before the marker lands a crash discards them all, and after it
+    * lands a crash completes them all; no partial layout is ever
+    * reachable). Marker members are completed here even without
+    * _SUCCESS; leftover markers and the staging dir are cleared last.
     */
   def recover(path: String): (Int, Int) = {
     val root = new java.io.File(path)
+    val markers = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".commit_group_"))
+    val grouped: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      markers.flatMap(m =>
+        java.nio.file.Files.readAllLines(m.toPath).asScala).toSet
+    }
     val tmps = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(".compact_"))
     var completed = 0
     var discarded = 0
     tmps.foreach { tmp =>
-      val committed = new java.io.File(tmp, "_SUCCESS").isFile &&
+      val committed = (new java.io.File(tmp, "_SUCCESS").isFile ||
+          grouped.contains(tmp.getName)) &&
         new java.io.File(tmp, "manifest").isFile
       if (committed) {
         completeSwap(swapTargetOf(root, tmp.getName), tmp)
@@ -651,6 +675,9 @@ object StoreMaintenance {
         discarded += 1
       }
     }
+    markers.foreach(_.delete())
+    val stage = new java.io.File(root, StageDirName)
+    if (stage.exists()) rmTree(stage) // pre-commit rewrite crash leftover
     (completed, discarded)
   }
 
@@ -885,6 +912,92 @@ object StoreMaintenance {
     }
   }
 
+  /** Whole-layout rewrite under a NEW partition assignment — the
+    * machinery behind index RETRAINING, where rows move BETWEEN
+    * `col=val` partition dirs (re-assignment under a retrained model),
+    * which the per-dir [[rewritePartitions]] swap cannot express.
+    *
+    * `reshape` maps the store's current rows (partition column
+    * attached) to the full new row set, which must carry
+    * `partitionCol`; it may ignore its input entirely (the IVF-PQ
+    * retrain re-encodes from the source corpus).
+    *
+    * Crash contract — ATOMIC, unlike a multi-dir rewritePartitions
+    * pass: the new layout writes in ONE Spark job to a dot-prefixed
+    * staging root, per-dir swap temps are prepared WITHOUT their
+    * _SUCCESS marker (so a crash discards them all), and the single
+    * commit point is one `.commit_group_<v>` marker file naming every
+    * member — after it lands, [[recover]] completes every member swap;
+    * before it, recover discards them and the store is untouched. All
+    * old files of every dir retire under ONE version, so
+    * [[readBefore]](v) replays the complete pre-rewrite layout.
+    * Returns (partition dirs swapped, version).
+    */
+  private[sources] def rewriteLayout(spark: SparkSession, path: String,
+      partitionCol: String)(reshape: DataFrame => DataFrame): (Int, Long) = {
+    val root = new java.io.File(path)
+    withLock(root) {
+    recover(path)
+    val version = allocateVersion(root)
+    val stage = new java.io.File(root, StageDirName)
+    val oldDirs = leafPartitionDirs(root).filter(d => dataFiles(d).nonEmpty)
+    require(oldDirs.forall(_.getParentFile == root),
+      "rewriteLayout supports single-level col=val layouts only")
+    require(dataFiles(root).isEmpty,
+      "rewriteLayout requires a partitioned layout (no root-level data files)")
+    reshape(spark.read.parquet(root.getAbsolutePath))
+      .write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(stage.getAbsolutePath)
+    val newDirs = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    val rels = (newDirs.map(_.getName) ++ oldDirs.map(d => relPath(root, d))).distinct
+    val tmps = rels.map { rel =>
+      val tmp = new java.io.File(root, swapTmpName(rel))
+      rmTree(tmp); tmp.mkdirs()
+      val staged = new java.io.File(stage, rel)
+      if (staged.isDirectory) dataFiles(staged).foreach { f =>
+        java.nio.file.Files.move(f.toPath, new java.io.File(tmp, f.getName).toPath)
+      }
+      val pdir = new java.io.File(root, rel)
+      commitManifest(tmp,
+        if (pdir.isDirectory) dataFiles(pdir) else Array.empty, version)
+      tmp
+    }
+    val marker = new java.io.File(root, s".commit_group_$version")
+    java.nio.file.Files.write(marker.toPath,
+      java.util.Arrays.asList(tmps.map(_.getName): _*))
+    tmps.foreach { tmp =>
+      val pdir = swapTargetOf(root, tmp.getName)
+      pdir.mkdirs()
+      completeSwap(pdir, tmp)
+    }
+    marker.delete()
+    rmTree(stage)
+    (rels.length, version)
+    }
+  }
+
+  /** File a pre-op copy of a model SIDECAR (a sibling `<path>.<name>`
+    * parquet dir, outside the store root and therefore outside the
+    * data-file lineage) under the store's retired snapshot for
+    * `version` — the audit trail a retrain leaves so the pre-retrain
+    * model stays readable beside the pre-retrain rows readBefore
+    * replays. Plain parquet under
+    * `.retired/v<version>/_sidecar_<name>/`.
+    */
+  private[sources] def retireSidecar(storePath: String, version: Long,
+                                     name: String, sidecarDir: String): Unit = {
+    val src = new java.io.File(sidecarDir)
+    if (!src.isDirectory) return
+    val dst = new java.io.File(storePath,
+      s"$RetiredDirName/v$version/_sidecar_$name")
+    dst.mkdirs()
+    dataFiles(src).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(dst, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Delete-by-key for UNPARTITIONED (flat-layout) stores — the purge
     * analog for stores whose files sit directly under the root with no
     * `col=val` directories (BqIndexStore's code table, PqIndexStore's
@@ -960,24 +1073,64 @@ object IvfIndexStore {
             model: Option[Array[(Int, Array[Double])]] = None,
             metaCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
     val e = prepared(df, idCol, vecCol, metaCols)
     val centroids = model.getOrElse(Knn.trainIvf(e))
     Knn.withCid(e, centroids).write.mode("overwrite").partitionBy("cid").parquet(path)
+    writeModelSidecars(spark, centroids, path)
+  }
+
+  /** Centroid sidecar + its packed twin. The packed form is ONE row
+    * holding the whole centroid set as array<struct<cid,cv>>: a
+    * SQL-only consumer derives per-query probe lists with pure array
+    * ops (sort/slice/explode) and no window → the probe subplan is
+    * exchange-free, which is exactly what AQE's dynamic-partition-
+    * pruning broadcast reuse needs to keep the store scan pruned at
+    * runtime (v_sql_store_ivf rides this).
+    */
+  private def writeModelSidecars(spark: SparkSession,
+                                 centroids: Array[(Int, Array[Double])],
+                                 path: String): Unit = {
+    import spark.implicits._
     centroids.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv")
       .write.mode("overwrite").parquet(s"$path.centroids")
-    // packed form of the same sidecar: ONE row holding the whole
-    // centroid set as array<struct<cid,cv>>. A SQL-only consumer can
-    // then derive per-query probe lists with pure array ops (sort/
-    // slice/explode) and no window → the probe subplan is exchange-free,
-    // which is exactly what AQE's dynamic-partition-pruning broadcast
-    // reuse needs to keep the store scan pruned at runtime
-    // (v_sql_store_ivf rides this).
     Seq(Tuple1(centroids.toSeq.sortBy(_._1).map { case (cid, cv) => (cid, cv.toSeq) }))
       .toDF("cents")
       .select(col("cents").cast("array<struct<cid:int,cv:array<double>>>").as("cents"))
       .write.mode("overwrite").parquet(s"$path.centpack")
+  }
+
+  /** RETRAIN REMEDIATION — the store-side act the drift gates can so
+    * far only recommend (v_ivf_drift_store PROVES the frozen-model
+    * decay, v_ivf_drift_report advises a rebuild; this is the
+    * rebuild). Train a fresh coarse quantizer on `train` — a BOUNDED
+    * sample frame with (vec_id, v, nrm), the caller's post-append
+    * mixture under the same corpus-size-independent contract as every
+    * training pass (Knn.trainIvf caps at vec_id < IvfTrainSample) —
+    * then rebuild the list layout under the maintenance lock:
+    * re-assignment is one map-side projection over the stored rows
+    * (vectors live in the store; nothing re-reads the source corpus),
+    * the rewrite lands through [[StoreMaintenance.rewriteLayout]]'s
+    * group-committed swap (atomic: a crash either keeps the old layout
+    * whole or completes the new one on recover), every pre-retrain
+    * file retires under ONE version so readBefore(v) audits the
+    * pre-retrain index, and the pre-retrain centroid sidecar is filed
+    * beside it (`.retired/v<v>/_sidecar_centroids/`). The new model
+    * sidecars land AFTER the data commit: a crash between the two
+    * leaves a store that searches stale until retrain is re-run —
+    * re-running with the same `train` frame converges (training is
+    * deterministic). Returns the maintenance version the old layout
+    * retired under.
+    */
+  def retrain(spark: SparkSession, path: String, train: DataFrame): Long = {
+    val newCents = Knn.trainIvf(
+      train.select(col("vec_id"), col("v"), col("nrm")))
+    val (_, version) = StoreMaintenance.rewriteLayout(spark, path, "cid") {
+      cur => Knn.withCid(cur.drop("cid"), newCents)
+    }
+    StoreMaintenance.retireSidecar(path, version, "centroids", s"$path.centroids")
+    writeModelSidecars(spark, newCents, path)
+    version
   }
 
   /** Assign NEW vectors with the frozen persisted centroids and append
@@ -1357,6 +1510,24 @@ object IvfPqIndexStore {
     if (byResidual)
       java.nio.file.Files.createFile(
         new java.io.File(path, ResidualMarker).toPath)
+    writeModelSidecars(spark, centroids, books, byResidual, path)
+  }
+
+  /** Both model sidecars + their packed twins + the brand row. The
+    * packed forms are ONE row each, for the SQL-only serving leg
+    * (v_sql_store_ivfpq): a statement cross-joins them as single
+    * broadcast rows — the probe CTE derives nprobe lists with
+    * exchange-free array ops (keeping DPP broadcast reuse alive) and
+    * the ADC distance folds map-side via element_at. The brand as
+    * DATA: one boolean row a SQL-only user can bind and consult inside
+    * the statement (the marker file serves the Scala API; parquet
+    * serves SQL — written together, they cannot diverge).
+    */
+  private def writeModelSidecars(spark: SparkSession,
+                                 centroids: Array[(Int, Array[Double])],
+                                 books: Array[Array[Array[Double]]],
+                                 byResidual: Boolean, path: String): Unit = {
+    import spark.implicits._
     centroids.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv")
       .write.mode("overwrite").parquet(s"$path.centroids")
@@ -1364,22 +1535,56 @@ object IvfPqIndexStore {
       perM.zipWithIndex.map { case (cv, k) => (m, k, cv.toSeq) }
     }.toSeq.toDF("m", "k", "cv")
       .write.mode("overwrite").parquet(s"$path.books")
-    // packed twins of both sidecars, for the SQL-only serving leg
-    // (v_sql_store_ivfpq): ONE row each, so a statement cross-joins
-    // them as single broadcast rows — the probe CTE derives nprobe
-    // lists with exchange-free array ops (keeping DPP broadcast reuse
-    // alive) and the ADC distance folds map-side via element_at
     Seq(Tuple1(centroids.toSeq.sortBy(_._1).map { case (cid, cv) => (cid, cv.toSeq) }))
       .toDF("cents")
       .select(col("cents").cast("array<struct<cid:int,cv:array<double>>>").as("cents"))
       .write.mode("overwrite").parquet(s"$path.centpack")
     Seq(Tuple1(books.map(_.map(_.toSeq).toSeq).toSeq)).toDF("books")
       .write.mode("overwrite").parquet(s"$path.bookpack")
-    // the brand as DATA: one boolean row a SQL-only user can bind and
-    // consult inside the statement (the marker file serves the Scala
-    // API; parquet serves SQL — written together, they cannot diverge)
     Seq(Tuple1(byResidual)).toDF("by_residual")
       .write.mode("overwrite").parquet(s"$path.brand")
+  }
+
+  /** The compressed tier's RETRAIN twin (IvfIndexStore.retrain's
+    * contract applied to codes): both models — coarse quantizer AND
+    * codebooks — retrain on `train` (the caller's bounded post-append
+    * mixture; both trainers cap input corpus-size-independently), the
+    * codebook training encodes the mixture the STORE'S way (the
+    * residual brand travels with the data, never a caller flag), and
+    * the whole code layout re-encodes from `corpus` — the ONE
+    * unavoidable full read: PQ codes are not invertible, so unlike the
+    * raw-vector IVF store a re-encode must go back to the source
+    * vectors. The rewrite is [[StoreMaintenance.rewriteLayout]]'s
+    * group-committed atomic swap; pre-retrain codes stay replayable
+    * via readBefore(version) and both pre-retrain model sidecars are
+    * filed under `.retired/v<version>/_sidecar_{centroids,books}/`.
+    * New sidecars land after the data commit — a crash between the two
+    * searches stale until a (deterministic, converging) re-run.
+    * `corpus` must hold exactly the store's current row universe.
+    */
+  def retrain(spark: SparkSession, path: String, corpus: DataFrame,
+              idCol: String, vecCol: String, train: DataFrame): Long = {
+    val tr = train.select(col("vec_id"), col("v"), col("nrm"))
+    val newCents = Knn.trainIvf(tr)
+    val resid = isResidual(path)
+    val trAsg = Knn.withCid(tr, newCents)
+    val trEnc =
+      if (resid) graft.Materialize.forceCached(Knn.residualFrame(trAsg, newCents))
+      else trAsg
+    val newBooks = Knn.trainPqBooks(trEnc.select(col("vec_id"), col("v")))
+    val e = prepared(corpus, idCol, vecCol)
+    val asg = Knn.withCid(e, newCents)
+    val enc =
+      if (resid) graft.Materialize.forceCached(Knn.residualFrame(asg, newCents))
+      else asg
+    val coded = enc.select(col("vec_id"), col("cid"),
+      Knn.pqCodesCol(newBooks).as("codes"))
+    val (_, version) =
+      StoreMaintenance.rewriteLayout(spark, path, "cid")(_ => coded)
+    StoreMaintenance.retireSidecar(path, version, "centroids", s"$path.centroids")
+    StoreMaintenance.retireSidecar(path, version, "books", s"$path.books")
+    writeModelSidecars(spark, newCents, newBooks, resid, path)
+    version
   }
 
   /** faiss add(): assign new vectors with the FROZEN coarse quantizer,

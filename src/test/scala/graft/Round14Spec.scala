@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-14 additions: retrain remediation (IVF + IVF-PQ), the
+  * group-committed whole-layout rewrite's atomicity, and the retrain
+  * gate's restored-recall separation.
+  */
+class Round14Spec extends SparkSpec {
+
+  import graft.operators.Knn
+  import graft.sources.{IvfIndexStore, IvfPqIndexStore, StoreMaintenance => SM}
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** A small bounded training mixture over raw ∪ drifted rows — the
+    * spec's stand-in for the gate's driftMixedSample (any training
+    * frame works for the equivalence contracts below; what matters is
+    * that retrain(T) ≡ a fresh build whose models trained on T).
+    */
+  private def mixture(dir: String): DataFrame = {
+    val half = Knn.IvfTrainSample / 2
+    val raw = Knn.corpus(spark, dir).select("vec_id", "v", "nrm")
+      .filter(col("vec_id") < half)
+    val app = Knn.driftFrame(spark, dir)
+      .filter(col("vec_id") < Knn.DriftOffset + half)
+      .select((col("vec_id") - Knn.DriftOffset + half).as("vec_id"),
+        col("v"), col("nrm"))
+    raw.union(app)
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("IVF retrain: store search ≡ fresh build trained on the same mixture") {
+    val base = tmpDir("ivf_retrain")
+    val (pathA, pathB) = (s"$base/a", s"$base/b")
+    val emb = Tables.embeddings(spark, sf)
+    val drift = Knn.driftFrame(spark, sf).select("vec_id", "v")
+    val train = mixture(sf)
+
+    // lifecycle under test: write (frozen model) → append → retrain
+    IvfIndexStore.write(emb, "vec_id", "embedding", pathA,
+      model = Some(Knn.ivfCentroids(spark, sf)))
+    IvfIndexStore.append(drift, "vec_id", "v", pathA)
+    val preIds = ids(spark.read.parquet(pathA))
+    val version = IvfIndexStore.retrain(spark, pathA, train)
+
+    // reference: ONE build of the union under the SAME retrained model
+    val cents = Knn.trainIvf(train)
+    IvfIndexStore.write(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .union(drift), "vec_id", "v", pathB, model = Some(cents))
+
+    val q = drift.filter(col("vec_id") < Knn.DriftOffset + 5)
+    def top(p: String) = IvfIndexStore.search(spark, p, q, "vec_id", "v",
+        Knn.DefaultK, nprobe = Knn.DriftNprobe)
+      .collect().map(_.toString).sorted.toSeq
+    assert(top(pathA) == top(pathB),
+      "retrained store must serve exactly what a fresh build under the same model serves")
+
+    // lineage: the pre-retrain layout replays whole, the pre-retrain
+    // model is filed beside it
+    assert(SM.versions(pathA).contains(version))
+    assert(ids(SM.readBefore(spark, pathA, version)) == preIds,
+      "readBefore(retrain version) must replay the complete pre-retrain row set")
+    val sidecar = new java.io.File(pathA,
+      s"${SM.RetiredDirName}/v$version/_sidecar_centroids")
+    assert(sidecar.isDirectory && sidecar.listFiles().nonEmpty,
+      "pre-retrain centroid sidecar must be filed in the retire lineage")
+    val retired = spark.read.parquet(sidecar.getAbsolutePath).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val frozen = Knn.ivfCentroids(spark, sf)
+      .map { case (cid, cv) => (cid, cv.toSeq) }.sortBy(_._1)
+    assert(retired.toSeq == frozen.toSeq,
+      "the retired sidecar must hold the FROZEN (pre-retrain) centroids")
+
+    // the new sidecar is the retrained model, and append keeps working
+    // against it (assigns under the new geometry, results still equal
+    // the fresh build's after the same append)
+    val live = IvfIndexStore.readCentroids(spark, pathA)
+      .map { case (cid, cv) => (cid, cv.toSeq) }
+    assert(live.toSeq ==
+      cents.map { case (cid, cv) => (cid, cv.toSeq) }.sortBy(_._1).toSeq)
+  }
+
+  test("IVF-PQ retrain twin: both models retrain, codes re-encode from source") {
+    val base = tmpDir("ivfpq_retrain")
+    val (pathA, pathB) = (s"$base/a", s"$base/b")
+    val emb = Tables.embeddings(spark, sf)
+    val drift = Knn.driftFrame(spark, sf).select("vec_id", "v")
+    val union = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .union(drift)
+    val train = mixture(sf).transform(Materialize.forceCached)
+
+    IvfPqIndexStore.write(emb, "vec_id", "embedding", pathA)
+    IvfPqIndexStore.append(drift, "vec_id", "v", pathA)
+    val version = IvfPqIndexStore.retrain(spark, pathA, union, "vec_id", "v", train)
+
+    val cents = Knn.trainIvf(train)
+    val books = Knn.trainPqBooks(train.select("vec_id", "v"))
+    IvfPqIndexStore.write(union, "vec_id", "v", pathB,
+      ivfModel = Some(cents), pqModel = Some(books))
+
+    val q = drift.filter(col("vec_id") < Knn.DriftOffset + 5)
+    def top(p: String) = IvfPqIndexStore.search(spark, p, q, "vec_id", "v",
+        Knn.DefaultK).collect().map(_.toString).sorted.toSeq
+    assert(top(pathA) == top(pathB),
+      "retrained IVF-PQ store must equal a fresh dual-model build over the union")
+
+    // both pre-retrain model sidecars are filed in the lineage
+    for (name <- Seq("centroids", "books")) {
+      val d = new java.io.File(pathA,
+        s"${SM.RetiredDirName}/v$version/_sidecar_$name")
+      assert(d.isDirectory && d.listFiles().nonEmpty, s"missing retired $name")
+    }
+  }
+
+  test("group commit: prepared-but-unmarked swaps discard; marked swaps complete") {
+    val base = tmpDir("group_commit")
+    val path = s"$base/idx"
+    val emb = Tables.embeddings(spark, sf)
+    IvfIndexStore.write(emb, "vec_id", "embedding", path,
+      model = Some(Knn.ivfCentroids(spark, sf)))
+    val root = new java.io.File(path)
+    val liveIds = ids(spark.read.parquet(path))
+
+    def craftTmp(): java.io.File = {
+      // a prepared whole-layout member: new data + manifest +
+      // retire_version, deliberately NO _SUCCESS (rewriteLayout's
+      // pre-commit state)
+      val pdir = new java.io.File(root, "cid=0")
+      val old = pdir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(old.nonEmpty)
+      val tmp = new java.io.File(root, ".compact_cid=0")
+      tmp.mkdirs()
+      // new content: cid=1's file under a fresh name (any valid parquet)
+      val donor = new java.io.File(root, "cid=1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(donor.toPath,
+        new java.io.File(tmp, "group-new.parquet").toPath)
+      java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
+        java.util.Arrays.asList(old.map(_.getName): _*))
+      java.nio.file.Files.write(new java.io.File(tmp, "retire_version").toPath,
+        java.util.Collections.singletonList("7"))
+      tmp
+    }
+
+    // crash BEFORE the marker: recover must discard the member and
+    // leave the store byte-identical
+    craftTmp()
+    val (c0, d0) = SM.recover(path)
+    assert(c0 == 0 && d0 == 1, s"unmarked member must discard, got ($c0, $d0)")
+    assert(ids(spark.read.parquet(path)) == liveIds)
+    assert(!new java.io.File(root, "cid=0/group-new.parquet").isFile)
+
+    // crash AFTER the marker: recover must complete the member —
+    // old cid=0 files retire under v7, the new file goes live
+    val tmp = craftTmp()
+    java.nio.file.Files.write(
+      new java.io.File(root, ".commit_group_7").toPath,
+      java.util.Collections.singletonList(tmp.getName))
+    val (c1, d1) = SM.recover(path)
+    assert(c1 == 1 && d1 == 0, s"marked member must complete, got ($c1, $d1)")
+    assert(new java.io.File(root, "cid=0/group-new.parquet").isFile)
+    assert(SM.versions(path).contains(7L))
+    assert(!new java.io.File(root, ".commit_group_7").isFile,
+      "recover must clear the settled group marker")
+    // the undo path still works: readBefore(7) drops the grafted file
+    // and restores the retired originals
+    assert(ids(SM.readBefore(spark, path, 7)) == liveIds)
+  }
+
+  test("retrain gate: appended-cohort recall restored vs the frozen store") {
+    val rt = Knn.vIvfRetrainStore(spark, sf).collect()
+    val fz = Knn.vIvfDriftStore(spark, sf).collect()
+    def avg(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Double]("recall")).sum / rows.length
+    val (rtAvg, fzAvg) = (avg(rt), avg(fz))
+    // deterministic per corpus: frozen 0.82 / retrained 1.0 at
+    // sf0.001, frozen 0.50 / retrained 1.0 at sf0.01
+    assert(rtAvg == 1.0, s"retrain must fully restore recall@5, got $rtAvg")
+    assert(rtAvg >= fzAvg + 0.15,
+      s"remediation separation collapsed: frozen=$fzAvg retrained=$rtAvg")
+  }
+}
