@@ -5361,7 +5361,78 @@ object Oracles {
       ${lloydCte("rt", "rttrain")},
       ${driftLegCte("rt", "retrained")}
       SELECT query_id, hits_retrained AS hits, recall_retrained AS recall
-      FROM rtrec ORDER BY query_id"""
+      FROM rtrec ORDER BY query_id""",
+
+      // exact-phrase over the positional postings: 1-based position
+      // lists per (doc, tok), a doc matches when term₂ sits at
+      // position p+1 for some p of term₁ (each query doc's first two
+      // tokens), phrase frequency = the intersection size — the
+      // engine's adjacency fold replayed with list_filter/list_contains
+      "v_bm25_phrase" -> """
+      WITH dt AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(text), '\s+'),
+                t -> t <> '') AS arr
+            FROM documents),
+      tp AS (SELECT doc_id, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) AS pos FROM dt),
+      pl AS (SELECT doc_id, tok, list_sort(list(pos)) AS ps
+             FROM tp GROUP BY doc_id, tok),
+      qp AS (SELECT doc_id AS q_id, arr[1] AS w1, arr[2] AS w2
+             FROM dt WHERE doc_id < 3),
+      m AS (SELECT q.q_id, a.doc_id,
+              CAST(len(list_filter(a.ps, p -> list_contains(b.ps, p + 1)))
+                AS BIGINT) AS phrase_tf
+            FROM qp q
+            JOIN pl a ON a.tok = q.w1 AND a.doc_id <> q.q_id
+            JOIN pl b ON b.doc_id = a.doc_id AND b.tok = q.w2),
+      r AS (SELECT q_id AS query_id, doc_id, phrase_tf,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY phrase_tf DESC, doc_id ASC) AS BIGINT) AS rnk
+            FROM m WHERE phrase_tf > 0)
+      SELECT query_id, rnk, doc_id, phrase_tf FROM r
+      WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+      // metadata-filtered BM25: t_bm25 with the query's OWN language
+      // riding every join — per-language df, per-language (n_docs,
+      // sum_dl), candidates restricted to the query's language; the
+      // fold and every IEEE op order unchanged from t_bm25
+      "v_bm25_filtered" -> s"""
+      WITH btf AS (SELECT d.doc_id, tok, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents) d
+              WHERE tok <> '' GROUP BY d.doc_id, tok),
+      dm AS (SELECT doc_id, lang FROM documents),
+      tfm AS (SELECT t.doc_id, t.tok, t.tf, d.lang
+              FROM btf t JOIN dm d ON d.doc_id = t.doc_id),
+      dfx AS (SELECT tok, lang, COUNT(*) AS df FROM tfm GROUP BY tok, lang),
+      dln AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+              FROM btf GROUP BY doc_id),
+      dlm AS (SELECT l.doc_id, l.dl, d.lang
+              FROM dln l JOIN dm d ON d.doc_id = l.doc_id),
+      st AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+             FROM dlm GROUP BY lang),
+      qt AS (SELECT t.doc_id AS q_id, t.tok, d.lang AS qlang
+             FROM btf t JOIN dm d ON d.doc_id = t.doc_id WHERE t.doc_id < 3),
+      c AS (SELECT q.q_id, t.doc_id, t.tok,
+              ln((st.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                * (t.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+                (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                  / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))) AS c
+            FROM tfm t
+            JOIN qt q ON t.tok = q.tok AND t.lang = q.qlang
+              AND t.doc_id <> q.q_id
+            JOIN dfx f ON f.tok = t.tok AND f.lang = t.lang
+            JOIN dln l ON l.doc_id = t.doc_id
+            JOIN st ON st.lang = t.lang),
+      s AS (SELECT q_id, doc_id,
+              ROUND(list_reduce(list(c ORDER BY tok), (a, x) -> a + x), 6) AS score
+            FROM c GROUP BY q_id, doc_id),
+      r AS (SELECT q_id, doc_id, score,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+            FROM s)
+      SELECT q_id AS query_id, rnk, doc_id, score FROM r
+      WHERE rnk <= 5 ORDER BY query_id, rnk"""
     )
   }
 

@@ -54,36 +54,55 @@ object Bm25Store {
   private[graft] def tb(tok: Column): Column =
     H.md5Long(concat(lit("bm25tb_"), tok), 8) % Buckets
 
-  /** Postings rows of a (doc_id, text) batch. */
+  /** Postings rows of a (doc_id, text) batch: (tok, doc_id, tf, pos)
+    * where `pos` is the token's sorted 1-based POSITION LIST in the
+    * document — the Lucene positional-postings layout, taken in the
+    * SAME tokenize pass that counts tf (posexplode instead of explode;
+    * one extra collect_list, no extra scan). Positions are what phrase
+    * and proximity queries intersect ([[phraseSearch]]); BM25 scoring
+    * ignores them, so the flat-search legs are unchanged.
+    */
   private[graft] def postingsRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(tokensOf(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    docs.select(col("doc_id"),
+        posexplode(tokensOf(col("text"))).as(Seq("p0", "tok")))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"),
+        array_sort(collect_list(col("p0") + 1)).as("pos"))
       .withColumn("tb", tb(col("tok")))
 
   /** dl sidecar rows: per-doc total tokens (docs with ≥1 token only —
-    * the same universe bm25Ranked's dl aggregate sees).
+    * the same universe bm25Ranked's dl aggregate sees). `metaCols`
+    * ride INLINE as extra group keys (constant per doc, so the keys
+    * add no groups): one row per doc either way, no extra scan, no
+    * join — the metadata-filtered leg reads them straight off the
+    * sidecar ([[searchFiltered]]).
     */
-  private[graft] def dlRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(tokensOf(col("text"))).as("tok"))
-      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+  private[graft] def dlRows(docs: DataFrame,
+                            metaCols: Seq[String] = Nil): DataFrame =
+    docs.select(col("doc_id") +: metaCols.map(col)
+        :+ explode(tokensOf(col("text"))).as("tok"): _*)
+      .groupBy("doc_id", metaCols: _*).agg(count(lit(1)).as("dl"))
 
   private def statsRows(dl: DataFrame): DataFrame =
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
-  def write(docs: DataFrame, path: String): Unit = {
+  def write(docs: DataFrame, path: String,
+            metaCols: Seq[String] = Nil): Unit = {
     postingsRows(docs).write.mode("overwrite").partitionBy("tb").parquet(path)
-    val dl = dlRows(docs).transform(graft.Materialize.forceCached)
+    val dl = dlRows(docs, metaCols).transform(graft.Materialize.forceCached)
     dl.write.mode("overwrite").parquet(path + ".dl")
     statsRows(dl).write.mode("overwrite").parquet(path + ".stats")
   }
 
   /** Append a DOC-DISJOINT wave: postings land in their tb dirs, dl
     * rows and a stats partial append — all three additive by the
-    * disjointness contract.
+    * disjointness contract. A meta-written store must append with the
+    * SAME metaCols (the dl schema is the contract).
     */
-  def append(docs: DataFrame, path: String): Unit = {
+  def append(docs: DataFrame, path: String,
+             metaCols: Seq[String] = Nil): Unit = {
     postingsRows(docs).write.mode("append").partitionBy("tb").parquet(path)
-    val dl = dlRows(docs).transform(graft.Materialize.forceCached)
+    val dl = dlRows(docs, metaCols).transform(graft.Materialize.forceCached)
     dl.write.mode("append").parquet(path + ".dl")
     statsRows(dl).write.mode("append").parquet(path + ".stats")
   }
@@ -190,13 +209,15 @@ object Bm25Store {
     * tok equi-join then narrows rows inside the probed buckets.
     */
   private[graft] def candidates(spark: SparkSession, path: String,
-                                qt: DataFrame): DataFrame = {
+                                qt: DataFrame,
+                                extra: Seq[String] = Nil): DataFrame = {
     val qtbs = qt.select("qtb").distinct().collect().map(_.getLong(0))
-    spark.read.parquet(path).select("tok", "doc_id", "tf", "tb")
+    spark.read.parquet(path)
+      .select((Seq("tok", "doc_id", "tf", "tb") ++ extra).map(col): _*)
       .filter(col("tb").isin(qtbs: _*))
       .join(broadcast(qt.select("qtok", "qtb").distinct()),
         col("tok") === col("qtok") && col("tb") === col("qtb"))
-      .select("tok", "doc_id", "tf")
+      .select((Seq("tok", "doc_id", "tf") ++ extra).map(col): _*)
   }
 
   /** BM25 top-k over the store for a (q_id, text) query frame.
@@ -249,6 +270,109 @@ object Bm25Store {
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .select("q_id", "rnk", "doc_id", "score")
+  }
+
+  /** Metadata-filtered BM25 top-k — the "search with filter" contract
+    * every vector tier carries (v_filtered_store / v_ivf_filtered),
+    * landed on the lexical tier: each query ranks ONLY documents whose
+    * `matchCols` equal the query's own values, scored as BM25 over
+    * that sub-corpus (per-group df and per-group (n_docs, sum_dl) —
+    * the semantics of running t_bm25 on the filtered corpus, which is
+    * exactly what the oracle replays). Requires the store written with
+    * `metaCols = matchCols` (meta rides the dl sidecar inline — a
+    * corpus-side metadata join would shuffle the big side). Per-group
+    * df re-derives from the probed postings joined to the dl meta; the
+    * per-group corpus stats come from ONE pushed-down aggregate over
+    * the doc-count-sized dl sidecar (at production scale, pre-aggregate
+    * a per-group stats sidecar for hot filter columns — additive per
+    * group, the same algebra as the global shards). Same bucket-pruned
+    * single postings read and self-exclusion contract as [[search]].
+    */
+  def searchFiltered(spark: SparkSession, path: String, queries: DataFrame,
+                     k: Int, matchCols: Seq[String],
+                     excludeSelf: Boolean = true): DataFrame = {
+    require(matchCols.nonEmpty, "searchFiltered needs at least one match column")
+    val qt = queries
+      .select(col("q_id")
+          +: explode(array_distinct(tokensOf(col("text")))).as("qtok")
+          +: matchCols.map(c => col(c).as(s"q_$c")): _*)
+      .withColumn("qtb", tb(col("qtok")))
+      .transform(graft.Materialize.forceCached)
+    val dl = spark.read.parquet(path + ".dl") // (doc_id, metaCols..., dl)
+    // candidates with their doc's meta + dl attached — ONE doc-keyed
+    // join, feeding both the per-group df and the contribution rows
+    val cd = candidates(spark, path, qt).join(dl, "doc_id")
+      .transform(graft.Materialize.forceCached)
+    val dfm = cd.groupBy("tok", matchCols: _*).agg(count(lit(1)).as("df"))
+    val stats = dl.groupBy(matchCols.head, matchCols.tail: _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val metaEq = matchCols.map(c => col(c) === col(s"q_$c"))
+    val joinCond = (if (excludeSelf)
+        col("tok") === col("qtok") && col("doc_id") =!= col("q_id")
+      else col("tok") === col("qtok")) +: metaEq
+    val contrib = cd
+      .join(broadcast(qt.select(col("q_id") +: col("qtok")
+        +: matchCols.map(c => col(s"q_$c")): _*)), joinCond.reduce(_ && _))
+      .join(broadcast(dfm), Seq("tok") ++ matchCols)
+      .join(broadcast(stats), matchCols)
+      .select(col("q_id"), col("doc_id"), col("tok"),
+        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) +
+            lit(B) * col("dl") / (col("sum_dl").cast("double") / col("n_docs"))))
+        ).as("c"))
+    val scored = contrib.groupBy("q_id", "doc_id")
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("tok"), col("c")))),
+        lit(0.0), (acc, s) => acc + s.getField("c")), 6).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select("q_id", "rnk", "doc_id", "score")
+  }
+
+  /** Exact-phrase top-k over the positional postings for a
+    * (q_id, phrase) query frame — the query class a tf-only layout
+    * cannot serve at all. A document matches when the phrase's terms
+    * occur at CONSECUTIVE positions: candidates are the postings of
+    * every phrase term (the same bucket-pruned single store read as
+    * [[search]], position lists riding along), a doc survives only
+    * when it holds ALL n terms, and its phrase frequency is the
+    * position-fold |{p ∈ pos(t₀) : ∀i>0, p+i ∈ pos(tᵢ)}| — one
+    * map-side HOF per (query, doc), no extra shuffle beyond the
+    * grouping the tf path already does. Duplicate phrase terms keep
+    * their distinct offsets (the qt join is per term INDEX, not per
+    * token), so "the the" intersects correctly. Results are docs with
+    * phrase_tf ≥ 1, top-k by (phrase_tf DESC, doc_id ASC). Same
+    * self-exclusion contract as [[search]].
+    */
+  def phraseSearch(spark: SparkSession, path: String, queries: DataFrame,
+                   k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val qt = queries
+      .select(col("q_id"), posexplode(tokensOf(col("phrase"))).as(Seq("ti", "qtok")))
+      .withColumn("qtb", tb(col("qtok")))
+      .transform(graft.Materialize.forceCached)
+    val nTerms = qt.groupBy("q_id").agg(count(lit(1)).as("n_terms"))
+    val cand = candidates(spark, path, qt, extra = Seq("pos"))
+    val selfCond =
+      if (excludeSelf) col("tok") === col("qtok") && col("doc_id") =!= col("q_id")
+      else col("tok") === col("qtok")
+    val hit = cand.join(broadcast(qt.select("q_id", "ti", "qtok")), selfCond)
+      .select(col("q_id"), col("doc_id"), col("ti"), col("pos"))
+    val grouped = hit.groupBy("q_id", "doc_id")
+      .agg(array_sort(collect_list(struct(col("ti"), col("pos")))).as("tp"))
+      .join(broadcast(nTerms), "q_id")
+      .filter(size(col("tp")) === col("n_terms")) // every term present
+    val phraseTf = size(filter(
+      element_at(col("tp"), 1).getField("pos"),
+      p => aggregate(slice(col("tp"), lit(2), size(col("tp")) - 1), lit(true),
+        (acc, s) => acc && array_contains(s.getField("pos"), p + s.getField("ti")))))
+    val m = grouped
+      .select(col("q_id"), col("doc_id"), phraseTf.cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("phrase_tf").desc, col("doc_id").asc)
+    m.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select("q_id", "rnk", "doc_id", "phrase_tf")
   }
 }
 
@@ -303,6 +427,52 @@ object Bm25StoreQueries {
     }
     Bm25Store.search(spark, path, queriesOf(spark, dir), k = 5)
       .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_bm25_filtered: the metadata-filtered lexical leg in the driver
+    * gate — store written with `lang` inline in the dl sidecar, each
+    * query (docs 0-2) ranking ONLY its own language's documents with
+    * per-language df and corpus stats. The oracle replays t_bm25 with
+    * the language equality riding every join and the stats grouped by
+    * lang, so sub-corpus scoring is hash-proven end to end. Each query
+    * doc's lang differs across scale factors (en/es/zh mixes), which
+    * is exactly why the filter is PER QUERY, not a global predicate.
+    */
+  def vBm25Filtered(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/bm25filt_store_${tag(spark, dir)}/idx").getAbsolutePath
+    if (!new java.io.File(path).exists())
+      Bm25Store.write(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("lang")),
+        path, metaCols = Seq("lang"))
+    val queries = Tables.documents(spark, dir).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("text"), col("lang"))
+    Bm25Store.searchFiltered(spark, path, queries, k = 5, Seq("lang"))
+      .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_bm25_phrase: the positional tier in the driver gate — build the
+    * postings store (positions land in the same tokenize pass), then
+    * serve a TWO-TERM EXACT PHRASE per query (each query doc's first
+    * two tokens): docs where the terms are adjacent, top-10 by
+    * (phrase frequency, doc_id). The oracle replays the 1-based
+    * position-list intersection in SQL, so the positional layout, the
+    * all-terms-present pigeonhole, and the adjacency fold are all
+    * hash-proven — a tf-only store cannot answer this query class.
+    */
+  def vBm25Phrase(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/bm25phrase_store_${tag(spark, dir)}/idx").getAbsolutePath
+    if (!new java.io.File(path).exists())
+      Bm25Store.write(docs(spark, dir), path)
+    val queries = docs(spark, dir).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        concat_ws(" ", slice(Bm25Store.tokensOf(col("text")), 1, 2)).as("phrase"))
+    Bm25Store.phraseSearch(spark, path, queries, k = 10)
+      .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"),
+        col("phrase_tf"))
       .orderBy("query_id", "rnk")
   }
 
