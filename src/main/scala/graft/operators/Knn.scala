@@ -3560,7 +3560,7 @@ object Knn {
   /** withCid + the winning similarity itself (the advisor's raw
     * signal): argmax over (round-6 sim, -cid) structs, both fields kept.
     */
-  private def withCidSim(df: DataFrame,
+  private[graft] def withCidSim(df: DataFrame,
                          centroids: Array[(Int, Array[Double])]): DataFrame = {
     val cands = array(centroids.map { case (cid, cv) =>
       val cn = math.sqrt(cv.map(x => x * x).sum)

@@ -520,7 +520,8 @@ object EventStreams {
   def runEmbedIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                      indexPath: String, loader: graft.operators.BatchInference.EmbedLoader,
                      batchSize: Int = 64,
-                     autoCompactMaxFiles: Option[Int] = None): StreamingQuery = {
+                     autoCompactMaxFiles: Option[Int] = None,
+                     autoVacuumRetentionMs: Option[Long] = None): StreamingQuery = {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
@@ -549,6 +550,7 @@ object EventStreams {
       graft.sources.StoreMaintenance.compactIfNeeded(
         spark, s"$indexPath.codes", max)
     }
+    autoVacuum(s"$indexPath.codes", autoVacuumRetentionMs)
     q
   }
 
@@ -632,6 +634,24 @@ object EventStreams {
     q
   }
 
+  /** Scheduled-vacuum half of the per-wave maintenance policy: bound
+    * the snapshot debt that per-wave [[graft.sources.StoreMaintenance
+    * .compactIfNeeded]] accrues (one retired version per rewrite) by
+    * reclaiming versions older than `retentionMs` after each run —
+    * lock-free in steady state (vacuumIfAged's listing-only no-op).
+    * The maintainer OWNS its store, so the retention it was configured
+    * with IS the store's policy: the human-facing minRetentionMs floor
+    * (which guards ad-hoc vacuums against fat-fingered horizons) does
+    * not apply — a deliberately short horizon wired into the ingest
+    * job is the "nightly vacuum" the retire-not-delete model requires,
+    * made per-wave so nobody has to remember it.
+    */
+  private def autoVacuum(path: String, retentionMs: Option[Long]): Unit =
+    retentionMs.foreach { ms =>
+      graft.sources.StoreMaintenance.vacuumIfAged(path, ms, minRetentionMs = 0)
+      ()
+    }
+
   /** Shared scaffold for the (vec_id, embedding) store maintainers:
     * AvailableNow file delta → one foreachBatch ingest call per
     * micro-batch (exactly-once by the checkpoint) → the lock-free
@@ -643,7 +663,8 @@ object EventStreams {
                            checkpoint: String, storePath: String,
                            autoCompactMaxFiles: Option[Int],
                            recluster: Option[String],
-                           maxFilesPerTrigger: Option[Int] = None)(
+                           maxFilesPerTrigger: Option[Int] = None,
+                           autoVacuumRetentionMs: Option[Long] = None)(
                            perBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val vecSchema = StructType(Seq(
       StructField("vec_id", LongType),
@@ -670,7 +691,110 @@ object EventStreams {
       graft.sources.StoreMaintenance.compactIfNeeded(
         spark, storePath, max, recluster = recluster)
     }
+    autoVacuum(storePath, autoVacuumRetentionMs)
     q
+  }
+
+  /** PSI threshold above which the per-wave monitor recommends a
+    * retrain. The population-stability index over the wave's coarse-
+    * list assignment histogram vs the training histogram is the
+    * standard model-monitoring drift statistic, and the right one
+    * here: raw assignment-similarity LEVELS cannot tell a healthy
+    * wave from a drifted one (the training reference is in-sample-
+    * biased upward, and a tightly clustered drifted cohort can even
+    * score HIGHER than fresh isotropic rows — both measured), but the
+    * assignment DISTRIBUTION is immune to that bias: an isotropic
+    * wave spreads over the lists like training did (PSI 0.07
+    * measured), while drifted cluster structure funnels into few
+    * lists (PSI 1.49 measured). 0.25 is the textbook
+    * "significant shift, action required" line, sitting between the
+    * two with a factor of ≥3.7 on either side (spec-pinned at ≥2×).
+    */
+  val DriftPsiThreshold = 0.25
+
+  /** Proportion floor for PSI's log-ratio terms — the standard
+    * smoothing so an empty bucket on one side contributes a large
+    * finite term instead of ±∞.
+    */
+  private val PsiFloor = 1e-3
+
+  /** Per-list assignment shares of a bounded deterministic sample of
+    * `rows` under the store's FROZEN centroid sidecar. The sample is
+    * the `sample` lowest vec_ids (stable under batch replay); the
+    * collect is list-count-bounded, the histogram sample-bounded —
+    * the same contracts as training.
+    */
+  private def assignShares(rows: DataFrame, storePath: String,
+                           sample: Int): (Long, Map[Int, Double]) = {
+    val cents = graft.sources.IvfIndexStore
+      .readCentroids(rows.sparkSession, storePath)
+    val s = rows
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.VectorFns.norm2(col("v")))
+      .orderBy("vec_id").limit(sample)
+    val counts = graft.operators.Knn.withCidSim(s, cents)
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    require(n > 0, "drift monitor needs at least one sampled row")
+    (n, cents.map { case (cid, _) =>
+      cid -> counts.getOrElse(cid, 0L).toDouble / n
+    }.toMap)
+  }
+
+  private def psi(ref: Map[Int, Double], wave: Map[Int, Double]): Double =
+    (ref.keySet ++ wave.keySet).toSeq.map { cid =>
+      val p = math.max(ref.getOrElse(cid, 0.0), PsiFloor)
+      val q = math.max(wave.getOrElse(cid, 0.0), PsiFloor)
+      (q - p) * math.log(q / p)
+    }.sum
+
+  /** Persist the training-time reference the per-wave monitor compares
+    * against: the training wave's per-list assignment shares under the
+    * JUST-TRAINED centroids — one row per coarse list beside the
+    * store.
+    */
+  private def writeDriftStats(train: DataFrame, storePath: String): Unit = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val (n, shares) = assignShares(train, storePath,
+      graft.operators.Knn.IvfTrainSample)
+    shares.toSeq.sorted.map { case (cid, share) => (cid, share, n) }
+      .toDF("cid", "share", "n_train")
+      .coalesce(1).write.mode("overwrite").parquet(s"$storePath.driftstats")
+  }
+
+  /** Per-wave drift check — lock-free, bounded, bid-keyed idempotent
+    * like every streamed shard: PSI between the wave's coarse-list
+    * assignment histogram (frozen quantizer, bounded sample) and the
+    * training histogram persisted at train time. A wave past
+    * [[DriftPsiThreshold]] trips `retrain_recommended` — the batch
+    * advisor's crowding signal (v_ivf_drift_report's per-list counts)
+    * folded into the ingest loop, surfacing "rebuild the index" the
+    * wave it becomes true instead of at the next manual audit.
+    * Remediation is [[graft.sources.IvfIndexStore.retrain]] /
+    * [[graft.sources.IvfPqIndexStore.retrain]]
+    * (v_ivf_retrain_store's contract); the monitor only measures.
+    */
+  private def logDriftWave(batch: DataFrame, storePath: String,
+                           bid: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // a store written OUTSIDE the maintainer (registry models, manual
+    // build) has no training-time reference — bootstrap it from the
+    // first monitored wave, which then becomes the baseline every
+    // later wave compares against
+    if (!new java.io.File(s"$storePath.driftstats").exists())
+      writeDriftStats(batch, storePath)
+    val ref = spark.read.parquet(s"$storePath.driftstats").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val (n, shares) = assignShares(batch, storePath,
+      graft.operators.Knn.IvfTrainSample)
+    val p = psi(ref, shares)
+    Seq((n, p, p > DriftPsiThreshold))
+      .toDF("n_sampled", "psi", "retrain_recommended")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$storePath.driftlog/bid=$bid")
   }
 
   /** Streaming maintainer for the two-stage compressed tier: ingest
@@ -683,12 +807,18 @@ object EventStreams {
     * brand travels with the data, never a maintainer flag). After
     * each AvailableNow run the auto-compact policy bounds the
     * small-file debt per list dir — lock-free when there is nothing
-    * to do.
+    * to do. With `driftMonitor = true` every post-training wave also
+    * writes a one-row drift-log shard ([[logDriftWave]]) — the
+    * per-wave "has the distribution left the frozen model behind"
+    * check, so the retrain decision has a signal without anyone
+    * running the batch advisor by hand.
     */
   def runIvfPqIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                      storePath: String,
                      autoCompactMaxFiles: Option[Int] = None,
-                     maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+                     maxFilesPerTrigger: Option[Int] = None,
+                     autoVacuumRetentionMs: Option[Long] = None,
+                     driftMonitor: Boolean = false): StreamingQuery = {
     val store = graft.sources.IvfPqIndexStore
     val stage = s"$storePath.trainstage"
     def trained = new java.io.File(s"$storePath.books").exists()
@@ -709,12 +839,16 @@ object EventStreams {
       // shape): foreachBatch is at-least-once, and a crash-replayed
       // batch must REPLACE its shard, not double its rows into the
       // training sample.
-      if (trained) store.append(batch, "vec_id", "embedding", storePath)
+      if (trained) {
+        store.append(batch, "vec_id", "embedding", storePath)
+        if (driftMonitor) logDriftWave(batch, storePath, bid)
+      }
       else batch.write.mode("overwrite").parquet(s"$stage/bid=$bid")
     }
     val stageDir = new java.io.File(stage)
     if (!trained && stageDir.exists()) {
       store.write(spark.read.parquet(stage), "vec_id", "embedding", storePath)
+      if (driftMonitor) writeDriftStats(spark.read.parquet(stage), storePath)
       // the staged rows are recomputable from the checkpointed source
       // (and now live in the store); a crash before this delete is
       // harmless — trained=true blocks any retrain on the next run
@@ -727,6 +861,7 @@ object EventStreams {
     autoCompactMaxFiles.foreach { max =>
       graft.sources.StoreMaintenance.compactIfNeeded(spark, storePath, max)
     }
+    autoVacuum(storePath, autoVacuumRetentionMs)
     q
   }
 
@@ -744,9 +879,11 @@ object EventStreams {
     */
   def runMihIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                    storePath: String,
-                   autoCompactMaxFiles: Option[Int] = None): StreamingQuery =
+                   autoCompactMaxFiles: Option[Int] = None,
+                   autoVacuumRetentionMs: Option[Long] = None): StreamingQuery =
     runVecIngest(spark, srcDir, checkpoint, storePath,
-        autoCompactMaxFiles, recluster = Some("bval")) { (batch, _) =>
+        autoCompactMaxFiles, recluster = Some("bval"),
+        autoVacuumRetentionMs = autoVacuumRetentionMs) { (batch, _) =>
       graft.sources.BqIndexStore
         .appendMih(batch, "vec_id", "embedding", storePath)
     }
@@ -868,7 +1005,8 @@ object EventStreams {
     */
   def runPhashIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                      storePath: String,
-                     autoCompactMaxFiles: Option[Int] = None): StreamingQuery = {
+                     autoCompactMaxFiles: Option[Int] = None,
+                     autoVacuumRetentionMs: Option[Long] = None): StreamingQuery = {
     val imgSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
@@ -897,6 +1035,7 @@ object EventStreams {
       graft.sources.StoreMaintenance.compactIfNeeded(
         spark, storePath, max, recluster = Some("bval"))
     }
+    autoVacuum(storePath, autoVacuumRetentionMs)
     q
   }
 
@@ -957,7 +1096,8 @@ object EventStreams {
     */
   def runMaxsimIngest(spark: SparkSession, srcDir: String, checkpoint: String,
                       storePath: String,
-                      autoCompactMaxFiles: Option[Int] = None): StreamingQuery = {
+                      autoCompactMaxFiles: Option[Int] = None,
+                      autoVacuumRetentionMs: Option[Long] = None): StreamingQuery = {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))
@@ -978,6 +1118,7 @@ object EventStreams {
     autoCompactMaxFiles.foreach { max =>
       graft.sources.StoreMaintenance.compactIfNeeded(spark, storePath, max)
     }
+    autoVacuum(storePath, autoVacuumRetentionMs)
     q
   }
 

@@ -175,6 +175,84 @@ class Round14Spec extends SparkSpec {
     assert(ids(SM.readBefore(spark, path, 7)) == liveIds)
   }
 
+  test("auto-vacuum: per-wave maintainers bound snapshot debt by construction") {
+    import graft.sources.BqIndexStore
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = tmpDir("auto_vac")
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/mih")
+    // three waves with an aggressive compaction budget: every run past
+    // the first rewrites, so without vacuum the retired-version debt
+    // grows with wave count
+    emb.filter(col("vec_id") < 170).write.parquet(src)
+    graft.streaming.EventStreams.runMihIngest(spark, src, ckpt, store,
+      autoCompactMaxFiles = Some(1))
+    emb.filter(col("vec_id") >= 170 && col("vec_id") < 340)
+      .write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runMihIngest(spark, src, ckpt, store,
+      autoCompactMaxFiles = Some(1))
+    assert(SM.versions(store).nonEmpty,
+      "per-wave compaction must have accrued retired snapshot versions")
+    // final wave with the scheduled-vacuum policy wired in: compaction
+    // runs first, then the zero-retention vacuum reclaims every version
+    // including the one this wave's own rewrite just retired
+    emb.filter(col("vec_id") >= 340).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runMihIngest(spark, src, ckpt, store,
+      autoCompactMaxFiles = Some(1), autoVacuumRetentionMs = Some(0L))
+    assert(SM.versions(store).isEmpty,
+      "autoVacuumRetentionMs must reclaim aged snapshot versions per wave")
+    // vacuum is purely physical: the store answers exactly like a
+    // one-shot batch build
+    val batchStore = s"$base/batch"
+    BqIndexStore.writeMih(emb, "vec_id", "embedding", batchStore)
+    val codes = Knn.corpus(spark, sf).select(col("vec_id"),
+      Knn.bqWords(col("v"), 0).as("code_lo"),
+      Knn.bqWords(col("v"), 32).as("code_hi"))
+    val q = Knn.bqCorruptedQueries(codes)
+    def res(p: String): Set[(Long, Long, Long)] =
+      BqIndexStore.searchRadius(spark, p, q, radius = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res(store).nonEmpty && res(store) == res(batchStore),
+      "post-vacuum streamed store must search identically to a batch build")
+  }
+
+  test("drift monitor: a drifted wave trips retrain_recommended, an isotropic one does not") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = tmpDir("drift_mon")
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/ivfpq")
+    // wave 0 trains (and records the training q50 reference)
+    emb.filter(col("vec_id") < 250).write.parquet(src)
+    graft.streaming.EventStreams.runIvfPqIngest(spark, src, ckpt, store,
+      driftMonitor = true)
+    // wave 1: same isotropic distribution, disjoint ids — healthy
+    emb.filter(col("vec_id") >= 250).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runIvfPqIngest(spark, src, ckpt, store,
+      driftMonitor = true)
+    // wave 2: the drift gate's appended cohort — new cluster structure
+    // the frozen quantizer never saw
+    Knn.driftFrame(spark, sf)
+      .select(col("vec_id"), col("v").cast("array<float>").as("embedding"))
+      .write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runIvfPqIngest(spark, src, ckpt, store,
+      driftMonitor = true)
+    val log = spark.read.parquet(s"$store.driftlog")
+      .orderBy("bid").collect()
+    assert(log.length == 2, s"expected one log row per post-training wave, got ${log.length}")
+    val (iso, drift) = (log(0), log(1))
+    val psis = log.map(r => (r.getAs[Long]("bid"), r.getAs[Double]("psi"),
+      r.getAs[Boolean]("retrain_recommended"))).toSeq
+    assert(!iso.getAs[Boolean]("retrain_recommended"),
+      s"isotropic wave must not trip the monitor: $psis")
+    assert(drift.getAs[Boolean]("retrain_recommended"),
+      s"drifted wave must trip the monitor: $psis")
+    // the signal is not a squeaker: both sides sit a factor of two
+    // past the threshold, not at it
+    val thr = graft.streaming.EventStreams.DriftPsiThreshold
+    assert(iso.getAs[Double]("psi") < thr / 2,
+      s"isotropic wave should track the training distribution: $psis")
+    assert(drift.getAs[Double]("psi") > 2 * thr,
+      s"drifted wave should sit far past the threshold: $psis")
+  }
+
   test("retrain gate: appended-cohort recall restored vs the frozen store") {
     val rt = Knn.vIvfRetrainStore(spark, sf).collect()
     val fz = Knn.vIvfDriftStore(spark, sf).collect()
