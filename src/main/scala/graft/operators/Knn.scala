@@ -3226,11 +3226,16 @@ object Knn {
 
   /** q_snapshot_store: TIME TRAVEL in the driver gate — write the
     * store, purge the q_purge_store victim set (maintenance v1), then
-    * serve an exact search over StoreMaintenance.readBefore(1): the
-    * pre-purge audit read must hash-match v_knn_exact's FULL-corpus
-    * oracle, i.e. the snapshot restores the victims bit-for-bit while
-    * the live store (q_purge_store's gate) keeps them gone. Proves the
-    * retired-snapshot lineage end to end by hash, not spec.
+    * APPEND near-duplicate decoys (r14: copies of the queries' rank-1
+    * neighbors under shifted ids — rows guaranteed to hijack the
+    * top-5 if they leak into the snapshot), then serve an exact search
+    * over StoreMaintenance.readBefore(1): the pre-purge audit read
+    * must hash-match v_knn_exact's FULL-corpus oracle, i.e. the
+    * snapshot restores the victims bit-for-bit AND excludes the
+    * later-appended rows (appends are versioned — readBefore is full
+    * table-state travel, not maintenance-lineage travel) while the
+    * live store (q_purge_store's gate) keeps the victims gone. Proves
+    * the retired-snapshot lineage end to end by hash, not spec.
     */
   def qSnapshotStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
@@ -3244,6 +3249,10 @@ object Knn {
     if (!new java.io.File(path).exists()) {
       graft.sources.IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
       graft.sources.StoreMaintenance.purge(spark, path, "id", victims)
+      graft.sources.IndexStore.append(
+        emb.filter(col("vec_id").isin(victims: _*))
+          .select((col("vec_id") + lit(5000000L)).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", path, dim = 64)
     }
     val snap = graft.sources.StoreMaintenance.readBefore(spark, path, 1)
       .select(col("id"), col("v"), col("nrm"))

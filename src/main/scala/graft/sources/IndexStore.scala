@@ -64,13 +64,17 @@ object IndexStore {
     * (dynamic partition append), so probes keep pruning correctly with
     * no rebuild — the faiss add() analog, minus any global structure
     * to rewrite. Compaction of small files is a periodic rewrite of
-    * one partition at a time.
+    * one partition at a time. Versioned ([[StoreMaintenance
+    * .versionedAppend]]): the returned version replays the pre-append
+    * state through readBefore, like every maintenance op.
     */
-  def append(df: DataFrame, idCol: String, vecCol: String, path: String, dim: Int): Unit =
-    withBands(
-      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-        .withColumn("nrm", V.norm2(col("v"))), dim)
-      .write.mode("append").partitionBy("band0").parquet(path)
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String, dim: Int): Long =
+    StoreMaintenance.versionedAppend(path) {
+      withBands(
+        df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+          .withColumn("nrm", V.norm2(col("v"))), dim)
+        .write.mode("append").partitionBy("band0").parquet(path)
+    }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -403,29 +407,61 @@ object StoreMaintenance {
         java.util.Arrays.asList(all.map(_.toString): _*))
     }
 
+  /** Version-allocation lock — separate from (and much smaller than)
+    * the maintenance lock: held for the microseconds it takes to read
+    * the lineage max and persist the bumped high-water mark, so a
+    * VERSIONED APPEND can allocate safely while a maintenance pass is
+    * mid-flight without serializing behind the whole pass (the
+    * log-structured "appends never wait on maintenance" contract,
+    * Round10Spec-pinned). Contention waits briefly instead of
+    * throwing — the hold time is bounded by two tiny file ops.
+    */
+  private def versionLockFile(root: java.io.File) =
+    new java.io.File(root, ".version_lock")
+
+  private def withVersionLock[T](root: java.io.File)(body: => T): T = {
+    root.mkdirs()
+    val lf = versionLockFile(root)
+    var attempts = 0
+    while (!scala.util.Try {
+        java.nio.file.Files.createFile(lf.toPath); true
+      }.getOrElse(false)) {
+      attempts += 1
+      if (attempts > 2000) // ~10 s: a crashed allocator, not contention
+        throw new ConcurrentMaintenanceException(
+          s"version-allocation lock $lf is stuck; if its holder is dead, " +
+            "delete it (recover() also clears it)")
+      Thread.sleep(5)
+    }
+    try body finally { lf.delete(); () }
+  }
+
   /** Next maintenance version: one past the max across committed
     * retired snapshots, in-flight temp dirs (a crashed pass's version
     * must never be reissued), and the durable high-water mark (a
     * vacuumed version must never be reissued either). Persists the new
-    * mark. Call under the lock.
+    * mark. Atomic under the version-allocation lock, so maintenance
+    * passes (which also hold the store lock) and lock-free versioned
+    * appends can never double-issue a number.
     */
-  private[sources] def allocateVersion(root: java.io.File): Long = {
-    val fromRetired = versionsOf(root)
-    val fromTmps = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".compact_"))
-      .flatMap { t =>
-        val vf = new java.io.File(t, "retire_version")
-        if (vf.isFile)
-          scala.util.Try(
-            java.nio.file.Files.readAllLines(vf.toPath).get(0).toLong).toOption
-        else None
-      }
-    val v = (fromRetired ++ fromTmps :+ readHwm(root)).foldLeft(0L)(math.max) + 1
-    new java.io.File(root, RetiredDirName).mkdirs()
-    java.nio.file.Files.write(hwmFile(root).toPath,
-      java.util.Collections.singletonList(v.toString))
-    v
-  }
+  private[sources] def allocateVersion(root: java.io.File): Long =
+    withVersionLock(root) {
+      val fromRetired = versionsOf(root)
+      val fromTmps = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(".compact_"))
+        .flatMap { t =>
+          val vf = new java.io.File(t, "retire_version")
+          if (vf.isFile)
+            scala.util.Try(
+              java.nio.file.Files.readAllLines(vf.toPath).get(0).toLong).toOption
+          else None
+        }
+      val v = (fromRetired ++ fromTmps :+ readHwm(root)).foldLeft(0L)(math.max) + 1
+      new java.io.File(root, RetiredDirName).mkdirs()
+      java.nio.file.Files.write(hwmFile(root).toPath,
+        java.util.Collections.singletonList(v.toString))
+      v
+    }
 
   /** Step 2 of the swap: the manifest of OLD files to retire plus the
     * maintenance version the retired snapshot will file under.
@@ -484,6 +520,71 @@ object StoreMaintenance {
     tmp.delete()
   }
 
+  /** Data-file names per rel-dir key — the same keying [[readBefore]]
+    * reconstructs with: leaf partition dirs, or the root itself for
+    * flat layouts.
+    */
+  private def listingByRelKey(root: java.io.File): Map[String, Set[String]] = {
+    val leaves = leafPartitionDirs(root)
+    if (leaves.isEmpty) Map(RootRelKey -> dataFiles(root).map(_.getName).toSet)
+    else leaves.map(d =>
+      relPath(root, d).replace("/", "%2F") -> dataFiles(d).map(_.getName).toSet)
+      .toMap
+  }
+
+  /** Version an APPEND: run `write` (the caller's dynamic-partition or
+    * flat append into `path`), then record the files it created in an
+    * `_added`-only retired version — no data moves, just a manifest —
+    * so [[readBefore]] is exact across appends too (it already drops
+    * `_added`-named files when undoing a version; an append version
+    * simply has nothing to restore). This closes the documented
+    * append caveat: time travel is full table-state travel, not just
+    * maintenance-lineage travel.
+    *
+    * Contracts: appends assume a SINGLE WRITER per store (the
+    * maintainers' existing exactly-once-wave model) and stay
+    * LOCK-FREE with respect to the maintenance lock — an append never
+    * waits on (or fails under) a live maintenance pass, exactly as
+    * before versioning (Round10Spec pins appends landing while the
+    * store lock is held). Version numbers still never collide: the
+    * allocation itself is atomic under the tiny version-allocation
+    * lock shared with maintenance passes. The record is staged under
+    * a dot-dir and landed with ONE atomic rename, so a crash
+    * mid-record never leaves a torn version — a crash between the
+    * data write and the record leaves a legacy UNVERSIONED append
+    * (included in every snapshot read, the documented pre-r14
+    * semantics). Returns the version, or 0 when nothing was recorded:
+    * a no-op append burns no version, and a write into an
+    * empty/absent root is store CREATION, not an append — there is no
+    * pre-append state to travel back to.
+    */
+  def versionedAppend(path: String)(write: => Unit): Long = {
+    val root = new java.io.File(path)
+    val before =
+      if (root.isDirectory) listingByRelKey(root)
+      else Map.empty[String, Set[String]]
+    val preExisting = before.values.exists(_.nonEmpty)
+    write
+    if (!preExisting) return 0L
+    val added = listingByRelKey(root).toSeq.sortBy(_._1).flatMap {
+      case (k, files) =>
+        val a = files -- before.getOrElse(k, Set.empty)
+        if (a.isEmpty) None else Some(k -> a)
+    }
+    if (added.isEmpty) return 0L
+    val v = allocateVersion(root)
+    val tmp = new java.io.File(root, s"$RetiredDirName/.v$v.tmp")
+    added.foreach { case (k, files) =>
+      val d = new java.io.File(tmp, k)
+      d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "_added").toPath,
+        java.util.Arrays.asList(files.toSeq.sorted: _*))
+    }
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, s"$RetiredDirName/v$v").toPath)
+    v
+  }
+
   private def versionsOf(root: java.io.File): Seq[Long] =
     Option(new java.io.File(root, RetiredDirName).listFiles())
       .getOrElse(Array.empty)
@@ -501,9 +602,16 @@ object StoreMaintenance {
     * auditors ask for), served entirely from files still on disk.
     * Reconstruction walks versions ≥ `version` newest-first, undoing
     * each op per partition dir: drop the files its `_added` sidecar
-    * names, restore its retired files. Exact for maintenance ops;
-    * appends are additive and unversioned (an append between `version`
-    * and the next op is included — document reads accordingly).
+    * names, restore its retired files. Exact for maintenance ops AND
+    * for index-store appends (versioned since r14 via
+    * [[versionedAppend]] — an append version drops its `_added` files
+    * and restores nothing), so this is full table-state travel. The
+    * residual caveats: a pre-r14 append, an append whose version
+    * record was lost to a crash (versionedAppend's documented window),
+    * and appends to the additive shard stores that deliberately stay
+    * unversioned (rate/kmv/bloom/bitmap/span/bm25 — their serving
+    * reads are re-aggregations over shards, where "before shard N"
+    * has no single-table meaning) are included in every snapshot.
     * Assumes a SETTLED store: after an unclean shutdown run
     * [[recover]] (or [[openChecked]]) first, as any reader must — an
     * unfinished committed swap's rows live in its temp dir, which this
@@ -678,6 +786,17 @@ object StoreMaintenance {
     markers.foreach(_.delete())
     val stage = new java.io.File(root, StageDirName)
     if (stage.exists()) rmTree(stage) // pre-commit rewrite crash leftover
+    // a crashed versionedAppend record leaves a staged `.v<N>.tmp`
+    // under .retired — never committed (the atomic rename is the
+    // commit point), so discard; the append's data stands, unversioned
+    Option(new java.io.File(root, RetiredDirName).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".v") &&
+        f.getName.endsWith(".tmp"))
+      .foreach(rmTree)
+    // a crashed allocator's stale version lock (recover's runbook
+    // precondition — no live maintainer/appender — makes this safe)
+    versionLockFile(root).delete()
     (completed, discarded)
   }
 
@@ -1138,10 +1257,12 @@ object IvfIndexStore {
     * rows and the sidecar are untouched, probes immediately cover the
     * union.
     */
-  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Long = {
     val centroids = readCentroids(df.sparkSession, path)
-    Knn.withCid(prepared(df, idCol, vecCol), centroids)
-      .write.mode("append").partitionBy("cid").parquet(path)
+    StoreMaintenance.versionedAppend(path) {
+      Knn.withCid(prepared(df, idCol, vecCol), centroids)
+        .write.mode("append").partitionBy("cid").parquet(path)
+    }
   }
 
   /** Centroid sidecar — tiny, driver-resident (the in-memory coarse
@@ -1406,12 +1527,14 @@ object PqIndexStore {
     * distribution drifts) is a full write() — the same trade faiss
     * makes between add() and retraining an IndexPQ.
     */
-  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Long = {
     val spark = df.sparkSession
     val books = readBooks(spark, path)
-    df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-      .select(col("vec_id"), Knn.pqCodesCol(books).as("codes"))
-      .write.mode("append").parquet(s"$path.codes")
+    StoreMaintenance.versionedAppend(s"$path.codes") {
+      df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+        .select(col("vec_id"), Knn.pqCodesCol(books).as("codes"))
+        .write.mode("append").parquet(s"$path.codes")
+    }
   }
 
   /** Load the codebooks (tiny — driver-resident, like the reference's
@@ -1591,7 +1714,7 @@ object IvfPqIndexStore {
     * encode with the FROZEN codebooks, dynamic-append into the list
     * directories — no retrain, no rewrite, probes cover the union.
     */
-  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Long = {
     val spark = df.sparkSession
     val centroids = IvfIndexStore.readCentroids(spark, path)
     val books = PqIndexStore.readBooks(spark, path)
@@ -1599,8 +1722,10 @@ object IvfPqIndexStore {
     // the store's brand, not a caller flag: appended codes are taken
     // over the same representation the store was written with
     val enc = if (isResidual(path)) Knn.residualFrame(asg, centroids) else asg
-    enc.select(col("vec_id"), col("cid"), Knn.pqCodesCol(books).as("codes"))
-      .write.mode("append").partitionBy("cid").parquet(path)
+    StoreMaintenance.versionedAppend(path) {
+      enc.select(col("vec_id"), col("cid"), Knn.pqCodesCol(books).as("codes"))
+        .write.mode("append").partitionBy("cid").parquet(path)
+    }
   }
 
   /** nprobe-pruned ADC top-k: probed list ids apply to the scan as a
@@ -1787,10 +1912,13 @@ object BqIndexStore {
     codesOf(df, idCol, vecCol).write.mode("overwrite").parquet(path)
 
   /** Incremental add — codes are structure-free, so append is a plain
-    * dynamic append with no global state to rewrite.
+    * dynamic append with no global state to rewrite. Versioned like
+    * every index-store append (readBefore replays the pre-append set).
     */
-  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit =
-    codesOf(df, idCol, vecCol).write.mode("append").parquet(path)
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Long =
+    StoreMaintenance.versionedAppend(path) {
+      codesOf(df, idCol, vecCol).write.mode("append").parquet(path)
+    }
 
   private def codesOf(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
@@ -1847,11 +1975,13 @@ object BqIndexStore {
     * compaction absorbs the per-batch small files exactly as on the
     * banded store.
     */
-  def appendMih(df: DataFrame, idCol: String, vecCol: String, path: String): Unit =
-    mihRows(df, idCol, vecCol)
-      .repartitionByRange(16, col("blk"), col("bval"))
-      .sortWithinPartitions("blk", "bval")
-      .write.partitionBy("blk").mode("append").parquet(path)
+  def appendMih(df: DataFrame, idCol: String, vecCol: String, path: String): Long =
+    StoreMaintenance.versionedAppend(path) {
+      mihRows(df, idCol, vecCol)
+        .repartitionByRange(16, col("blk"), col("bval"))
+        .sortWithinPartitions("blk", "bval")
+        .write.partitionBy("blk").mode("append").parquet(path)
+    }
 
   private def mihRows(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     mihRowsFromCodes(codesOf(df, idCol, vecCol))
@@ -1866,12 +1996,14 @@ object BqIndexStore {
     * from the image pipeline rather than sign-quantized embeddings.
     * Same layout and search surface as appendMih.
     */
-  def appendMihCodes(codes: DataFrame, path: String): Unit =
-    mihRowsFromCodes(codes
-        .select(col("id"), col("code_lo"), col("code_hi")))
-      .repartitionByRange(16, col("blk"), col("bval"))
-      .sortWithinPartitions("blk", "bval")
-      .write.partitionBy("blk").mode("append").parquet(path)
+  def appendMihCodes(codes: DataFrame, path: String): Long =
+    StoreMaintenance.versionedAppend(path) {
+      mihRowsFromCodes(codes
+          .select(col("id"), col("code_lo"), col("code_hi")))
+        .repartitionByRange(16, col("blk"), col("bval"))
+        .sortWithinPartitions("blk", "bval")
+        .write.partitionBy("blk").mode("append").parquet(path)
+    }
 
   /** Radius-bounded Hamming search over the MIH store. `queries` is a
     * packed-code frame (query_id, qlo, qhi); radius must stay below
@@ -1992,10 +2124,12 @@ object IvfBqIndexStore {
     * sidecar and land in their list directories — no retraining, no
     * re-encode of existing rows.
     */
-  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit =
-    codesWithCid(df, idCol, vecCol,
-        IvfIndexStore.readCentroids(df.sparkSession, path))
-      .write.mode("append").partitionBy("cid").parquet(path)
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Long =
+    StoreMaintenance.versionedAppend(path) {
+      codesWithCid(df, idCol, vecCol,
+          IvfIndexStore.readCentroids(df.sparkSession, path))
+        .write.mode("append").partitionBy("cid").parquet(path)
+    }
 
   /** Probe the persisted lists, rank by Hamming INSIDE them, rerank
     * the top-`rerank` survivors with exact cosine against `source`
@@ -2069,8 +2203,10 @@ object MaxsimStore {
   def write(docs: DataFrame, path: String): Unit =
     rows(docs).write.mode("overwrite").partitionBy("hbkt").parquet(path)
 
-  def append(docs: DataFrame, path: String): Unit =
-    rows(docs).write.mode("append").partitionBy("hbkt").parquet(path)
+  def append(docs: DataFrame, path: String): Long =
+    StoreMaintenance.versionedAppend(path) {
+      rows(docs).write.mode("append").partitionBy("hbkt").parquet(path)
+    }
 
   /** Maxsim top-k against the persisted index for (doc_id, text)
     * queries; vector derivation for the query side runs in-session

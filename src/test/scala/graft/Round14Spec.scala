@@ -175,6 +175,56 @@ class Round14Spec extends SparkSpec {
     assert(ids(SM.readBefore(spark, path, 7)) == liveIds)
   }
 
+  test("versioned appends: readBefore is full table-state travel") {
+    import graft.sources.IndexStore
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = tmpDir("vapp")
+    val store = s"$base/idx"
+    def storeIds(df: DataFrame): Seq[Long] =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // creation is not an append: no version to travel back to
+    IndexStore.write(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+      store, dim = 64)
+    assert(SM.versions(store).isEmpty)
+    val v0 = storeIds(spark.read.parquet(store))
+    // append allocates a version whose readBefore excludes exactly it
+    val v1 = IndexStore.append(emb.filter(col("vec_id") >= 300),
+      "vec_id", "embedding", store, dim = 64)
+    assert(v1 == 1L && SM.versions(store) == Seq(1L))
+    assert(storeIds(SM.readBefore(spark, store, v1)) == v0,
+      "read-before-append must serve the pre-append row set")
+    // interleave with maintenance: purge (v2), append again (v3) —
+    // every boundary replays exactly
+    SM.purge(spark, store, "id", Seq(7L))
+    val v3 = IndexStore.append(
+      emb.filter(col("vec_id") < 2)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", store, dim = 64)
+    assert(v3 == 3L)
+    val all = storeIds(spark.read.parquet(store))
+    assert(all.contains(900000L) && !all.contains(7L))
+    assert(storeIds(SM.readBefore(spark, store, 3)) ==
+      all.filterNot(_ >= 900000L), "before v3: second append excluded")
+    assert(storeIds(SM.readBefore(spark, store, 2)) ==
+      (all.filterNot(_ >= 900000L) :+ 7L).sorted, "before v2: victim restored too")
+    assert(storeIds(SM.readBefore(spark, store, 1)) == v0,
+      "before v1: back to the original write")
+    // a no-op append burns no version
+    val vNoop = IndexStore.append(emb.filter(col("vec_id") < -1),
+      "vec_id", "embedding", store, dim = 64)
+    assert(vNoop == 0L && SM.versions(store) == Seq(1L, 2L, 3L))
+    // a crashed version record (staged tmp, never renamed) is cleaned
+    // by recover() and blocks nothing
+    val staged = new java.io.File(store, s"${SM.RetiredDirName}/.v9.tmp/band0=0")
+    staged.mkdirs()
+    java.nio.file.Files.write(new java.io.File(staged, "_added").toPath,
+      java.util.Collections.singletonList("ghost.parquet"))
+    SM.recover(store)
+    assert(!new java.io.File(store, s"${SM.RetiredDirName}/.v9.tmp").exists(),
+      "recover must discard a crashed append version record")
+    assert(storeIds(SM.readBefore(spark, store, 1)) == v0)
+  }
+
   test("auto-vacuum: per-wave maintainers bound snapshot debt by construction") {
     import graft.sources.BqIndexStore
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
