@@ -86,24 +86,140 @@ object Bm25Store {
   private def statsRows(dl: DataFrame): DataFrame =
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
+  /** Catalog name for the bucketed dl sidecar of `path` — bucket
+    * metadata lives in the (per-session) catalog, so the name must be
+    * derivable from the path alone ([[ensureDlTable]] re-registers it
+    * in a fresh session from the durable `.dlbuckets` marker).
+    */
+  private def dlTable(path: String): String =
+    "graft_bm25_dl_" + Integer.toHexString(
+      new java.io.File(path).getAbsolutePath.hashCode)
+
+  private def dlMarker(path: String) = new java.io.File(s"$path.dlbuckets")
+
+  /** Bucket count of a bucketed-dl store, None for the plain layout.
+    * The durable marker file, not the session catalog, is the source
+    * of truth — catalogs are per-session.
+    */
+  def dlBucketsOf(path: String): Option[Int] =
+    if (dlMarker(path).isFile)
+      scala.util.Try(java.nio.file.Files.readAllLines(dlMarker(path).toPath)
+        .get(0).trim.toInt).toOption
+    else None
+
+  /** Register (or return) the external bucketed table over the dl
+    * sidecar's files. Spark reads bucket ids from the file names the
+    * bucketed write produced; the DDL just re-declares the layout to
+    * a session that didn't write it.
+    */
+  private def ensureDlTable(spark: SparkSession, path: String, n: Int): String = {
+    val t = dlTable(path)
+    if (!spark.catalog.tableExists(t)) {
+      val loc = new java.io.File(path + ".dl").getAbsolutePath
+      val cols = spark.read.parquet(loc).schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE `$t` ($cols) USING parquet " +
+        s"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $n BUCKETS " +
+        s"LOCATION '$loc'")
+    }
+    t
+  }
+
+  /** The dl sidecar as a frame: through the catalog when bucketed (the
+    * scan then reports hash(doc_id) output partitioning and the
+    * serving join needs NO exchange on the corpus-sized dl side —
+    * src_bucketed's recipe applied to the one shuffle join in the
+    * BM25 serving path), plain parquet otherwise.
+    */
+  private[graft] def dlFrame(spark: SparkSession, path: String): DataFrame =
+    dlBucketsOf(path) match {
+      case Some(n) => spark.table(ensureDlTable(spark, path, n))
+      case None => spark.read.parquet(path + ".dl")
+    }
+
+  private def writeDlBucketed(dl: DataFrame, path: String, n: Int): Unit = {
+    val spark = dl.sparkSession
+    val t = dlTable(path)
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    StoreMaintenance.rmTree(new java.io.File(path + ".dl"))
+    // repartition to the bucket hash first: one file per bucket, so
+    // the bucketed scan needs no per-bucket merge sort either
+    dl.repartition(n, col("doc_id"))
+      .write.mode("overwrite")
+      .bucketBy(n, "doc_id").sortBy("doc_id")
+      .option("path", new java.io.File(path + ".dl").getAbsolutePath)
+      .format("parquet").saveAsTable(t)
+    java.nio.file.Files.write(dlMarker(path).toPath,
+      java.util.Collections.singletonList(n.toString))
+  }
+
+  /** Drop the bucket metadata (marker + catalog entry) — the
+    * co-location DOWNGRADE mutations that rewrite dl files under
+    * non-bucket names must take (results stay exact; only the
+    * zero-exchange join property is lost until [[rebucketDl]]).
+    */
+  private def dropDlBuckets(spark: SparkSession, path: String): Unit =
+    if (dlMarker(path).isFile) {
+      spark.sql(s"DROP TABLE IF EXISTS `${dlTable(path)}`")
+      dlMarker(path).delete()
+      ()
+    }
+
+  /** (Re)establish the bucketed dl layout from the current dl rows —
+    * the maintenance op that restores the zero-exchange serving join
+    * after a purge (or upgrades a plain store). The read materializes
+    * eagerly before the location is rewritten.
+    */
+  def rebucketDl(spark: SparkSession, path: String, n: Int): Unit = {
+    val dl = spark.read.parquet(path + ".dl")
+      .transform(graft.Materialize.forceCached)
+    writeDlBucketed(dl, path, n)
+  }
+
+  /** `dlBuckets`: co-locate the dl sidecar by doc_id (hash-bucketed
+    * files + catalog bucket spec) so [[search]]'s per-candidate dl
+    * join — the one shuffle join in the serving path — shuffles ONLY
+    * the k-bounded candidate side; the doc-count-sized dl never moves.
+    * At 100 TB dl is billions of rows: this is the difference between
+    * re-shuffling the corpus's length table per query batch and a
+    * one-time layout cost at write. Plain layout when None.
+    */
   def write(docs: DataFrame, path: String,
-            metaCols: Seq[String] = Nil): Unit = {
+            metaCols: Seq[String] = Nil,
+            dlBuckets: Option[Int] = None): Unit = {
     postingsRows(docs).write.mode("overwrite").partitionBy("tb").parquet(path)
     val dl = dlRows(docs, metaCols).transform(graft.Materialize.forceCached)
-    dl.write.mode("overwrite").parquet(path + ".dl")
+    dlBuckets match {
+      case Some(n) => writeDlBucketed(dl, path, n)
+      case None =>
+        dropDlBuckets(docs.sparkSession, path)
+        dl.write.mode("overwrite").parquet(path + ".dl")
+    }
     statsRows(dl).write.mode("overwrite").parquet(path + ".stats")
   }
 
   /** Append a DOC-DISJOINT wave: postings land in their tb dirs, dl
     * rows and a stats partial append — all three additive by the
     * disjointness contract. A meta-written store must append with the
-    * SAME metaCols (the dl schema is the contract).
+    * SAME metaCols (the dl schema is the contract). On a bucketed-dl
+    * store the dl wave appends THROUGH the catalog table (bucketed
+    * shard files, spec-validated against the table's bucket spec), so
+    * co-location survives appends.
     */
   def append(docs: DataFrame, path: String,
              metaCols: Seq[String] = Nil): Unit = {
+    val spark = docs.sparkSession
     postingsRows(docs).write.mode("append").partitionBy("tb").parquet(path)
     val dl = dlRows(docs, metaCols).transform(graft.Materialize.forceCached)
-    dl.write.mode("append").parquet(path + ".dl")
+    dlBucketsOf(path) match {
+      case Some(n) =>
+        val t = ensureDlTable(spark, path, n)
+        dl.repartition(n, col("doc_id"))
+          .write.mode("append")
+          .bucketBy(n, "doc_id").sortBy("doc_id")
+          .format("parquet").saveAsTable(t)
+      case None => dl.write.mode("append").parquet(path + ".dl")
+    }
     statsRows(dl).write.mode("append").parquet(path + ".stats")
   }
 
@@ -115,6 +231,10 @@ object Bm25Store {
     * layouts don't mix.
     */
   def appendBatch(docs: DataFrame, path: String, batchId: Long): Unit = {
+    // streamed bid= layout and the bucketed dl table don't mix —
+    // downgrade defensively (the wave/stream layouts are already
+    // documented as mutually exclusive)
+    dropDlBuckets(docs.sparkSession, path)
     postingsRows(docs).write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/bid=$batchId")
     val dl = dlRows(docs).transform(graft.Materialize.forceCached)
@@ -194,6 +314,11 @@ object Bm25Store {
       }
     }
     val res = StoreMaintenance.purge(spark, path, "doc_id", docIds)
+    // co-location downgrade: the dl purge rewrites files under
+    // maintenance names the bucketed-table contract (bucket id parsed
+    // from the FILE NAME) cannot describe — drop the bucket metadata
+    // before mutating; results stay exact, restore with [[rebucketDl]]
+    dropDlBuckets(spark, path)
     val dlPath = path + ".dl"
     if (StoreMaintenance.purge(spark, dlPath, "doc_id", docIds)._2 == 0)
       StoreMaintenance.purgeFiles(spark, dlPath, "doc_id", docIds)
@@ -248,7 +373,7 @@ object Bm25Store {
     val cand0 = candidates(spark, path, qt)
       .transform(graft.Materialize.forceCached) // feeds df AND the contrib join
     val df = cand0.groupBy("tok").agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(path + ".dl").select("doc_id", "dl")
+    val dl = dlFrame(spark, path).select("doc_id", "dl")
     val stats = spark.read.parquet(path + ".stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val selfCond =
@@ -298,7 +423,7 @@ object Bm25Store {
           +: matchCols.map(c => col(c).as(s"q_$c")): _*)
       .withColumn("qtb", tb(col("qtok")))
       .transform(graft.Materialize.forceCached)
-    val dl = spark.read.parquet(path + ".dl") // (doc_id, metaCols..., dl)
+    val dl = dlFrame(spark, path) // (doc_id, metaCols..., dl)
     // candidates with their doc's meta + dl attached — ONE doc-keyed
     // join, feeding both the per-group df and the contribution rows
     val cd = candidates(spark, path, qt).join(dl, "doc_id")
@@ -394,14 +519,18 @@ object Bm25StoreQueries {
     * persisted postings layout, compact, then serve — hash-matches
     * t_bm25's one-shot oracle: the append algebra (postings/df/dl/
     * stats all additive) and the compaction are proven lossless by the
-    * hash, not asserted.
+    * hash, not asserted. r14: the store builds with the BUCKETED dl
+    * sidecar (dlBuckets=4), so the co-located serving join — appended
+    * wave riding through the catalog table included — is inside the
+    * oracle gate, not just the exchange-budget spec.
     */
   def vBm25Store(spark: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(
       s"target/bm25_store_${tag(spark, dir)}/idx").getAbsolutePath
     if (!new java.io.File(path).exists()) {
       val d = docs(spark, dir)
-      Bm25Store.write(d.filter(col("doc_id") % 2 === 0), path)
+      Bm25Store.write(d.filter(col("doc_id") % 2 === 0), path,
+        dlBuckets = Some(4))
       Bm25Store.append(d.filter(col("doc_id") % 2 === 1), path)
       Bm25Store.compact(spark, path)
     }

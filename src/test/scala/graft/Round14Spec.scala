@@ -303,6 +303,62 @@ class Round14Spec extends SparkSpec {
       s"drifted wave should sit far past the threshold: $psis")
   }
 
+  test("bm25 bucketed dl: serving join shuffles only the candidate side") {
+    import graft.sources.Bm25Store
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = tmpDir("bm25_bkt")
+    val (plain, bkt) = (s"$base/plain", s"$base/bkt")
+    Bm25Store.write(docs, plain)
+    // bucketed store built by write + a WAVE APPEND: co-location must
+    // survive appends (the appended dl shards go through the table)
+    Bm25Store.write(docs.filter(col("doc_id") % 2 === 0), bkt,
+      dlBuckets = Some(4))
+    Bm25Store.append(docs.filter(col("doc_id") % 2 === 1), bkt)
+    assert(Bm25Store.dlBucketsOf(bkt) == Some(4))
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("text"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def run(p: String): (Seq[String], String) = {
+        val df = Bm25Store.search(spark, p, q, 5)
+        df.write.format("noop").mode("overwrite").save() // finalize AQE
+        (df.orderBy("q_id", "rnk").collect().map(_.toString).toSeq,
+          df.queryExecution.executedPlan.toString)
+      }
+      val (rowsPlain, planPlain) = run(plain)
+      val (rowsBkt, planBkt) = run(bkt)
+      // bucketing is purely physical: same ranking to the last digit
+      assert(rowsBkt.nonEmpty && rowsBkt == rowsPlain,
+        "bucketed-dl store must serve exactly the plain store's ranking")
+      def exchanges(plan: String): Int =
+        "Exchange (hash|range|RoundRobin|SinglePartition)".r
+          .findAllIn(plan).size
+      // the exchange budget: the bucketed plan drops EXACTLY the dl
+      // side's shuffle (the candidate side still hashes to the bucket
+      // count; dl reads in place)
+      assert(exchanges(planBkt) == exchanges(planPlain) - 1,
+        s"bucketed dl must remove the dl-side exchange: " +
+          s"plain=${exchanges(planPlain)} bucketed=${exchanges(planBkt)}\n$planBkt")
+      assert(planBkt.contains("Bucketed: true"),
+        s"dl scan must report its bucket spec:\n$planBkt")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // purge downgrades co-location (file names leave the bucket
+    // contract) but stays exact; rebucketDl restores it
+    Bm25Store.purge(spark, bkt, Seq(9L))
+    assert(Bm25Store.dlBucketsOf(bkt).isEmpty,
+      "purge must drop the bucket metadata it invalidates")
+    Bm25Store.rebucketDl(spark, bkt, 4)
+    assert(Bm25Store.dlBucketsOf(bkt) == Some(4))
+    Bm25Store.purge(spark, plain, Seq(9L))
+    val after = Bm25Store.search(spark, bkt, q, 5)
+      .orderBy("q_id", "rnk").collect().map(_.toString).toSeq
+    val afterPlain = Bm25Store.search(spark, plain, q, 5)
+      .orderBy("q_id", "rnk").collect().map(_.toString).toSeq
+    assert(after == afterPlain,
+      "post-purge rebucketed store must still match the plain store")
+  }
+
   test("retrain gate: appended-cohort recall restored vs the frozen store") {
     val rt = Knn.vIvfRetrainStore(spark, sf).collect()
     val fz = Knn.vIvfDriftStore(spark, sf).collect()
