@@ -5392,6 +5392,37 @@ object Oracles {
       SELECT query_id, rnk, doc_id, phrase_tf FROM r
       WHERE rnk <= 10 ORDER BY query_id, rnk""",
 
+      // ordered proximity over the positional postings: for each
+      // anchor position p of term₁, the doc matches when term₂ has
+      // ANY position in (p, p + 1 + slop] — for two terms this is
+      // exactly the engine's greedy chain (smallest-after-anchor pick
+      // lands in the window iff any position does); near_tf counts
+      // the matching anchors
+      "v_bm25_near" -> s"""
+      WITH dt AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                t -> t <> '') AS arr
+            FROM documents),
+      tp AS (SELECT doc_id, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) AS pos FROM dt),
+      pl AS (SELECT doc_id, tok, list_sort(list(pos)) AS ps
+             FROM tp GROUP BY doc_id, tok),
+      qp AS (SELECT doc_id AS q_id, arr[1] AS w1, arr[2] AS w2
+             FROM dt WHERE doc_id < 3),
+      m AS (SELECT q.q_id, a.doc_id,
+              CAST(len(list_filter(a.ps, p -> len(list_filter(b.ps,
+                q -> q > p AND q <= p + 1 + ${graft.sources.Bm25StoreQueries.NearSlop}))
+                > 0)) AS BIGINT) AS near_tf
+            FROM qp q
+            JOIN pl a ON a.tok = q.w1 AND a.doc_id <> q.q_id
+            JOIN pl b ON b.doc_id = a.doc_id AND b.tok = q.w2),
+      r AS (SELECT q_id AS query_id, doc_id, near_tf,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY near_tf DESC, doc_id ASC) AS BIGINT) AS rnk
+            FROM m WHERE near_tf > 0)
+      SELECT query_id, rnk, doc_id, near_tf FROM r
+      WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
       // metadata-filtered BM25: t_bm25 with the query's OWN language
       // riding every join — per-language df, per-language (n_docs,
       // sum_dl), candidates restricted to the query's language; the

@@ -47,7 +47,7 @@ object Bm25Store {
   val K1 = 1.2
   val B = 0.75
 
-  private[sources] def tokensOf(text: Column): Column =
+  private[graft] def tokensOf(text: Column): Column =
     graft.operators.Dedup.tokens(text)
 
   /** Token bucket: md5 integer arithmetic (oracle/SQL-replayable). */
@@ -470,6 +470,60 @@ object Bm25Store {
     * phrase_tf ≥ 1, top-k by (phrase_tf DESC, doc_id ASC). Same
     * self-exclusion contract as [[search]].
     */
+  /** Ordered-proximity top-k ("near" queries) over the positional
+    * postings: a document matches when the query's terms occur IN
+    * ORDER within a window of (n−1)+slop positions — the sloppy-phrase
+    * query class between exact phrase (slop 0, where this degenerates
+    * to [[phraseSearch]]'s adjacency) and bag-of-words BM25 (slop ∞).
+    * A match anchors at a position p of the FIRST term and extends
+    * greedily: each later term takes its smallest position after the
+    * previous pick (greedy is exact for existence — any valid chain
+    * can only sit at-or-after the greedy one, so if greedy overshoots
+    * the window, every chain does); the anchor counts when the last
+    * pick lands ≤ p + (n−1) + slop. near_tf = matching anchors;
+    * results are docs with near_tf ≥ 1, top-k by (near_tf DESC,
+    * doc_id ASC). Same single bucket-pruned store read, all-terms
+    * pigeonhole, map-side position fold, and self-exclusion contract
+    * as [[phraseSearch]] — nothing shuffles beyond the grouping the
+    * tf path already does.
+    */
+  def proximitySearch(spark: SparkSession, path: String, queries: DataFrame,
+                      k: Int, slop: Int,
+                      excludeSelf: Boolean = true): DataFrame = {
+    require(slop >= 0, "slop must be non-negative")
+    val qt = queries
+      .select(col("q_id"), posexplode(tokensOf(col("phrase"))).as(Seq("ti", "qtok")))
+      .withColumn("qtb", tb(col("qtok")))
+      .transform(graft.Materialize.forceCached)
+    val nTerms = qt.groupBy("q_id").agg(count(lit(1)).as("n_terms"))
+    val cand = candidates(spark, path, qt, extra = Seq("pos"))
+    val selfCond =
+      if (excludeSelf) col("tok") === col("qtok") && col("doc_id") =!= col("q_id")
+      else col("tok") === col("qtok")
+    val hit = cand.join(broadcast(qt.select("q_id", "ti", "qtok")), selfCond)
+      .select(col("q_id"), col("doc_id"), col("ti"), col("pos"))
+    val grouped = hit.groupBy("q_id", "doc_id")
+      .agg(array_sort(collect_list(struct(col("ti"), col("pos")))).as("tp"))
+      .join(broadcast(nTerms), "q_id")
+      .filter(size(col("tp")) === col("n_terms")) // every term present
+    // greedy chain end for anchor p: fold terms 2..n picking the
+    // smallest position after the previous pick (null = chain broke;
+    // null comparisons fall out of the filter)
+    val nearTf = size(filter(
+      element_at(col("tp"), 1).getField("pos"),
+      p => aggregate(slice(col("tp"), lit(2), size(col("tp")) - 1), p,
+        (acc, s) => when(acc.isNull, acc).otherwise(
+          array_min(filter(s.getField("pos"), x => x > acc))))
+        <= p + size(col("tp")) - 1 + lit(slop)))
+    val m = grouped
+      .select(col("q_id"), col("doc_id"), nearTf.cast("long").as("near_tf"))
+      .filter(col("near_tf") > 0)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("near_tf").desc, col("doc_id").asc)
+    m.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select("q_id", "rnk", "doc_id", "near_tf")
+  }
+
   def phraseSearch(spark: SparkSession, path: String, queries: DataFrame,
                    k: Int, excludeSelf: Boolean = true): DataFrame = {
     val qt = queries
@@ -602,6 +656,32 @@ object Bm25StoreQueries {
     Bm25Store.phraseSearch(spark, path, queries, k = 10)
       .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"),
         col("phrase_tf"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_bm25_near: ordered proximity in the driver gate — the sloppy-
+    * phrase class between v_bm25_phrase (slop 0) and t_bm25 (slop ∞):
+    * each query doc's first two tokens, matched where they occur in
+    * order within 1+slop positions (slop = 3), top-10 by
+    * (near frequency, doc_id). The oracle replays the window
+    * existence check per anchor position in SQL (for two terms the
+    * greedy chain is exactly "any second-term position in
+    * (p, p+1+slop]"), so the positional layout serves a second query
+    * class hash-proven end to end.
+    */
+  val NearSlop = 3
+
+  def vBm25Near(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/bm25near_store_${tag(spark, dir)}/idx").getAbsolutePath
+    if (!new java.io.File(path).exists())
+      Bm25Store.write(docs(spark, dir), path)
+    val queries = docs(spark, dir).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        concat_ws(" ", slice(Bm25Store.tokensOf(col("text")), 1, 2)).as("phrase"))
+    Bm25Store.proximitySearch(spark, path, queries, k = 10, slop = NearSlop)
+      .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"),
+        col("near_tf"))
       .orderBy("query_id", "rnk")
   }
 

@@ -359,6 +359,33 @@ class Round14Spec extends SparkSpec {
       "post-purge rebucketed store must still match the plain store")
   }
 
+  test("proximity search: slop 0 degenerates to exact phrase, matches grow with slop") {
+    import graft.sources.Bm25Store
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = tmpDir("bm25_near")
+    val store = s"$base/idx"
+    Bm25Store.write(docs, store)
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        concat_ws(" ", slice(Bm25Store.tokensOf(col("text")), 1, 2)).as("phrase"))
+    def rows(df: DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val phrase = rows(Bm25Store.phraseSearch(spark, store, q, k = 1000))
+    val near0 = rows(Bm25Store.proximitySearch(spark, store, q, k = 1000, slop = 0))
+    assert(near0 == phrase,
+      "slop-0 proximity must equal exact phrase (ordered chain in an (n-1)-window is adjacency)")
+    val near3 = Bm25Store.proximitySearch(spark, store, q, k = 1000, slop = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    // every phrase match survives at larger slop with near_tf >= phrase_tf
+    phrase.foreach { case (qid, doc, tf) =>
+      assert(near3.getOrElse((qid, doc), 0L) >= tf,
+        s"slop widening lost a match: ($qid, $doc, $tf)")
+    }
+    // and the widened window genuinely admits more (anchor or doc count)
+    assert(near3.values.sum > phrase.toSeq.map(_._3).sum || near3.size > phrase.size,
+      "slop 3 should admit strictly more matches on this corpus")
+  }
+
   test("retrain gate: appended-cohort recall restored vs the frozen store") {
     val rt = Knn.vIvfRetrainStore(spark, sf).collect()
     val fz = Knn.vIvfDriftStore(spark, sf).collect()
