@@ -86,6 +86,18 @@ object Bm25Store {
   private def statsRows(dl: DataFrame): DataFrame =
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
+  /** Per-group corpus-stats partials for a meta-written store — the
+    * pre-aggregated sidecar [[searchFiltered]] serves from: one
+    * (metaCols..., n_docs, sum_dl) row per group per wave, additive
+    * across doc-disjoint waves exactly like the global `.stats`
+    * shards (and purge's NEGATIVE correction shards), so the filtered
+    * leg re-sums kilobytes instead of aggregating the corpus-sized dl
+    * sidecar per query batch.
+    */
+  private def groupStatsRows(dl: DataFrame, metaCols: Seq[String]): DataFrame =
+    dl.groupBy(metaCols.head, metaCols.tail: _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
   /** Catalog name for the bucketed dl sidecar of `path` — bucket
     * metadata lives in the (per-session) catalog, so the name must be
     * derivable from the path alone ([[ensureDlTable]] re-registers it
@@ -196,6 +208,9 @@ object Bm25Store {
         dl.write.mode("overwrite").parquet(path + ".dl")
     }
     statsRows(dl).write.mode("overwrite").parquet(path + ".stats")
+    if (metaCols.nonEmpty)
+      groupStatsRows(dl, metaCols).write.mode("overwrite")
+        .parquet(path + ".gstats")
   }
 
   /** Append a DOC-DISJOINT wave: postings land in their tb dirs, dl
@@ -221,6 +236,9 @@ object Bm25Store {
       case None => dl.write.mode("append").parquet(path + ".dl")
     }
     statsRows(dl).write.mode("append").parquet(path + ".stats")
+    if (metaCols.nonEmpty)
+      groupStatsRows(dl, metaCols).write.mode("append")
+        .parquet(path + ".gstats")
   }
 
   /** Idempotent per-batch shard for at-least-once executors (the
@@ -283,6 +301,28 @@ object Bm25Store {
     // last) a crash after the dl purge lost the delta forever: the
     // replay re-derived nV = 0 from the purged dl and every later BM25
     // score silently used overcounted corpus stats.
+    val key = Integer.toHexString(
+      java.util.Arrays.hashCode(docIds.sorted.toArray[Long]))
+    // Lands a correction frame as ONE atomically-moved file whose name
+    // keys the victim set: write to a sibling temp dir, then MOVE the
+    // single data file in under its deterministic name — a reader
+    // never sees a partial correction and a replayed purge sees either
+    // the finished file (skip) or nothing (rewrite).
+    def landCorrection(targetDir: java.io.File, frame: DataFrame): Unit = {
+      val corr = new java.io.File(targetDir, s"purge_$key.parquet")
+      if (!corr.isFile) {
+        val tmp = new java.io.File(s"$path.corr_tmp")
+        StoreMaintenance.rmTree(tmp)
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = Option(tmp.listFiles()).getOrElse(Array.empty)
+          .find(f => f.isFile && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"correction write produced no parquet in $tmp"))
+        targetDir.mkdirs()
+        java.nio.file.Files.move(part.toPath, corr.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        StoreMaintenance.rmTree(tmp)
+      }
+    }
     if (nV > 0) {
       import spark.implicits._
       val statsRoot = new java.io.File(path + ".stats")
@@ -292,25 +332,21 @@ object Bm25Store {
       // under a reserved negative shard so the layouts never mix
       val targetDir = new java.io.File(
         if (streamed) s"$path.stats/bid=-1" else path + ".stats")
-      val key = Integer.toHexString(
-        java.util.Arrays.hashCode(docIds.sorted.toArray[Long]))
-      val corr = new java.io.File(targetDir, s"purge_$key.parquet")
-      if (!corr.isFile) {
-        // write to a sibling temp dir, then MOVE the single data file
-        // in under its deterministic name — the move is atomic, so a
-        // reader never sees a partial correction and a replayed purge
-        // sees either the finished file (skip) or nothing (rewrite)
-        val tmp = new java.io.File(s"$path.stats_tmp")
-        StoreMaintenance.rmTree(tmp)
-        Seq((-nV, -sV)).toDF("n_docs", "sum_dl")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = Option(tmp.listFiles()).getOrElse(Array.empty)
-          .find(f => f.isFile && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"correction write produced no parquet in $tmp"))
-        targetDir.mkdirs()
-        java.nio.file.Files.move(part.toPath, corr.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        StoreMaintenance.rmTree(tmp)
+      landCorrection(targetDir, Seq((-nV, -sV)).toDF("n_docs", "sum_dl"))
+      // the per-group twin: a meta-written store's pre-aggregated
+      // group stats take the same negative shard, derived from the
+      // still-intact dl (meta rides it inline) BEFORE the dl purge —
+      // the same crash-replay ordering contract as the global shard
+      val groot = new java.io.File(path + ".gstats")
+      if (groot.isDirectory) {
+        val meta = spark.read.parquet(path + ".dl").columns.toSeq
+          .filterNot(Set("doc_id", "dl"))
+        landCorrection(groot,
+          spark.read.parquet(path + ".dl")
+            .filter(col("doc_id").isin(docIds: _*))
+            .groupBy(meta.head, meta.tail: _*)
+            .agg((-count(lit(1))).as("n_docs"),
+              (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl")))
       }
     }
     val res = StoreMaintenance.purge(spark, path, "doc_id", docIds)
@@ -407,10 +443,11 @@ object Bm25Store {
     * `metaCols = matchCols` (meta rides the dl sidecar inline — a
     * corpus-side metadata join would shuffle the big side). Per-group
     * df re-derives from the probed postings joined to the dl meta; the
-    * per-group corpus stats come from ONE pushed-down aggregate over
-    * the doc-count-sized dl sidecar (at production scale, pre-aggregate
-    * a per-group stats sidecar for hot filter columns — additive per
-    * group, the same algebra as the global shards). Same bucket-pruned
+    * per-group corpus stats re-sum the PRE-AGGREGATED `.gstats`
+    * sidecar meta-written stores carry (kilobytes per wave, additive
+    * like the global shards, negative purge corrections included) —
+    * stores written before gstats existed fall back to one pushed-down
+    * aggregate over the doc-count-sized dl sidecar. Same bucket-pruned
     * single postings read and self-exclusion contract as [[search]].
     */
   def searchFiltered(spark: SparkSession, path: String, queries: DataFrame,
@@ -429,8 +466,16 @@ object Bm25Store {
     val cd = candidates(spark, path, qt).join(dl, "doc_id")
       .transform(graft.Materialize.forceCached)
     val dfm = cd.groupBy("tok", matchCols: _*).agg(count(lit(1)).as("df"))
-    val stats = dl.groupBy(matchCols.head, matchCols.tail: _*)
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // per-group corpus stats: the pre-aggregated additive sidecar when
+    // the store wrote one (kilobytes re-summed — purge corrections
+    // included), else derived from dl (pre-gstats stores)
+    val stats =
+      if (new java.io.File(path + ".gstats").isDirectory)
+        spark.read.parquet(path + ".gstats")
+          .groupBy(matchCols.head, matchCols.tail: _*)
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      else dl.groupBy(matchCols.head, matchCols.tail: _*)
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val metaEq = matchCols.map(c => col(c) === col(s"q_$c"))
     val joinCond = (if (excludeSelf)
         col("tok") === col("qtok") && col("doc_id") =!= col("q_id")

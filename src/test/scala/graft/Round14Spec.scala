@@ -386,6 +386,34 @@ class Round14Spec extends SparkSpec {
       "slop 3 should admit strictly more matches on this corpus")
   }
 
+  test("bm25 gstats: per-group stats survive append and purge exactly") {
+    import graft.sources.Bm25Store
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    val base = tmpDir("bm25_gstats")
+    val (store, ref) = (s"$base/idx", s"$base/ref")
+    Bm25Store.write(docs.filter(col("doc_id") % 2 === 0), store,
+      metaCols = Seq("lang"))
+    Bm25Store.append(docs.filter(col("doc_id") % 2 === 1), store,
+      metaCols = Seq("lang"))
+    Bm25Store.purge(spark, store, Seq(3L, 4L))
+    assert(new java.io.File(s"$store.gstats").isDirectory)
+    // ground truth: one-shot build over corpus-minus-victims (its own
+    // gstats is a single exact aggregate)
+    Bm25Store.write(docs.filter(!col("doc_id").isin(3L, 4L)), ref,
+      metaCols = Seq("lang"))
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("text"), col("lang"))
+    def served(p: String): Seq[String] =
+      Bm25Store.searchFiltered(spark, p, q, k = 5, Seq("lang"))
+        .orderBy("q_id", "rnk").collect().map(_.toString).toSeq
+    assert(served(store).nonEmpty && served(store) == served(ref),
+      "re-summed gstats shards (append partials + negative purge " +
+        "correction) must score exactly like a fresh build's stats")
+    // and the shards really are what serves: kilobytes, not the dl agg
+    val gRows = spark.read.parquet(s"$store.gstats").count()
+    assert(gRows >= 3, s"expected per-wave + correction shards, got $gRows rows")
+  }
+
   test("retrain gate: appended-cohort recall restored vs the frozen store") {
     val rt = Knn.vIvfRetrainStore(spark, sf).collect()
     val fz = Knn.vIvfDriftStore(spark, sf).collect()
