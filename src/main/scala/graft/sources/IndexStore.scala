@@ -2104,11 +2104,17 @@ object IvfBqIndexStore {
   def write(df: DataFrame, idCol: String, vecCol: String, path: String,
             model: Option[Array[(Int, Array[Double])]] = None): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
     val e = IvfIndexStore.prepared(df, idCol, vecCol)
     val centroids = model.getOrElse(Knn.trainIvf(e))
     codesWithCid(df, idCol, vecCol, centroids)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
+    writeModelSidecars(spark, centroids, path)
+  }
+
+  private def writeModelSidecars(spark: SparkSession,
+                                 centroids: Array[(Int, Array[Double])],
+                                 path: String): Unit = {
+    import spark.implicits._
     centroids.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv")
       .write.mode("overwrite").parquet(s"$path.centroids")
@@ -2118,6 +2124,31 @@ object IvfBqIndexStore {
       .toDF("cents")
       .select(col("cents").cast("array<struct<cid:int,cv:array<double>>>").as("cents"))
       .write.mode("overwrite").parquet(s"$path.centpack")
+  }
+
+  /** Retrain remediation for the binary-quantized IVF tier — the
+    * drift-advisor's "rebuild the index" action, completing the
+    * retrain API across every coarse-quantized store (IVF, IVF-PQ,
+    * IVF-BQ). Sign codes are MODEL-FREE, so only the coarse quantizer
+    * retrains; re-assignment still needs the ORIGINAL vectors (cosine
+    * to the new centroids is not recoverable from 64 sign bits), so
+    * like the IVF-PQ twin this takes the source corpus and re-derives
+    * the code rows under the new assignment. The list layout rebuilds
+    * atomically (rewriteLayout's group commit), the pre-retrain files
+    * retire under one version, and BOTH model sidecars (centroids +
+    * the SQL leg's centpack) are filed in the lineage before the new
+    * models land.
+    */
+  def retrain(spark: SparkSession, path: String, corpus: DataFrame,
+              idCol: String, vecCol: String, train: DataFrame): Long = {
+    val newCents = Knn.trainIvf(train.select(col("vec_id"), col("v"), col("nrm")))
+    val coded = codesWithCid(corpus, idCol, vecCol, newCents)
+    val (_, version) =
+      StoreMaintenance.rewriteLayout(spark, path, "cid")(_ => coded)
+    StoreMaintenance.retireSidecar(path, version, "centroids", s"$path.centroids")
+    StoreMaintenance.retireSidecar(path, version, "centpack", s"$path.centpack")
+    writeModelSidecars(spark, newCents, path)
+    version
   }
 
   /** Frozen-centroid append: new vectors assign against the persisted

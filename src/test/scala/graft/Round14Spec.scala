@@ -414,6 +414,39 @@ class Round14Spec extends SparkSpec {
     assert(gRows >= 3, s"expected per-wave + correction shards, got $gRows rows")
   }
 
+  test("IVF-BQ retrain: store search ≡ fresh build under the same retrained model") {
+    import graft.sources.IvfBqIndexStore
+    val base = tmpDir("ivfbq_retrain")
+    val (pathA, pathB) = (s"$base/a", s"$base/b")
+    val emb = Tables.embeddings(spark, sf)
+    val drift = Knn.driftFrame(spark, sf).select("vec_id", "v")
+    val union = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .union(drift)
+    val train = mixture(sf).transform(Materialize.forceCached)
+
+    IvfBqIndexStore.write(emb, "vec_id", "embedding", pathA,
+      model = Some(Knn.ivfCentroids(spark, sf)))
+    IvfBqIndexStore.append(drift, "vec_id", "v", pathA)
+    val version = IvfBqIndexStore.retrain(spark, pathA, union, "vec_id", "v", train)
+
+    val cents = Knn.trainIvf(train)
+    IvfBqIndexStore.write(union, "vec_id", "v", pathB, model = Some(cents))
+
+    val q = drift.filter(col("vec_id") < Knn.DriftOffset + 5)
+    def top(p: String) = IvfBqIndexStore.search(spark, p, union, q,
+        "vec_id", "v", Knn.DefaultK).collect().map(_.toString).sorted.toSeq
+    assert(top(pathA) == top(pathB),
+      "retrained IVF-BQ store must serve exactly what a fresh build under the same model serves")
+    // both model sidecars filed in the lineage (centroids + the SQL
+    // leg's packed twin)
+    for (name <- Seq("centroids", "centpack")) {
+      val d = new java.io.File(pathA,
+        s"${SM.RetiredDirName}/v$version/_sidecar_$name")
+      assert(d.isDirectory && d.listFiles().nonEmpty, s"missing retired $name")
+    }
+  }
+
   test("retrain gate: appended-cohort recall restored vs the frozen store") {
     val rt = Knn.vIvfRetrainStore(spark, sf).collect()
     val fz = Knn.vIvfDriftStore(spark, sf).collect()
