@@ -5392,6 +5392,12 @@ object Oracles {
       SELECT query_id, rnk, doc_id, phrase_tf FROM r
       WHERE rnk <= 10 ORDER BY query_id, rnk""",
 
+      // hybrid search from the PERSISTED tiers: both legs' rankings
+      // are the ones v_hybrid_bm25's oracle already replays (exact
+      // cosine + Okapi BM25), so the persisted fusion shares it —
+      // a hash match proves store-served hybrid ≡ in-session hybrid
+      "v_hybrid_store" -> round12("v_hybrid_bm25"),
+
       // ordered proximity over the positional postings: for each
       // anchor position p of term₁, the doc matches when term₂ has
       // ANY position in (p, p + 1 + slop] — for two terms this is

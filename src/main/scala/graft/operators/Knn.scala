@@ -2049,6 +2049,56 @@ object Knn {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_hybrid_store: hybrid search served from the PERSISTED tiers —
+    * the deployment shape where both legs are indexes on disk, not
+    * in-session derivations: the vector leg is IndexStore.search over
+    * the written flat store (exact cosine, knnBase's ranking contract
+    * by construction), the lexical leg is Bm25Store.search over the
+    * written postings store (t_bm25's ranking, hash-proven by
+    * v_bm25_store), fused with the same fixed-order RRF sum on a full
+    * outer join. Hash-shares v_hybrid_bm25's oracle: the persisted
+    * hybrid path provably serves exactly what the in-session fusion
+    * computes. Scale shape: each leg is its own pruned/broadcast store
+    * plan; the fusion join touches ≤ 10+10 rows per query.
+    */
+  def vHybridStore(spark: SparkSession, dir: String): DataFrame = {
+    val (nq, legK) = (3, 10)
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
+    val root = new java.io.File(s"target/hybrid_store_$tag").getAbsolutePath
+    val (vecPath, lexPath) = (s"$root/vec", s"$root/lex")
+    val emb = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    if (!new java.io.File(vecPath).exists()) {
+      graft.sources.IndexStore.write(emb, "vec_id", "embedding", vecPath, dim = 64)
+      graft.sources.Bm25Store.write(docs, lexPath, dlBuckets = Some(4))
+    }
+    val vec = graft.sources.IndexStore
+      .search(graft.sources.IndexStore.read(spark, vecPath),
+        emb.filter(col("vec_id") < nq).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", legK)
+      .select(col("query_id").as("vq"), col("neighbor_id").as("vc"),
+        col("rnk").as("vrnk"))
+    val lex = graft.sources.Bm25Store
+      .search(spark, lexPath,
+        docs.filter(col("doc_id") < nq).select(col("doc_id").as("q_id"), col("text")),
+        legK)
+      .select(col("q_id").as("lq"), col("doc_id").as("lc"), col("rnk").as("lrnk"))
+    val fused = vec.join(lex,
+        col("vq") === col("lq") && col("vc") === col("lc"), "full_outer")
+      .select(coalesce(col("vq"), col("lq")).as("query_id"),
+        coalesce(col("vc"), col("lc")).as("doc_id"),
+        round(
+          when(col("vrnk").isNotNull, lit(1.0) / (lit(60) + col("vrnk")))
+            .otherwise(lit(0.0)) +
+          when(col("lrnk").isNotNull, lit(1.0) / (lit(60) + col("lrnk")))
+            .otherwise(lit(0.0)), 6).as("fused"))
+    val w = Window.partitionBy("query_id").orderBy(col("fused").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
+      .select("query_id", "rnk", "doc_id", "fused")
+      .orderBy("query_id", "rnk")
+  }
+
   /** vc_hybrid_recall: the hybrid-fusion QUALITY gate — v_hybrid_bm25
     * ships the production fusion shape; this measures whether fusing
     * actually helps, on corpora where both legs carry partial signal.
