@@ -585,6 +585,16 @@ object StoreMaintenance {
     v
   }
 
+  /** Drop a monitored store's drift-reference sidecar — every retrain
+    * must call this: the `.driftstats` assignment histogram was taken
+    * under the OLD centroids, and PSI against a mismatched baseline
+    * would false-flag every later wave. The per-wave monitor
+    * re-bootstraps its baseline from the first wave after the retrain
+    * (its documented outside-written-store path).
+    */
+  private[sources] def invalidateDriftBaseline(path: String): Unit =
+    rmTree(new java.io.File(s"$path.driftstats")) // parquet dir, not a file
+
   private def versionsOf(root: java.io.File): Seq[Long] =
     Option(new java.io.File(root, RetiredDirName).listFiles())
       .getOrElse(Array.empty)
@@ -1249,6 +1259,7 @@ object IvfIndexStore {
     }
     StoreMaintenance.retireSidecar(path, version, "centroids", s"$path.centroids")
     writeModelSidecars(spark, newCents, path)
+    StoreMaintenance.invalidateDriftBaseline(path)
     version
   }
 
@@ -1707,6 +1718,7 @@ object IvfPqIndexStore {
     StoreMaintenance.retireSidecar(path, version, "centroids", s"$path.centroids")
     StoreMaintenance.retireSidecar(path, version, "books", s"$path.books")
     writeModelSidecars(spark, newCents, newBooks, resid, path)
+    StoreMaintenance.invalidateDriftBaseline(path)
     version
   }
 
@@ -2148,6 +2160,7 @@ object IvfBqIndexStore {
     StoreMaintenance.retireSidecar(path, version, "centroids", s"$path.centroids")
     StoreMaintenance.retireSidecar(path, version, "centpack", s"$path.centpack")
     writeModelSidecars(spark, newCents, path)
+    StoreMaintenance.invalidateDriftBaseline(path)
     version
   }
 

@@ -301,6 +301,23 @@ class Round14Spec extends SparkSpec {
       s"isotropic wave should track the training distribution: $psis")
     assert(drift.getAs[Double]("psi") > 2 * thr,
       s"drifted wave should sit far past the threshold: $psis")
+    // remediation closes the loop: retrain on the post-drift mixture
+    // must INVALIDATE the baseline (its histogram was taken under the
+    // old centroids — PSI against it would false-flag every wave);
+    // the next monitored wave re-bootstraps and reads healthy
+    graft.sources.IvfPqIndexStore.retrain(spark, store,
+      spark.read.parquet(src), "vec_id", "embedding", mixture(sf))
+    assert(!new java.io.File(s"$store.driftstats").exists(),
+      "retrain must drop the stale drift baseline")
+    emb.filter(col("vec_id") < 170)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      .write.mode("append").parquet(src)
+    graft.streaming.EventStreams.runIvfPqIngest(spark, src, ckpt, store,
+      driftMonitor = true)
+    val after = spark.read.parquet(s"$store.driftlog")
+      .orderBy("bid").collect().last
+    assert(!after.getAs[Boolean]("retrain_recommended"),
+      s"post-retrain wave must re-baseline healthy, psi=${after.getAs[Double]("psi")}")
   }
 
   test("bm25 bucketed dl: serving join shuffles only the candidate side") {
