@@ -5346,29 +5346,7 @@ object Oracles {
   val round14: Map[String, String] = {
     import graft.operators.Knn.{IvfTrainSample, DriftOffset}
     val half = IvfTrainSample / 2
-    Map(
-      // the remediation: the store's own search AFTER
-      // IvfIndexStore.retrain must land exactly on the RETRAINED leg
-      // of the drift oracle — the same bounded 50/50 post-append Lloyd
-      // replay, recall@5 restored to 1.0 (vs the frozen leg's 0.5
-      // that v_ivf_drift_store pins on the same lifecycle)
-      "v_ivf_retrain_store" -> s"""
-      WITH $driftBaseCte,
-      rttrain AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < $half
-                  UNION ALL
-                  SELECT vec_id - $DriftOffset + $half AS vec_id, v, nrm
-                  FROM dfn WHERE vec_id < ${DriftOffset + half}),
-      ${lloydCte("rt", "rttrain")},
-      ${driftLegCte("rt", "retrained")}
-      SELECT query_id, hits_retrained AS hits, recall_retrained AS recall
-      FROM rtrec ORDER BY query_id""",
-
-      // exact-phrase over the positional postings: 1-based position
-      // lists per (doc, tok), a doc matches when term₂ sits at
-      // position p+1 for some p of term₁ (each query doc's first two
-      // tokens), phrase frequency = the intersection size — the
-      // engine's adjacency fold replayed with list_filter/list_contains
-      "v_bm25_phrase" -> """
+    val phraseOracle = """
       WITH dt AS (SELECT doc_id,
               list_filter(regexp_split_to_array(trim(text), '\s+'),
                 t -> t <> '') AS arr
@@ -5390,7 +5368,33 @@ object Oracles {
                 ORDER BY phrase_tf DESC, doc_id ASC) AS BIGINT) AS rnk
             FROM m WHERE phrase_tf > 0)
       SELECT query_id, rnk, doc_id, phrase_tf FROM r
-      WHERE rnk <= 10 ORDER BY query_id, rnk""",
+      WHERE rnk <= 10 ORDER BY query_id, rnk"""
+    Map(
+      // the remediation: the store's own search AFTER
+      // IvfIndexStore.retrain must land exactly on the RETRAINED leg
+      // of the drift oracle — the same bounded 50/50 post-append Lloyd
+      // replay, recall@5 restored to 1.0 (vs the frozen leg's 0.5
+      // that v_ivf_drift_store pins on the same lifecycle)
+      "v_ivf_retrain_store" -> s"""
+      WITH $driftBaseCte,
+      rttrain AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < $half
+                  UNION ALL
+                  SELECT vec_id - $DriftOffset + $half AS vec_id, v, nrm
+                  FROM dfn WHERE vec_id < ${DriftOffset + half}),
+      ${lloydCte("rt", "rttrain")},
+      ${driftLegCte("rt", "retrained")}
+      SELECT query_id, hits_retrained AS hits, recall_retrained AS recall
+      FROM rtrec ORDER BY query_id""",
+
+      // exact-phrase over the positional postings: 1-based position
+      // lists per (doc, tok), a doc matches when term₂ sits at
+      // position p+1 for some p of term₁ (each query doc's first two
+      // tokens), phrase frequency = the intersection size — the
+      // engine's adjacency fold replayed with list_filter/list_contains.
+      // v_sql_store_phrase (the SQL serving leg over the persisted
+      // positional store) hash-shares this oracle with the engine leg.
+      "v_bm25_phrase" -> phraseOracle,
+      "v_sql_store_phrase" -> phraseOracle,
 
       // hybrid search from the PERSISTED tiers: both legs' rankings
       // are the ones v_hybrid_bm25's oracle already replays (exact

@@ -730,6 +730,53 @@ object Bm25StoreQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** v_sql_store_phrase: the THIRTEENTH SQL serving leg — a SQL-only
+    * user answers an EXACT PHRASE query against the persisted
+    * positional postings (the query class the tf-only view cannot
+    * serve): query terms and their token buckets restate in SQL (the
+    * same md5 arithmetic as the bm25 leg, so the tb equi-join prunes
+    * the scan), each term's postings rows keep their position lists,
+    * and the adjacency intersection is the same array HOF the engine
+    * leg folds map-side. Hash-shares v_bm25_phrase's oracle, so the
+    * SQL and engine surfaces of the positional tier cannot drift.
+    */
+  def vSqlStorePhrase(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/sqlphrase_store_${tag(spark, dir)}/idx").getAbsolutePath
+    if (!new java.io.File(path).exists())
+      Bm25Store.write(docs(spark, dir), path)
+    graft.GraftSession.sqlStore(spark, path, "bm25pos")
+    docs(spark, dir).createOrReplaceTempView("graft_sql_docs_bm25pos")
+    spark.sql(s"""
+      WITH dt AS (SELECT doc_id,
+               filter(split(trim(text), '\\\\s+'), t -> t != '') AS arr
+             FROM graft_sql_docs_bm25pos),
+      qk AS (SELECT doc_id AS q_id,
+               element_at(arr, 1) AS w1, element_at(arr, 2) AS w2,
+               CAST(conv(substring(md5(concat('bm25tb_', element_at(arr, 1))), 1, 8), 16, 10)
+                 AS BIGINT) % ${Bm25Store.Buckets} AS tb1,
+               CAST(conv(substring(md5(concat('bm25tb_', element_at(arr, 2))), 1, 8), 16, 10)
+                 AS BIGINT) % ${Bm25Store.Buckets} AS tb2
+             FROM dt WHERE doc_id < 3),
+      a AS (SELECT /*+ BROADCAST(qk) */ q.q_id, p.doc_id, p.pos
+            FROM graft_store_bm25pos p
+            JOIN qk q ON p.tok = q.w1 AND p.tb = q.tb1 AND p.doc_id <> q.q_id),
+      b AS (SELECT /*+ BROADCAST(qk) */ q.q_id AS bq, p.doc_id AS bdoc,
+               p.pos AS bpos
+            FROM graft_store_bm25pos p
+            JOIN qk q ON p.tok = q.w2 AND p.tb = q.tb2),
+      m AS (SELECT a.q_id, a.doc_id,
+              CAST(size(filter(a.pos, p -> array_contains(b.bpos, p + 1)))
+                AS BIGINT) AS phrase_tf
+            FROM a JOIN b ON b.bq = a.q_id AND b.bdoc = a.doc_id),
+      r AS (SELECT q_id AS query_id, doc_id, phrase_tf,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY phrase_tf DESC, doc_id ASC) AS BIGINT) AS rnk
+            FROM m WHERE phrase_tf > 0)
+      SELECT query_id, rnk, doc_id, phrase_tf FROM r
+      WHERE rnk <= 10 ORDER BY query_id, rnk""")
+  }
+
   /** v_sql_store_bm25: the TWELFTH SQL serving leg — a SQL-only user
     * ranks BM25 against the persisted postings store. Query terms
     * tokenize IN SQL (the same trim/split/filter as Dedup.tokens) with
