@@ -5344,7 +5344,7 @@ object Oracles {
   // ---- round 14: retrain remediation + lexical tier depth ------------
 
   val round14: Map[String, String] = {
-    import graft.operators.Knn.{IvfTrainSample, DriftOffset}
+    import graft.operators.Knn.{IvfTrainSample, DriftOffset, IvfIters}
     val half = IvfTrainSample / 2
     val phraseOracle = """
       WITH dt AS (SELECT doc_id,
@@ -5395,6 +5395,60 @@ object Oracles {
       // positional store) hash-shares this oracle with the engine leg.
       "v_bm25_phrase" -> phraseOracle,
       "v_sql_store_phrase" -> phraseOracle,
+
+      // the per-wave drift monitor's PSI, replayed end to end: both
+      // bounded samples (lowest-id prefixes), the float32 quantization
+      // the stream schema imposes on the drifted wave, the round-6
+      // assignment argmax under the frozen Lloyd replay, the 1e-3
+      // proportion floors, and the (q-p)ln(q/p) sum. Wave 1 is the
+      // monitor's own bootstrap baseline, so its psi is exactly 0.
+      "s_drift_monitor" -> s"""
+      WITH $driftBaseCte,
+      bsm AS (SELECT vec_id, v, nrm FROM n
+              ORDER BY vec_id LIMIT $IvfTrainSample),
+      wsm0 AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS v
+               FROM (SELECT vec_id, v FROM dfn
+                     ORDER BY vec_id LIMIT $IvfTrainSample) t),
+      wsm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM wsm0),
+      basg AS (SELECT cid FROM (
+            SELECT b.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                ROUND(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 6) DESC,
+                c.cid ASC) AS rn
+            FROM bsm b CROSS JOIN fzcent$IvfIters c) t WHERE rn = 1),
+      wasg AS (SELECT cid FROM (
+            SELECT w.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY w.vec_id ORDER BY
+                ROUND(list_dot_product(w.v, c.cv) / (w.nrm * c.cn), 6) DESC,
+                c.cid ASC) AS rn
+            FROM wsm w CROSS JOIN fzcent$IvfIters c) t WHERE rn = 1),
+      bcnt AS (SELECT COUNT(*) AS n FROM bsm),
+      wcnt AS (SELECT COUNT(*) AS n FROM wsm),
+      bh AS (SELECT c.cid,
+               GREATEST(CAST(COALESCE(x.cnt, 0) AS DOUBLE) / bcnt.n,
+                 CAST(0.001 AS DOUBLE)) AS p
+             FROM fzcent$IvfIters c CROSS JOIN bcnt
+             LEFT JOIN (SELECT cid, COUNT(*) AS cnt FROM basg GROUP BY cid) x
+               ON x.cid = c.cid),
+      wh AS (SELECT c.cid,
+               GREATEST(CAST(COALESCE(x.cnt, 0) AS DOUBLE) / wcnt.n,
+                 CAST(0.001 AS DOUBLE)) AS q
+             FROM fzcent$IvfIters c CROSS JOIN wcnt
+             LEFT JOIN (SELECT cid, COUNT(*) AS cnt FROM wasg GROUP BY cid) x
+               ON x.cid = c.cid),
+      ps AS (SELECT SUM((w.q - b.p) * LN(w.q / b.p)) AS psi
+             FROM bh b JOIN wh w ON w.cid = b.cid)
+      SELECT CAST(0 AS BIGINT) AS bid, bcnt.n AS n_sampled,
+        CAST(0.0 AS DOUBLE) AS psi, CAST(0 AS BIGINT) AS retrain_recommended
+      FROM bcnt
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), wcnt.n, ROUND(ps.psi, 6),
+        CAST(CASE WHEN ps.psi >
+          ${graft.streaming.EventStreams.DriftPsiThreshold} THEN 1 ELSE 0 END
+          AS BIGINT)
+      FROM wcnt CROSS JOIN ps
+      ORDER BY bid""",
 
       // hybrid search from the PERSISTED tiers: both legs' rankings
       // are the ones v_hybrid_bm25's oracle already replays (exact

@@ -1415,6 +1415,47 @@ object EventStreams {
       .orderBy("query_id", "rnk")
   }
 
+  /** s_drift_monitor: the per-wave drift monitor IN the driver gate —
+    * the PSI arithmetic moves from spec assertion into the oracle.
+    * The store is seeded with the session registry's models (the
+    * inherit-models path, so the frozen quantizer is the oracle's
+    * deterministic Lloyd replay); wave 1 streams the isotropic corpus
+    * and the monitor bootstraps its baseline from it (psi exactly
+    * 0.0, healthy), wave 2 streams the drift gate's cohort and its
+    * PSI against the wave-1 histogram trips the 0.25 line. The oracle
+    * replays BOTH bounded samples (lowest-id prefix), the float32
+    * quantization the stream schema imposes on the drifted wave
+    * (CAST through REAL), the round-6 assignment argmax, the 1e-3
+    * proportion floors, and the PSI sum — so the monitor's number is
+    * hash-proven, not just spec-bounded. Idempotent across
+    * invocations (Bench reps): waves land once, later calls read the
+    * log.
+    */
+  def sDriftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Knn
+    val tag = gateTag(spark, dir)
+    val root = new java.io.File(s"target/sdrift_store_$tag").getAbsolutePath
+    val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
+    val emb = Tables.embeddings(spark, dir)
+    if (!new java.io.File(s"$store.books").exists()) {
+      graft.sources.IvfPqIndexStore.write(
+        emb.filter(col("vec_id") < 0), "vec_id", "embedding", store,
+        ivfModel = Some(Knn.ivfCentroids(spark, dir)),
+        pqModel = Some(Knn.pqBooksFor(spark, dir)))
+      emb.select("vec_id", "embedding").write.mode("overwrite").parquet(src)
+      runIvfPqIngest(spark, src, ckpt, store, driftMonitor = true)
+      Knn.driftFrame(spark, dir)
+        .select(col("vec_id"), col("v").cast("array<float>").as("embedding"))
+        .write.mode("append").parquet(src)
+      runIvfPqIngest(spark, src, ckpt, store, driftMonitor = true)
+    }
+    spark.read.parquet(s"$store.driftlog")
+      .select(col("bid").cast("long").as("bid"), col("n_sampled"),
+        round(col("psi"), 6).as("psi"),
+        col("retrain_recommended").cast("long").as("retrain_recommended"))
+      .orderBy("bid")
+  }
+
   /** s_bitmap_ingest: the streaming exact-distinct maintainer IN the
     * driver gate — two OVERLAPPING event waves (split by event id, so
     * the same user lands in both) through runBitmapIngest, then the
