@@ -45,20 +45,58 @@ object Bench {
         name -> secs
       }
 
+    // CALIBRATION probe — constant work, timed once per pass, so
+    // round-over-round comparisons can be normalized for ambient VM
+    // load (r13 read 0.89× and r14 1.27× on UNTOUCHED queries; the
+    // drift was the machine, not the engine, and min-of-N cannot
+    // remove sustained steal). Two legs: a fixed single-thread CPU
+    // loop (JIT-warmed xorshift — pure compute, no I/O) and a fixed
+    // full scan of the SF dir's nation+region+supplier tables (Spark
+    // scheduling + parquet read at constant bytes). A consumer divides
+    // a round's query times by (cal_round / cal_baseline) to compare
+    // engines rather than machines.
+    def cpuProbe(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 400000000) { // ~0.3-0.6 s of pure ALU work
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        i += 1
+      }
+      if (h == 42) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    def scanProbe(dir: String): Double = {
+      val t0 = System.nanoTime()
+      Seq("nation", "region", "supplier").foreach { t =>
+        spark.read.parquet(s"$dir/$t.parquet").write
+          .format("noop").mode("overwrite").save()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Untimed warm-up at the SAME scale factor: whole-stage-codegen
     // compilation (janino) and JIT of the generated classes are
     // per-plan-shape, and AQE picks different physical plans at
     // different SFs — so warming at a smaller SF leaves the timed pass
     // paying 10-40s of cold compile on the biggest plans. Steady-state
     // per-query times are what a long-lived cluster app sees.
+    cpuProbe(); scanProbe(sfDir) // warm the probes too (JIT, scan plan)
     runAll(sfDir, timed = false)
 
     // Per-query min over N timed passes: this VM shows ~3× CPU-steal
     // spikes on single runs (an 0.3s scan can record 18s), so one pass
     // reports noise, not the engine. Min-of-N is the steady-state
-    // number a cluster scheduler would see.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val passes = (1 to reps).map(_ => runAll(sfDir, timed = true).toMap)
+    // number a cluster scheduler would see. One calibration pair is
+    // taken IMMEDIATELY BEFORE each timed pass, so sustained ambient
+    // load shows up in the calibration series exactly as it does in
+    // the query series.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val passes = (1 to reps).map { _ =>
+      calibs += ((cpuProbe(), scanProbe(sfDir)))
+      runAll(sfDir, timed = true).toMap
+    }
     val results = passes.head.keys.toSeq.sorted
       .map(name => name -> passes.map(_(name)).min)
     // 3-decimal (millisecond) precision keeps the full line ~1KB under
@@ -71,8 +109,17 @@ object Bench {
     // total = sum of the already-rounded per-query values, so a
     // consumer cross-checking value against queries reconciles exactly
     val total = results.map(r => rounded(r._2)).sum
+    // calibration block: per-pass series + min (min matches the
+    // per-query min-of-N aggregation, so normalization compares like
+    // with like)
+    val calJson = {
+      val cpu = calibs.map(c => rounded(c._1))
+      val scan = calibs.map(c => rounded(c._2))
+      s"""{"cpu":[${cpu.mkString(",")}],"scan":[${scan.mkString(",")}],""" +
+        s""""cpu_min":${cpu.min},"scan_min":${scan.min},"reps":$reps}"""
+    }
     def line(extra: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec",$extra"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$extra"calibration":$calJson,"queries":$qs,"sf":"$sfDir"}"""
     // The full per-query line is ~2.5KB — r5 and r6 both recorded
     // parsed:null because the driver's stdout tail window clips it. So:
     // full line goes FIRST on stdout (and, canonically, to bench.json);
@@ -87,7 +134,7 @@ object Bench {
     val slow = results.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + rounded(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$slow,"queries_file":"bench.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"calibration":$calJson,"queries":$slow,"queries_file":"bench.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

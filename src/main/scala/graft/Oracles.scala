@@ -5117,10 +5117,14 @@ object Oracles {
     * embeddings source is the clustered frame; the documents source is
     * the near-dup projection inline.
     */
-  private def hybridRecallSql: String = {
-    import graft.operators.Knn.NdFamilies
-    s"""
-      WITH $lshBandsCte,
+  /** The two hybrid legs + exact truth, shared by vc_hybrid_recall
+    * (plain RRF) and v_hybrid_weighted (min-max convex): LSH ANN
+    * top-10 sims over the clustered corpus (v10/hs), BM25 top-10
+    * scores over the near-dup docs (b10/bs), exact cosine top-5
+    * (hex5).
+    */
+  private def hybridLegsCte: String = s"""
+      $lshBandsCte,
       hq AS (SELECT b.vec_id AS query_id, b.band0 AS qb0, b.band1 AS qb1,
                n.v AS qv, n.nrm AS qn
              FROM bands b JOIN n ON n.vec_id = b.vec_id WHERE b.vec_id < 3),
@@ -5161,6 +5165,80 @@ object Oracles {
                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                     ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
                 FROM bs) t WHERE rnk <= 10),
+            hex_s AS (SELECT q2.query_id, n.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(q2.qv, n.v) / (q2.qn * n.nrm), 6) AS sim
+               FROM n CROSS JOIN (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                                  FROM n WHERE vec_id < 3) q2
+               WHERE n.vec_id <> q2.query_id),
+      hex5 AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM hex_s) t WHERE rnk <= 5)"""
+
+  /** v_hybrid_weighted's oracle: both legs + truth from
+    * [[hybridLegsCte]], then the SCORE-AWARE fusion arithmetic
+    * replayed exactly — per-leg min-max over each query's top-10
+    * (window min/max over the leg's round-6 scores, degenerate range
+    * → 1.0), convex combination with the ENGINE'S OWN double
+    * literals interpolated (1.0 − 0.8 is 0.19999999999999996 in IEEE
+    * double; writing 0.2 here would be a different number), round 6,
+    * top-5 by (fused DESC, doc_id ASC), recall@5 per leg and fused.
+    */
+  private def hybridWeightedSql: String = {
+    val a = graft.operators.Knn.HybridAlpha
+    val b = 1.0 - graft.operators.Knn.HybridAlpha
+    s"""
+      WITH $hybridLegsCte,
+      vn AS (SELECT query_id, neighbor_id, rnk,
+               CASE WHEN mx = mn THEN 1.0 ELSE (sim - mn) / (mx - mn) END AS nv
+             FROM (SELECT v.query_id, v.neighbor_id, v.rnk, hs.sim,
+                     MIN(hs.sim) OVER (PARTITION BY v.query_id) AS mn,
+                     MAX(hs.sim) OVER (PARTITION BY v.query_id) AS mx
+                   FROM v10 v JOIN hs ON hs.query_id = v.query_id
+                     AND hs.neighbor_id = v.neighbor_id) t),
+      lnn AS (SELECT q_id, doc_id, rnk,
+               CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END AS nl
+             FROM (SELECT b2.q_id, b2.doc_id, b2.rnk, bs.score,
+                     MIN(bs.score) OVER (PARTITION BY b2.q_id) AS mn,
+                     MAX(bs.score) OVER (PARTITION BY b2.q_id) AS mx
+                   FROM b10 b2 JOIN bs ON bs.q_id = b2.q_id
+                     AND bs.doc_id = b2.doc_id) t),
+      fusedw AS (SELECT COALESCE(v.query_id, l.q_id) AS query_id,
+                   COALESCE(v.neighbor_id, l.doc_id) AS doc_id,
+                   ROUND($a * COALESCE(v.nv, 0.0)
+                       + $b * COALESCE(l.nl, 0.0), 6) AS f
+                 FROM vn v FULL OUTER JOIN lnn l
+                   ON v.query_id = l.q_id AND v.neighbor_id = l.doc_id),
+      ftop AS (SELECT query_id, doc_id FROM (
+               SELECT query_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY f DESC, doc_id ASC) AS rnk
+               FROM fusedw) t WHERE rnk <= 5),
+      vtop AS (SELECT query_id, neighbor_id AS doc_id FROM v10 WHERE rnk <= 5),
+      ltop AS (SELECT q_id AS query_id, doc_id FROM b10 WHERE rnk <= 5),
+      rv AS (SELECT e.query_id, ROUND(COUNT(m.doc_id) / 5.0, 6) AS recall_vec
+             FROM hex5 e LEFT JOIN vtop m
+               ON m.query_id = e.query_id AND m.doc_id = e.neighbor_id
+             GROUP BY e.query_id),
+      rl AS (SELECT e.query_id, ROUND(COUNT(m.doc_id) / 5.0, 6) AS recall_lex
+             FROM hex5 e LEFT JOIN ltop m
+               ON m.query_id = e.query_id AND m.doc_id = e.neighbor_id
+             GROUP BY e.query_id),
+      rf AS (SELECT e.query_id, ROUND(COUNT(m.doc_id) / 5.0, 6) AS recall_fused
+             FROM hex5 e LEFT JOIN ftop m
+               ON m.query_id = e.query_id AND m.doc_id = e.neighbor_id
+             GROUP BY e.query_id)
+      SELECT rv.query_id, recall_vec, recall_lex, recall_fused
+      FROM rv JOIN rl ON rl.query_id = rv.query_id
+      JOIN rf ON rf.query_id = rv.query_id
+      ORDER BY rv.query_id"""
+  }
+
+  private def hybridRecallSql: String = {
+    import graft.operators.Knn.NdFamilies
+    s"""
+      WITH $hybridLegsCte,
       fused AS (SELECT COALESCE(v.query_id, b.q_id) AS query_id,
                   COALESCE(v.neighbor_id, b.doc_id) AS doc_id,
                   ROUND((CASE WHEN v.rnk IS NOT NULL
@@ -5176,16 +5254,6 @@ object Oracles {
                FROM fused) t WHERE rnk <= 5),
       vtop AS (SELECT query_id, neighbor_id AS doc_id FROM v10 WHERE rnk <= 5),
       ltop AS (SELECT q_id AS query_id, doc_id FROM b10 WHERE rnk <= 5),
-      hex_s AS (SELECT q2.query_id, n.vec_id AS neighbor_id,
-                 ROUND(list_dot_product(q2.qv, n.v) / (q2.qn * n.nrm), 6) AS sim
-               FROM n CROSS JOIN (SELECT vec_id AS query_id, v AS qv, nrm AS qn
-                                  FROM n WHERE vec_id < 3) q2
-               WHERE n.vec_id <> q2.query_id),
-      hex5 AS (SELECT query_id, neighbor_id FROM (
-               SELECT query_id, neighbor_id,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY sim DESC, neighbor_id) AS rnk
-               FROM hex_s) t WHERE rnk <= 5),
       rv AS (SELECT e.query_id, ROUND(COUNT(m.doc_id) / 5.0, 6) AS recall_vec
              FROM hex5 e LEFT JOIN vtop m
                ON m.query_id = e.query_id AND m.doc_id = e.neighbor_id
@@ -5255,6 +5323,11 @@ object Oracles {
       // two-sided honest result (fusion preserves coarse relevance,
       // dilutes the stronger leg's fine-grained recall) spec-pinned
       "vc_hybrid_recall" -> clustered(hybridRecallSql),
+
+      // score-aware fusion (r15): min-max + tuned convex — the fusion
+      // arithmetic itself oracle-replayed, property "fused >= best
+      // single leg" spec-pinned (plain RRF measurably lacks it)
+      "v_hybrid_weighted" -> clustered(hybridWeightedSql),
       // the IVF tuning curve, isotropic + clustered flavors
       "v_ivf_curve" -> ivfCurveSql,
       "vc_ivf_curve" -> clustered(ivfCurveSql),
@@ -5270,6 +5343,12 @@ object Oracles {
       "v_bm25_store" -> round12("t_bm25"),
       "s_bm25_ingest" -> round12("t_bm25"),
       "v_sql_store_bm25" -> round12("t_bm25"),
+
+      // lexical-tier TIME TRAVEL: post-purge searchBefore must serve
+      // the FULL-corpus ranking — purged docs back with exact scores,
+      // the r15 versioned appends + correction versioning hash-proven
+      // by the same one-shot oracle
+      "q_snapshot_bm25" -> round12("t_bm25"),
 
       // lexical-tier purge: postings, dl, AND the negative stats
       // correction must land exactly on the corpus-minus-victims BM25
@@ -5480,6 +5559,69 @@ object Oracles {
             FROM qp q
             JOIN pl a ON a.tok = q.w1 AND a.doc_id <> q.q_id
             JOIN pl b ON b.doc_id = a.doc_id AND b.tok = q.w2),
+      r AS (SELECT q_id AS query_id, doc_id, near_tf,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY near_tf DESC, doc_id ASC) AS BIGINT) AS rnk
+            FROM m WHERE near_tf > 0)
+      SELECT query_id, rnk, doc_id, near_tf FROM r
+      WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+      // v_sql_store_near (the SQL serving leg for ordered proximity)
+      // hash-shares v_bm25_near's oracle above.
+      "v_sql_store_near" -> s"""
+      WITH dt AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                t -> t <> '') AS arr
+            FROM documents),
+      tp AS (SELECT doc_id, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) AS pos FROM dt),
+      pl AS (SELECT doc_id, tok, list_sort(list(pos)) AS ps
+             FROM tp GROUP BY doc_id, tok),
+      qp AS (SELECT doc_id AS q_id, arr[1] AS w1, arr[2] AS w2
+             FROM dt WHERE doc_id < 3),
+      m AS (SELECT q.q_id, a.doc_id,
+              CAST(len(list_filter(a.ps, p -> len(list_filter(b.ps,
+                q -> q > p AND q <= p + 1 + ${graft.sources.Bm25StoreQueries.NearSlop}))
+                > 0)) AS BIGINT) AS near_tf
+            FROM qp q
+            JOIN pl a ON a.tok = q.w1 AND a.doc_id <> q.q_id
+            JOIN pl b ON b.doc_id = a.doc_id AND b.tok = q.w2),
+      r AS (SELECT q_id AS query_id, doc_id, near_tf,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY near_tf DESC, doc_id ASC) AS BIGINT) AS rnk
+            FROM m WHERE near_tf > 0)
+      SELECT query_id, rnk, doc_id, near_tf FROM r
+      WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+      // three-term ordered proximity: THE GREEDY CHAIN ITSELF,
+      // unrolled per anchor — chain2 = min{pos₂ > p}, chain3 =
+      // min{pos₃ > chain2}, anchor hits iff chain3 ≤ p + 2 + slop.
+      // NULL propagation replays the engine's broken-chain semantics:
+      // an empty filter's list_min is NULL, every later comparison
+      // stays NULL, and the anchor falls out of the count — exactly
+      // proximitySearch's when(acc.isNull) fold. Query docs filter to
+      // ≥3 tokens so arr[3] never NULLs a join key.
+      "v_bm25_near3" -> s"""
+      WITH dt AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                t -> t <> '') AS arr
+            FROM documents),
+      tp AS (SELECT doc_id, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) AS pos FROM dt),
+      pl AS (SELECT doc_id, tok, list_sort(list(pos)) AS ps
+             FROM tp GROUP BY doc_id, tok),
+      qp AS (SELECT doc_id AS q_id, arr[1] AS w1, arr[2] AS w2, arr[3] AS w3
+             FROM dt WHERE doc_id < 3 AND len(arr) >= 3),
+      m AS (SELECT q.q_id, a.doc_id,
+              CAST(len(list_filter(a.ps, p ->
+                list_min(list_filter(c.ps, z -> z >
+                  list_min(list_filter(b.ps, y -> y > p))))
+                <= p + 2 + ${graft.sources.Bm25StoreQueries.Near3Slop}))
+                AS BIGINT) AS near_tf
+            FROM qp q
+            JOIN pl a ON a.tok = q.w1 AND a.doc_id <> q.q_id
+            JOIN pl b ON b.doc_id = a.doc_id AND b.tok = q.w2
+            JOIN pl c ON c.doc_id = a.doc_id AND c.tok = q.w3),
       r AS (SELECT q_id AS query_id, doc_id, near_tf,
               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                 ORDER BY near_tf DESC, doc_id ASC) AS BIGINT) AS rnk

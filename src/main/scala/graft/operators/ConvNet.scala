@@ -95,6 +95,49 @@ object ConvNet {
     Params(layer("conv"), layer("fc"), layer("bias"))
   }
 
+  /** State-dict tensor names + shapes of this net in a safetensors
+    * file — the torch export convention (`conv.weight` [4,3,3],
+    * `fc.weight` [8,4,3,3], `fc.bias` [8]), row-major, matching the
+    * flat index order [[Params]] uses.
+    */
+  private val StShapes: Seq[(String, Seq[Long])] = Seq(
+    "conv.weight" -> Seq(NFilters.toLong, K.toLong, K.toLong),
+    "fc.weight" -> Seq(Dim.toLong, NFilters.toLong, PoolOut.toLong, PoolOut.toLong),
+    "fc.bias" -> Seq(Dim.toLong))
+
+  /** Load parameters from a safetensors file — REAL externally-trained
+    * weights served without torch in the container: the training side
+    * exports the public format, [[Safetensors.read]] parses it
+    * (header + raw little-endian tensors, through the FS seam), and
+    * the result is the same [[Params]] every inference stage already
+    * consumes. Float tensors are accepted when exactly integral
+    * (integerized/quantized exports); anything lossy fails loudly.
+    */
+  def loadParamsSafetensors(path: String): Params = {
+    val ts = Safetensors.read(path)
+    def tensor(name: String, shape: Seq[Long]): Array[Int] = {
+      val t = ts.getOrElse(name,
+        throw new IllegalArgumentException(s"$path: missing tensor $name"))
+      require(t.shape == shape,
+        s"$path: $name shape ${t.shape.mkString("x")} != ${shape.mkString("x")}")
+      t.toIntArray
+    }
+    Params(
+      tensor("conv.weight", StShapes(0)._2),
+      tensor("fc.weight", StShapes(1)._2),
+      tensor("fc.bias", StShapes(2)._2))
+  }
+
+  /** Export parameters as a safetensors file (state-dict names) — the
+    * round-trip twin of [[loadParamsSafetensors]] and the fixture
+    * generator.
+    */
+  def saveParamsSafetensors(p: Params, path: String): Unit =
+    Safetensors.writeI32(path, Seq(
+      StShapes(0)._1 -> (StShapes(0)._2, p.conv),
+      StShapes(1)._1 -> (StShapes(1)._2, p.fc),
+      StShapes(2)._1 -> (StShapes(2)._2, p.bias)))
+
   /** Payload wire format: "w,h:p0,p1,…" (UTF-8), pixels row-major.
     * The declarative side packs it with pure SQL string functions, so
     * the payload column itself sits inside the correctness gate.

@@ -1,0 +1,162 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM reader/writer for the safetensors format — the public,
+  * deliberately-trivial tensor container (8-byte little-endian header
+  * length, a JSON header mapping tensor name → {dtype, shape,
+  * data_offsets}, then the raw little-endian buffer). This is the
+  * bridge that lets the inference seat serve EXTERNALLY-TRAINED
+  * weights end-to-end without torch in the container: a training job
+  * exports `model.safetensors`, [[ConvNet.loadParamsSafetensors]]
+  * loads it into the same [[ConvNet.Params]] the sidecar path uses,
+  * and every pipeline stage downstream (BatchInference's
+  * per-partition model load, the forward, the store build) is
+  * unchanged. The reference loads its featurizer with
+  * torch.load / torchvision weights (/root/reference/app.py:40-48);
+  * this is the torch-free half of that seam.
+  *
+  * Scope: the dtypes the engine consumes (I32/I64/F32/F64), header
+  * parsed with Spark's bundled Jackson. Files go through [[graft
+  * .sources.StoreFs]], so a model published to HDFS/S3 loads the same
+  * way — model artifacts are cluster files, not driver-local ones.
+  */
+object Safetensors {
+
+  final case class Tensor(dtype: String, shape: Seq[Long], data: ByteBuffer) {
+    def numElements: Long = shape.product
+
+    /** Elements as Ints, EXACTNESS-CHECKED: the integer-arithmetic
+      * forward ([[ConvNet]]) serves integerized weights, so a float
+      * tensor must hold exactly-integral values — a lossy cast would
+      * silently corrupt every downstream activation.
+      */
+    def toIntArray: Array[Int] = {
+      val b = data.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      val n = numElements.toInt
+      val out = new Array[Int](n)
+      var i = 0
+      dtype match {
+        case "I32" => while (i < n) { out(i) = b.getInt(); i += 1 }
+        case "I64" => while (i < n) {
+          val v = b.getLong()
+          require(v >= Int.MinValue && v <= Int.MaxValue, s"I64 overflow: $v")
+          out(i) = v.toInt; i += 1
+        }
+        case "F32" => while (i < n) {
+          val v = b.getFloat()
+          require(v == math.rint(v), s"non-integral F32 weight: $v")
+          out(i) = v.toInt; i += 1
+        }
+        case "F64" => while (i < n) {
+          val v = b.getDouble()
+          require(v == math.rint(v), s"non-integral F64 weight: $v")
+          out(i) = v.toInt; i += 1
+        }
+        case d => throw new IllegalArgumentException(s"unsupported dtype $d")
+      }
+      out
+    }
+  }
+
+  private def byteWidth(dtype: String): Int = dtype match {
+    case "I32" | "F32" => 4
+    case "I64" | "F64" => 8
+    case d => throw new IllegalArgumentException(s"unsupported dtype $d")
+  }
+
+  /** Parse a safetensors byte image: tensors by name (insertion order
+    * of the JSON header; the `__metadata__` entry, if present, is
+    * skipped per spec).
+    */
+  def parse(bytes: Array[Byte]): Map[String, Tensor] = {
+    require(bytes.length >= 8, "truncated safetensors: no header length")
+    val hdrLen = ByteBuffer.wrap(bytes, 0, 8).order(ByteOrder.LITTLE_ENDIAN)
+      .getLong()
+    require(hdrLen > 0 && 8 + hdrLen <= bytes.length,
+      s"safetensors header length $hdrLen out of bounds")
+    val header = new String(bytes, 8, hdrLen.toInt, "UTF-8")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(header)
+    val dataStart = 8 + hdrLen.toInt
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Tensor]
+    val names = root.fieldNames()
+    while (names.hasNext) {
+      val name = names.next()
+      if (name != "__metadata__") {
+        val t = root.get(name)
+        val dtype = t.get("dtype").asText()
+        val shape = {
+          val it = t.get("shape").elements()
+          val b = Seq.newBuilder[Long]
+          while (it.hasNext) b += it.next().asLong()
+          b.result()
+        }
+        val off = t.get("data_offsets")
+        val (b0, b1) = (off.get(0).asLong(), off.get(1).asLong())
+        require(b1 >= b0 && dataStart + b1 <= bytes.length,
+          s"tensor $name offsets [$b0,$b1) out of bounds")
+        require(b1 - b0 == shape.product * byteWidth(dtype),
+          s"tensor $name byte span ${b1 - b0} != shape ${shape.mkString("x")}")
+        val buf = ByteBuffer.wrap(bytes, dataStart + b0.toInt, (b1 - b0).toInt)
+          .slice().order(ByteOrder.LITTLE_ENDIAN)
+        out(name) = Tensor(dtype, shape, buf.asReadOnlyBuffer())
+      }
+    }
+    out.toMap
+  }
+
+  /** Read a safetensors file through the FS seam (local, HDFS, S3 —
+    * model artifacts are cluster files). Model files are small by
+    * contract (a header + the weights); this is a whole-file read.
+    */
+  def read(path: String): Map[String, Tensor] = {
+    val p = graft.sources.StoreFs.qualified(path)
+    val fs = graft.sources.StoreFs.fsOf(p)
+    val len = fs.getFileStatus(p).getLen
+    require(len < 64L * 1024 * 1024, s"model file $path is ${len}B; " +
+      "the whole-file reader is for small-model artifacts")
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](len.toInt)
+      in.readFully(0, bytes)
+      parse(bytes)
+    } finally in.close()
+  }
+
+  /** Serialize I32 tensors (name → (shape, values)) to a safetensors
+    * byte image — the export half (a JVM-side trainer, a fixture
+    * generator, a format round-trip). Offsets are packed in map
+    * order with no padding, matching the reference implementation.
+    */
+  def serializeI32(tensors: Seq[(String, (Seq[Long], Array[Int]))]): Array[Byte] = {
+    var off = 0L
+    val entries = tensors.map { case (name, (shape, vals)) =>
+      require(shape.product == vals.length,
+        s"tensor $name: shape ${shape.mkString("x")} != ${vals.length} values")
+      val b0 = off
+      off += vals.length * 4L
+      s""""$name":{"dtype":"I32","shape":[${shape.mkString(",")}],""" +
+        s""""data_offsets":[$b0,$off]}"""
+    }
+    val header = entries.mkString("{", ",", "}").getBytes("UTF-8")
+    val buf = ByteBuffer.allocate(8 + header.length + off.toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(header.length.toLong)
+    buf.put(header)
+    tensors.foreach { case (_, (_, vals)) =>
+      vals.foreach(buf.putInt)
+    }
+    buf.array()
+  }
+
+  /** Write a safetensors file of I32 tensors through the FS seam. */
+  def writeI32(path: String,
+               tensors: Seq[(String, (Seq[Long], Array[Int]))]): Unit = {
+    val p = graft.sources.StoreFs.qualified(path)
+    val fs = graft.sources.StoreFs.fsOf(p)
+    val out = fs.create(p, true)
+    try out.write(serializeI32(tensors))
+    finally out.close()
+  }
+}

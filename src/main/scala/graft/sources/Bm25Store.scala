@@ -103,21 +103,28 @@ object Bm25Store {
     * derivable from the path alone ([[ensureDlTable]] re-registers it
     * in a fresh session from the durable `.dlbuckets` marker).
     */
-  private def dlTable(path: String): String =
-    "graft_bm25_dl_" + Integer.toHexString(
-      new java.io.File(path).getAbsolutePath.hashCode)
+  private def dlTable(path: String): String = {
+    // full md5 of the resolved path, not String.hashCode: two stores
+    // colliding on a 32-bit hash in one session would silently share
+    // a catalog entry and serve one store's doc lengths for the other
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(StoreFs.qualified(path).toString.getBytes("UTF-8"))
+    "graft_bm25_dl_" + md.map("%02x".format(_)).mkString
+  }
 
-  private def dlMarker(path: String) = new java.io.File(s"$path.dlbuckets")
+  private def dlMarker(path: String) = StoreFs.qualified(s"$path.dlbuckets")
 
   /** Bucket count of a bucketed-dl store, None for the plain layout.
     * The durable marker file, not the session catalog, is the source
     * of truth — catalogs are per-session.
     */
-  def dlBucketsOf(path: String): Option[Int] =
-    if (dlMarker(path).isFile)
-      scala.util.Try(java.nio.file.Files.readAllLines(dlMarker(path).toPath)
-        .get(0).trim.toInt).toOption
+  def dlBucketsOf(path: String): Option[Int] = {
+    val m = dlMarker(path)
+    val fs = StoreFs.fsOf(m)
+    if (StoreFs.isFile(fs, m))
+      scala.util.Try(StoreFs.readLines(fs, m).head.trim.toInt).toOption
     else None
+  }
 
   /** Register (or return) the external bucketed table over the dl
     * sidecar's files. Spark reads bucket ids from the file names the
@@ -127,7 +134,7 @@ object Bm25Store {
   private def ensureDlTable(spark: SparkSession, path: String, n: Int): String = {
     val t = dlTable(path)
     if (!spark.catalog.tableExists(t)) {
-      val loc = new java.io.File(path + ".dl").getAbsolutePath
+      val loc = StoreFs.qualified(path + ".dl").toString
       val cols = spark.read.parquet(loc).schema.fields
         .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
       spark.sql(s"CREATE TABLE `$t` ($cols) USING parquet " +
@@ -153,16 +160,16 @@ object Bm25Store {
     val spark = dl.sparkSession
     val t = dlTable(path)
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
-    StoreMaintenance.rmTree(new java.io.File(path + ".dl"))
+    StoreMaintenance.rmTree(path + ".dl")
     // repartition to the bucket hash first: one file per bucket, so
     // the bucketed scan needs no per-bucket merge sort either
     dl.repartition(n, col("doc_id"))
       .write.mode("overwrite")
       .bucketBy(n, "doc_id").sortBy("doc_id")
-      .option("path", new java.io.File(path + ".dl").getAbsolutePath)
+      .option("path", StoreFs.qualified(path + ".dl").toString)
       .format("parquet").saveAsTable(t)
-    java.nio.file.Files.write(dlMarker(path).toPath,
-      java.util.Collections.singletonList(n.toString))
+    val m = dlMarker(path)
+    StoreFs.writeLines(StoreFs.fsOf(m), m, Seq(n.toString))
   }
 
   /** Drop the bucket metadata (marker + catalog entry) — the
@@ -170,12 +177,15 @@ object Bm25Store {
     * non-bucket names must take (results stay exact; only the
     * zero-exchange join property is lost until [[rebucketDl]]).
     */
-  private def dropDlBuckets(spark: SparkSession, path: String): Unit =
-    if (dlMarker(path).isFile) {
+  private def dropDlBuckets(spark: SparkSession, path: String): Unit = {
+    val m = dlMarker(path)
+    val fs = StoreFs.fsOf(m)
+    if (StoreFs.isFile(fs, m)) {
       spark.sql(s"DROP TABLE IF EXISTS `${dlTable(path)}`")
-      dlMarker(path).delete()
+      StoreFs.delete(fs, m)
       ()
     }
+  }
 
   /** (Re)establish the bucketed dl layout from the current dl rows —
     * the maintenance op that restores the zero-exchange serving join
@@ -224,21 +234,35 @@ object Bm25Store {
   def append(docs: DataFrame, path: String,
              metaCols: Seq[String] = Nil): Unit = {
     val spark = docs.sparkSession
-    postingsRows(docs).write.mode("append").partitionBy("tb").parquet(path)
-    val dl = dlRows(docs, metaCols).transform(graft.Materialize.forceCached)
-    dlBucketsOf(path) match {
-      case Some(n) =>
-        val t = ensureDlTable(spark, path, n)
-        dl.repartition(n, col("doc_id"))
-          .write.mode("append")
-          .bucketBy(n, "doc_id").sortBy("doc_id")
-          .format("parquet").saveAsTable(t)
-      case None => dl.write.mode("append").parquet(path + ".dl")
+    // every component append is VERSIONED (r15): the wave's files
+    // record per root, so [[searchBefore]]/readBefore time travel
+    // covers the lexical tier exactly like the vector stores. Touched
+    // key spaces: postings land in tb= dirs (bounded by Buckets), dl
+    // and stats shards land flat at their roots
+    StoreMaintenance.versionedAppend(path,
+        (0 until Buckets).map(b => s"tb=$b")) {
+      postingsRows(docs).write.mode("append").partitionBy("tb").parquet(path)
     }
-    statsRows(dl).write.mode("append").parquet(path + ".stats")
+    val dl = dlRows(docs, metaCols).transform(graft.Materialize.forceCached)
+    StoreMaintenance.versionedAppend(path + ".dl", Seq(".")) {
+      dlBucketsOf(path) match {
+        case Some(n) =>
+          val t = ensureDlTable(spark, path, n)
+          dl.repartition(n, col("doc_id"))
+            .write.mode("append")
+            .bucketBy(n, "doc_id").sortBy("doc_id")
+            .format("parquet").saveAsTable(t)
+        case None => dl.write.mode("append").parquet(path + ".dl")
+      }
+    }
+    StoreMaintenance.versionedAppend(path + ".stats", Seq(".")) {
+      statsRows(dl).write.mode("append").parquet(path + ".stats")
+    }
     if (metaCols.nonEmpty)
-      groupStatsRows(dl, metaCols).write.mode("append")
-        .parquet(path + ".gstats")
+      StoreMaintenance.versionedAppend(path + ".gstats", Seq(".")) {
+        groupStatsRows(dl, metaCols).write.mode("append")
+          .parquet(path + ".gstats")
+      }
   }
 
   /** Idempotent per-batch shard for at-least-once executors (the
@@ -308,45 +332,54 @@ object Bm25Store {
     // single data file in under its deterministic name — a reader
     // never sees a partial correction and a replayed purge sees either
     // the finished file (skip) or nothing (rewrite).
-    def landCorrection(targetDir: java.io.File, frame: DataFrame): Unit = {
-      val corr = new java.io.File(targetDir, s"purge_$key.parquet")
-      if (!corr.isFile) {
-        val tmp = new java.io.File(s"$path.corr_tmp")
-        StoreMaintenance.rmTree(tmp)
-        frame.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = Option(tmp.listFiles()).getOrElse(Array.empty)
-          .find(f => f.isFile && f.getName.endsWith(".parquet"))
+    def landCorrection(targetDir: org.apache.hadoop.fs.Path, frame: DataFrame): Unit = {
+      val fs = StoreFs.fsOf(targetDir)
+      val corr = new org.apache.hadoop.fs.Path(targetDir, s"purge_$key.parquet")
+      if (!StoreFs.isFile(fs, corr)) {
+        val tmp = StoreFs.qualified(s"$path.corr_tmp")
+        StoreFs.delete(fs, tmp)
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = StoreFs.list(fs, tmp)
+          .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .getOrElse(sys.error(s"correction write produced no parquet in $tmp"))
-        targetDir.mkdirs()
-        java.nio.file.Files.move(part.toPath, corr.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        StoreMaintenance.rmTree(tmp)
+        StoreFs.mkdirs(fs, targetDir)
+        StoreFs.moveReplace(fs, part.getPath, corr)
+        StoreFs.delete(fs, tmp)
       }
     }
     if (nV > 0) {
       import spark.implicits._
-      val statsRoot = new java.io.File(path + ".stats")
-      val streamed = Option(statsRoot.listFiles()).getOrElse(Array.empty)
-        .exists(f => f.isDirectory && f.getName.contains("="))
+      val statsRoot = StoreFs.qualified(path + ".stats")
+      val streamed = StoreFs.list(StoreFs.fsOf(statsRoot), statsRoot)
+        .exists(s => s.isDirectory && s.getPath.getName.contains("="))
       // streamed layouts are partitioned by bid — corrections land
       // under a reserved negative shard so the layouts never mix
-      val targetDir = new java.io.File(
+      val targetDir = StoreFs.qualified(
         if (streamed) s"$path.stats/bid=-1" else path + ".stats")
-      landCorrection(targetDir, Seq((-nV, -sV)).toDF("n_docs", "sum_dl"))
+      // corrections are VERSIONED appends on the stats root (r15): a
+      // snapshot read before the purge's stats version re-sums the
+      // shards WITHOUT the negative delta — pre-purge corpus stats,
+      // which is what makes [[searchBefore]] exact across a purge
+      StoreMaintenance.versionedAppend(path + ".stats",
+          Seq(if (streamed) "bid=-1" else ".")) {
+        landCorrection(targetDir, Seq((-nV, -sV)).toDF("n_docs", "sum_dl"))
+      }
       // the per-group twin: a meta-written store's pre-aggregated
       // group stats take the same negative shard, derived from the
       // still-intact dl (meta rides it inline) BEFORE the dl purge —
       // the same crash-replay ordering contract as the global shard
-      val groot = new java.io.File(path + ".gstats")
-      if (groot.isDirectory) {
+      val groot = StoreFs.qualified(path + ".gstats")
+      if (StoreFs.isDir(StoreFs.fsOf(groot), groot)) {
         val meta = spark.read.parquet(path + ".dl").columns.toSeq
           .filterNot(Set("doc_id", "dl"))
-        landCorrection(groot,
-          spark.read.parquet(path + ".dl")
-            .filter(col("doc_id").isin(docIds: _*))
-            .groupBy(meta.head, meta.tail: _*)
-            .agg((-count(lit(1))).as("n_docs"),
-              (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl")))
+        StoreMaintenance.versionedAppend(path + ".gstats", Seq(".")) {
+          landCorrection(groot,
+            spark.read.parquet(path + ".dl")
+              .filter(col("doc_id").isin(docIds: _*))
+              .groupBy(meta.head, meta.tail: _*)
+              .agg((-count(lit(1))).as("n_docs"),
+                (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl")))
+        }
       }
     }
     val res = StoreMaintenance.purge(spark, path, "doc_id", docIds)
@@ -408,9 +441,22 @@ object Bm25Store {
       .transform(graft.Materialize.forceCached)
     val cand0 = candidates(spark, path, qt)
       .transform(graft.Materialize.forceCached) // feeds df AND the contrib join
-    val df = cand0.groupBy("tok").agg(count(lit(1)).as("df"))
     val dl = dlFrame(spark, path).select("doc_id", "dl")
     val stats = spark.read.parquet(path + ".stats")
+    rankBm25(cand0, qt, dl, stats, k, excludeSelf)
+  }
+
+  /** THE BM25 ranking tail [[search]] and [[searchBefore]] share —
+    * df from the candidate rows, t_bm25's arithmetic verbatim
+    * (tok-sorted 0.0-seeded fold, round 6), k-bounded window — so the
+    * live and snapshot serving paths cannot drift. `statsShards` is
+    * the raw additive shard frame (re-summed here).
+    */
+  private def rankBm25(cand0: DataFrame, qt: DataFrame, dl: DataFrame,
+                       statsShards: DataFrame, k: Int,
+                       excludeSelf: Boolean): DataFrame = {
+    val df = cand0.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = statsShards
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val selfCond =
       if (excludeSelf) col("tok") === col("qtok") && col("doc_id") =!= col("q_id")
@@ -431,6 +477,51 @@ object Bm25Store {
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .select("q_id", "rnk", "doc_id", "score")
+  }
+
+  /** SNAPSHOT BM25 top-k: the ranking as it stood before each
+    * component root's most recent lineage event — the audit read for
+    * "what did the last op (purge, append) change?", extending
+    * [[StoreMaintenance.readBefore]]'s full table-state travel to the
+    * lexical tier. Every component replays its own lineage: postings
+    * and dl through readBefore at the root's latest version (live read
+    * when a root has no recorded version yet), corpus stats by
+    * re-summing the shard files as of before the latest stats version
+    * — which excludes a purge's negative correction shard, so the
+    * pre-purge stats are exact, not approximated.
+    *
+    * Cross-root consistency note: each root versions independently,
+    * but every whole-store mutation ([[append]], [[purge]]) touches
+    * all roots in one call, so "each root's latest version" is one
+    * consistent pre-op state for wave-maintained stores. Pass explicit
+    * versions to audit deeper history. The snapshot read scans the
+    * snapshot's files directly (no tb partition pruning — partition
+    * columns don't re-attach on a lineage read); an audit read is
+    * priced per incident, not per query, so the full-candidate join
+    * is the honest cost.
+    */
+  def searchBefore(spark: SparkSession, path: String, queries: DataFrame,
+                   k: Int, excludeSelf: Boolean = true,
+                   postingsVersion: Option[Long] = None,
+                   dlVersion: Option[Long] = None,
+                   statsVersion: Option[Long] = None): DataFrame = {
+    def snap(root: String, explicit: Option[Long]): DataFrame = {
+      val v = explicit.orElse(
+        StoreMaintenance.versions(root).sorted.lastOption)
+      v.map(StoreMaintenance.readBefore(spark, root, _))
+        .getOrElse(spark.read.parquet(root))
+    }
+    val qt = queries
+      .select(col("q_id"), explode(array_distinct(tokensOf(col("text")))).as("qtok"))
+      .withColumn("qtb", tb(col("qtok")))
+      .transform(graft.Materialize.forceCached)
+    val cand0 = snap(path, postingsVersion)
+      .join(broadcast(qt.select("qtok").distinct()), col("tok") === col("qtok"))
+      .select("tok", "doc_id", "tf")
+      .transform(graft.Materialize.forceCached)
+    val dl = snap(path + ".dl", dlVersion).select("doc_id", "dl")
+    val stats = snap(path + ".stats", statsVersion)
+    rankBm25(cand0, qt, dl, stats, k, excludeSelf)
   }
 
   /** Metadata-filtered BM25 top-k — the "search with filter" contract
@@ -470,7 +561,7 @@ object Bm25Store {
     // the store wrote one (kilobytes re-summed — purge corrections
     // included), else derived from dl (pre-gstats stores)
     val stats =
-      if (new java.io.File(path + ".gstats").isDirectory)
+      if (StoreFs.exists(path + ".gstats"))
         spark.read.parquet(path + ".gstats")
           .groupBy(matchCols.head, matchCols.tail: _*)
           .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
@@ -658,6 +749,32 @@ object Bm25StoreQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** q_snapshot_bm25: time travel on the LEXICAL tier in the driver
+    * gate — build the store in two doc-disjoint waves (write + a
+    * versioned append), purge docs 3 and 4, then serve the PRE-PURGE
+    * ranking through [[Bm25Store.searchBefore]]: postings and dl
+    * replay through readBefore at each root's purge version, and the
+    * corpus stats re-sum the shards WITHOUT the purge's negative
+    * correction. The result must hash-match t_bm25's oracle over the
+    * FULL corpus — the purged documents reappear in the snapshot
+    * ranking with their exact scores, proving the r15 versioned
+    * lexical appends + correction versioning give the same full
+    * table-state travel the vector stores got in r14.
+    */
+  def qSnapshotBm25(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/bm25snap_store_${tag(spark, dir)}/idx").getAbsolutePath
+    if (!new java.io.File(path).exists()) {
+      val d = docs(spark, dir)
+      Bm25Store.write(d.filter(col("doc_id") % 2 === 0), path)
+      Bm25Store.append(d.filter(col("doc_id") % 2 === 1), path)
+      Bm25Store.purge(spark, path, Seq(3L, 4L))
+    }
+    Bm25Store.searchBefore(spark, path, queriesOf(spark, dir), k = 5)
+      .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** v_bm25_filtered: the metadata-filtered lexical leg in the driver
     * gate — store written with `lang` inline in the dl sidecar, each
     * query (docs 0-2) ranking ONLY its own language's documents with
@@ -728,6 +845,87 @@ object Bm25StoreQueries {
       .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"),
         col("near_tf"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** v_bm25_near3: ordered proximity at THREE terms — the gate where
+    * the greedy chain is a REAL fold, not a window check. At n = 2
+    * (v_bm25_near) greedy degenerates to "any second-term position in
+    * (p, p+1+slop]", so the n>2 exactness of [[Bm25Store
+    * .proximitySearch]]'s chain (pick the smallest next position after
+    * each previous pick) lived only in a comment; this gate runs each
+    * query doc's first three tokens at slop 2 and the ORACLE REPLAYS
+    * THE GREEDY FOLD ITSELF, unrolled per anchor (chain2 =
+    * min{pos2 > p}, chain3 = min{pos3 > chain2}, hit iff chain3 ≤
+    * p + 2 + slop) — hash-proving the chain semantics at a width where
+    * greedy and exhaustive window search could genuinely diverge in
+    * COUNT (greedy is exact for existence; the gate counts anchors, so
+    * the fold arithmetic itself is pinned).
+    */
+  val Near3Slop = 2
+
+  def vBm25Near3(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/bm25near_store_${tag(spark, dir)}/idx").getAbsolutePath
+    if (!new java.io.File(path).exists())
+      Bm25Store.write(docs(spark, dir), path)
+    // ≥3-token query docs only, so every gate query exercises the
+    // full-width chain (and the oracle's arr[3] never goes NULL)
+    val queries = docs(spark, dir).filter(col("doc_id") < 3)
+      .filter(size(Bm25Store.tokensOf(col("text"))) >= 3)
+      .select(col("doc_id").as("q_id"),
+        concat_ws(" ", slice(Bm25Store.tokensOf(col("text")), 1, 3)).as("phrase"))
+    Bm25Store.proximitySearch(spark, path, queries, k = 10, slop = Near3Slop)
+      .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"),
+        col("near_tf"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_sql_store_near: the SQL serving leg for ORDERED PROXIMITY —
+    * completes SQL parity for the positional tier (phrase landed in
+    * r14; this is its sloppy sibling). The greedy chain for two terms
+    * restates as the aggregate HOF both engines run: per anchor
+    * position p of the first term, the chain's next pick is
+    * array_min of the second term's positions above p, and the anchor
+    * hits iff that pick lands within p + 1 + slop. Hash-shares
+    * v_bm25_near's oracle, so the SQL and engine surfaces of the
+    * proximity class cannot drift.
+    */
+  def vSqlStoreNear(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/sqlnear_store_${tag(spark, dir)}/idx").getAbsolutePath
+    if (!new java.io.File(path).exists())
+      Bm25Store.write(docs(spark, dir), path)
+    graft.GraftSession.sqlStore(spark, path, "bm25near")
+    docs(spark, dir).createOrReplaceTempView("graft_sql_docs_bm25near")
+    spark.sql(s"""
+      WITH dt AS (SELECT doc_id,
+               filter(split(trim(text), '\\\\s+'), t -> t != '') AS arr
+             FROM graft_sql_docs_bm25near),
+      qk AS (SELECT doc_id AS q_id,
+               element_at(arr, 1) AS w1, element_at(arr, 2) AS w2,
+               CAST(conv(substring(md5(concat('bm25tb_', element_at(arr, 1))), 1, 8), 16, 10)
+                 AS BIGINT) % ${Bm25Store.Buckets} AS tb1,
+               CAST(conv(substring(md5(concat('bm25tb_', element_at(arr, 2))), 1, 8), 16, 10)
+                 AS BIGINT) % ${Bm25Store.Buckets} AS tb2
+             FROM dt WHERE doc_id < 3),
+      a AS (SELECT /*+ BROADCAST(qk) */ q.q_id, p.doc_id, p.pos
+            FROM graft_store_bm25near p
+            JOIN qk q ON p.tok = q.w1 AND p.tb = q.tb1 AND p.doc_id <> q.q_id),
+      b AS (SELECT /*+ BROADCAST(qk) */ q.q_id AS bq, p.doc_id AS bdoc,
+               p.pos AS bpos
+            FROM graft_store_bm25near p
+            JOIN qk q ON p.tok = q.w2 AND p.tb = q.tb2),
+      m AS (SELECT a.q_id, a.doc_id,
+              CAST(size(filter(a.pos, p ->
+                array_min(filter(b.bpos, x -> x > p)) <= p + 1 + $NearSlop))
+                AS BIGINT) AS near_tf
+            FROM a JOIN b ON b.bq = a.q_id AND b.bdoc = a.doc_id),
+      r AS (SELECT q_id AS query_id, doc_id, near_tf,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY near_tf DESC, doc_id ASC) AS BIGINT) AS rnk
+            FROM m WHERE near_tf > 0)
+      SELECT query_id, rnk, doc_id, near_tf FROM r
+      WHERE rnk <= 10 ORDER BY query_id, rnk""")
   }
 
   /** v_sql_store_phrase: the THIRTEENTH SQL serving leg — a SQL-only

@@ -69,7 +69,8 @@ object IndexStore {
     * state through readBefore, like every maintenance op.
     */
   def append(df: DataFrame, idCol: String, vecCol: String, path: String, dim: Int): Long =
-    StoreMaintenance.versionedAppend(path) {
+    StoreMaintenance.versionedAppend(path,
+      (0 until (1 << BandBits)).map(b => s"band0=$b")) {
       withBands(
         df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
           .withColumn("nrm", V.norm2(col("v"))), dim)
@@ -241,44 +242,46 @@ final class ConcurrentMaintenanceException(msg: String)
   extends RuntimeException(msg)
 
 object StoreMaintenance {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+  import StoreFs.{list, isFile, isDir, mkdirs, delete, mtime,
+    readLines, writeLines, moveReplace, renameOrThrow, createExclusive}
 
   /** Lock file name for the single-maintainer lease on a store. */
   val LockName = ".maintenance_lock"
 
-  private def lockFile(root: java.io.File) = new java.io.File(root, LockName)
+  private def lockPath(root: Path) = new Path(root, LockName)
 
   /** Single-maintainer lease: claim `.maintenance_lock` atomically
-    * (createFile — EEXIST means another maintainer holds the store),
-    * run `body`, release. The lock carries an epoch line
+    * (create-exclusive — see [[StoreFs]] for the per-scheme atomicity
+    * contract; EEXIST means another maintainer holds the store), run
+    * `body`, release. The lock carries an epoch line
     * (`pid@host time`) so an operator can tell a live holder from a
     * crashed one; a crash leaves the lock in place, and the runbook is
     * to verify the holder is dead, then [[breakLock]] and [[recover]]
     * (or just [[openChecked]], which does both under the lock).
     */
-  private[sources] def withLock[T](root: java.io.File)(body: => T): T = {
-    val lf = lockFile(root)
-    try
-      java.nio.file.Files.write(lf.toPath,
-        java.util.Collections.singletonList(
-          s"${java.lang.ProcessHandle.current.pid}@${
-            java.net.InetAddress.getLocalHost.getHostName} ${
-            java.time.Instant.now}"),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val holder = scala.util.Try(
-          java.nio.file.Files.readAllLines(lf.toPath).get(0)).getOrElse("?")
-        throw new ConcurrentMaintenanceException(
-          s"store $root is locked by maintainer [$holder]; " +
-            "if the holder is dead, breakLock() then recover()")
+  private[sources] def withLock[T](fs: FileSystem, root: Path)(body: => T): T = {
+    mkdirs(fs, root)
+    val lf = lockPath(root)
+    if (!createExclusive(fs, lf, Seq(
+        s"${java.lang.ProcessHandle.current.pid}@${
+          java.net.InetAddress.getLocalHost.getHostName} ${
+          java.time.Instant.now}"))) {
+      val holder = scala.util.Try(readLines(fs, lf).head).getOrElse("?")
+      throw new ConcurrentMaintenanceException(
+        s"store $root is locked by maintainer [$holder]; " +
+          "if the holder is dead, breakLock() then recover()")
     }
-    try body finally lf.delete()
+    try body finally { delete(fs, lf); () }
   }
 
   /** Remove a crashed maintainer's lock. Only call after verifying the
     * epoch's holder is no longer running.
     */
-  def breakLock(path: String): Boolean = lockFile(new java.io.File(path)).delete()
+  def breakLock(path: String): Boolean = {
+    val root = StoreFs.qualified(path)
+    delete(StoreFs.fsOf(root), lockPath(root))
+  }
 
   /** Recover-on-open: settle any crashed maintenance (under the lock,
     * so a live maintainer is never raced — its in-flight temp dirs
@@ -288,13 +291,14 @@ object StoreMaintenance {
     * [[recover]] by hand.
     */
   def openChecked(spark: SparkSession, path: String): DataFrame = {
-    withLock(new java.io.File(path)) { recover(path) }
+    val root = StoreFs.qualified(path)
+    withLock(StoreFs.fsOf(root), root) { recover(path) }
     spark.read.parquet(path)
   }
 
-  private def dataFiles(d: java.io.File): Array[java.io.File] =
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  private def dataFiles(fs: FileSystem, d: Path): Array[Path] =
+    list(fs, d).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
 
   /** Live `col=val` partition directories under `root`. Dot-prefixed
     * names are excluded explicitly: a crashed maintenance pass leaves
@@ -302,10 +306,10 @@ object StoreMaintenance {
     * and reading one as a partition would double-count its rows and
     * nest `.compact_.compact_*` dirs on the next rewrite.
     */
-  private def partitionDirs(root: java.io.File): Array[java.io.File] =
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !f.getName.startsWith(".") &&
-        f.getName.contains("="))
+  private def partitionDirs(fs: FileSystem, root: Path): Array[Path] =
+    list(fs, root).filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith(".") && s.getPath.getName.contains("="))
+      .map(_.getPath)
 
   /** LEAF `col=val` partition directories — the dirs that actually
     * hold data files. Single-level layouts return the top-level dirs
@@ -315,21 +319,21 @@ object StoreMaintenance {
     * the file's immediate parent but only listed top-level dirs — on
     * a nested store the two never met and purge was a silent no-op).
     */
-  private def leafPartitionDirs(root: java.io.File): Array[java.io.File] = {
-    def walk(d: java.io.File): Array[java.io.File] = {
-      val subs = Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && !f.getName.startsWith(".") &&
-          f.getName.contains("="))
+  private def leafPartitionDirs(fs: FileSystem, root: Path): Array[Path] = {
+    def walk(d: Path): Array[Path] = {
+      val subs = list(fs, d).filter(s => s.isDirectory &&
+          !s.getPath.getName.startsWith(".") && s.getPath.getName.contains("="))
+        .map(_.getPath)
       if (subs.isEmpty) Array(d) else subs.flatMap(walk)
     }
-    partitionDirs(root).flatMap(walk)
+    partitionDirs(fs, root).flatMap(walk)
   }
 
   /** Root-relative path of a (possibly nested) partition dir, the key
     * maintenance uses to match scan hits to directories.
     */
-  private def relPath(root: java.io.File, dir: java.io.File): String =
-    root.toPath.relativize(dir.toPath).toString.replace(java.io.File.separatorChar, '/')
+  private def relPath(root: Path, dir: Path): String =
+    dir.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
 
   /** Temp-dir name for a swap of `rel` (swap dirs always live directly
     * under the root, so nested separators are %-encoded — recover
@@ -338,11 +342,11 @@ object StoreMaintenance {
   private def swapTmpName(rel: String): String =
     ".compact_" + rel.replace("/", "%2F")
 
-  private def swapTargetOf(root: java.io.File, tmpName: String): java.io.File = {
+  private def swapTargetOf(root: Path, tmpName: String): Path = {
     val rel = tmpName.stripPrefix(".compact_").replace("%2F", "/")
     // rel "." is the root itself — the flat-layout (unpartitioned)
     // swap writes straight into the store root
-    if (rel == ".") root else new java.io.File(root, rel)
+    if (rel == ".") root else new Path(root, rel)
   }
 
   /** Version-keyed retired-snapshot area under the store root.
@@ -371,13 +375,12 @@ object StoreMaintenance {
     * still on disk to fail CLOSED on a vacuumed lineage instead of
     * silently serving the wrong state.
     */
-  private def hwmFile(root: java.io.File) =
-    new java.io.File(root, s"$RetiredDirName/_hwm")
+  private def hwmFile(root: Path) =
+    new Path(root, s"$RetiredDirName/_hwm")
 
-  private def readHwm(root: java.io.File): Long =
-    if (hwmFile(root).isFile)
-      scala.util.Try(java.nio.file.Files.readAllLines(hwmFile(root).toPath)
-        .get(0).toLong).getOrElse(0L)
+  private def readHwm(fs: FileSystem, root: Path): Long =
+    if (isFile(fs, hwmFile(root)))
+      scala.util.Try(readLines(fs, hwmFile(root)).head.toLong).getOrElse(0L)
     else 0L
 
   /** Durable per-version vacuum tombstones: `.retired/_vacuumed` lists
@@ -390,21 +393,19 @@ object StoreMaintenance {
     * the swap commit would leave a permanent hwm-vs-snapshot gap that
     * reads as 'already vacuumed' forever.
     */
-  private def vacuumedFile(root: java.io.File) =
-    new java.io.File(root, s"$RetiredDirName/_vacuumed")
+  private def vacuumedFile(root: Path) =
+    new Path(root, s"$RetiredDirName/_vacuumed")
 
-  private def readVacuumed(root: java.io.File): Set[Long] =
-    if (vacuumedFile(root).isFile) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(vacuumedFile(root).toPath).asScala
+  private def readVacuumed(fs: FileSystem, root: Path): Set[Long] =
+    if (isFile(fs, vacuumedFile(root)))
+      readLines(fs, vacuumedFile(root))
         .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
-    } else Set.empty
+    else Set.empty
 
-  private def recordVacuumed(root: java.io.File, versions: Seq[Long]): Unit =
+  private def recordVacuumed(fs: FileSystem, root: Path, versions: Seq[Long]): Unit =
     if (versions.nonEmpty) {
-      val all = (readVacuumed(root) ++ versions).toSeq.sorted
-      java.nio.file.Files.write(vacuumedFile(root).toPath,
-        java.util.Arrays.asList(all.map(_.toString): _*))
+      val all = (readVacuumed(fs, root) ++ versions).toSeq.sorted
+      writeLines(fs, vacuumedFile(root), all.map(_.toString))
     }
 
   /** Version-allocation lock — separate from (and much smaller than)
@@ -416,16 +417,14 @@ object StoreMaintenance {
     * Round10Spec-pinned). Contention waits briefly instead of
     * throwing — the hold time is bounded by two tiny file ops.
     */
-  private def versionLockFile(root: java.io.File) =
-    new java.io.File(root, ".version_lock")
+  private def versionLockPath(root: Path) =
+    new Path(root, ".version_lock")
 
-  private def withVersionLock[T](root: java.io.File)(body: => T): T = {
-    root.mkdirs()
-    val lf = versionLockFile(root)
+  private def withVersionLock[T](fs: FileSystem, root: Path)(body: => T): T = {
+    mkdirs(fs, root)
+    val lf = versionLockPath(root)
     var attempts = 0
-    while (!scala.util.Try {
-        java.nio.file.Files.createFile(lf.toPath); true
-      }.getOrElse(false)) {
+    while (!createExclusive(fs, lf, Nil)) {
       attempts += 1
       if (attempts > 2000) // ~10 s: a crashed allocator, not contention
         throw new ConcurrentMaintenanceException(
@@ -433,7 +432,7 @@ object StoreMaintenance {
             "delete it (recover() also clears it)")
       Thread.sleep(5)
     }
-    try body finally { lf.delete(); () }
+    try body finally { delete(fs, lf); () }
   }
 
   /** Next maintenance version: one past the max across committed
@@ -444,34 +443,30 @@ object StoreMaintenance {
     * passes (which also hold the store lock) and lock-free versioned
     * appends can never double-issue a number.
     */
-  private[sources] def allocateVersion(root: java.io.File): Long =
-    withVersionLock(root) {
-      val fromRetired = versionsOf(root)
-      val fromTmps = Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith(".compact_"))
+  private[sources] def allocateVersion(fs: FileSystem, root: Path): Long =
+    withVersionLock(fs, root) {
+      val fromRetired = versionsOf(fs, root)
+      val fromTmps = list(fs, root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_"))
         .flatMap { t =>
-          val vf = new java.io.File(t, "retire_version")
-          if (vf.isFile)
-            scala.util.Try(
-              java.nio.file.Files.readAllLines(vf.toPath).get(0).toLong).toOption
+          val vf = new Path(t.getPath, "retire_version")
+          if (isFile(fs, vf))
+            scala.util.Try(readLines(fs, vf).head.toLong).toOption
           else None
         }
-      val v = (fromRetired ++ fromTmps :+ readHwm(root)).foldLeft(0L)(math.max) + 1
-      new java.io.File(root, RetiredDirName).mkdirs()
-      java.nio.file.Files.write(hwmFile(root).toPath,
-        java.util.Collections.singletonList(v.toString))
+      val v = (fromRetired ++ fromTmps :+ readHwm(fs, root)).foldLeft(0L)(math.max) + 1
+      mkdirs(fs, new Path(root, RetiredDirName))
+      writeLines(fs, hwmFile(root), Seq(v.toString))
       v
     }
 
   /** Step 2 of the swap: the manifest of OLD files to retire plus the
     * maintenance version the retired snapshot will file under.
     */
-  private def commitManifest(tmp: java.io.File, files: Array[java.io.File],
+  private def commitManifest(fs: FileSystem, tmp: Path, files: Array[Path],
                              version: Long): Unit = {
-    java.nio.file.Files.write(new java.io.File(tmp, "retire_version").toPath,
-      java.util.Collections.singletonList(version.toString))
-    java.nio.file.Files.write(new java.io.File(tmp, "manifest").toPath,
-      java.util.Arrays.asList(files.map(_.getName): _*))
+    writeLines(fs, new Path(tmp, "retire_version"), Seq(version.toString))
+    writeLines(fs, new Path(tmp, "manifest"), files.map(_.getName).toSeq)
   }
 
   /** Step 3 of the swap, idempotent: RETIRE manifest-listed files into
@@ -480,57 +475,91 @@ object StoreMaintenance {
     * replay the pre-op state), move rewritten files into the partition
     * dir, clear the temp dir (manifest deleted last, so a crash
     * anywhere re-runs cleanly; the `_added` lineage sidecar is written
-    * first, so a partially-moved re-run never loses it).
+    * first, so a partially-moved re-run never loses it). Checksum
+    * sidecars travel with their files — the FileSystem layer owns
+    * them now.
     */
-  private def completeSwap(pdir: java.io.File, tmp: java.io.File): Unit = {
-    val root = tmp.getParentFile
-    val manifest = new java.io.File(tmp, "manifest")
-    val vFile = new java.io.File(tmp, "retire_version")
+  private def completeSwap(fs: FileSystem, pdir: Path, tmp: Path): Unit = {
+    val root = tmp.getParent
+    val manifest = new Path(tmp, "manifest")
+    val vFile = new Path(tmp, "retire_version")
     val version =
-      if (vFile.isFile)
-        java.nio.file.Files.readAllLines(vFile.toPath).get(0).toLong
-      else allocateVersion(root) // pre-versioning temp dir (recovery)
+      if (isFile(fs, vFile)) readLines(fs, vFile).head.toLong
+      else allocateVersion(fs, root) // pre-versioning temp dir (recovery)
     val relKey = {
       val rel = tmp.getName.stripPrefix(".compact_")
       if (rel == ".") RootRelKey else rel
     }
-    val retireDir = new java.io.File(root, s"$RetiredDirName/v$version/$relKey")
-    retireDir.mkdirs()
-    val addedF = new java.io.File(retireDir, "_added")
-    if (!addedF.isFile)
-      java.nio.file.Files.write(addedF.toPath,
-        java.util.Arrays.asList(dataFiles(tmp).map(_.getName): _*))
-    java.nio.file.Files.readAllLines(manifest.toPath).forEach { name =>
-      val src = new java.io.File(pdir, name)
-      if (src.isFile)
-        java.nio.file.Files.move(src.toPath,
-          new java.io.File(retireDir, name).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      new java.io.File(pdir, "." + name + ".crc").delete()
+    val retireDir = new Path(root, s"$RetiredDirName/v$version/$relKey")
+    mkdirs(fs, retireDir)
+    val addedF = new Path(retireDir, "_added")
+    if (!isFile(fs, addedF))
+      writeLines(fs, addedF, dataFiles(fs, tmp).map(_.getName).toSeq)
+    readLines(fs, manifest).foreach { name =>
+      val src = new Path(pdir, name)
+      if (isFile(fs, src))
+        moveReplace(fs, src, new Path(retireDir, name))
     }
-    dataFiles(tmp).foreach { f =>
-      java.nio.file.Files.move(f.toPath, new java.io.File(pdir, f.getName).toPath)
-      val crc = new java.io.File(tmp, "." + f.getName + ".crc")
-      if (crc.isFile)
-        java.nio.file.Files.move(crc.toPath, new java.io.File(pdir, crc.getName).toPath)
+    dataFiles(fs, tmp).foreach { f =>
+      moveReplace(fs, f, new Path(pdir, f.getName))
     }
-    Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName != "manifest").foreach(_.delete())
-    manifest.delete()
-    tmp.delete()
+    list(fs, tmp).filter(_.getPath.getName != "manifest")
+      .foreach(s => delete(fs, s.getPath))
+    delete(fs, manifest)
+    delete(fs, tmp)
   }
 
   /** Data-file names per rel-dir key — the same keying [[readBefore]]
     * reconstructs with: leaf partition dirs, or the root itself for
     * flat layouts.
     */
-  private def listingByRelKey(root: java.io.File): Map[String, Set[String]] = {
-    val leaves = leafPartitionDirs(root)
-    if (leaves.isEmpty) Map(RootRelKey -> dataFiles(root).map(_.getName).toSet)
+  private def listingByRelKey(fs: FileSystem, root: Path): Map[String, Set[String]] = {
+    val leaves = leafPartitionDirs(fs, root)
+    if (leaves.isEmpty) Map(RootRelKey -> dataFiles(fs, root).map(_.getName).toSet)
     else leaves.map(d =>
-      relPath(root, d).replace("/", "%2F") -> dataFiles(d).map(_.getName).toSet)
+      relPath(root, d).replace("/", "%2F") -> dataFiles(fs, d).map(_.getName).toSet)
       .toMap
   }
+
+  /** Listing scoped to the dirs an append declared it touches — the
+    * O(touched-dirs) path: a store with millions of files across
+    * thousands of partition dirs pays one root probe plus one listing
+    * per TOUCHED dir, never a full-tree walk. Keys match
+    * [[listingByRelKey]] ("." = the root itself for flat layouts).
+    */
+  private def listingOfDirs(fs: FileSystem, root: Path,
+                            rels: Seq[String]): Map[String, Set[String]] =
+    rels.distinct.map { rel =>
+      if (rel == ".")
+        RootRelKey -> dataFiles(fs, root).map(_.getName).toSet
+      else
+        rel.replace("/", "%2F") ->
+          dataFiles(fs, new Path(root, rel)).map(_.getName).toSet
+    }.toMap
+
+  /** Files that maintenance versions in `vers` moved INTO the live
+    * tree (their per-dir `_added` sidecars), keyed like
+    * [[listingByRelKey]]. versionedAppend subtracts these from its
+    * own diff when a maintenance pass committed a swap between its
+    * two listings — without the subtraction, the swap's output file
+    * lands in the APPEND's `_added` manifest while the files it
+    * replaced are recorded nowhere, and readBefore(appendVersion)
+    * would drop the compacted file without restoring its inputs,
+    * silently losing pre-existing rows from the snapshot.
+    */
+  private def addedByVersions(fs: FileSystem, root: Path,
+                              vers: Set[Long]): Map[String, Set[String]] =
+    vers.toSeq.flatMap { w =>
+      list(fs, new Path(root, s"$RetiredDirName/v$w"))
+        .filter(s => s.isDirectory && (s.getPath.getName == RootRelKey ||
+          !s.getPath.getName.startsWith("_")))
+        .map { rdir =>
+          val addedF = new Path(rdir.getPath, "_added")
+          rdir.getPath.getName ->
+            (if (isFile(fs, addedF)) readLines(fs, addedF).toSet
+             else Set.empty[String])
+        }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toSet }
 
   /** Version an APPEND: run `write` (the caller's dynamic-partition or
     * flat append into `path`), then record the files it created in an
@@ -541,47 +570,73 @@ object StoreMaintenance {
     * append caveat: time travel is full table-state travel, not just
     * maintenance-lineage travel.
     *
+    * `touched` (optional, lazy): the root-relative partition dirs the
+    * write lands in (e.g. `Seq("band0=3", "band0=7")`, or `Seq(".")`
+    * for a flat store). When supplied, the before/after diff lists
+    * ONLY those dirs — O(touched dirs), not O(total files) — which is
+    * the difference between an append and a full-store walk on a
+    * million-file store. When empty, the diff walks the whole tree
+    * (exact for any writer, the conservative default).
+    *
     * Contracts: appends assume a SINGLE WRITER per store (the
     * maintainers' existing exactly-once-wave model) and stay
     * LOCK-FREE with respect to the maintenance lock — an append never
     * waits on (or fails under) a live maintenance pass, exactly as
     * before versioning (Round10Spec pins appends landing while the
-    * store lock is held). Version numbers still never collide: the
-    * allocation itself is atomic under the tiny version-allocation
-    * lock shared with maintenance passes. The record is staged under
-    * a dot-dir and landed with ONE atomic rename, so a crash
-    * mid-record never leaves a torn version — a crash between the
-    * data write and the record leaves a legacy UNVERSIONED append
-    * (included in every snapshot read, the documented pre-r14
-    * semantics). Returns the version, or 0 when nothing was recorded:
-    * a no-op append burns no version, and a write into an
-    * empty/absent root is store CREATION, not an append — there is no
-    * pre-append state to travel back to.
+    * store lock is held). A maintenance swap committing between the
+    * two listings is detected by version-dir diff and its `_added`
+    * files are excluded from the append's record (see
+    * [[addedByVersions]]), so the two stay correct under concurrency.
+    * Version numbers still never collide: the allocation itself is
+    * atomic under the tiny version-allocation lock shared with
+    * maintenance passes. The record is staged under a dot-dir and
+    * landed with ONE atomic rename, so a crash mid-record never
+    * leaves a torn version — a crash between the data write and the
+    * record leaves a legacy UNVERSIONED append (included in every
+    * snapshot read, the documented pre-r14 semantics). Returns the
+    * version, or 0 when nothing was recorded: a no-op append burns no
+    * version, and a write into an empty/absent root is store
+    * CREATION, not an append — there is no pre-append state to travel
+    * back to.
     */
-  def versionedAppend(path: String)(write: => Unit): Long = {
-    val root = new java.io.File(path)
+  def versionedAppend(path: String, touched: => Seq[String] = Nil)
+                     (write: => Unit): Long = {
+    val root = StoreFs.qualified(path)
+    val fs = StoreFs.fsOf(root)
+    val rootEntries = list(fs, root)
+    // cheap top-level probe: any live partition dir or root data file
+    // means a pre-append state exists to travel back to
+    val preExisting = rootEntries.exists { s =>
+      val n = s.getPath.getName
+      (s.isDirectory && !n.startsWith(".") && n.contains("=")) ||
+        (s.isFile && n.endsWith(".parquet"))
+    }
+    val scope: Seq[String] = if (preExisting) touched else Nil
     val before =
-      if (root.isDirectory) listingByRelKey(root)
-      else Map.empty[String, Set[String]]
-    val preExisting = before.values.exists(_.nonEmpty)
+      if (!preExisting) Map.empty[String, Set[String]]
+      else if (scope.nonEmpty) listingOfDirs(fs, root, scope)
+      else listingByRelKey(fs, root)
+    val preVers = if (preExisting) versionsOf(fs, root).toSet else Set.empty[Long]
     write
     if (!preExisting) return 0L
-    val added = listingByRelKey(root).toSeq.sortBy(_._1).flatMap {
-      case (k, files) =>
-        val a = files -- before.getOrElse(k, Set.empty)
-        if (a.isEmpty) None else Some(k -> a)
+    val after =
+      if (scope.nonEmpty) listingOfDirs(fs, root, scope)
+      else listingByRelKey(fs, root)
+    // subtract files a concurrent maintenance version swapped in
+    val swapped = addedByVersions(fs, root, versionsOf(fs, root).toSet -- preVers)
+    val added = after.toSeq.sortBy(_._1).flatMap { case (k, files) =>
+      val a = files -- before.getOrElse(k, Set.empty) -- swapped.getOrElse(k, Set.empty)
+      if (a.isEmpty) None else Some(k -> a)
     }
     if (added.isEmpty) return 0L
-    val v = allocateVersion(root)
-    val tmp = new java.io.File(root, s"$RetiredDirName/.v$v.tmp")
+    val v = allocateVersion(fs, root)
+    val tmp = new Path(root, s"$RetiredDirName/.v$v.tmp")
     added.foreach { case (k, files) =>
-      val d = new java.io.File(tmp, k)
-      d.mkdirs()
-      java.nio.file.Files.write(new java.io.File(d, "_added").toPath,
-        java.util.Arrays.asList(files.toSeq.sorted: _*))
+      val d = new Path(tmp, k)
+      mkdirs(fs, d)
+      writeLines(fs, new Path(d, "_added"), files.toSeq.sorted)
     }
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(root, s"$RetiredDirName/v$v").toPath)
+    renameOrThrow(fs, tmp, new Path(root, s"$RetiredDirName/v$v"))
     v
   }
 
@@ -593,18 +648,20 @@ object StoreMaintenance {
     * (its documented outside-written-store path).
     */
   private[sources] def invalidateDriftBaseline(path: String): Unit =
-    rmTree(new java.io.File(s"$path.driftstats")) // parquet dir, not a file
+    rmTree(s"$path.driftstats") // parquet dir, not a file
 
-  private def versionsOf(root: java.io.File): Seq[Long] =
-    Option(new java.io.File(root, RetiredDirName).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong).sorted.toSeq
+  private def versionsOf(fs: FileSystem, root: Path): Seq[Long] =
+    list(fs, new Path(root, RetiredDirName))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toLong).sorted.toSeq
 
   /** Committed maintenance versions with a retired snapshot still on
     * disk, ascending — the store's replayable lineage.
     */
-  def versions(path: String): Seq[Long] = versionsOf(new java.io.File(path))
+  def versions(path: String): Seq[Long] = {
+    val root = StoreFs.qualified(path)
+    versionsOf(StoreFs.fsOf(root), root)
+  }
 
   /** Snapshot read over the manifest lineage: the store's data rows as
     * they stood BEFORE maintenance version `version` landed — the
@@ -619,7 +676,7 @@ object StoreMaintenance {
     * residual caveats: a pre-r14 append, an append whose version
     * record was lost to a crash (versionedAppend's documented window),
     * and appends to the additive shard stores that deliberately stay
-    * unversioned (rate/kmv/bloom/bitmap/span/bm25 — their serving
+    * unversioned (rate/kmv/bloom/bitmap/span — their serving
     * reads are re-aggregations over shards, where "before shard N"
     * has no single-table meaning) are included in every snapshot.
     * Assumes a SETTLED store: after an unclean shutdown run
@@ -632,53 +689,60 @@ object StoreMaintenance {
     * when [[vacuum]] already reclaimed a needed snapshot.
     */
   def readBefore(spark: SparkSession, path: String, version: Long): DataFrame = {
-    val root = new java.io.File(path)
+    val root = StoreFs.qualified(path)
+    val fs = StoreFs.fsOf(root)
     // fail CLOSED on a reclaimed lineage: every maintenance version in
     // [version, hwm] must still have its snapshot on disk, or the
     // reconstruction would silently serve a post-op state. A version
     // number that is missing but NOT tombstoned in `.retired/_vacuumed`
     // was allocated and never committed (recover() discarded its temp
     // dir) — nothing landed under it, so it cannot block the read
-    val present = versionsOf(root).toSet
-    val vacuumed = (math.max(version, 1L) to readHwm(root))
-      .filterNot(present).filter(readVacuumed(root))
+    val present = versionsOf(fs, root).toSet
+    val vacuumed = (math.max(version, 1L) to readHwm(fs, root))
+      .filterNot(present).filter(readVacuumed(fs, root))
     require(vacuumed.isEmpty,
       s"snapshot(s) v${vacuumed.mkString(",v")} already vacuumed under $path — " +
         s"read-before-v$version is no longer reconstructible")
-    val live = scala.collection.mutable.Map.empty[String, Set[java.io.File]]
-    val leaves = leafPartitionDirs(root)
-    if (leaves.isEmpty) live(RootRelKey) = dataFiles(root).toSet
+    val live = scala.collection.mutable.Map.empty[String, Set[Path]]
+    val leaves = leafPartitionDirs(fs, root)
+    if (leaves.isEmpty) live(RootRelKey) = dataFiles(fs, root).toSet
     else leaves.foreach { d =>
-      live(relPath(root, d).replace("/", "%2F")) = dataFiles(d).toSet
+      live(relPath(root, d).replace("/", "%2F")) = dataFiles(fs, d).toSet
     }
-    versionsOf(root).filter(_ >= version).sorted.reverse.foreach { w =>
-      val vdir = new java.io.File(root, s"$RetiredDirName/v$w")
-      Option(vdir.listFiles()).getOrElse(Array.empty)
+    versionsOf(fs, root).filter(_ >= version).sorted.reverse.foreach { w =>
+      val vdir = new Path(root, s"$RetiredDirName/v$w")
+      list(fs, vdir)
         // _-prefixed dirs are non-data lineage artifacts (retired
-        // model sidecars, e.g. _sidecar_centroids), not partition dirs
-        .filter(d => d.isDirectory && !d.getName.startsWith("_"))
-        .foreach { rdir =>
-          val addedF = new java.io.File(rdir, "_added")
+        // model sidecars, e.g. _sidecar_centroids), not partition
+        // dirs — EXCEPT the flat-layout key itself (`_root_`), whose
+        // snapshots retire the store root's own files (r15 fix: the
+        // old filter silently skipped every flat-store version, so
+        // readBefore on a flat root — stats shards, BQ/PQ code
+        // tables — served the post-op state)
+        .filter(s => s.isDirectory && (s.getPath.getName == RootRelKey ||
+          !s.getPath.getName.startsWith("_")))
+        .foreach { rs =>
+          val rdir = rs.getPath
+          val addedF = new Path(rdir, "_added")
           val added: Set[String] =
-            if (addedF.isFile) {
-              import scala.jdk.CollectionConverters._
-              java.nio.file.Files.readAllLines(addedF.toPath).asScala.toSet
-            } else Set.empty
-          val cur = live.getOrElse(rdir.getName, Set.empty[java.io.File])
+            if (isFile(fs, addedF)) readLines(fs, addedF).toSet
+            else Set.empty
+          val cur = live.getOrElse(rdir.getName, Set.empty[Path])
           live(rdir.getName) =
-            cur.filterNot(f => added.contains(f.getName)) ++ dataFiles(rdir)
+            cur.filterNot(f => added.contains(f.getName)) ++ dataFiles(fs, rdir)
         }
     }
-    val files = live.values.flatten.map(_.getAbsolutePath).toSeq.sorted
+    val files = live.values.flatten.map(_.toString).toSeq.sorted
     require(files.nonEmpty,
       s"no snapshot files for read-before-v$version under $path " +
         "(vacuumed past the horizon?)")
     spark.read.parquet(files: _*)
   }
 
-  private[sources] def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete()
+  /** Recursive delete of a store artifact by path (missing = no-op). */
+  private[graft] def rmTree(path: String): Unit = {
+    val p = StoreFs.qualified(path)
+    delete(StoreFs.fsOf(p), p); ()
   }
 
   /** Default vacuum retention floor (the Delta default: 7 days). */
@@ -706,13 +770,14 @@ object StoreMaintenance {
   def vacuumIfAged(path: String, retentionMs: Long,
                    minRetentionMs: Long = DefaultMinRetentionMs,
                    force: Boolean = false): Option[(Int, Int)] = {
-    val root = new java.io.File(path)
+    val root = StoreFs.qualified(path)
+    val fs = StoreFs.fsOf(root)
     val cutoff = System.currentTimeMillis() - retentionMs
     // <=, not <: with retentionMs=0 a version stamped this very
     // millisecond must already count as aged, or forced-zero-retention
     // callers (gates, tests) flake on mtime granularity
-    val aged = versionsOf(root).exists(w =>
-      new java.io.File(root, s"$RetiredDirName/v$w").lastModified() <= cutoff)
+    val aged = versionsOf(fs, root).exists(w =>
+      mtime(fs, new Path(root, s"$RetiredDirName/v$w")) <= cutoff)
     if (!aged) None
     else Some(vacuum(path, retentionMs, minRetentionMs, force))
   }
@@ -726,20 +791,21 @@ object StoreMaintenance {
         s"vacuum retention ${retentionMs}ms is under the ${minRetentionMs}ms " +
           "floor; an in-flight snapshot read inside the horizon would lose " +
           "its files — pass force=true only when no readers can be active")
-    val root = new java.io.File(path)
-    withLock(root) {
+    val root = StoreFs.qualified(path)
+    val fs = StoreFs.fsOf(root)
+    withLock(fs, root) {
       val cutoff = System.currentTimeMillis() - retentionMs
       var deleted = 0
       var kept = 0
-      versionsOf(root).foreach { w =>
-        val vdir = new java.io.File(root, s"$RetiredDirName/v$w")
+      versionsOf(fs, root).foreach { w =>
+        val vdir = new Path(root, s"$RetiredDirName/v$w")
         // <= so a zero horizon reclaims a version stamped this same
         // millisecond (coarse fs mtime granularity widens that window)
-        if (vdir.lastModified() <= cutoff) {
-          // tombstone FIRST: if the rmTree below is interrupted, a
+        if (mtime(fs, vdir) <= cutoff) {
+          // tombstone FIRST: if the delete below is interrupted, a
           // half-deleted snapshot must already read as vacuumed
-          recordVacuumed(root, Seq(w))
-          rmTree(vdir); deleted += 1
+          recordVacuumed(fs, root, Seq(w))
+          delete(fs, vdir); deleted += 1
         }
         else kept += 1
       }
@@ -765,48 +831,44 @@ object StoreMaintenance {
     * _SUCCESS; leftover markers and the staging dir are cleared last.
     */
   def recover(path: String): (Int, Int) = {
-    val root = new java.io.File(path)
-    val markers = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith(".commit_group_"))
-    val grouped: Set[String] = {
-      import scala.jdk.CollectionConverters._
-      markers.flatMap(m =>
-        java.nio.file.Files.readAllLines(m.toPath).asScala).toSet
-    }
-    val tmps = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".compact_"))
+    val root = StoreFs.qualified(path)
+    val fs = StoreFs.fsOf(root)
+    val entries = list(fs, root)
+    val markers = entries
+      .filter(s => s.isFile && s.getPath.getName.startsWith(".commit_group_"))
+      .map(_.getPath)
+    val grouped: Set[String] =
+      markers.flatMap(m => readLines(fs, m)).toSet
+    val tmps = entries
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_"))
+      .map(_.getPath)
     var completed = 0
     var discarded = 0
     tmps.foreach { tmp =>
-      val committed = (new java.io.File(tmp, "_SUCCESS").isFile ||
+      val committed = (isFile(fs, new Path(tmp, "_SUCCESS")) ||
           grouped.contains(tmp.getName)) &&
-        new java.io.File(tmp, "manifest").isFile
+        isFile(fs, new Path(tmp, "manifest"))
       if (committed) {
-        completeSwap(swapTargetOf(root, tmp.getName), tmp)
+        completeSwap(fs, swapTargetOf(root, tmp.getName), tmp)
         completed += 1
       } else {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete()
-        }
-        rm(tmp)
+        delete(fs, tmp)
         discarded += 1
       }
     }
-    markers.foreach(_.delete())
-    val stage = new java.io.File(root, StageDirName)
-    if (stage.exists()) rmTree(stage) // pre-commit rewrite crash leftover
+    markers.foreach(m => delete(fs, m))
+    val stage = new Path(root, StageDirName)
+    delete(fs, stage) // pre-commit rewrite crash leftover (missing = no-op)
     // a crashed versionedAppend record leaves a staged `.v<N>.tmp`
     // under .retired — never committed (the atomic rename is the
     // commit point), so discard; the append's data stands, unversioned
-    Option(new java.io.File(root, RetiredDirName).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".v") &&
-        f.getName.endsWith(".tmp"))
-      .foreach(rmTree)
+    list(fs, new Path(root, RetiredDirName))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".v") &&
+        s.getPath.getName.endsWith(".tmp"))
+      .foreach(s => delete(fs, s.getPath))
     // a crashed allocator's stale version lock (recover's runbook
     // precondition — no live maintainer/appender — makes this safe)
-    versionLockFile(root).delete()
+    delete(fs, versionLockPath(root))
     (completed, discarded)
   }
 
@@ -858,33 +920,34 @@ object StoreMaintenance {
                       recluster: Option[String] = None): Option[(Int, Int)] = {
     require(maxFiles >= targetFiles,
       s"maxFiles ($maxFiles) must be >= targetFiles ($targetFiles)")
-    val root = new java.io.File(path)
-    val leafDirs = leafPartitionDirs(root)
+    val root = StoreFs.qualified(path)
+    val fs = StoreFs.fsOf(root)
+    val leafDirs = leafPartitionDirs(fs, root)
     // flat (unpartitioned) layouts — BqIndexStore's code table,
     // PqIndexStore's .codes sidecar — have no col=val dirs: their
     // debt is counted at the root, or the "bounded BY CONSTRUCTION"
     // contract would silently not hold for exactly the stores
     // purgeFiles exists for
-    val flatDirty = leafDirs.isEmpty && dataFiles(root).length > maxFiles
-    val dirty = flatDirty || leafDirs.exists(d => dataFiles(d).length > maxFiles)
-    val crashed = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .exists(f => f.isDirectory && f.getName.startsWith(".compact_"))
+    val flatDirty = leafDirs.isEmpty && dataFiles(fs, root).length > maxFiles
+    val dirty = flatDirty || leafDirs.exists(d => dataFiles(fs, d).length > maxFiles)
+    val crashed = list(fs, root)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith(".compact_"))
     if (!dirty && !crashed) None
-    else if (flatDirty) Some(withLock(root) {
+    else if (flatDirty) Some(withLock(fs, root) {
       recover(path)
-      val version = allocateVersion(root)
-      val files = dataFiles(root)
+      val version = allocateVersion(fs, root)
+      val files = dataFiles(fs, root)
       val shaped = recluster match {
-        case Some(c) => spark.read.parquet(root.getAbsolutePath)
+        case Some(c) => spark.read.parquet(root.toString)
           .repartitionByRange(targetFiles, col(c)).sortWithinPartitions(c)
-        case None => spark.read.parquet(root.getAbsolutePath).coalesce(targetFiles)
+        case None => spark.read.parquet(root.toString).coalesce(targetFiles)
       }
       // same crash-consistent root swap as purgeFiles (`.compact_.`)
-      val tmp = new java.io.File(root, swapTmpName("."))
-      shaped.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      commitManifest(tmp, files, version)
-      completeSwap(root, tmp)
-      (files.length, dataFiles(root).length)
+      val tmp = new Path(root, swapTmpName("."))
+      shaped.write.mode("overwrite").parquet(tmp.toString)
+      commitManifest(fs, tmp, files, version)
+      completeSwap(fs, root, tmp)
+      (files.length, dataFiles(fs, root).length)
     })
     else Some(rewritePartitions(spark, path, n => n > maxFiles,
       rows => recluster match {
@@ -912,14 +975,15 @@ object StoreMaintenance {
     */
   def purge(spark: SparkSession, path: String, idCol: String, ids: Seq[Any],
             recluster: Option[String] = None): (Int, Long) = {
-    val root = new java.io.File(path)
-    withLock(root) {
+    val root = StoreFs.qualified(path)
+    val fs = StoreFs.fsOf(root)
+    withLock(fs, root) {
     // finish or discard any interrupted swap first: a leftover
     // .compact_* temp dir must never be read as a live partition
     // (safe here: the lock excludes any other maintainer's in-flight
     // temp dirs)
     recover(path)
-    val parts = leafPartitionDirs(root).filter(d => dataFiles(d).nonEmpty)
+    val parts = leafPartitionDirs(fs, root).filter(d => dataFiles(fs, d).nonEmpty)
     if (parts.isEmpty || ids.isEmpty) return (0, 0L)
     // Discovery is ONE Spark job over the whole store, not one count()
     // per directory: the IN predicate pushes to parquet (row-group
@@ -930,27 +994,27 @@ object StoreMaintenance {
     // of day= dirs) pays O(1) scheduling overhead for discovery
     // instead of thousands of sequential ~100 ms jobs.
     val hitRows = hitsByRelDir(
-      spark.read.parquet(parts.map(_.getAbsolutePath): _*), root, idCol, ids)
+      spark.read.parquet(parts.map(_.toString): _*), root, idCol, ids)
     // lazy: a no-op pass (no hits) must not burn a version number —
     // readBefore fails closed on any allocated-but-snapshotless version
-    lazy val version = allocateVersion(root)
+    lazy val version = allocateVersion(fs, root)
     var rewritten = 0
     var removed = 0L
     parts.foreach { pdir =>
       val rel = relPath(root, pdir)
       if (hitRows.contains(rel)) {
-        val files = dataFiles(pdir)
-        val keep = spark.read.parquet(pdir.getAbsolutePath)
+        val files = dataFiles(fs, pdir)
+        val keep = spark.read.parquet(pdir.toString)
           .where(!col(idCol).isin(ids: _*))
         val shaped = recluster match {
           case Some(c) => keep.repartitionByRange(files.length, col(c))
             .sortWithinPartitions(c)
           case None => keep.coalesce(files.length)
         }
-        val tmp = new java.io.File(root, swapTmpName(rel))
-        shaped.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        commitManifest(tmp, files, version)
-        completeSwap(pdir, tmp)
+        val tmp = new Path(root, swapTmpName(rel))
+        shaped.write.mode("overwrite").parquet(tmp.toString)
+        commitManifest(fs, tmp, files, version)
+        completeSwap(fs, pdir, tmp)
         rewritten += 1
         removed += hitRows(rel)
       }
@@ -962,8 +1026,8 @@ object StoreMaintenance {
   /** THE discovery scan both purge flavors share: one pushed-down job
     * over `scan` (the IN predicate reaches parquet; row-group stats
     * keep clean files at a footer read), victim-row counts per FILE
-    * URI. input_file_name is a URI — percent-encoded — while listFiles
-    * sees raw names, so each row carries the raw AND decoded spelling
+    * URI. input_file_name is a URI — percent-encoded — while listings
+    * see raw names, so each row carries the raw AND decoded spelling
     * ('+' protected: it is a literal plus in a file path, not a
     * space). Dir-keyed (purge) and basename-keyed (purgeFiles) maps
     * both derive from this — the subtle decoding lives once.
@@ -984,9 +1048,9 @@ object StoreMaintenance {
     * covers both URI spellings of each file (distinct per file so the
     * two spellings never double-count).
     */
-  private def hitsByRelDir(scan: DataFrame, root: java.io.File,
+  private def hitsByRelDir(scan: DataFrame, root: Path,
                            idCol: String, ids: Seq[Any]): Map[String, Long] = {
-    val rootAbs = root.getAbsolutePath
+    val rootAbs = root.toUri.getPath
     hitUris(scan, idCol, ids).flatMap { case (raw, dec, hits) =>
       Seq(raw, dec).flatMap { u =>
         val i = u.indexOf(rootAbs)
@@ -1012,29 +1076,30 @@ object StoreMaintenance {
   private[sources] def rewritePartitions(spark: SparkSession, path: String,
       shouldRewrite: Int => Boolean,
       shaper: DataFrame => DataFrame): (Int, Int) = {
-    val root = new java.io.File(path)
-    withLock(root) {
+    val root = StoreFs.qualified(path)
+    val fs = StoreFs.fsOf(root)
+    withLock(fs, root) {
     // settle any crashed maintainer's swap BEFORE rewriting (mirrors
     // purge): a committed-but-unswapped .compact_* temp dir holds the
     // only copy of already-retired rows, and writing this pass's
     // rewrite over the same temp path would destroy it
     recover(path)
-    lazy val version = allocateVersion(root) // lazy: see purge
-    val parts = leafPartitionDirs(root)
+    lazy val version = allocateVersion(fs, root) // lazy: see purge
+    val parts = leafPartitionDirs(fs, root)
     var before = 0
     var after = 0
     parts.foreach { pdir =>
-      val files = dataFiles(pdir)
+      val files = dataFiles(fs, pdir)
       before += files.length
       if (shouldRewrite(files.length)) {
-        val tmp = new java.io.File(root, swapTmpName(relPath(root, pdir)))
-        shaper(spark.read.parquet(pdir.getAbsolutePath))
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val tmp = new Path(root, swapTmpName(relPath(root, pdir)))
+        shaper(spark.read.parquet(pdir.toString))
+          .write.mode("overwrite").parquet(tmp.toString)
         // manifest AFTER the rewrite committed: its presence tells
         // recovery the temp contents are complete and authoritative
-        commitManifest(tmp, files, version)
-        completeSwap(pdir, tmp)
-        after += dataFiles(pdir).length
+        commitManifest(fs, tmp, files, version)
+        completeSwap(fs, pdir, tmp)
+        after += dataFiles(fs, pdir).length
       } else after += files.length
     }
     (before, after)
@@ -1064,44 +1129,45 @@ object StoreMaintenance {
     */
   private[sources] def rewriteLayout(spark: SparkSession, path: String,
       partitionCol: String)(reshape: DataFrame => DataFrame): (Int, Long) = {
-    val root = new java.io.File(path)
-    withLock(root) {
+    val root = StoreFs.qualified(path)
+    val fs = StoreFs.fsOf(root)
+    withLock(fs, root) {
     recover(path)
-    val version = allocateVersion(root)
-    val stage = new java.io.File(root, StageDirName)
-    val oldDirs = leafPartitionDirs(root).filter(d => dataFiles(d).nonEmpty)
-    require(oldDirs.forall(_.getParentFile == root),
+    val version = allocateVersion(fs, root)
+    val stage = new Path(root, StageDirName)
+    val oldDirs = leafPartitionDirs(fs, root).filter(d => dataFiles(fs, d).nonEmpty)
+    require(oldDirs.forall(_.getParent == root),
       "rewriteLayout supports single-level col=val layouts only")
-    require(dataFiles(root).isEmpty,
+    require(dataFiles(fs, root).isEmpty,
       "rewriteLayout requires a partitioned layout (no root-level data files)")
-    reshape(spark.read.parquet(root.getAbsolutePath))
+    reshape(spark.read.parquet(root.toString))
       .write.mode("overwrite").partitionBy(partitionCol)
-      .parquet(stage.getAbsolutePath)
-    val newDirs = Option(stage.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
+      .parquet(stage.toString)
+    val newDirs = list(fs, stage)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath)
     val rels = (newDirs.map(_.getName) ++ oldDirs.map(d => relPath(root, d))).distinct
     val tmps = rels.map { rel =>
-      val tmp = new java.io.File(root, swapTmpName(rel))
-      rmTree(tmp); tmp.mkdirs()
-      val staged = new java.io.File(stage, rel)
-      if (staged.isDirectory) dataFiles(staged).foreach { f =>
-        java.nio.file.Files.move(f.toPath, new java.io.File(tmp, f.getName).toPath)
+      val tmp = new Path(root, swapTmpName(rel))
+      delete(fs, tmp); mkdirs(fs, tmp)
+      val staged = new Path(stage, rel)
+      if (isDir(fs, staged)) dataFiles(fs, staged).foreach { f =>
+        moveReplace(fs, f, new Path(tmp, f.getName))
       }
-      val pdir = new java.io.File(root, rel)
-      commitManifest(tmp,
-        if (pdir.isDirectory) dataFiles(pdir) else Array.empty, version)
+      val pdir = new Path(root, rel)
+      commitManifest(fs, tmp,
+        if (isDir(fs, pdir)) dataFiles(fs, pdir) else Array.empty, version)
       tmp
     }
-    val marker = new java.io.File(root, s".commit_group_$version")
-    java.nio.file.Files.write(marker.toPath,
-      java.util.Arrays.asList(tmps.map(_.getName): _*))
+    val marker = new Path(root, s".commit_group_$version")
+    writeLines(fs, marker, tmps.map(_.getName).toSeq)
     tmps.foreach { tmp =>
       val pdir = swapTargetOf(root, tmp.getName)
-      pdir.mkdirs()
-      completeSwap(pdir, tmp)
+      mkdirs(fs, pdir)
+      completeSwap(fs, pdir, tmp)
     }
-    marker.delete()
-    rmTree(stage)
+    delete(fs, marker)
+    delete(fs, stage)
     (rels.length, version)
     }
   }
@@ -1116,14 +1182,14 @@ object StoreMaintenance {
     */
   private[sources] def retireSidecar(storePath: String, version: Long,
                                      name: String, sidecarDir: String): Unit = {
-    val src = new java.io.File(sidecarDir)
-    if (!src.isDirectory) return
-    val dst = new java.io.File(storePath,
-      s"$RetiredDirName/v$version/_sidecar_$name")
-    dst.mkdirs()
-    dataFiles(src).foreach { f =>
-      java.nio.file.Files.copy(f.toPath, new java.io.File(dst, f.getName).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val src = StoreFs.qualified(sidecarDir)
+    val fs = StoreFs.fsOf(src)
+    if (!isDir(fs, src)) return
+    val root = StoreFs.qualified(storePath)
+    val dst = new Path(root, s"$RetiredDirName/v$version/_sidecar_$name")
+    mkdirs(fs, dst)
+    dataFiles(fs, src).foreach { f =>
+      StoreFs.copyFile(fs, f, new Path(dst, f.getName))
     }
   }
 
@@ -1142,27 +1208,28 @@ object StoreMaintenance {
     */
   def purgeFiles(spark: SparkSession, path: String, idCol: String,
                  ids: Seq[Any]): (Int, Long) = {
-    val root = new java.io.File(path)
-    withLock(root) {
+    val root = StoreFs.qualified(path)
+    val fs = StoreFs.fsOf(root)
+    withLock(fs, root) {
     recover(path)
-    val files = dataFiles(root)
+    val files = dataFiles(fs, root)
     if (files.isEmpty || ids.isEmpty) return (0, 0L)
     // ONE pushed-down discovery scan (shared core), keyed by decoded
     // file basename — flat layout, so basenames are unique
     val perFile: Map[String, Long] =
-      hitUris(spark.read.parquet(root.getAbsolutePath), idCol, ids)
+      hitUris(spark.read.parquet(root.toString), idCol, ids)
         .map { case (_, dec, hits) =>
           dec.substring(dec.lastIndexOf('/') + 1) -> hits
         }.toMap
     val hitCount = perFile.values.sum
     val victims = files.filter(f => perFile.contains(f.getName))
     if (victims.isEmpty) return (0, 0L)
-    val keep = spark.read.parquet(victims.map(_.getAbsolutePath): _*)
+    val keep = spark.read.parquet(victims.map(_.toString): _*)
       .where(!col(idCol).isin(ids: _*))
-    val tmp = new java.io.File(root, swapTmpName("."))
-    keep.coalesce(victims.length).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    commitManifest(tmp, victims, allocateVersion(root))
-    completeSwap(root, tmp)
+    val tmp = new Path(root, swapTmpName("."))
+    keep.coalesce(victims.length).write.mode("overwrite").parquet(tmp.toString)
+    commitManifest(fs, tmp, victims, allocateVersion(fs, root))
+    completeSwap(fs, root, tmp)
     (victims.length, hitCount)
     }
   }
@@ -1270,7 +1337,8 @@ object IvfIndexStore {
     */
   def append(df: DataFrame, idCol: String, vecCol: String, path: String): Long = {
     val centroids = readCentroids(df.sparkSession, path)
-    StoreMaintenance.versionedAppend(path) {
+    StoreMaintenance.versionedAppend(path,
+        centroids.map { case (cid, _) => s"cid=$cid" }.toSeq) {
       Knn.withCid(prepared(df, idCol, vecCol), centroids)
         .write.mode("append").partitionBy("cid").parquet(path)
     }
@@ -1541,7 +1609,7 @@ object PqIndexStore {
   def append(df: DataFrame, idCol: String, vecCol: String, path: String): Long = {
     val spark = df.sparkSession
     val books = readBooks(spark, path)
-    StoreMaintenance.versionedAppend(s"$path.codes") {
+    StoreMaintenance.versionedAppend(s"$path.codes", Seq(".")) {
       df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
         .select(col("vec_id"), Knn.pqCodesCol(books).as("codes"))
         .write.mode("append").parquet(s"$path.codes")
@@ -1612,7 +1680,7 @@ object IvfPqIndexStore {
   private val ResidualMarker = "_by_residual"
 
   def isResidual(path: String): Boolean =
-    new java.io.File(path, ResidualMarker).isFile
+    StoreFs.exists(s"$path/$ResidualMarker")
 
   /** Persist list-partitioned codes + both sidecars. Pass the models
     * from the session registry when they exist — a write never repeats
@@ -1641,9 +1709,10 @@ object IvfPqIndexStore {
     enc.select(col("vec_id") +: col("cid") +: metaCols.map(col)
         :+ Knn.pqCodesCol(books).as("codes"): _*)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
-    if (byResidual)
-      java.nio.file.Files.createFile(
-        new java.io.File(path, ResidualMarker).toPath)
+    if (byResidual) {
+      val p = StoreFs.qualified(s"$path/$ResidualMarker")
+      StoreFs.createExclusive(StoreFs.fsOf(p), p, Nil)
+    }
     writeModelSidecars(spark, centroids, books, byResidual, path)
   }
 
@@ -1734,7 +1803,8 @@ object IvfPqIndexStore {
     // the store's brand, not a caller flag: appended codes are taken
     // over the same representation the store was written with
     val enc = if (isResidual(path)) Knn.residualFrame(asg, centroids) else asg
-    StoreMaintenance.versionedAppend(path) {
+    StoreMaintenance.versionedAppend(path,
+        centroids.map { case (cid, _) => s"cid=$cid" }.toSeq) {
       enc.select(col("vec_id"), col("cid"), Knn.pqCodesCol(books).as("codes"))
         .write.mode("append").partitionBy("cid").parquet(path)
     }
@@ -1928,7 +1998,7 @@ object BqIndexStore {
     * every index-store append (readBefore replays the pre-append set).
     */
   def append(df: DataFrame, idCol: String, vecCol: String, path: String): Long =
-    StoreMaintenance.versionedAppend(path) {
+    StoreMaintenance.versionedAppend(path, Seq(".")) {
       codesOf(df, idCol, vecCol).write.mode("append").parquet(path)
     }
 
@@ -1988,7 +2058,7 @@ object BqIndexStore {
     * banded store.
     */
   def appendMih(df: DataFrame, idCol: String, vecCol: String, path: String): Long =
-    StoreMaintenance.versionedAppend(path) {
+    StoreMaintenance.versionedAppend(path, (0 until 8).map(b => s"blk=$b")) {
       mihRows(df, idCol, vecCol)
         .repartitionByRange(16, col("blk"), col("bval"))
         .sortWithinPartitions("blk", "bval")
@@ -2009,7 +2079,7 @@ object BqIndexStore {
     * Same layout and search surface as appendMih.
     */
   def appendMihCodes(codes: DataFrame, path: String): Long =
-    StoreMaintenance.versionedAppend(path) {
+    StoreMaintenance.versionedAppend(path, (0 until 8).map(b => s"blk=$b")) {
       mihRowsFromCodes(codes
           .select(col("id"), col("code_lo"), col("code_hi")))
         .repartitionByRange(16, col("blk"), col("bval"))
@@ -2168,12 +2238,14 @@ object IvfBqIndexStore {
     * sidecar and land in their list directories — no retraining, no
     * re-encode of existing rows.
     */
-  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Long =
-    StoreMaintenance.versionedAppend(path) {
-      codesWithCid(df, idCol, vecCol,
-          IvfIndexStore.readCentroids(df.sparkSession, path))
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Long = {
+    val centroids = IvfIndexStore.readCentroids(df.sparkSession, path)
+    StoreMaintenance.versionedAppend(path,
+        centroids.map { case (cid, _) => s"cid=$cid" }.toSeq) {
+      codesWithCid(df, idCol, vecCol, centroids)
         .write.mode("append").partitionBy("cid").parquet(path)
     }
+  }
 
   /** Probe the persisted lists, rank by Hamming INSIDE them, rerank
     * the top-`rerank` survivors with exact cosine against `source`
@@ -2248,7 +2320,7 @@ object MaxsimStore {
     rows(docs).write.mode("overwrite").partitionBy("hbkt").parquet(path)
 
   def append(docs: DataFrame, path: String): Long =
-    StoreMaintenance.versionedAppend(path) {
+    StoreMaintenance.versionedAppend(path, (0 until Buckets).map(b => s"hbkt=$b")) {
       rows(docs).write.mode("append").partitionBy("hbkt").parquet(path)
     }
 

@@ -259,10 +259,10 @@ object EventStreams {
     * readers treat it as any other shard.)
     */
   private def requireBidLayout(outPath: String): Unit = {
-    val root = new java.io.File(outPath)
-    val legacy = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith(".") &&
-        !f.getName.startsWith("_"))
+    val root = graft.sources.StoreFs.qualified(outPath)
+    val legacy = graft.sources.StoreFs.list(graft.sources.StoreFs.fsOf(root), root)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
     require(legacy.isEmpty,
       s"sink $outPath holds ${legacy.length} root-level data file(s) from the " +
         "pre-bid= flat layout; partition discovery cannot mix them with bid= " +
@@ -536,7 +536,7 @@ object EventStreams {
         val embedded = graft.operators.BatchInference
           .embedStage(batch.toDF(), "payload", loader, batchSize)
         val store = graft.sources.PqIndexStore
-        val trained = new java.io.File(s"$indexPath.books").exists()
+        val trained = graft.sources.StoreFs.exists(s"$indexPath.books")
         if (trained) store.append(embedded, "doc_id", "embedding", indexPath)
         else store.write(embedded, "doc_id", "embedding", indexPath)
         ()
@@ -646,10 +646,24 @@ object EventStreams {
     * job is the "nightly vacuum" the retire-not-delete model requires,
     * made per-wave so nobody has to remember it.
     */
+  /** Wired-in per-wave vacuum. minRetentionMs = 0 deliberately
+    * bypasses the interactive fat-finger floor — the caller CONFIGURED
+    * this retention as policy — but because a very short retention
+    * erases the readBefore lineage (including the wave's own
+    * just-retired version), every reclaim is LOGGED with its count and
+    * horizon so operators can see the audit window shrinking instead
+    * of discovering time travel silently stopped working.
+    */
   private def autoVacuum(path: String, retentionMs: Option[Long]): Unit =
     retentionMs.foreach { ms =>
       graft.sources.StoreMaintenance.vacuumIfAged(path, ms, minRetentionMs = 0)
-      ()
+        .foreach { case (deleted, kept) =>
+          if (deleted > 0)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"auto-vacuum($path): reclaimed $deleted retired version(s) " +
+                s"past the ${ms}ms horizon ($kept kept) — readBefore lineage " +
+                "older than the horizon is no longer reconstructible")
+        }
     }
 
   /** Shared scaffold for the (vec_id, embedding) store maintainers:
@@ -784,7 +798,7 @@ object EventStreams {
     // build) has no training-time reference — bootstrap it from the
     // first monitored wave, which then becomes the baseline every
     // later wave compares against
-    if (!new java.io.File(s"$storePath.driftstats").exists())
+    if (!graft.sources.StoreFs.exists(s"$storePath.driftstats"))
       writeDriftStats(batch, storePath)
     val ref = spark.read.parquet(s"$storePath.driftstats").collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
@@ -821,7 +835,7 @@ object EventStreams {
                      driftMonitor: Boolean = false): StreamingQuery = {
     val store = graft.sources.IvfPqIndexStore
     val stage = s"$storePath.trainstage"
-    def trained = new java.io.File(s"$storePath.books").exists()
+    def trained = graft.sources.StoreFs.exists(s"$storePath.books")
     // auto-compaction runs AFTER the deferred first-wave training below,
     // not inside the scaffold — compacting a store that does not exist
     // yet is at best a wasted listing
@@ -845,18 +859,13 @@ object EventStreams {
       }
       else batch.write.mode("overwrite").parquet(s"$stage/bid=$bid")
     }
-    val stageDir = new java.io.File(stage)
-    if (!trained && stageDir.exists()) {
+    if (!trained && graft.sources.StoreFs.exists(stage)) {
       store.write(spark.read.parquet(stage), "vec_id", "embedding", storePath)
       if (driftMonitor) writeDriftStats(spark.read.parquet(stage), storePath)
       // the staged rows are recomputable from the checkpointed source
       // (and now live in the store); a crash before this delete is
       // harmless — trained=true blocks any retrain on the next run
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(stageDir)
+      graft.sources.StoreMaintenance.rmTree(stage)
     }
     autoCompactMaxFiles.foreach { max =>
       graft.sources.StoreMaintenance.compactIfNeeded(spark, storePath, max)
