@@ -57,6 +57,29 @@ object Safetensors {
       }
       out
     }
+
+    /** Elements as Doubles — the ANN model sidecars' currency
+      * (centroids, PQ codebooks). Lossless for F64/F32/I32; an I64
+      * beyond 2^53 would silently round, so it is rejected.
+      */
+    def toDoubleArray: Array[Double] = {
+      val b = data.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      val n = numElements.toInt
+      val out = new Array[Double](n)
+      var i = 0
+      dtype match {
+        case "F64" => while (i < n) { out(i) = b.getDouble(); i += 1 }
+        case "F32" => while (i < n) { out(i) = b.getFloat().toDouble; i += 1 }
+        case "I32" => while (i < n) { out(i) = b.getInt().toDouble; i += 1 }
+        case "I64" => while (i < n) {
+          val v = b.getLong()
+          require(math.abs(v) <= (1L << 53), s"I64 value $v exceeds double precision")
+          out(i) = v.toDouble; i += 1
+        }
+        case d => throw new IllegalArgumentException(s"unsupported dtype $d")
+      }
+      out
+    }
   }
 
   private def byteWidth(dtype: String): Int = dtype match {
@@ -152,11 +175,41 @@ object Safetensors {
 
   /** Write a safetensors file of I32 tensors through the FS seam. */
   def writeI32(path: String,
-               tensors: Seq[(String, (Seq[Long], Array[Int]))]): Unit = {
+               tensors: Seq[(String, (Seq[Long], Array[Int]))]): Unit =
+    writeBytes(path, serializeI32(tensors))
+
+  /** F64 twin of [[serializeI32]] — the ANN model sidecars' dtype
+    * (centroids, PQ codebooks are double matrices on both sides of
+    * the interop seam).
+    */
+  def serializeF64(tensors: Seq[(String, (Seq[Long], Array[Double]))]): Array[Byte] = {
+    var off = 0L
+    val entries = tensors.map { case (name, (shape, vals)) =>
+      require(shape.product == vals.length,
+        s"tensor $name: shape ${shape.mkString("x")} != ${vals.length} values")
+      val b0 = off
+      off += vals.length * 8L
+      s""""$name":{"dtype":"F64","shape":[${shape.mkString(",")}],""" +
+        s""""data_offsets":[$b0,$off]}"""
+    }
+    val header = entries.mkString("{", ",", "}").getBytes("UTF-8")
+    val buf = ByteBuffer.allocate(8 + header.length + off.toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(header.length.toLong)
+    buf.put(header)
+    tensors.foreach { case (_, (_, vals)) => vals.foreach(buf.putDouble) }
+    buf.array()
+  }
+
+  def writeF64(path: String,
+               tensors: Seq[(String, (Seq[Long], Array[Double]))]): Unit =
+    writeBytes(path, serializeF64(tensors))
+
+  private def writeBytes(path: String, bytes: Array[Byte]): Unit = {
     val p = graft.sources.StoreFs.qualified(path)
     val fs = graft.sources.StoreFs.fsOf(p)
     val out = fs.create(p, true)
-    try out.write(serializeI32(tensors))
+    try out.write(bytes)
     finally out.close()
   }
 }

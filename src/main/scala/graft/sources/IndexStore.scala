@@ -1352,6 +1352,40 @@ object IvfIndexStore {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
+  /** Export a store's coarse-quantizer model as a SAFETENSORS
+    * artifact (one F64 `centroids` tensor, [nlist, dim]) — the
+    * interop seam with the Python training ecosystem: a faiss/sklearn
+    * k-means trained offline exports the same shape, and either side
+    * reads the other's file. cids are row indices (contiguous 0..k−1
+    * by the Lloyd contract — enforced, since an exported matrix
+    * carries no id column).
+    */
+  def exportModelSafetensors(spark: SparkSession, path: String,
+                             out: String): Unit = {
+    val cents = readCentroids(spark, path)
+    require(cents.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "centroid ids must be contiguous 0..k-1 to export as a matrix")
+    val dim = cents.head._2.length.toLong
+    graft.operators.Safetensors.writeF64(out, Seq(
+      "centroids" -> (Seq(cents.length.toLong, dim), cents.flatMap(_._2).toArray)))
+  }
+
+  /** Import an externally-trained coarse quantizer from a safetensors
+    * file — pass the result as [[write]]'s `model` so the store is
+    * built under offline-trained centroids with no in-session
+    * training pass (the faiss-trains / Spark-serves deployment
+    * split). Accepts F64/F32 (a float32 faiss export upcasts
+    * losslessly).
+    */
+  def importModelSafetensors(path: String): Array[(Int, Array[Double])] = {
+    val t = graft.operators.Safetensors.read(path).getOrElse("centroids",
+      throw new IllegalArgumentException(s"$path: missing tensor 'centroids'"))
+    require(t.shape.length == 2, s"'centroids' must be 2-D, got ${t.shape}")
+    val Seq(k, dim) = t.shape.map(_.toInt)
+    val flat = t.toDoubleArray
+    Array.tabulate(k)(i => (i, flat.slice(i * dim, (i + 1) * dim)))
+  }
+
   /** Probe frame for a query set: one row per (query, probed list id),
     * lists ranked per query against the literal centroid set (sorted
     * (desc sim, asc cid) structs — the ivfProbe formula).
@@ -1623,6 +1657,35 @@ object PqIndexStore {
     val rows = spark.read.parquet(s"$path.books").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
     Array.tabulate(Knn.PqSubspaces)(m => Array.tabulate(Knn.PqCodes)(k => rows((m, k))))
+  }
+
+  /** Export a store's PQ codebooks as a safetensors artifact (one F64
+    * `codebooks` tensor, [m, ksub, dsub] — faiss's
+    * index_pq.pq.centroids layout), the codebook half of the offline-
+    * training interop seam ([[IvfIndexStore.exportModelSafetensors]]
+    * is the coarse half).
+    */
+  def exportBooksSafetensors(spark: SparkSession, path: String,
+                             out: String): Unit = {
+    val books = readBooks(spark, path)
+    val (m, ksub, dsub) = (books.length, books(0).length, books(0)(0).length)
+    graft.operators.Safetensors.writeF64(out, Seq(
+      "codebooks" -> (Seq(m.toLong, ksub.toLong, dsub.toLong),
+        books.flatten.flatten)))
+  }
+
+  /** Import externally-trained PQ codebooks (F64/F32 `codebooks`,
+    * [m, ksub, dsub]) — pass as [[write]]'s `model` (or
+    * IvfPqIndexStore.write's `pqModel`).
+    */
+  def importBooksSafetensors(path: String): Array[Array[Array[Double]]] = {
+    val t = graft.operators.Safetensors.read(path).getOrElse("codebooks",
+      throw new IllegalArgumentException(s"$path: missing tensor 'codebooks'"))
+    require(t.shape.length == 3, s"'codebooks' must be 3-D, got ${t.shape}")
+    val Seq(m, ksub, dsub) = t.shape.map(_.toInt)
+    val flat = t.toDoubleArray
+    Array.tabulate(m)(i => Array.tabulate(ksub)(k =>
+      flat.slice((i * ksub + k) * dsub, (i * ksub + k + 1) * dsub)))
   }
 
   /** ADC top-k against the persisted codes: queries are collected

@@ -76,6 +76,37 @@ class Round15Spec extends SparkSpec {
     assert(p.conv.toSeq == ConvNet.defaultParams.conv.toSeq)
   }
 
+  test("safetensors model interop: exported centroids/codebooks import back; a store built from the import searches identically") {
+    import graft.sources.{IvfIndexStore, PqIndexStore}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = tmpDir("stmodel")
+    val s1 = s"$base/ivf1"
+    IvfIndexStore.write(emb, "vec_id", "embedding", s1)
+    IvfIndexStore.exportModelSafetensors(spark, s1, s"$base/cents.safetensors")
+    val model = IvfIndexStore.importModelSafetensors(s"$base/cents.safetensors")
+    val orig = IvfIndexStore.readCentroids(spark, s1)
+    assert(model.length == orig.length &&
+      model.zip(orig).forall { case ((i1, v1), (i2, v2)) =>
+        i1 == i2 && v1.toSeq == v2.toSeq },
+      "centroid matrix must round-trip bit-for-bit (F64)")
+    // a store built under the IMPORTED model is the offline-training
+    // deployment split: it must serve exactly like the original
+    val s2 = s"$base/ivf2"
+    IvfIndexStore.write(emb, "vec_id", "embedding", s2, model = Some(model))
+    val q = emb.filter(col("vec_id") < 3)
+    def res(p: String) = IvfIndexStore.search(spark, p, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(res(s2) == res(s1), "imported-model store must search identically")
+    // PQ codebooks round-trip the same way
+    val p1 = s"$base/pq1"
+    PqIndexStore.write(emb, "vec_id", "embedding", p1)
+    PqIndexStore.exportBooksSafetensors(spark, p1, s"$base/books.safetensors")
+    val books = PqIndexStore.importBooksSafetensors(s"$base/books.safetensors")
+    val ob = PqIndexStore.readBooks(spark, p1)
+    assert(books.length == ob.length && books.flatten.flatten.toSeq ==
+      ob.flatten.flatten.toSeq, "codebooks must round-trip bit-for-bit")
+  }
+
   // ---------------------------------------------------------------
   // versionedAppend: O(touched dirs) + concurrent-maintenance safety
   // ---------------------------------------------------------------
