@@ -5535,6 +5535,68 @@ object Oracles {
       // a hash match proves store-served hybrid ≡ in-session hybrid
       "v_hybrid_store" -> round12("v_hybrid_bm25"),
 
+      // the SCORE-AWARE persisted fusion: both legs' rankings (exact
+      // cosine + Okapi BM25 — v_hybrid_bm25's CTEs, scores kept) plus
+      // the min-max + convex arithmetic, with the engine's exact IEEE
+      // double literals interpolated
+      "v_hybrid_weighted_store" -> {
+        val a = graft.operators.Knn.HybridAlpha
+        val b = 1.0 - graft.operators.Knn.HybridAlpha
+        s"""
+      WITH $knnCte,
+      v10 AS (SELECT query_id, neighbor_id, sim, rnk FROM r
+              WHERE query_id < 3 AND rnk <= 10),
+      btf AS (SELECT d.doc_id, tok, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents) d
+              WHERE tok <> '' GROUP BY d.doc_id, tok),
+      bdf AS (SELECT tok, COUNT(*) AS df FROM btf GROUP BY tok),
+      bdl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM btf GROUP BY doc_id),
+      bst AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM bdl),
+      bqt AS (SELECT doc_id AS q_id, tok FROM btf WHERE doc_id < 3),
+      bc AS (SELECT bq.q_id, t.doc_id, t.tok,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (t.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * dl
+                   / (CAST(sum_dl AS DOUBLE) / n_docs))) AS c
+             FROM btf t JOIN bqt bq ON t.tok = bq.tok AND t.doc_id <> bq.q_id
+             JOIN bdf ON bdf.tok = t.tok
+             JOIN bdl ON bdl.doc_id = t.doc_id
+             CROSS JOIN bst),
+      bs AS (SELECT q_id, doc_id,
+               ROUND(list_reduce(list(c ORDER BY tok), (a, x) -> a + x), 6) AS score
+             FROM bc GROUP BY q_id, doc_id),
+      b10 AS (SELECT q_id, doc_id, score, rnk FROM (
+                SELECT q_id, doc_id, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+                FROM bs) t WHERE rnk <= 10),
+      vn AS (SELECT query_id, neighbor_id,
+               CASE WHEN mx = mn THEN 1.0 ELSE (sim - mn) / (mx - mn) END AS nv
+             FROM (SELECT query_id, neighbor_id, sim,
+                     MIN(sim) OVER (PARTITION BY query_id) AS mn,
+                     MAX(sim) OVER (PARTITION BY query_id) AS mx
+                   FROM v10) t),
+      lnn AS (SELECT q_id, doc_id,
+               CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END AS nl
+             FROM (SELECT q_id, doc_id, score,
+                     MIN(score) OVER (PARTITION BY q_id) AS mn,
+                     MAX(score) OVER (PARTITION BY q_id) AS mx
+                   FROM b10) t),
+      fusedw AS (SELECT COALESCE(v.query_id, l.q_id) AS query_id,
+                   COALESCE(v.neighbor_id, l.doc_id) AS doc_id,
+                   ROUND($a * COALESCE(v.nv, 0.0)
+                       + $b * COALESCE(l.nl, 0.0), 6) AS fused
+                 FROM vn v FULL OUTER JOIN lnn l
+                   ON v.query_id = l.q_id AND v.neighbor_id = l.doc_id),
+      fr AS (SELECT query_id, doc_id, fused,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY fused DESC, doc_id ASC) AS BIGINT) AS rnk
+             FROM fusedw)
+      SELECT query_id, rnk, doc_id, fused FROM fr
+      WHERE rnk <= 5 ORDER BY query_id, rnk"""
+      },
+
       // ordered proximity over the positional postings: for each
       // anchor position p of term₁, the doc matches when term₂ has
       // ANY position in (p, p + 1 + slop] — for two terms this is

@@ -2061,23 +2061,35 @@ object Knn {
     * computes. Scale shape: each leg is its own pruned/broadcast store
     * plan; the fusion join touches ≤ 10+10 rows per query.
     */
-  def vHybridStore(spark: SparkSession, dir: String): DataFrame = {
-    val (nq, legK) = (3, 10)
+  /** Build-once persisted hybrid tiers (vector flat store + BM25
+    * postings store over the SAME corpus pair), shared by the RRF and
+    * weighted fusion serving gates — one cache dir, both legs.
+    */
+  private def hybridStorePaths(spark: SparkSession, dir: String): (String, String) = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
       "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
     val root = new java.io.File(s"target/hybrid_store_$tag").getAbsolutePath
     val (vecPath, lexPath) = (s"$root/vec", s"$root/lex")
-    val emb = Tables.embeddings(spark, dir)
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
     // guard on BOTH artifacts, not the first: a crash between the two
     // writes must re-run the build (each write is an idempotent
     // overwrite), or every later run would treat the half-built cache
     // as complete and the lexical leg would read a missing store
     if (!new java.io.File(vecPath).exists() ||
         !new java.io.File(lexPath).exists()) {
-      graft.sources.IndexStore.write(emb, "vec_id", "embedding", vecPath, dim = 64)
-      graft.sources.Bm25Store.write(docs, lexPath, dlBuckets = Some(4))
+      graft.sources.IndexStore.write(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", vecPath, dim = 64)
+      graft.sources.Bm25Store.write(
+        Tables.documents(spark, dir).select("doc_id", "text"),
+        lexPath, dlBuckets = Some(4))
     }
+    (vecPath, lexPath)
+  }
+
+  def vHybridStore(spark: SparkSession, dir: String): DataFrame = {
+    val (nq, legK) = (3, 10)
+    val (vecPath, lexPath) = hybridStorePaths(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val vec = graft.sources.IndexStore
       .search(graft.sources.IndexStore.read(spark, vecPath),
         emb.filter(col("vec_id") < nq).select(col("vec_id"), col("embedding")),
@@ -2098,6 +2110,50 @@ object Knn {
             .otherwise(lit(0.0)) +
           when(col("lrnk").isNotNull, lit(1.0) / (lit(60) + col("lrnk")))
             .otherwise(lit(0.0)), 6).as("fused"))
+    val w = Window.partitionBy("query_id").orderBy(col("fused").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
+      .select("query_id", "rnk", "doc_id", "fused")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** v_hybrid_weighted_store: the SCORE-AWARE fusion as a SERVING op
+    * from the persisted tiers — [[vHybridWeighted]] proves the
+    * min-max + tuned-convex recipe on the family-aligned evaluation
+    * corpora; this is the deployment shape, fusing the SAME two
+    * on-disk legs [[vHybridStore]] serves (flat vector store + BM25
+    * postings store, shared build-once cache) with the weighted
+    * arithmetic instead of RRF. Each leg keeps its own k-bounded
+    * top-10 with scores, min-max normalizes per query, and the fused
+    * ranking is α·nv + (1−α)·nl rounded 6 — the oracle replays both
+    * legs' rankings AND the normalization arithmetic over the raw
+    * tables (v_hybrid_bm25's leg CTEs + the weighted tail), so the
+    * persisted weighted fusion is hash-proven end to end.
+    */
+  def vHybridWeightedStore(spark: SparkSession, dir: String): DataFrame = {
+    val (nq, legK) = (3, 10)
+    val a = HybridAlpha
+    val (vecPath, lexPath) = hybridStorePaths(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val vec = minmaxNorm(graft.sources.IndexStore
+        .search(graft.sources.IndexStore.read(spark, vecPath),
+          emb.filter(col("vec_id") < nq).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", legK), "sim")
+      .select(col("query_id").as("vq"), col("neighbor_id").as("vc"),
+        col("nrm_s").as("nv"))
+    val lex = minmaxNorm(graft.sources.Bm25Store
+        .search(spark, lexPath,
+          docs.filter(col("doc_id") < nq).select(col("doc_id").as("q_id"), col("text")),
+          legK)
+        .withColumnRenamed("q_id", "query_id"), "score")
+      .select(col("query_id").as("lq"), col("doc_id").as("lc"),
+        col("nrm_s").as("nl"))
+    val fused = vec.join(lex,
+        col("vq") === col("lq") && col("vc") === col("lc"), "full_outer")
+      .select(coalesce(col("vq"), col("lq")).as("query_id"),
+        coalesce(col("vc"), col("lc")).as("doc_id"),
+        round(lit(a) * coalesce(col("nv"), lit(0.0)) +
+          lit(1.0 - a) * coalesce(col("nl"), lit(0.0)), 6).as("fused"))
     val w = Window.partitionBy("query_id").orderBy(col("fused").desc, col("doc_id").asc)
     fused.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= DefaultK)
       .select("query_id", "rnk", "doc_id", "fused")
@@ -2186,6 +2242,21 @@ object Knn {
     */
   val HybridAlpha = 0.9
 
+  /** Per-query MIN-MAX normalization of a leg's top-k scores (the
+    * fusion prerequisite both weighted-hybrid shapes share): the
+    * leg's round-6 scores stretch to [0,1] over its own top-k, a
+    * degenerate range (all scores equal) reads as full confidence
+    * 1.0. Window-only — no shuffle beyond the leg's own k-bounded
+    * partitions.
+    */
+  private def minmaxNorm(leg: DataFrame, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+    val mn = min(col(scoreCol)).over(w)
+    val mx = max(col(scoreCol)).over(w)
+    leg.withColumn("nrm_s",
+      when(mx === mn, lit(1.0)).otherwise((col(scoreCol) - mn) / (mx - mn)))
+  }
+
   /** v_hybrid_weighted: SCORE-AWARE hybrid fusion — the production
     * answer to vc_hybrid_recall's measured failure (plain RRF fused
     * recall 0.4 vs the vector leg's 1.0): per-leg MIN-MAX score
@@ -2218,18 +2289,11 @@ object Knn {
     val (nq, legK) = (3, 10)
     val a = HybridAlpha
     val cdir = dir + ClusteredSuffix
-    def minmax(leg: DataFrame, scoreCol: String): DataFrame = {
-      val w = Window.partitionBy("query_id")
-      val mn = min(col(scoreCol)).over(w)
-      val mx = max(col(scoreCol)).over(w)
-      leg.withColumn("nrm_s",
-        when(mx === mn, lit(1.0)).otherwise((col(scoreCol) - mn) / (mx - mn)))
-    }
-    val vec = minmax(annLshRanked(spark, cdir, nq, legK), "sim")
+    val vec = minmaxNorm(annLshRanked(spark, cdir, nq, legK), "sim")
       .select(col("query_id").as("vq"), col("neighbor_id").as("vc"),
         col("nrm_s").as("nv"), col("rnk").as("vrnk"))
       .transform(graft.Materialize.forceCached)
-    val lex = minmax(
+    val lex = minmaxNorm(
       TextAnalysis.bm25RankedDocs(nearDupDocs(spark, dir), nq, legK)
         .withColumnRenamed("q_id", "query_id"), "score")
       .select(col("query_id").as("lq"), col("doc_id").as("lc"),
