@@ -5475,6 +5475,55 @@ object Oracles {
       "v_bm25_phrase" -> phraseOracle,
       "v_sql_store_phrase" -> phraseOracle,
 
+      // the LEXICAL drift monitor's PSI, replayed end to end: both
+      // bounded lowest-doc_id samples, the whitespace tokenize, the
+      // md5 token-bucket arithmetic, the vowel→digit remap of wave 2
+      // (translate ≡ sequential disjoint-target replaces), the 1e-3
+      // floors, and the (q−p)ln(q/p) sum. Wave 1 bootstraps the
+      // baseline, so its psi is exactly 0.
+      "s_bm25_drift" -> s"""
+      WITH w1 AS (SELECT text FROM documents WHERE doc_id % 2 = 0
+                  ORDER BY doc_id LIMIT ${graft.streaming.EventStreams.LexDriftSample}),
+      w2 AS (SELECT replace(replace(replace(replace(replace(
+               text, 'a', '0'), 'e', '1'), 'i', '2'), 'o', '3'), 'u', '4') AS text
+             FROM documents WHERE doc_id % 2 = 1
+             ORDER BY doc_id LIMIT ${graft.streaming.EventStreams.LexDriftSample}),
+      t1 AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+               t -> t <> '')) AS tok FROM w1),
+      t2 AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+               t -> t <> '')) AS tok FROM w2),
+      b1 AS (SELECT CAST(('0x' || substr(md5('bm25tb_' || tok), 1, 8)) AS BIGINT)
+               % ${graft.sources.Bm25Store.Buckets} AS b FROM t1),
+      b2 AS (SELECT CAST(('0x' || substr(md5('bm25tb_' || tok), 1, 8)) AS BIGINT)
+               % ${graft.sources.Bm25Store.Buckets} AS b FROM t2),
+      buckets AS (SELECT range AS b FROM range(${graft.sources.Bm25Store.Buckets})),
+      n1 AS (SELECT COUNT(*) AS n FROM b1),
+      n2 AS (SELECT COUNT(*) AS n FROM b2),
+      h1 AS (SELECT bk.b,
+               GREATEST(CAST(COALESCE(x.cnt, 0) AS DOUBLE) / n1.n,
+                 CAST(0.001 AS DOUBLE)) AS p
+             FROM buckets bk CROSS JOIN n1
+             LEFT JOIN (SELECT b, COUNT(*) AS cnt FROM b1 GROUP BY b) x
+               ON x.b = bk.b),
+      h2 AS (SELECT bk.b,
+               GREATEST(CAST(COALESCE(x.cnt, 0) AS DOUBLE) / n2.n,
+                 CAST(0.001 AS DOUBLE)) AS q
+             FROM buckets bk CROSS JOIN n2
+             LEFT JOIN (SELECT b, COUNT(*) AS cnt FROM b2 GROUP BY b) x
+               ON x.b = bk.b),
+      ps AS (SELECT SUM((h2.q - h1.p) * LN(h2.q / h1.p)) AS psi
+             FROM h1 JOIN h2 ON h2.b = h1.b)
+      SELECT CAST(0 AS BIGINT) AS bid, n1.n AS n_sampled,
+        CAST(0.0 AS DOUBLE) AS psi, CAST(0 AS BIGINT) AS drift_flagged
+      FROM n1
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), n2.n, ROUND(ps.psi, 6),
+        CAST(CASE WHEN ps.psi >
+          ${graft.streaming.EventStreams.DriftPsiThreshold} THEN 1 ELSE 0 END
+          AS BIGINT)
+      FROM n2 CROSS JOIN ps
+      ORDER BY bid""",
+
       // the per-wave drift monitor's PSI, replayed end to end: both
       // bounded samples (lowest-id prefixes), the float32 quantization
       // the stream schema imposes on the drifted wave, the round-6

