@@ -82,6 +82,16 @@ object Safetensors {
     }
   }
 
+  /** The serializers interpolate tensor names into the JSON header
+    * verbatim; a quote, backslash, or control char would corrupt the
+    * header (the parse would then fail or misread offsets). Current
+    * callers use fixed names, so a loud require is the right guard.
+    */
+  private def requireHeaderSafe(name: String): Unit =
+    require(name.forall(c => c >= 0x20 && c != '"' && c != '\\'),
+      s"tensor name '$name' contains JSON-unsafe characters " +
+        "(quote, backslash, or control char)")
+
   private def byteWidth(dtype: String): Int = dtype match {
     case "I32" | "F32" => 4
     case "I64" | "F64" => 8
@@ -91,6 +101,16 @@ object Safetensors {
   /** Parse a safetensors byte image: tensors by name (insertion order
     * of the JSON header; the `__metadata__` entry, if present, is
     * skipped per spec).
+    *
+    * The parser sits on the MODEL-IMPORT TRUST BOUNDARY (externally
+    * trained artifacts land here), so every malformed input fails
+    * LOUDLY with a named error instead of silently mis-slicing:
+    * truncated header, header length past the file, non-JSON header,
+    * duplicate tensor names (Jackson's default tree parse would keep
+    * the LAST silently), missing per-tensor fields, negative or
+    * out-of-bounds data_offsets, span/shape mismatches, and
+    * OVERLAPPING tensor extents (two names sharing bytes means at
+    * least one reads another's data).
     */
   def parse(bytes: Array[Byte]): Map[String, Tensor] = {
     require(bytes.length >= 8, "truncated safetensors: no header length")
@@ -99,15 +119,32 @@ object Safetensors {
     require(hdrLen > 0 && 8 + hdrLen <= bytes.length,
       s"safetensors header length $hdrLen out of bounds")
     val header = new String(bytes, 8, hdrLen.toInt, "UTF-8")
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(header)
+    val jf = new com.fasterxml.jackson.core.JsonFactory()
+    jf.enable(com.fasterxml.jackson.core.JsonParser.Feature
+      .STRICT_DUPLICATE_DETECTION)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(jf)
+    val root =
+      try mapper.readTree(header)
+      catch {
+        case e: com.fasterxml.jackson.core.JsonProcessingException =>
+          throw new IllegalArgumentException(
+            s"safetensors header is not valid JSON (or has duplicate " +
+              s"tensor names): ${e.getOriginalMessage}")
+      }
+    require(root != null && root.isObject,
+      "safetensors header must be a JSON object")
     val dataStart = 8 + hdrLen.toInt
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Tensor]
+    val extents = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
     val names = root.fieldNames()
     while (names.hasNext) {
       val name = names.next()
       if (name != "__metadata__") {
         val t = root.get(name)
+        require(t != null && t.isObject &&
+            t.hasNonNull("dtype") && t.hasNonNull("shape") &&
+            t.hasNonNull("data_offsets"),
+          s"tensor $name: missing dtype/shape/data_offsets")
         val dtype = t.get("dtype").asText()
         val shape = {
           val it = t.get("shape").elements()
@@ -115,16 +152,26 @@ object Safetensors {
           while (it.hasNext) b += it.next().asLong()
           b.result()
         }
+        require(shape.forall(_ >= 0), s"tensor $name: negative shape dim")
         val off = t.get("data_offsets")
+        require(off.isArray && off.size() == 2,
+          s"tensor $name: data_offsets must be a 2-element array")
         val (b0, b1) = (off.get(0).asLong(), off.get(1).asLong())
-        require(b1 >= b0 && dataStart + b1 <= bytes.length,
+        require(b0 >= 0 && b1 >= b0 && dataStart + b1 <= bytes.length,
           s"tensor $name offsets [$b0,$b1) out of bounds")
         require(b1 - b0 == shape.product * byteWidth(dtype),
           s"tensor $name byte span ${b1 - b0} != shape ${shape.mkString("x")}")
+        extents += ((b0, b1, name))
         val buf = ByteBuffer.wrap(bytes, dataStart + b0.toInt, (b1 - b0).toInt)
           .slice().order(ByteOrder.LITTLE_ENDIAN)
         out(name) = Tensor(dtype, shape, buf.asReadOnlyBuffer())
       }
+    }
+    // disjoint extents: sort by begin, each must end before the next
+    // begins (zero-width tensors are fine anywhere)
+    val nonEmpty = extents.toSeq.filter(e => e._2 > e._1).sortBy(_._1)
+    nonEmpty.zip(nonEmpty.drop(1)).foreach { case ((_, e1, n1), (s2, _, n2)) =>
+      require(e1 <= s2, s"tensors $n1 and $n2 have overlapping data_offsets")
     }
     out.toMap
   }
@@ -155,6 +202,7 @@ object Safetensors {
   def serializeI32(tensors: Seq[(String, (Seq[Long], Array[Int]))]): Array[Byte] = {
     var off = 0L
     val entries = tensors.map { case (name, (shape, vals)) =>
+      requireHeaderSafe(name)
       require(shape.product == vals.length,
         s"tensor $name: shape ${shape.mkString("x")} != ${vals.length} values")
       val b0 = off
@@ -185,6 +233,7 @@ object Safetensors {
   def serializeF64(tensors: Seq[(String, (Seq[Long], Array[Double]))]): Array[Byte] = {
     var off = 0L
     val entries = tensors.map { case (name, (shape, vals)) =>
+      requireHeaderSafe(name)
       require(shape.product == vals.length,
         s"tensor $name: shape ${shape.mkString("x")} != ${vals.length} values")
       val b0 = off

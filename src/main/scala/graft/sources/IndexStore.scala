@@ -261,7 +261,14 @@ object StoreMaintenance {
     * (or just [[openChecked]], which does both under the lock).
     */
   private[sources] def withLock[T](fs: FileSystem, root: Path)(body: => T): T = {
-    mkdirs(fs, root)
+    // maintenance ops do NOT create stores: a vacuum/purge invoked
+    // with a typo'd path must fail loudly, not mkdirs an empty store
+    // root and report a clean no-op (masking the operator error the
+    // old java.nio path surfaced as NoSuchFileException)
+    if (!isDir(fs, root))
+      throw new java.io.FileNotFoundException(
+        s"store root $root does not exist — maintenance ops operate on " +
+          "existing stores only (appends/writes create them)")
     val lf = lockPath(root)
     if (!createExclusive(fs, lf, Seq(
         s"${java.lang.ProcessHandle.current.pid}@${
@@ -524,18 +531,32 @@ object StoreMaintenance {
   /** Listing scoped to the dirs an append declared it touches — the
     * O(touched-dirs) path: a store with millions of files across
     * thousands of partition dirs pays one root probe plus one listing
-    * per TOUCHED dir, never a full-tree walk. Keys match
-    * [[listingByRelKey]] ("." = the root itself for flat layouts).
+    * per TOUCHED dir (plus its leaf dirs, when the declared dir nests
+    * further `col=val` levels — a streamed `bid=N` shard holding
+    * `event_type=` subdirs), never a full-tree walk. Keys match
+    * [[listingByRelKey]] ("." = the root itself for flat layouts;
+    * nested leaves key by their %2F-encoded root-relative path).
     */
   private def listingOfDirs(fs: FileSystem, root: Path,
-                            rels: Seq[String]): Map[String, Set[String]] =
-    rels.distinct.map { rel =>
+                            rels: Seq[String]): Map[String, Set[String]] = {
+    // one listing per dir: partition subdirs and data files come from
+    // the same listStatus array
+    def walk(d: Path): Seq[(String, Set[String])] = {
+      val entries = list(fs, d)
+      val subs = entries.filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith(".") && s.getPath.getName.contains("="))
+      if (subs.isEmpty)
+        Seq(relPath(root, d).replace("/", "%2F") ->
+          entries.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.getName).toSet)
+      else subs.toSeq.flatMap(s => walk(s.getPath))
+    }
+    rels.distinct.flatMap { rel =>
       if (rel == ".")
-        RootRelKey -> dataFiles(fs, root).map(_.getName).toSet
-      else
-        rel.replace("/", "%2F") ->
-          dataFiles(fs, new Path(root, rel)).map(_.getName).toSet
+        Seq(RootRelKey -> dataFiles(fs, root).map(_.getName).toSet)
+      else walk(new Path(root, rel))
     }.toMap
+  }
 
   /** Files that maintenance versions in `vers` moved INTO the live
     * tree (their per-dir `_added` sidecars), keyed like
@@ -619,13 +640,43 @@ object StoreMaintenance {
     val preVers = if (preExisting) versionsOf(fs, root).toSet else Set.empty[Long]
     write
     if (!preExisting) return 0L
-    val after =
-      if (scope.nonEmpty) listingOfDirs(fs, root, scope)
-      else listingByRelKey(fs, root)
+    val (after, beforeAdj) =
+      if (scope.nonEmpty) {
+        // validate the declaration (ADVICE r15): scoped mode trusts the
+        // caller's touched dirs, so a write landing a NEW top-level
+        // partition dir (or new root data files) OUTSIDE the declared
+        // scope would silently vanish from the version's _added record
+        // and readBefore(v) would silently include post-append rows.
+        // One extra root listing (O(dirs), not O(files)) detects both
+        // cases and widens the diff to cover them EXACTLY — a new dir
+        // has no pre-append state, and new root files diff against the
+        // already-fetched rootEntries. The residual (undetectable at
+        // O(dirs)): files landing in an EXISTING undeclared dir.
+        val postRoot = list(fs, root)
+        val preNames = rootEntries.map(_.getPath.getName).toSet
+        val coveredTops = scope.map(_.split('/').head).toSet
+        val newTops = postRoot.filter { s =>
+          val n = s.getPath.getName
+          s.isDirectory && n.contains("=") && !n.startsWith(".") &&
+            !preNames.contains(n) && !coveredTops.contains(n)
+        }.map(_.getPath.getName).toSeq
+        val newRootFiles = !scope.contains(".") && postRoot.exists { s =>
+          val n = s.getPath.getName
+          s.isFile && n.endsWith(".parquet") && !preNames.contains(n)
+        }
+        val extra = newTops ++ (if (newRootFiles) Seq(".") else Nil)
+        val b2 =
+          if (newRootFiles)
+            before + (RootRelKey -> rootEntries.filter(s =>
+              s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .map(_.getPath.getName).toSet)
+          else before
+        (listingOfDirs(fs, root, scope ++ extra), b2)
+      } else (listingByRelKey(fs, root), before)
     // subtract files a concurrent maintenance version swapped in
     val swapped = addedByVersions(fs, root, versionsOf(fs, root).toSet -- preVers)
     val added = after.toSeq.sortBy(_._1).flatMap { case (k, files) =>
-      val a = files -- before.getOrElse(k, Set.empty) -- swapped.getOrElse(k, Set.empty)
+      val a = files -- beforeAdj.getOrElse(k, Set.empty) -- swapped.getOrElse(k, Set.empty)
       if (a.isEmpty) None else Some(k -> a)
     }
     if (added.isEmpty) return 0L

@@ -63,6 +63,27 @@ private[graft] object StoreFs {
     */
   val listings = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Per-thread listing counter backing [[countListings]] — the
+    * maintenance layer lists directories on the calling thread, so a
+    * thread-local delta attributes listings to one store operation
+    * even when parallel suites (or listener-driven store reads) bump
+    * the global counter concurrently.
+    */
+  private val tlListings = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
+  }
+
+  /** Run `body` and return (result, directory listings IT performed on
+    * this thread) — the race-free way to assert the O(touched-dirs)
+    * contract (snapshotting the process-global [[listings]] counter is
+    * flaky under parallel test execution).
+    */
+  def countListings[T](body: => T): (T, Long) = {
+    val start = tlListings.get()
+    val r = body
+    (r, tlListings.get() - start)
+  }
+
   /** List a directory's immediate children; a missing dir lists
     * empty (the `Option(listFiles()).getOrElse(empty)` idiom).
     * Checksum sidecars (`.crc`) are invisible here by construction —
@@ -71,6 +92,7 @@ private[graft] object StoreFs {
     */
   def list(fs: FileSystem, d: Path): Array[FileStatus] = {
     listings.incrementAndGet()
+    tlListings.set(tlListings.get() + 1)
     try fs.listStatus(d)
     catch { case _: java.io.FileNotFoundException => Array.empty }
   }
@@ -142,8 +164,17 @@ private[graft] object StoreFs {
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException
-            if Option(e.getMessage).exists(_.contains("xist")) => false
+        // an RPC-wrapped exists-contention carries the server-side
+        // class name; HDFS lease conflicts (another writer mid-create)
+        // are contention too. Anything else — permission, quota,
+        // missing parent ("Parent path does not exist" also contains
+        // 'xist'!) — is a REAL I/O failure and must propagate, not be
+        // misreported as "store is locked by holder '?'" (whose
+        // runbook is breakLock+recover)
+        case e: org.apache.hadoop.ipc.RemoteException
+            if Option(e.getClassName).exists(c =>
+              c.endsWith("FileAlreadyExistsException") ||
+                c.endsWith("AlreadyBeingCreatedException")) => false
       }
     }
 

@@ -117,14 +117,18 @@ class Round15Spec extends SparkSpec {
     // 64-partition store: a full-tree diff pays ~65 listings twice
     (0 until 640).map(i => (i.toLong, i % 64)).toDF("id", "c")
       .write.partitionBy("c").parquet(root)
-    val before = StoreFs.listings.get()
-    val v = SM.versionedAppend(root, Seq("c=7")) {
-      Seq((9000L, 7)).toDF("id", "c")
-        .write.mode("append").partitionBy("c").parquet(root)
+    // thread-local delta (ADVICE r15): the process-global counter is
+    // bumped by any concurrent suite; countListings attributes the
+    // listings to THIS append alone, so the bound is race-free
+    val (v, listed) = StoreFs.countListings {
+      SM.versionedAppend(root, Seq("c=7")) {
+        Seq((9000L, 7)).toDF("id", "c")
+          .write.mode("append").partitionBy("c").parquet(root)
+      }
     }
-    val listed = StoreFs.listings.get() - before
     assert(v > 0, "append must record a version")
-    // root probe + scoped before/after + versionsOf + the staged
+    // root probe + scoped before/after (leaf-walking) + the r16
+    // declaration-validation root listing + versionsOf + the staged
     // record: a small constant, NOT ~2x65 for the full-tree diff
     assert(listed <= 12, s"scoped append listed $listed dirs (expected O(touched))")
     // and the record is exact: readBefore(v) excludes the appended row
