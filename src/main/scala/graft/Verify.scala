@@ -15,7 +15,7 @@ object Verify {
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    graft.sources.StoreFs.mkdirs(outDir)
     // the reliable-checkpoint strategy needs a checkpoint dir — a
     // SIBLING of outDir, not inside it (the result checker treats
     // every outDir child as a query dump)
@@ -54,13 +54,13 @@ object Verify {
     // Spark never auto-deletes reliable checkpoints, and the v_*_store
     // gates leave per-applicationId index dirs under target/ — clean
     // both so repeated verify runs don't accumulate disk
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete()
-    }
-    rmTree(new java.io.File(s"$outDir.ckpt"))
-    Option(new java.io.File("target").listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("[a-z0-9_]+_store_.*"))
-      .foreach(rmTree)
+    import graft.sources.StoreFs
+    StoreFs.delete(StoreFs.fsOf(StoreFs.qualified(s"$outDir.ckpt")),
+      StoreFs.qualified(s"$outDir.ckpt"))
+    val t = StoreFs.qualified("target")
+    StoreFs.list(StoreFs.fsOf(t), t)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.matches("[a-z0-9_]+_store_.*"))
+      .foreach(s => StoreFs.delete(StoreFs.fsOf(t), s.getPath))
   }
 }

@@ -343,7 +343,7 @@ object BatchInference {
     // stage 4: persist index + metadata sidecar (faiss.write_index +
     // metadata.pkl, build_faiss_db.py:218-226)
     val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/${tag}_$app/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/${tag}_$app/idx")
     IndexStore.write(embedded, "crop_id", "embedding", path, dim)
     IndexStore.writeMetadata(embedded.select(col("crop_id"), col("label")), path)
     (embedded, path)
@@ -521,7 +521,7 @@ object BatchInference {
       .transform(graft.Materialize.forceCached)
     // stages 4-6: persist, best-crop query, exact top-5, label vote
     val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/m_pipeline_decode_$app/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/m_pipeline_decode_$app/idx")
     IndexStore.write(embedded, "crop_id", "embedding", path, dim)
     IndexStore.writeMetadata(embedded.select(col("crop_id"), col("label")), path)
     val hits = IndexStore.search(IndexStore.read(spark, path),
@@ -582,7 +582,7 @@ object BatchInference {
     // trained model is just a different sidecar (the state_dict
     // contract; build_faiss_db.py:111's pretrained load, minus torch)
     val app0 = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val wpath = new java.io.File(s"target/m_pipeline_real_$app0/weights").getAbsolutePath
+    val wpath = graft.sources.StoreFs.workPath(s"target/m_pipeline_real_$app0/weights")
     ConvNet.saveParams(spark, ConvNet.defaultParams, wpath)
     val params = ConvNet.loadParams(spark, wpath)
     val embedded = embedStageArrow(crops, "payload",
@@ -591,7 +591,7 @@ object BatchInference {
       .transform(graft.Materialize.forceCached)
     // stages 5-7: persist, best-crop query, exact top-5, label vote
     val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/m_pipeline_real_$app/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/m_pipeline_real_$app/idx")
     IndexStore.write(embedded, "crop_id", "embedding", path, ConvNet.Dim)
     IndexStore.writeMetadata(embedded.select(col("crop_id"), col("label")), path)
     val hits = IndexStore.search(IndexStore.read(spark, path),

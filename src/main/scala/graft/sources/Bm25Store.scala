@@ -715,9 +715,9 @@ object Bm25StoreQueries {
     * oracle gate, not just the exchange-budget spec.
     */
   def vBm25Store(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      s"target/bm25_store_${tag(spark, dir)}/idx").getAbsolutePath
-    if (!new java.io.File(path).exists()) {
+    val path = StoreFs.workPath(
+      s"target/bm25_store_${tag(spark, dir)}/idx")
+    if (!StoreFs.exists(path)) {
       val d = docs(spark, dir)
       Bm25Store.write(d.filter(col("doc_id") % 2 === 0), path,
         dlBuckets = Some(4))
@@ -738,9 +738,9 @@ object Bm25StoreQueries {
     * stats delta that was off by one token would shift every score).
     */
   def vBm25Purge(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      s"target/bm25purge_store_${tag(spark, dir)}/idx").getAbsolutePath
-    if (!new java.io.File(path).exists()) {
+    val path = StoreFs.workPath(
+      s"target/bm25purge_store_${tag(spark, dir)}/idx")
+    if (!StoreFs.exists(path)) {
       Bm25Store.write(docs(spark, dir), path)
       Bm25Store.purge(spark, path, Seq(3L, 4L))
     }
@@ -762,9 +762,9 @@ object Bm25StoreQueries {
     * table-state travel the vector stores got in r14.
     */
   def qSnapshotBm25(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      s"target/bm25snap_store_${tag(spark, dir)}/idx").getAbsolutePath
-    if (!new java.io.File(path).exists()) {
+    val path = StoreFs.workPath(
+      s"target/bm25snap_store_${tag(spark, dir)}/idx")
+    if (!StoreFs.exists(path)) {
       val d = docs(spark, dir)
       Bm25Store.write(d.filter(col("doc_id") % 2 === 0), path)
       Bm25Store.append(d.filter(col("doc_id") % 2 === 1), path)
@@ -785,9 +785,9 @@ object Bm25StoreQueries {
     * is exactly why the filter is PER QUERY, not a global predicate.
     */
   def vBm25Filtered(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      s"target/bm25filt_store_${tag(spark, dir)}/idx").getAbsolutePath
-    if (!new java.io.File(path).exists())
+    val path = StoreFs.workPath(
+      s"target/bm25filt_store_${tag(spark, dir)}/idx")
+    if (!StoreFs.exists(path))
       Bm25Store.write(
         Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("lang")),
         path, metaCols = Seq("lang"))
@@ -808,9 +808,9 @@ object Bm25StoreQueries {
     * hash-proven — a tf-only store cannot answer this query class.
     */
   def vBm25Phrase(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      s"target/bm25phrase_store_${tag(spark, dir)}/idx").getAbsolutePath
-    if (!new java.io.File(path).exists())
+    val path = StoreFs.workPath(
+      s"target/bm25phrase_store_${tag(spark, dir)}/idx")
+    if (!StoreFs.exists(path))
       Bm25Store.write(docs(spark, dir), path)
     val queries = docs(spark, dir).filter(col("doc_id") < 3)
       .select(col("doc_id").as("q_id"),
@@ -834,9 +834,9 @@ object Bm25StoreQueries {
   val NearSlop = 3
 
   def vBm25Near(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      s"target/bm25near_store_${tag(spark, dir)}/idx").getAbsolutePath
-    if (!new java.io.File(path).exists())
+    val path = StoreFs.workPath(
+      s"target/bm25near_store_${tag(spark, dir)}/idx")
+    if (!StoreFs.exists(path))
       Bm25Store.write(docs(spark, dir), path)
     val queries = docs(spark, dir).filter(col("doc_id") < 3)
       .select(col("doc_id").as("q_id"),
@@ -864,9 +864,9 @@ object Bm25StoreQueries {
   val Near3Slop = 2
 
   def vBm25Near3(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      s"target/bm25near_store_${tag(spark, dir)}/idx").getAbsolutePath
-    if (!new java.io.File(path).exists())
+    val path = StoreFs.workPath(
+      s"target/bm25near_store_${tag(spark, dir)}/idx")
+    if (!StoreFs.exists(path))
       Bm25Store.write(docs(spark, dir), path)
     // ≥3-token query docs only, so every gate query exercises the
     // full-width chain (and the oracle's arr[3] never goes NULL)
@@ -891,9 +891,9 @@ object Bm25StoreQueries {
     * proximity class cannot drift.
     */
   def vSqlStoreNear(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      s"target/sqlnear_store_${tag(spark, dir)}/idx").getAbsolutePath
-    if (!new java.io.File(path).exists())
+    val path = StoreFs.workPath(
+      s"target/sqlnear_store_${tag(spark, dir)}/idx")
+    if (!StoreFs.exists(path))
       Bm25Store.write(docs(spark, dir), path)
     graft.GraftSession.sqlStore(spark, path, "bm25near")
     docs(spark, dir).createOrReplaceTempView("graft_sql_docs_bm25near")
@@ -939,9 +939,9 @@ object Bm25StoreQueries {
     * SQL and engine surfaces of the positional tier cannot drift.
     */
   def vSqlStorePhrase(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      s"target/sqlphrase_store_${tag(spark, dir)}/idx").getAbsolutePath
-    if (!new java.io.File(path).exists())
+    val path = StoreFs.workPath(
+      s"target/sqlphrase_store_${tag(spark, dir)}/idx")
+    if (!StoreFs.exists(path))
       Bm25Store.write(docs(spark, dir), path)
     graft.GraftSession.sqlStore(spark, path, "bm25pos")
     docs(spark, dir).createOrReplaceTempView("graft_sql_docs_bm25pos")
@@ -984,9 +984,9 @@ object Bm25StoreQueries {
     * engine leg, so the two surfaces cannot drift.
     */
   def vSqlStoreBm25(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      s"target/sqlbm25_store_${tag(spark, dir)}/idx").getAbsolutePath
-    if (!new java.io.File(path).exists())
+    val path = StoreFs.workPath(
+      s"target/sqlbm25_store_${tag(spark, dir)}/idx")
+    if (!StoreFs.exists(path))
       Bm25Store.write(docs(spark, dir), path)
     graft.GraftSession.sqlStore(spark, path, "bm25")
     spark.read.parquet(path + ".dl").createOrReplaceTempView("graft_store_bm25_dl")

@@ -46,7 +46,7 @@ object Formats {
     spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
 
   private def tmpDir(spark: SparkSession, fmt: String): String =
-    new java.io.File(s"target/roundtrip_${fmt}_${runTag(spark)}").getAbsolutePath
+    StoreFs.workPath(s"target/roundtrip_${fmt}_${runTag(spark)}")
 
   def srcCsv(spark: SparkSession, dir: String): DataFrame = {
     val out = tmpDir(spark, "csv")
@@ -94,20 +94,26 @@ object Formats {
     // session (parallel query execution, or a re-run racing a lazy
     // binaryFile listing from a prior DataFrame) must never observe a
     // partially-deleted/rewritten fixture — phantom or missing rows
-    val parent = new java.io.File("target").getAbsoluteFile
-    parent.mkdirs()
-    val root = java.nio.file.Files.createTempDirectory(
-      parent.toPath, s"binsrc_${runTag(spark)}_").toFile
+    // fixture lands through the FS seam (a cluster session writes it
+    // to fs.defaultFS, where binaryFile's executors can read it); the
+    // nanoTime suffix keeps each invocation's subdirectory fresh
+    val rootPath = StoreFs.qualified(
+      s"target/binsrc_${runTag(spark)}_${System.nanoTime()}")
+    val fs = StoreFs.fsOf(rootPath)
+    StoreFs.mkdirs(fs, rootPath)
     Tables.documents(spark, dir)
       .select("doc_id", "text").filter(col("doc_id") < BinaryFixtureDocs)
       .collect().foreach { r =>
-        java.nio.file.Files.write(
-          new java.io.File(root, f"doc_${r.getLong(0)}%05d.bin").toPath,
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(rootPath, f"doc_${r.getLong(0)}%05d.bin"),
+          true)
+        try out.write(
           r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
       }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin") // pruned at listing, not scan
-      .load(root.getAbsolutePath)
+      .load(rootPath.toString)
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
         col("length"),
@@ -238,12 +244,9 @@ object Formats {
     // orphan location
     Seq(ordersT, lineitemT).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (loc.isDirectory) {
-        loc.listFiles().foreach(_.delete())
-        loc.delete()
-      }
+      val loc = StoreFs.qualified(
+        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + s"/$t")
+      StoreFs.delete(StoreFs.fsOf(loc), loc)
     }
     Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")

@@ -403,16 +403,30 @@ object StoreMaintenance {
   private def vacuumedFile(root: Path) =
     new Path(root, s"$RetiredDirName/_vacuumed")
 
-  private def readVacuumed(fs: FileSystem, root: Path): Set[Long] =
-    if (isFile(fs, vacuumedFile(root)))
-      readLines(fs, vacuumedFile(root))
-        .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
-    else Set.empty
+  private def readVacuumed(fs: FileSystem, root: Path): Set[Long] = {
+    // per-version marker files (r16) — each tombstone is ONE atomic
+    // create, so a crash can never lose previously-recorded tombstones
+    // (the old single-file rewrite had a truncate-then-write window: a
+    // crash mid-rewrite erased EVERY tombstone, and a vacuumed version
+    // then read as allocated-never-committed — readBefore would
+    // silently serve a post-op state instead of failing closed)
+    val markers = list(fs, new Path(root, RetiredDirName))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_vacuumed_v"))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("_vacuumed_v").toLong).toOption)
+      .toSet
+    // legacy single-file tombstones (pre-r16 stores) still count
+    val legacy =
+      if (isFile(fs, vacuumedFile(root)))
+        readLines(fs, vacuumedFile(root))
+          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+      else Set.empty[Long]
+    markers ++ legacy
+  }
 
   private def recordVacuumed(fs: FileSystem, root: Path, versions: Seq[Long]): Unit =
-    if (versions.nonEmpty) {
-      val all = (readVacuumed(fs, root) ++ versions).toSeq.sorted
-      writeLines(fs, vacuumedFile(root), all.map(_.toString))
+    versions.foreach { w =>
+      writeLines(fs, new Path(root, s"$RetiredDirName/_vacuumed_v$w"), Seq(""))
     }
 
   /** Version-allocation lock — separate from (and much smaller than)
@@ -461,7 +475,13 @@ object StoreMaintenance {
             scala.util.Try(readLines(fs, vf).head.toLong).toOption
           else None
         }
-      val v = (fromRetired ++ fromTmps :+ readHwm(fs, root)).foldLeft(0L)(math.max) + 1
+      // vacuumed tombstones also floor the allocation: the hwm file is
+      // a truncate-rewrite, so a crash mid-persist can tear it to
+      // unreadable (readHwm → 0) — without this, a store whose
+      // snapshots were ALL vacuumed could reissue a vacuumed version
+      // number and corrupt the fail-closed readBefore contract
+      val v = (fromRetired ++ fromTmps ++ readVacuumed(fs, root)
+        :+ readHwm(fs, root)).foldLeft(0L)(math.max) + 1
       mkdirs(fs, new Path(root, RetiredDirName))
       writeLines(fs, hwmFile(root), Seq(v.toString))
       v
@@ -724,12 +744,15 @@ object StoreMaintenance {
     * for index-store appends (versioned since r14 via
     * [[versionedAppend]] — an append version drops its `_added` files
     * and restores nothing), so this is full table-state travel. The
-    * residual caveats: a pre-r14 append, an append whose version
-    * record was lost to a crash (versionedAppend's documented window),
-    * and appends to the additive shard stores that deliberately stay
-    * unversioned (rate/kmv/bloom/bitmap/span — their serving
-    * reads are re-aggregations over shards, where "before shard N"
-    * has no single-table meaning) are included in every snapshot.
+    * residual caveats: a pre-r14 append and an append whose version
+    * record was lost to a crash (versionedAppend's documented window)
+    * are included in every snapshot. The additive shard stores
+    * (rate/kmv/bloom/bitmap/span) version their streamed appends too
+    * since r16 — their serving reads are re-aggregations over shards,
+    * so "before wave N" means "the aggregate the store served before
+    * wave N landed", reconstructed by [[readBeforeWithPartitions]]
+    * (their layouts carry partition columns, which the flat file-list
+    * read here drops).
     * Assumes a SETTLED store: after an unclean shutdown run
     * [[recover]] (or [[openChecked]]) first, as any reader must — an
     * unfinished committed swap's rows live in its temp dir, which this
@@ -739,18 +762,48 @@ object StoreMaintenance {
     * keys rows by id, which is what an audit read joins on). Fails
     * when [[vacuum]] already reclaimed a needed snapshot.
     */
-  def readBefore(spark: SparkSession, path: String, version: Long): DataFrame = {
+  def readBefore(spark: SparkSession, path: String, version: Long): DataFrame =
+    spark.read.parquet(snapshotFiles(path, version, forbidRetired = false): _*)
+
+  /** Snapshot read that RE-ATTACHES `col=val` partition columns —
+    * legal only when the reconstruction touches NO retired files (a
+    * pure APPEND lineage at and past `version`): every snapshot file
+    * is then still live at its original partition path, so Spark's
+    * basePath discovery re-derives the partition columns the flat
+    * [[readBefore]] cannot. The additive shard stores (rate / kmv /
+    * bloom / bitmap / span — the r15 time-travel exclusion, closed
+    * r16) are exactly this shape: versioned appends, no rewriting
+    * maintenance, partition-column-carrying layouts. Fails loudly
+    * when any replayed version carries retired files — use
+    * [[readBefore]] there.
+    */
+  def readBeforeWithPartitions(spark: SparkSession, path: String,
+                               version: Long): DataFrame =
+    spark.read.option("basePath", StoreFs.qualified(path).toString)
+      .parquet(snapshotFiles(path, version, forbidRetired = true): _*)
+
+  /** The lineage reconstruction both snapshot readers share: live
+    * files per rel-dir key, then versions ≥ `version` newest-first,
+    * undoing each op (drop its `_added` files, restore its retired
+    * files).
+    *
+    * Fails CLOSED on a reclaimed lineage: a TOMBSTONED version at or
+    * past the requested point fails the read even if its snapshot dir
+    * still exists — the tombstone lands BEFORE the reclaim delete, so
+    * a dir surviving its own tombstone is the vacuum crash window,
+    * possibly HALF-deleted, and reconstructing from it would silently
+    * restore a partial pre-op state (r16, FaultFs-staged). Keying off
+    * the tombstones alone (not the hwm range) also survives a torn
+    * `_hwm` rewrite. A version number missing WITHOUT a tombstone was
+    * allocated and never committed (recover() discarded its temp
+    * dir) — nothing landed under it, so it cannot block the read.
+    */
+  private def snapshotFiles(path: String, version: Long,
+                            forbidRetired: Boolean): Seq[String] = {
     val root = StoreFs.qualified(path)
     val fs = StoreFs.fsOf(root)
-    // fail CLOSED on a reclaimed lineage: every maintenance version in
-    // [version, hwm] must still have its snapshot on disk, or the
-    // reconstruction would silently serve a post-op state. A version
-    // number that is missing but NOT tombstoned in `.retired/_vacuumed`
-    // was allocated and never committed (recover() discarded its temp
-    // dir) — nothing landed under it, so it cannot block the read
-    val present = versionsOf(fs, root).toSet
-    val vacuumed = (math.max(version, 1L) to readHwm(fs, root))
-      .filterNot(present).filter(readVacuumed(fs, root))
+    val vacuumed = readVacuumed(fs, root).filter(_ >= math.max(version, 1L))
+      .toSeq.sorted
     require(vacuumed.isEmpty,
       s"snapshot(s) v${vacuumed.mkString(",v")} already vacuumed under $path — " +
         s"read-before-v$version is no longer reconstructible")
@@ -774,20 +827,25 @@ object StoreMaintenance {
           !s.getPath.getName.startsWith("_")))
         .foreach { rs =>
           val rdir = rs.getPath
+          val retired = dataFiles(fs, rdir)
+          require(!forbidRetired || retired.isEmpty,
+            s"version v$w under $path retired data files — a " +
+              "partition-attached snapshot read needs a pure append " +
+              "lineage; use readBefore")
           val addedF = new Path(rdir, "_added")
           val added: Set[String] =
             if (isFile(fs, addedF)) readLines(fs, addedF).toSet
             else Set.empty
           val cur = live.getOrElse(rdir.getName, Set.empty[Path])
           live(rdir.getName) =
-            cur.filterNot(f => added.contains(f.getName)) ++ dataFiles(fs, rdir)
+            cur.filterNot(f => added.contains(f.getName)) ++ retired
         }
     }
     val files = live.values.flatten.map(_.toString).toSeq.sorted
     require(files.nonEmpty,
       s"no snapshot files for read-before-v$version under $path " +
         "(vacuumed past the horizon?)")
-    spark.read.parquet(files: _*)
+    files
   }
 
   /** Recursive delete of a store artifact by path (missing = no-op). */
@@ -911,12 +969,24 @@ object StoreMaintenance {
     val stage = new Path(root, StageDirName)
     delete(fs, stage) // pre-commit rewrite crash leftover (missing = no-op)
     // a crashed versionedAppend record leaves a staged `.v<N>.tmp`
-    // under .retired — never committed (the atomic rename is the
-    // commit point), so discard; the append's data stands, unversioned
+    // under .retired — never committed (the rename is the commit
+    // point), so discard; the append's data stands, unversioned.
+    // Object-store hardening (r16): on a copy+delete rename (S3A), a
+    // crash mid-rename leaves the staged src AND a possibly-PARTIAL
+    // `v<N>` dst — a committed-looking record that cannot be trusted
+    // (its _added manifests may be missing, and readBefore(N) would
+    // silently include post-append rows). The src surviving IS the
+    // tell (an atomic rename never leaves both): drop the dst too,
+    // settling to the same documented outcome — append unversioned.
     list(fs, new Path(root, RetiredDirName))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".v") &&
         s.getPath.getName.endsWith(".tmp"))
-      .foreach(s => delete(fs, s.getPath))
+      .foreach { s =>
+        val committed = new Path(root,
+          s"$RetiredDirName/${s.getPath.getName.stripPrefix(".").stripSuffix(".tmp")}")
+        if (isDir(fs, committed)) delete(fs, committed)
+        delete(fs, s.getPath)
+      }
     // a crashed allocator's stale version lock (recover's runbook
     // precondition — no live maintainer/appender — makes this safe)
     delete(fs, versionLockPath(root))
@@ -1023,6 +1093,15 @@ object StoreMaintenance {
     * relies on a sorted data column (compact's recluster rule);
     * otherwise the rewrite keeps the dir's file count. Returns
     * (partitions rewritten, rows removed).
+    *
+    * Crash contract (FaultFs-staged, r16): each dir's swap is atomic,
+    * but the pass over hit dirs is sequential — a crash mid-pass
+    * leaves a PREFIX of dirs purged (never a torn dir, never
+    * duplication). recover() settles the in-flight dir and a re-run
+    * purges the rest; all swapped dirs share ONE version, so
+    * readBefore(v) replays the full pre-purge state of everything
+    * that did swap. Ops needing all-or-nothing semantics across dirs
+    * use [[rewriteLayout]]'s group commit instead.
     */
   def purge(spark: SparkSession, path: String, idCol: String, ids: Seq[Any],
             recluster: Option[String] = None): (Int, Long) = {

@@ -108,6 +108,22 @@ private[graft] object StoreFs {
     fsOf(p).exists(p)
   }
 
+  /** Absolutize a HARNESS work path (build-once gate caches, streamed
+    * store roots, fixture dirs) against the active filesystem — the
+    * qualified URI string. Replaces `new java.io.File(p)
+    * .getAbsolutePath` in the gate harness: on a local session this
+    * resolves to the same target/ directory (file: scheme), on a
+    * cluster session the caches land on fs.defaultFS instead of
+    * silently binding to the driver's local disk.
+    */
+  def workPath(path: String): String = qualified(path).toString
+
+  /** mkdirs by path string (harness out-dirs). */
+  def mkdirs(path: String): Boolean = {
+    val p = qualified(path)
+    fsOf(p).mkdirs(p)
+  }
+
   def isFile(fs: FileSystem, p: Path): Boolean =
     try fs.getFileStatus(p).isFile
     catch { case _: java.io.FileNotFoundException => false }
