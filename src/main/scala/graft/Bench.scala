@@ -118,8 +118,43 @@ object Bench {
       s"""{"cpu":[${cpu.mkString(",")}],"scan":[${scan.mkString(",")}],""" +
         s""""cpu_min":${cpu.min},"scan_min":${scan.min},"reps":$reps}"""
     }
+    // ---- calibration CONSUMER (r16 — the reader the r15 probe series
+    // was built for): shared-query ratio vs the PREVIOUS committed
+    // bench.json (last round's close), raw AND probe-normalized. The
+    // r13–r15 ambient band (0.89x/1.27x/1.04x on untouched queries)
+    // is machine drift, not engine drift; dividing the raw ratio by
+    // the cpu/scan probe ratios (this run's min over the prev run's
+    // min) removes the machine from the comparison. Read BEFORE the
+    // overwrite below; silently omitted when no comparable prev
+    // exists (different SF, first run, unparseable).
+    val vsPrev: String = scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench.json")), "UTF-8")
+      require(txt.contains("\"sf\":\"" + sfDir + "\""),
+        "previous bench ran at a different SF")
+      def num(key: String): Double =
+        ("\"" + key + "\":([0-9.]+)").r.findFirstMatchIn(txt).get.group(1).toDouble
+      val qblock = txt.substring(txt.indexOf("\"queries\":{") + 10)
+      val prev = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
+        .findAllMatchIn(qblock.substring(0, qblock.indexOf('}') + 1))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val cur = results.toMap
+      val shared = prev.keySet.intersect(cur.keySet).toSeq
+      require(shared.size >= 10, "too few shared queries to compare")
+      val (sumPrev, sumCur) = (shared.map(prev).sum, shared.map(cur).sum)
+      val med = shared.map(q => cur(q) / prev(q)).sorted.apply(shared.size / 2)
+      val raw = sumCur / sumPrev
+      val fCpu = calibs.map(_._1).min / num("cpu_min")
+      val fScan = calibs.map(_._2).min / num("scan_min")
+      s""""vs_prev":{"shared":${shared.size},"prev_sec":${rounded(sumPrev)},""" +
+        s""""cur_sec":${rounded(sumCur)},"ratio_raw":${rounded(raw)},""" +
+        s""""median_raw":${rounded(med)},"cpu_factor":${rounded(fCpu)},""" +
+        s""""scan_factor":${rounded(fScan)},""" +
+        s""""ratio_cpu_norm":${rounded(raw / fCpu)},""" +
+        s""""ratio_scan_norm":${rounded(raw / fScan)}},"""
+    }.getOrElse("")
     def line(extra: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec",$extra"calibration":$calJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$extra$vsPrev"calibration":$calJson,"queries":$qs,"sf":"$sfDir"}"""
     // The full per-query line is ~2.5KB — r5 and r6 both recorded
     // parsed:null because the driver's stdout tail window clips it. So:
     // full line goes FIRST on stdout (and, canonically, to bench.json);

@@ -5176,18 +5176,37 @@ object Oracles {
                    ORDER BY sim DESC, neighbor_id) AS rnk
                FROM hex_s) t WHERE rnk <= 5)"""
 
+  /** The tuned-α derivation, replayed (Knn.tunedAlphaOf): max
+    * per-query preservation threshold 1/(1+nv₅) over the vec leg's
+    * rank-5 normalized scores, then the smallest AlphaGrid point at
+    * least one grid step (0.05) above it. Expects a `vn` CTE carrying
+    * (query_id, rnk, nv). Every grid literal is CAST to DOUBLE so the
+    * comparison and the convex arithmetic run in the engine's IEEE
+    * doubles, not DuckDB DECIMALs.
+    */
+  private def alphaGridSql: String =
+    graft.operators.Knn.AlphaGrid.mkString("[", ",", "]")
+
+  private def tunedAlphaCte: String = s"""
+      thrq AS (SELECT MAX(1.0 / (1.0 + nv)) AS tmax FROM vn WHERE rnk = 5),
+      agsel AS (SELECT COALESCE(MIN(ga),
+                    CAST(${graft.operators.Knn.AlphaGrid.last} AS DOUBLE))
+                  AS alpha
+                FROM (SELECT CAST(x AS DOUBLE) AS ga
+                      FROM unnest($alphaGridSql) AS g(x)) gg
+                CROSS JOIN thrq
+                WHERE ga >= tmax + CAST(0.05 AS DOUBLE))"""
+
   /** v_hybrid_weighted's oracle: both legs + truth from
     * [[hybridLegsCte]], then the SCORE-AWARE fusion arithmetic
     * replayed exactly — per-leg min-max over each query's top-10
     * (window min/max over the leg's round-6 scores, degenerate range
-    * → 1.0), convex combination with the ENGINE'S OWN double
-    * literals interpolated (1.0 − 0.8 is 0.19999999999999996 in IEEE
-    * double; writing 0.2 here would be a different number), round 6,
-    * top-5 by (fused DESC, doc_id ASC), recall@5 per leg and fused.
+    * → 1.0), the TUNED-α derivation ([[tunedAlphaCte]] — r16: the
+    * weight is data-derived, no longer an interpolated constant),
+    * convex combination, round 6, top-5 by (fused DESC, doc_id ASC),
+    * recall@5 per leg and fused.
     */
   private def hybridWeightedSql: String = {
-    val a = graft.operators.Knn.HybridAlpha
-    val b = 1.0 - graft.operators.Knn.HybridAlpha
     s"""
       WITH $hybridLegsCte,
       vn AS (SELECT query_id, neighbor_id, rnk,
@@ -5204,10 +5223,12 @@ object Oracles {
                      MAX(bs.score) OVER (PARTITION BY b2.q_id) AS mx
                    FROM b10 b2 JOIN bs ON bs.q_id = b2.q_id
                      AND bs.doc_id = b2.doc_id) t),
+      $tunedAlphaCte,
       fusedw AS (SELECT COALESCE(v.query_id, l.q_id) AS query_id,
                    COALESCE(v.neighbor_id, l.doc_id) AS doc_id,
-                   ROUND($a * COALESCE(v.nv, 0.0)
-                       + $b * COALESCE(l.nl, 0.0), 6) AS f
+                   ROUND((SELECT alpha FROM agsel) * COALESCE(v.nv, 0.0)
+                       + (1.0 - (SELECT alpha FROM agsel))
+                         * COALESCE(l.nl, 0.0), 6) AS f
                  FROM vn v FULL OUTER JOIN lnn l
                    ON v.query_id = l.q_id AND v.neighbor_id = l.doc_id),
       ftop AS (SELECT query_id, doc_id FROM (
@@ -5234,6 +5255,58 @@ object Oracles {
       JOIN rf ON rf.query_id = rv.query_id
       ORDER BY rv.query_id"""
   }
+
+  /** v_hybrid_curve's oracle: the full tuning curve — fused recall@5
+    * at 0.5 plus every AlphaGrid point, with the chosen-point rule
+    * ([[tunedAlphaCte]]) replayed so the tuning job itself is
+    * hash-gated. Same legs and truth as v_hybrid_weighted.
+    */
+  private def hybridCurveSql: String = s"""
+      WITH $hybridLegsCte,
+      vn AS (SELECT query_id, neighbor_id, rnk,
+               CASE WHEN mx = mn THEN 1.0 ELSE (sim - mn) / (mx - mn) END AS nv
+             FROM (SELECT v.query_id, v.neighbor_id, v.rnk, hs.sim,
+                     MIN(hs.sim) OVER (PARTITION BY v.query_id) AS mn,
+                     MAX(hs.sim) OVER (PARTITION BY v.query_id) AS mx
+                   FROM v10 v JOIN hs ON hs.query_id = v.query_id
+                     AND hs.neighbor_id = v.neighbor_id) t),
+      lnn AS (SELECT q_id, doc_id, rnk,
+               CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END AS nl
+             FROM (SELECT b2.q_id, b2.doc_id, b2.rnk, bs.score,
+                     MIN(bs.score) OVER (PARTITION BY b2.q_id) AS mn,
+                     MAX(bs.score) OVER (PARTITION BY b2.q_id) AS mx
+                   FROM b10 b2 JOIN bs ON bs.q_id = b2.q_id
+                     AND bs.doc_id = b2.doc_id) t),
+      $tunedAlphaCte,
+      cgrid AS (SELECT CAST(x AS DOUBLE) AS a
+                FROM unnest([0.5,${graft.operators.Knn.AlphaGrid.mkString(",")}])
+                  AS g(x)),
+      cpairs AS (SELECT COALESCE(v.query_id, l.q_id) AS query_id,
+                   COALESCE(v.neighbor_id, l.doc_id) AS doc_id,
+                   COALESCE(v.nv, 0.0) AS nv, COALESCE(l.nl, 0.0) AS nl
+                 FROM vn v FULL OUTER JOIN lnn l
+                   ON v.query_id = l.q_id AND v.neighbor_id = l.doc_id),
+      cf AS (SELECT g.a, query_id, doc_id,
+               ROUND(g.a * nv + (1.0 - g.a) * nl, 6) AS f
+             FROM cgrid g CROSS JOIN cpairs),
+      cft AS (SELECT a, query_id, doc_id FROM (
+               SELECT a, query_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY a, query_id
+                   ORDER BY f DESC, doc_id ASC) AS rnk
+               FROM cf) t WHERE rnk <= 5),
+      crc AS (SELECT ge.a,
+                ROUND(COUNT(m.doc_id)
+                  / CAST(${3 * graft.operators.Knn.DefaultK} AS DOUBLE), 6)
+                  AS recall_fused
+              FROM (SELECT g.a, e.query_id, e.neighbor_id
+                    FROM cgrid g CROSS JOIN hex5 e) ge
+              LEFT JOIN cft m ON m.a = ge.a AND m.query_id = ge.query_id
+                AND m.doc_id = ge.neighbor_id
+              GROUP BY ge.a)
+      SELECT crc.a AS alpha, recall_fused,
+        CAST(CASE WHEN crc.a = (SELECT alpha FROM agsel) THEN 1 ELSE 0 END
+          AS BIGINT) AS chosen
+      FROM crc ORDER BY alpha"""
 
   private def hybridRecallSql: String = {
     import graft.operators.Knn.NdFamilies
@@ -5589,8 +5662,6 @@ object Oracles {
       // the min-max + convex arithmetic, with the engine's exact IEEE
       // double literals interpolated
       "v_hybrid_weighted_store" -> {
-        val a = graft.operators.Knn.HybridAlpha
-        val b = 1.0 - graft.operators.Knn.HybridAlpha
         s"""
       WITH $knnCte,
       v10 AS (SELECT query_id, neighbor_id, sim, rnk FROM r
@@ -5620,9 +5691,9 @@ object Oracles {
                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                     ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
                 FROM bs) t WHERE rnk <= 10),
-      vn AS (SELECT query_id, neighbor_id,
+      vn AS (SELECT query_id, neighbor_id, rnk,
                CASE WHEN mx = mn THEN 1.0 ELSE (sim - mn) / (mx - mn) END AS nv
-             FROM (SELECT query_id, neighbor_id, sim,
+             FROM (SELECT query_id, neighbor_id, rnk, sim,
                      MIN(sim) OVER (PARTITION BY query_id) AS mn,
                      MAX(sim) OVER (PARTITION BY query_id) AS mx
                    FROM v10) t),
@@ -5632,10 +5703,12 @@ object Oracles {
                      MIN(score) OVER (PARTITION BY q_id) AS mn,
                      MAX(score) OVER (PARTITION BY q_id) AS mx
                    FROM b10) t),
+      $tunedAlphaCte,
       fusedw AS (SELECT COALESCE(v.query_id, l.q_id) AS query_id,
                    COALESCE(v.neighbor_id, l.doc_id) AS doc_id,
-                   ROUND($a * COALESCE(v.nv, 0.0)
-                       + $b * COALESCE(l.nl, 0.0), 6) AS fused
+                   ROUND((SELECT alpha FROM agsel) * COALESCE(v.nv, 0.0)
+                       + (1.0 - (SELECT alpha FROM agsel))
+                         * COALESCE(l.nl, 0.0), 6) AS fused
                  FROM vn v FULL OUTER JOIN lnn l
                    ON v.query_id = l.q_id AND v.neighbor_id = l.doc_id),
       fr AS (SELECT query_id, doc_id, fused,
@@ -5784,8 +5857,106 @@ object Oracles {
     )
   }
 
+  val round16: Map[String, String] = Map(
+    // the fusion tuning curve: fused recall at every candidate α plus
+    // the chosen-point rule, fully replayed — the artifact that shows
+    // WHERE the preservation threshold sits (closes the r15 "α is a
+    // compiled-in constant" residual together with the store sidecar)
+    "v_hybrid_curve" -> clustered(hybridCurveSql),
+
+    // the CLOSED drift loop: the streaming maintainer's own
+    // policy-triggered retrain must land the store on EXACTLY the
+    // state the manual remediation gate reaches — same oracle, same
+    // hash (recall on the appended cohort restored by the store's own
+    // search, not a simulation's)
+    "s_retrain_auto" -> round14("v_ivf_retrain_store"),
+
+    // additive-tier time travel: the pre-wave-2 snapshot ranking must
+    // equal the one-shot anomaly ranking over the wave-1 events alone
+    // (waves split by event_id parity; wave 1 = even)
+    "q_snapshot_rate" -> {
+      require(qAnomalySql.sliding("FROM events".length)
+        .count(_ == "FROM events") == 1, "q_anomaly oracle shape changed")
+      qAnomalySql.replace("FROM events",
+        "FROM (SELECT * FROM events WHERE event_id % 2 = 0)")
+    },
+
+    // the drift monitor's consumer delta: the PSI flag (s_bm25_drift's
+    // wave-2 pipeline) + the t_quality score of every flagged-wave doc
+    // under its original AND remapped text, both replayed end to end —
+    // the measured "store stays exact, consumers drift" claim
+    "s_drift_consumer" -> {
+      val en = graft.operators.TextAnalysis.stopwords("en")
+        .map(w => s"'$w'").mkString(", ")
+      def qcte(src: String): String = s"""
+      (SELECT doc_id, n_chars_t,
+              len(toks) AS n_toks,
+              n_chars_t - length(regexp_replace($src, '[.,!?;:]', '', 'g')) AS punct,
+              len(list_filter(toks, t -> t IN ($en))) AS stop_hits
+       FROM (SELECT doc_id, $src, length($src) AS n_chars_t,
+               list_filter(regexp_split_to_array(trim($src), '\\s+'),
+                           t -> t <> '') AS toks
+             FROM od) f0)"""
+      s"""
+      WITH w1 AS (SELECT text FROM documents WHERE doc_id % 2 = 0
+                  ORDER BY doc_id LIMIT ${graft.streaming.EventStreams.LexDriftSample}),
+      w2 AS (SELECT replace(replace(replace(replace(replace(
+               text, 'a', '0'), 'e', '1'), 'i', '2'), 'o', '3'), 'u', '4') AS text
+             FROM documents WHERE doc_id % 2 = 1
+             ORDER BY doc_id LIMIT ${graft.streaming.EventStreams.LexDriftSample}),
+      t1 AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+               t -> t <> '')) AS tok FROM w1),
+      t2 AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+               t -> t <> '')) AS tok FROM w2),
+      b1 AS (SELECT CAST(('0x' || substr(md5('bm25tb_' || tok), 1, 8)) AS BIGINT)
+               % ${graft.sources.Bm25Store.Buckets} AS b FROM t1),
+      b2 AS (SELECT CAST(('0x' || substr(md5('bm25tb_' || tok), 1, 8)) AS BIGINT)
+               % ${graft.sources.Bm25Store.Buckets} AS b FROM t2),
+      buckets AS (SELECT range AS b FROM range(${graft.sources.Bm25Store.Buckets})),
+      n1 AS (SELECT COUNT(*) AS n FROM b1),
+      n2 AS (SELECT COUNT(*) AS n FROM b2),
+      h1 AS (SELECT bk.b,
+               GREATEST(CAST(COALESCE(x.cnt, 0) AS DOUBLE) / n1.n,
+                 CAST(0.001 AS DOUBLE)) AS p
+             FROM buckets bk CROSS JOIN n1
+             LEFT JOIN (SELECT b, COUNT(*) AS cnt FROM b1 GROUP BY b) x
+               ON x.b = bk.b),
+      h2 AS (SELECT bk.b,
+               GREATEST(CAST(COALESCE(x.cnt, 0) AS DOUBLE) / n2.n,
+                 CAST(0.001 AS DOUBLE)) AS q
+             FROM buckets bk CROSS JOIN n2
+             LEFT JOIN (SELECT b, COUNT(*) AS cnt FROM b2 GROUP BY b) x
+               ON x.b = bk.b),
+      ps AS (SELECT SUM((h2.q - h1.p) * LN(h2.q / h1.p)) AS psi
+             FROM h1 JOIN h2 ON h2.b = h1.b),
+      od AS (SELECT doc_id, text,
+               replace(replace(replace(replace(replace(
+                 text, 'a', '0'), 'e', '1'), 'i', '2'), 'o', '3'), 'u', '4')
+                 AS dtext
+             FROM documents WHERE doc_id % 2 = 1),
+      go AS (SELECT doc_id,
+               ROUND(LEAST(n_chars_t, 500) / 500.0 * 0.4
+                 + (stop_hits / n_toks) * 0.4
+                 + (1.0 - punct / n_chars_t) * 0.2, 6) AS q_orig
+             FROM ${qcte("text")}),
+      gd AS (SELECT doc_id,
+               ROUND(LEAST(n_chars_t, 500) / 500.0 * 0.4
+                 + (stop_hits / n_toks) * 0.4
+                 + (1.0 - punct / n_chars_t) * 0.2, 6) AS q_drift
+             FROM ${qcte("dtext")})
+      SELECT od.doc_id, q_orig, q_drift,
+        ROUND(q_drift - q_orig, 6) AS delta,
+        (SELECT CAST(CASE WHEN ps.psi >
+           ${graft.streaming.EventStreams.DriftPsiThreshold} THEN 1 ELSE 0 END
+           AS BIGINT) FROM ps) AS drift_flagged
+      FROM od JOIN go ON go.doc_id = od.doc_id
+      JOIN gd ON gd.doc_id = od.doc_id
+      ORDER BY od.doc_id"""
+    }
+  )
+
   def all: Map[String, String] =
     relational ++ vector ++ dedup ++ text ++ multimodal ++ streaming ++
       round2 ++ round3 ++ round6 ++ round8 ++ round9 ++ round10 ++ round11 ++
-      round12 ++ round13 ++ round14
+      round12 ++ round13 ++ round14 ++ round16
 }

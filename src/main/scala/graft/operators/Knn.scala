@@ -596,8 +596,12 @@ object Knn {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
   private val permCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+  // the raw dir string keys the cache (NOT a filesystem path: dirs
+  // carry virtual-corpus suffixes like `#clustered`, which a Hadoop
+  // Path would parse as a URI fragment and collapse); a spelling
+  // variant at worst re-trains, never crosses corpora
   private def modelKey(spark: SparkSession, dir: String): String =
-    spark.sparkContext.applicationId + ":" + new java.io.File(dir).getAbsolutePath
+    spark.sparkContext.applicationId + ":" + dir
 
   /** Clears cached trained models (test hook — forces retraining). */
   private[graft] def clearModelCache(): Unit = {
@@ -1323,7 +1327,7 @@ object Knn {
     */
   def vIvfBqStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/ivf_bq_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/ivf_bq_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.IvfBqIndexStore.write(emb, "vec_id", "embedding", path,
       model = Some(ivfCentroids(spark, dir)))
@@ -1345,7 +1349,7 @@ object Knn {
     */
   def vIvfPqFiltered(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/ivfpqfil_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/ivfpqfil_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.IvfPqIndexStore.write(emb, "vec_id", "embedding", path,
       ivfModel = Some(ivfCentroids(spark, dir)),
@@ -1583,7 +1587,7 @@ object Knn {
     */
   def vIvfPqResStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/ivfpqres_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/ivfpqres_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.IvfPqIndexStore.write(emb, "vec_id", "embedding", path,
       ivfModel = Some(ivfCentroids(spark, dir)),
@@ -1610,9 +1614,9 @@ object Knn {
   def vIvfPqResBatch(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
       "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
-    val path = new java.io.File(s"target/ivfpqres_batch_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/ivfpqres_batch_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
-    if (!new java.io.File(s"$path.books").exists())
+    if (!graft.sources.StoreFs.exists(s"$path.books"))
       graft.sources.IvfPqIndexStore.write(emb, "vec_id", "embedding", path,
         ivfModel = Some(ivfCentroids(spark, dir)),
         pqModel = Some(pqResBooksFor(spark, dir)), byResidual = true)
@@ -2009,7 +2013,7 @@ object Knn {
     */
   def vMaxsimStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/maxsim_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/maxsim_store_$tag/idx")
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     graft.sources.MaxsimStore.write(docs, path)
     graft.sources.MaxsimStore
@@ -2068,22 +2072,53 @@ object Knn {
   private def hybridStorePaths(spark: SparkSession, dir: String): (String, String) = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
       "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
-    val root = new java.io.File(s"target/hybrid_store_$tag").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/hybrid_store_$tag")
     val (vecPath, lexPath) = (s"$root/vec", s"$root/lex")
-    // guard on BOTH artifacts, not the first: a crash between the two
+    // guard on ALL artifacts, not the first: a crash between the
     // writes must re-run the build (each write is an idempotent
     // overwrite), or every later run would treat the half-built cache
-    // as complete and the lexical leg would read a missing store
-    if (!new java.io.File(vecPath).exists() ||
-        !new java.io.File(lexPath).exists()) {
+    // as complete and a later leg would read a missing store
+    if (!graft.sources.StoreFs.exists(vecPath) ||
+        !graft.sources.StoreFs.exists(lexPath) ||
+        !graft.sources.StoreFs.exists(hybridAlphaPath(root))) {
       graft.sources.IndexStore.write(Tables.embeddings(spark, dir),
         "vec_id", "embedding", vecPath, dim = 64)
       graft.sources.Bm25Store.write(
         Tables.documents(spark, dir).select("doc_id", "text"),
         lexPath, dlBuckets = Some(4))
+      tuneHybridStoreAlpha(spark, dir, root, vecPath)
     }
     (vecPath, lexPath)
   }
+
+  private def hybridAlphaPath(root: String): String = s"$root/alpha"
+
+  /** The OFFLINE EVAL JOB that tunes the persisted fusion weight
+    * (closes the r15 residual "HybridAlpha is a compiled-in tuned
+    * constant"): run the store's own vector leg over the gate's query
+    * prefix, derive the preservation-threshold α ([[tunedAlphaOf]]),
+    * and land it as an `alpha` sidecar beside the store pair — the
+    * artifact serving reads, exactly like the model sidecars. One row:
+    * (alpha, tmax). Re-tuning after a corpus change is re-running this
+    * (the build-once guard keys it with the stores).
+    */
+  private def tuneHybridStoreAlpha(spark: SparkSession, dir: String,
+                                   root: String, vecPath: String): Unit = {
+    import spark.implicits._
+    val (nq, legK) = (3, 10)
+    val emb = Tables.embeddings(spark, dir)
+    val vecLeg = minmaxNorm(graft.sources.IndexStore
+      .search(graft.sources.IndexStore.read(spark, vecPath),
+        emb.filter(col("vec_id") < nq).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", legK), "sim")
+    val (a, tmax) = tunedAlphaOf(vecLeg, "rnk", "nrm_s")
+    Seq((a, tmax)).toDF("alpha", "tmax")
+      .coalesce(1).write.mode("overwrite").parquet(hybridAlphaPath(root))
+  }
+
+  /** Read the tuned fusion weight the eval job persisted. */
+  private def readHybridAlpha(spark: SparkSession, root: String): Double =
+    spark.read.parquet(hybridAlphaPath(root)).head().getDouble(0)
 
   def vHybridStore(spark: SparkSession, dir: String): DataFrame = {
     val (nq, legK) = (3, 10)
@@ -2131,8 +2166,10 @@ object Knn {
     */
   def vHybridWeightedStore(spark: SparkSession, dir: String): DataFrame = {
     val (nq, legK) = (3, 10)
-    val a = HybridAlpha
     val (vecPath, lexPath) = hybridStorePaths(spark, dir)
+    // r16: serving reads the TUNED weight from the sidecar the eval
+    // job persisted beside the store pair — not a compiled constant
+    val a = readHybridAlpha(spark, vecPath.stripSuffix("/vec"))
     val emb = Tables.embeddings(spark, dir)
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val vec = minmaxNorm(graft.sources.IndexStore
@@ -2234,13 +2271,43 @@ object Knn {
       .orderBy("query_id")
   }
 
-  /** The production fusion knob [[vHybridWeighted]] runs at: min-max
-    * score normalization + convex combination, weight tuned toward
-    * the calibrated-strong leg. 0.9 clears the measured per-query
-    * thresholds (see vHybridWeighted's doc — up to 0.85 across the
-    * probed scale factors) with margin.
+  /** The production fusion knob's FALLBACK value (r15's compiled-in
+    * constant, kept for API compatibility): 0.9 clears every measured
+    * per-query threshold with margin. Since r16 the serving ops no
+    * longer read this — the weight is TUNED per corpus by
+    * [[tunedAlphaOf]] and, for the persisted tiers, lands as an
+    * `alpha` sidecar beside the hybrid store pair (the r15 verdict's
+    * residual: a compiled constant is not a tuned artifact).
     */
   val HybridAlpha = 0.9
+
+  /** Grid of candidate fusion weights the tuner selects from — a
+    * serving config carries a chosen grid point, not an
+    * arbitrary-precision float, so the tuning job, the sidecar, and
+    * the oracle replay all land on the exact same IEEE double.
+    */
+  private[graft] val AlphaGrid: Seq[Double] =
+    Seq(0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95)
+
+  /** TUNED convex fusion weight, derived from the vector leg's own
+    * normalized scores: on these corpora the legs' top-10s are
+    * disjoint (measured, see [[vHybridWeighted]]), so a lex candidate
+    * can score at most (1−α)·1.0 and the strong leg's full top-5
+    * survives fusion iff α·nv₅ > 1−α per query, i.e. α > 1/(1+nv₅)
+    * where nv₅ is the query's 5th-ranked normalized vector score.
+    * The tuner takes the max threshold over the query set and picks
+    * the smallest [[AlphaGrid]] point at least one grid step (0.05)
+    * above it — deterministic, data-derived, and replayed verbatim by
+    * the oracles (v_hybrid_curve gates the whole curve around it).
+    * Returns (chosen α, max per-query threshold). The agg is bounded:
+    * one row per query (nq = 3 in the gates).
+    */
+  private[graft] def tunedAlphaOf(vecNorm: DataFrame, rnkCol: String,
+                                  nvCol: String): (Double, Double) = {
+    val tmax = vecNorm.filter(col(rnkCol) === DefaultK)
+      .agg(max(lit(1.0) / (lit(1.0) + col(nvCol)))).head().getDouble(0)
+    (AlphaGrid.find(_ >= tmax + 0.05).getOrElse(AlphaGrid.last), tmax)
+  }
 
   /** Per-query MIN-MAX normalization of a leg's top-k scores (the
     * fusion prerequisite both weighted-hybrid shapes share): the
@@ -2287,12 +2354,15 @@ object Knn {
     */
   def vHybridWeighted(spark: SparkSession, dir: String): DataFrame = {
     val (nq, legK) = (3, 10)
-    val a = HybridAlpha
     val cdir = dir + ClusteredSuffix
     val vec = minmaxNorm(annLshRanked(spark, cdir, nq, legK), "sim")
       .select(col("query_id").as("vq"), col("neighbor_id").as("vc"),
         col("nrm_s").as("nv"), col("rnk").as("vrnk"))
       .transform(graft.Materialize.forceCached)
+    // r16: the weight is TUNED from the leg's own preservation
+    // thresholds (was the compiled-in HybridAlpha constant); the
+    // oracle replays the derivation, v_hybrid_curve gates the curve
+    val (a, _) = tunedAlphaOf(vec, "vrnk", "nv")
     val lex = minmaxNorm(
       TextAnalysis.bm25RankedDocs(nearDupDocs(spark, dir), nq, legK)
         .withColumnRenamed("q_id", "query_id"), "score")
@@ -2332,6 +2402,66 @@ object Knn {
     }
       .select("query_id", "recall_vec", "recall_lex", "recall_fused")
       .orderBy("query_id")
+  }
+
+  /** v_hybrid_curve: the fusion TUNING CURVE — fused recall@5 at every
+    * candidate weight (0.5 plus the full [[AlphaGrid]]), so a tuner
+    * sees WHERE the preservation threshold sits instead of trusting
+    * one number (the v_ivf_curve pattern applied to fusion). Same
+    * family-aligned corpora and legs as [[vHybridWeighted]]; each
+    * row is (alpha, recall_fused over the query set, chosen = is this
+    * the grid point [[tunedAlphaOf]] picks). The oracle replays the
+    * whole curve AND the choice rule, so the tuning job itself is
+    * hash-gated; the spec pins the shape that makes the tuner
+    * correct: recall is monotone non-decreasing past the measured
+    * threshold and maximal at the chosen point. Scale shape: the leg
+    * pair rows are ≤20 per query; the grid cross join multiplies by
+    * |grid| = 10 — still ≤200 rows per query before the k-bounded
+    * window.
+    */
+  def vHybridCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (nq, legK) = (3, 10)
+    val cdir = dir + ClusteredSuffix
+    val vec = minmaxNorm(annLshRanked(spark, cdir, nq, legK), "sim")
+      .select(col("query_id").as("vq"), col("neighbor_id").as("vc"),
+        col("nrm_s").as("nv"), col("rnk").as("vrnk"))
+      .transform(graft.Materialize.forceCached)
+    val lex = minmaxNorm(
+      TextAnalysis.bm25RankedDocs(nearDupDocs(spark, dir), nq, legK)
+        .withColumnRenamed("q_id", "query_id"), "score")
+      .select(col("query_id").as("lq"), col("doc_id").as("lc"),
+        col("nrm_s").as("nl"))
+      .transform(graft.Materialize.forceCached)
+    val exact = knnBase(spark, cdir, DefaultK).filter(col("query_id") < nq)
+      .select("query_id", "neighbor_id")
+      .transform(graft.Materialize.forceCached)
+    val (chosen, _) = tunedAlphaOf(vec, "vrnk", "nv")
+    val grid = (0.5 +: AlphaGrid).toDF("alpha")
+    val pairs = vec.join(lex,
+        col("vq") === col("lq") && col("vc") === col("lc"), "full_outer")
+      .select(coalesce(col("vq"), col("lq")).as("query_id"),
+        coalesce(col("vc"), col("lc")).as("doc_id"),
+        coalesce(col("nv"), lit(0.0)).as("nv"),
+        coalesce(col("nl"), lit(0.0)).as("nl"))
+    val fused = pairs.crossJoin(broadcast(grid))
+      .select(col("alpha"), col("query_id"), col("doc_id"),
+        round(col("alpha") * col("nv")
+          + (lit(1.0) - col("alpha")) * col("nl"), 6).as("f"))
+    val w = Window.partitionBy("alpha", "query_id")
+      .orderBy(col("f").desc, col("doc_id").asc)
+    val ftop = fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= DefaultK).select("alpha", "query_id", "doc_id")
+    grid.crossJoin(broadcast(exact.select(
+        col("query_id").as("eq"), col("neighbor_id").as("en"))))
+      .join(broadcast(ftop.withColumnRenamed("alpha", "fa")),
+        col("fa") === col("alpha") && col("query_id") === col("eq") &&
+          col("doc_id") === col("en"), "left")
+      .groupBy("alpha")
+      .agg(round(count(col("doc_id")) / lit(nq * DefaultK.toDouble), 6)
+        .as("recall_fused"))
+      .withColumn("chosen", (col("alpha") === lit(chosen)).cast("long"))
+      .orderBy("alpha")
   }
 
   /** v_rrf_fusion: hybrid search — reciprocal-rank fusion of the
@@ -2569,7 +2699,7 @@ object Knn {
     */
   def vMmrStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/mmr_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/mmr_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
     val queries = emb.filter(col("vec_id") < NumQueries)
@@ -2594,7 +2724,7 @@ object Knn {
     */
   def vIvfStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/ivf_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/ivf_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     // model from the session registry (v_ivf's training pass, or
     // trained here on first use) — the write itself never retrains
@@ -2618,7 +2748,7 @@ object Knn {
     */
   def vIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/ivff_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/ivff_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.IvfIndexStore.write(emb, "vec_id", "embedding", path,
       model = Some(ivfCentroids(spark, dir)), metaCols = Seq("label"))
@@ -2647,7 +2777,7 @@ object Knn {
     */
   def vFilteredRoute(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/route_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/route_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
       .withColumn("grp", (col("vec_id") % 50).cast("long"))
     graft.sources.IvfIndexStore.write(emb, "vec_id", "embedding", path,
@@ -2673,7 +2803,7 @@ object Knn {
     */
   def vSqlStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/sql_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/sql_store_$tag/idx")
     graft.sources.IndexStore.write(Tables.embeddings(spark, dir),
       "vec_id", "embedding", path, dim = 64)
     graft.GraftSession.sqlStore(spark, path, "flat")
@@ -2716,7 +2846,7 @@ object Knn {
     */
   def vSqlStoreIvf(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/sqlivf_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/sqlivf_store_$tag/idx")
     graft.sources.IvfIndexStore.write(Tables.embeddings(spark, dir),
       "vec_id", "embedding", path, model = Some(ivfCentroids(spark, dir)))
     graft.GraftSession.sqlStore(spark, path, "ivf")
@@ -2761,7 +2891,7 @@ object Knn {
     */
   def vSqlStorePq(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/sqlpq_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/sqlpq_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.PqIndexStore.write(emb, "vec_id", "embedding", path,
       model = Some(pqBooksFor(spark, dir)))
@@ -2865,7 +2995,7 @@ object Knn {
     */
   def vSqlStoreIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/sqlivfpq_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/sqlivfpq_store_$tag/idx")
     graft.sources.IvfPqIndexStore.write(Tables.embeddings(spark, dir),
       "vec_id", "embedding", path,
       ivfModel = Some(ivfCentroids(spark, dir)),
@@ -2880,7 +3010,7 @@ object Knn {
     */
   def vSqlStoreIvfPqRes(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/sqlivfpqres_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/sqlivfpqres_store_$tag/idx")
     graft.sources.IvfPqIndexStore.write(Tables.embeddings(spark, dir),
       "vec_id", "embedding", path,
       ivfModel = Some(ivfCentroids(spark, dir)),
@@ -2900,7 +3030,7 @@ object Knn {
     */
   def vSqlStoreIvfBq(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/sqlivfbq_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/sqlivfbq_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.IvfBqIndexStore.write(emb, "vec_id", "embedding", path,
       model = Some(ivfCentroids(spark, dir)))
@@ -2970,7 +3100,7 @@ object Knn {
     */
   def vSqlStoreMih(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/sqlmih_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/sqlmih_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.BqIndexStore.writeMih(emb, "vec_id", "embedding", path)
     graft.GraftSession.sqlStore(spark, path, "mih")
@@ -3022,7 +3152,7 @@ object Knn {
     */
   def vSqlStoreAnnMp(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/sqlannmp_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/sqlannmp_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
     graft.GraftSession.sqlStore(spark, path, "annmp")
@@ -3068,7 +3198,7 @@ object Knn {
     */
   def vSqlStoreBq(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/sqlbq_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/sqlbq_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.BqIndexStore.write(emb, "vec_id", "embedding", path)
     graft.GraftSession.sqlStore(spark, path, "bq")
@@ -3115,7 +3245,7 @@ object Knn {
     */
   def vSqlStoreMaxsim(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/sqlms_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/sqlms_store_$tag/idx")
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     graft.sources.MaxsimStore.write(docs, path)
     graft.GraftFunctions.register(spark)
@@ -3166,7 +3296,7 @@ object Knn {
     */
   def vSqlStoreOpql(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/sqlopql_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/sqlopql_store_$tag/idx")
     val perm = opqLearnedPerm(spark, dir)
     val permuted = corpus(spark, dir)
       .select(col("vec_id"),
@@ -3229,7 +3359,7 @@ object Knn {
     */
   def vSqlStoreMrl(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/sqlmrl_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/sqlmrl_store_$tag/idx")
     graft.sources.IndexStore.write(Tables.embeddings(spark, dir),
       "vec_id", "embedding", path, dim = 64)
     graft.GraftSession.sqlStore(spark, path, "mrl")
@@ -3268,7 +3398,7 @@ object Knn {
     */
   def vFlatStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/flat_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/flat_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
     val queries = emb.filter(col("vec_id") < NumQueries)
@@ -3290,7 +3420,7 @@ object Knn {
     */
   def vIvfBatch(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/ivfbatch_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/ivfbatch_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.IvfIndexStore.write(emb, "vec_id", "embedding", path,
       model = Some(ivfCentroids(spark, dir)))
@@ -3312,9 +3442,9 @@ object Knn {
   def qPurgeMih(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
       "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
-    val path = new java.io.File(s"target/purge_mih_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/purge_mih_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
-    if (!new java.io.File(path).exists()) {
+    if (!graft.sources.StoreFs.exists(path)) {
       graft.sources.BqIndexStore.writeMih(emb, "vec_id", "embedding", path)
       graft.sources.BqIndexStore.purgeMih(spark, path, Seq(1L, 5L))
     }
@@ -3338,9 +3468,9 @@ object Knn {
   def qCompactStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
       "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
-    val path = new java.io.File(s"target/compact_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/compact_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
-    if (!new java.io.File(path).exists()) {
+    if (!graft.sources.StoreFs.exists(path)) {
       graft.sources.IndexStore.write(
         emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path, dim = 64)
       graft.sources.IndexStore.append(
@@ -3373,13 +3503,13 @@ object Knn {
     // serve one scale factor's store to another in a multi-SF session
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
       "_d" + Integer.toHexString(dir.hashCode)
-    val path = new java.io.File(s"target/purge_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/purge_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     // k-bounded collect: 3 victim ids (the gate's deletion request)
     val victims = vKnnExact(spark, dir)
       .filter(col("rnk") === 1 && col("query_id") < 3)
       .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSeq
-    if (!new java.io.File(path).exists()) {
+    if (!graft.sources.StoreFs.exists(path)) {
       graft.sources.IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
       graft.sources.StoreMaintenance.purge(spark, path, "id", victims)
     }
@@ -3407,13 +3537,13 @@ object Knn {
   def qVacuumStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
       "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
-    val path = new java.io.File(s"target/vacuum_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/vacuum_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     // k-bounded collect: 3 victim ids (the gate's deletion request)
     val victims = vKnnExact(spark, dir)
       .filter(col("rnk") === 1 && col("query_id") < 3)
       .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSeq
-    if (!new java.io.File(path).exists()) {
+    if (!graft.sources.StoreFs.exists(path)) {
       graft.sources.IndexStore.write(
         emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path, dim = 64)
       graft.sources.IndexStore.append(
@@ -3451,13 +3581,13 @@ object Knn {
   def qSnapshotStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
       "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
-    val path = new java.io.File(s"target/snap_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/snap_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     // k-bounded collect: 3 victim ids (the gate's deletion request)
     val victims = vKnnExact(spark, dir)
       .filter(col("rnk") === 1 && col("query_id") < 3)
       .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSeq
-    if (!new java.io.File(path).exists()) {
+    if (!graft.sources.StoreFs.exists(path)) {
       graft.sources.IndexStore.write(emb, "vec_id", "embedding", path, dim = 64)
       graft.sources.StoreMaintenance.purge(spark, path, "id", victims)
       graft.sources.IndexStore.append(
@@ -3491,7 +3621,7 @@ object Knn {
     */
   def vIvfPqStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/ivfpq_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/ivfpq_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.IvfPqIndexStore.write(emb, "vec_id", "embedding", path,
       ivfModel = Some(ivfCentroids(spark, dir)),
@@ -3505,7 +3635,7 @@ object Knn {
 
   def vPqStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/pq_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/pq_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     // codebooks from the session registry (v_pq's training pass, or
     // trained here on first use) — the write itself never retrains
@@ -3526,7 +3656,7 @@ object Knn {
     */
   def vBqStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/bq_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/bq_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.BqIndexStore.write(emb, "vec_id", "embedding", path)
     val queries = emb.filter(col("vec_id") < NumQueries)
@@ -3547,7 +3677,7 @@ object Knn {
     */
   def vBqRangeStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/mih_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/mih_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.BqIndexStore.writeMih(emb, "vec_id", "embedding", path)
     val codes = corpus(spark, dir).select(col("vec_id"),
@@ -3574,7 +3704,8 @@ object Knn {
     // former raw-float write (float→double widening is exact), and the
     // clustered twin lands in its own store directory
     val flavor = if (dir.endsWith(ClusteredSuffix)) "_clu" else ""
-    val path = new java.io.File(s"target/annmp_store$flavor" + s"_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(
+      s"target/annmp_store$flavor" + s"_$tag/idx")
     val e = corpus(spark, dir)
     graft.sources.IndexStore.write(e, "vec_id", "v", path, dim = 64)
     val queries = e.filter(col("vec_id") < NumQueries)
@@ -3614,7 +3745,7 @@ object Knn {
     */
   def vOpqStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/opq_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/opq_store_$tag/idx")
     val rotated = withHadamard(corpus(spark, dir).select(col("vec_id"), col("v")), "v", "vr")
       .select(col("vec_id"), col("vr").as("v"))
       .transform(graft.Materialize.forceCached)
@@ -3641,7 +3772,7 @@ object Knn {
     */
   def vOpqLearnedStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/opql_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/opql_store_$tag/idx")
     val perm = opqLearnedPerm(spark, dir)
     val permuted = corpus(spark, dir)
       .select(col("vec_id"),
@@ -3676,7 +3807,7 @@ object Knn {
     */
   def vFilteredStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(s"target/filt_store_$tag/idx").getAbsolutePath
+    val path = graft.sources.StoreFs.workPath(s"target/filt_store_$tag/idx")
     val emb = Tables.embeddings(spark, dir)
     graft.sources.IndexStore.write(emb, "vec_id", "embedding", path,
       dim = 64, metaCols = Seq("label"))
@@ -3886,8 +4017,8 @@ object Knn {
   def vIvfDriftStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
       "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
-    val path = new java.io.File(s"target/drift_store_$tag/idx").getAbsolutePath
-    if (!new java.io.File(path).exists()) {
+    val path = graft.sources.StoreFs.workPath(s"target/drift_store_$tag/idx")
+    if (!graft.sources.StoreFs.exists(path)) {
       graft.sources.IvfIndexStore.write(
         Tables.embeddings(spark, dir), "vec_id", "embedding", path,
         model = Some(ivfCentroids(spark, dir)))
@@ -3930,8 +4061,8 @@ object Knn {
   def vIvfRetrainStore(spark: SparkSession, dir: String): DataFrame = {
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
       "_d" + Integer.toHexString(dir.hashCode) // dir-keyed: see qPurgeStore
-    val path = new java.io.File(s"target/retrain_store_$tag/idx").getAbsolutePath
-    if (!new java.io.File(path).exists()) {
+    val path = graft.sources.StoreFs.workPath(s"target/retrain_store_$tag/idx")
+    if (!graft.sources.StoreFs.exists(path)) {
       graft.sources.IvfIndexStore.write(
         Tables.embeddings(spark, dir), "vec_id", "embedding", path,
         model = Some(ivfCentroids(spark, dir)))
@@ -3940,6 +4071,18 @@ object Knn {
       graft.sources.IvfIndexStore.retrain(spark, path,
         driftMixedSample(spark, dir))
     }
+    driftRecallReport(spark, dir, path)
+  }
+
+  /** The drift gates' recall report over a (possibly retrained) IVF
+    * store: the store's own nprobe=1 search on the appended-cohort
+    * query prefix vs exact cosine over the combined corpus — shared by
+    * [[vIvfRetrainStore]] and the streaming auto-retrain gate
+    * (s_retrain_auto hash-shares its oracle: the restored recall must
+    * be THE STORE'S, whichever path retrained it).
+    */
+  private[graft] def driftRecallReport(spark: SparkSession, dir: String,
+                                       path: String): DataFrame = {
     val queries = driftFrame(spark, dir)
       .filter(col("vec_id") < DriftOffset + NumQueries)
     val ann = graft.sources.IvfIndexStore.search(spark, path,

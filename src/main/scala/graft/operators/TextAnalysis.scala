@@ -105,6 +105,24 @@ object TextAnalysis {
     * digit / stopword-ratio features. The arithmetic expression tree is
     * written identically in the oracle so doubles match bit-for-bit.
     */
+  /** The t_quality score over an arbitrary text column — factored so
+    * the drift-consumer gate (s_drift_consumer) can score the SAME
+    * document under two text variants and pin the shift a vocabulary
+    * drift induces in a distribution-calibrated consumer. Identical
+    * arithmetic tree to [[tQuality]] (the oracle replays it).
+    */
+  private[graft] def qualityOf(text: Column): Column = {
+    val en = stopwords("en")
+    val tk = toks(text)
+    val nChars = length(text)
+    val punct = nChars - length(regexp_replace(text, "[.,!?;:]", ""))
+    val stopHits = size(filter(tk, t => t.isin(en: _*)))
+    round(
+      least(nChars, lit(500)) / lit(500.0) * lit(0.4)
+        + (stopHits / size(tk)) * lit(0.4)
+        + (lit(1.0) - punct / nChars) * lit(0.2), 6)
+  }
+
   def tQuality(spark: SparkSession, dir: String): DataFrame = {
     val en = stopwords("en")
     Tables.documents(spark, dir)

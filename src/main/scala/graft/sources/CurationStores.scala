@@ -186,10 +186,22 @@ object RateStore {
     * calendar-bounded kilobytes, so the store grows with batch count,
     * not corpus size.
     */
-  def appendBatch(ev: DataFrame, path: String, batchId: Long): Unit =
-    Relational.rateRows(ev)
-      .write.mode("overwrite").partitionBy("event_type")
-      .parquet(s"$path/bid=$batchId")
+  /** r16: each batch shard is a VERSIONED append (touched dir =
+    * `bid=<id>`, O(1) listings), so the lexical-tier time-travel
+    * contract extends to the rate store: [[reportBefore]] serves the
+    * ranking as it stood before any wave. A crash-REPLAYED batch is
+    * the one corrective case: its overwrite replaces the shard's
+    * files, so the replaced bytes are gone and the replay's version
+    * records only the replacement — "before the replay" is not
+    * reconstructible (it was an at-least-once duplicate anyway).
+    * Returns the version (0 = store creation, no pre-state).
+    */
+  def appendBatch(ev: DataFrame, path: String, batchId: Long): Long =
+    StoreMaintenance.versionedAppend(path, Seq(s"bid=$batchId")) {
+      Relational.rateRows(ev)
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(s"$path/bid=$batchId")
+    }
 
   private def merged(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -200,6 +212,20 @@ object RateStore {
     */
   def report(spark: SparkSession, path: String): DataFrame =
     Relational.anomalyRank(merged(spark, path))
+
+  /** TIME TRAVEL on the additive tier (q_snapshot_rate): the anomaly
+    * ranking as it stood BEFORE version `version` landed — the same
+    * re-sum as [[report]] over the snapshot's file set, with the
+    * partition columns re-attached (a pure append lineage keeps every
+    * snapshot file live, so basePath discovery applies —
+    * [[StoreMaintenance.readBeforeWithPartitions]]). A monitoring
+    * audit ("what did the anomaly board show before last night's
+    * ingest?") is this exact read.
+    */
+  def reportBefore(spark: SparkSession, path: String, version: Long): DataFrame =
+    Relational.anomalyRank(
+      StoreMaintenance.readBeforeWithPartitions(spark, path, version)
+        .groupBy("hour", "event_type").agg(sum(col("n")).as("n")))
 
   def compact(spark: SparkSession, path: String): (Int, Int) =
     StoreMaintenance.rewritePartitions(spark, path, _ > 0,
@@ -226,8 +252,8 @@ object CurationStoreQueries {
     * distinct counts (q_bitmap_distinct's oracle).
     */
   def qBitmapStore(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      s"target/bitmap_store_${tag(spark)}/idx").getAbsolutePath
+    val path = StoreFs.workPath(
+      s"target/bitmap_store_${tag(spark)}/idx")
     val Seq(w0, w1, w2) = waves(spark, dir)
     BitmapStore.write(w0, path)
     BitmapStore.append(w1, path)
@@ -241,8 +267,8 @@ object CurationStoreQueries {
     * the ESTIMATE deterministic, not just its error bound).
     */
   def qKmvStore(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      s"target/kmv_store_${tag(spark)}/idx").getAbsolutePath
+    val path = StoreFs.workPath(
+      s"target/kmv_store_${tag(spark)}/idx")
     val Seq(w0, w1, w2) = waves(spark, dir)
     KmvStore.write(w0, path)
     KmvStore.append(w1, path)
@@ -258,8 +284,8 @@ object CurationStoreQueries {
     * the checkpointed stream source that maintains this store.
     */
   def qRateStore(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      s"target/rate_store_${tag(spark)}/idx").getAbsolutePath
+    val path = StoreFs.workPath(
+      s"target/rate_store_${tag(spark)}/idx")
     val ev = Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("event_id"))
     val Seq(w0, w1, w2) = (0 until 3).map(i => ev.filter(col("event_id") % 3 === i))

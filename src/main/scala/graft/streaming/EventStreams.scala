@@ -625,8 +625,11 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        _: Long) =>
-        graft.operators.Dedup.bloomWords(batch.toDF(), mBits)
-          .write.mode("append").parquet(storePath)
+        // versioned shard append (r16): "before wave N" is replayable
+        graft.sources.StoreMaintenance.versionedAppend(storePath, Seq(".")) {
+          graft.operators.Dedup.bloomWords(batch.toDF(), mBits)
+            .write.mode("append").parquet(storePath)
+        }
         ()
       }
       .start()
@@ -678,11 +681,13 @@ object EventStreams {
                            autoCompactMaxFiles: Option[Int],
                            recluster: Option[String],
                            maxFilesPerTrigger: Option[Int] = None,
-                           autoVacuumRetentionMs: Option[Long] = None)(
+                           autoVacuumRetentionMs: Option[Long] = None,
+                           vecType: org.apache.spark.sql.types.DataType =
+                             ArrayType(FloatType))(
                            perBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val vecSchema = StructType(Seq(
       StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType))))
+      StructField("embedding", vecType)))
     val reader = spark.readStream
       .schema(vecSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -791,7 +796,7 @@ object EventStreams {
     * (v_ivf_retrain_store's contract); the monitor only measures.
     */
   private def logDriftWave(batch: DataFrame, storePath: String,
-                           bid: Long): Unit = {
+                           bid: Long): Double = {
     val spark = batch.sparkSession
     import spark.implicits._
     // a store written OUTSIDE the maintainer (registry models, manual
@@ -809,6 +814,7 @@ object EventStreams {
       .toDF("n_sampled", "psi", "retrain_recommended")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$storePath.driftlog/bid=$bid")
+    p
   }
 
   /** Bounded sample for the LEXICAL drift monitor: the wave's
@@ -947,6 +953,117 @@ object EventStreams {
     q
   }
 
+  /** Policy for [[runIvfIngest]]'s AUTONOMOUS drift remediation — the
+    * r15 verdict's open loop: s_drift_monitor flags drift,
+    * IvfIndexStore.retrain remediates, and a human connected them.
+    * With a policy the maintainer closes it: a wave whose PSI exceeds
+    * `psiThreshold` triggers a retrain, unless one already ran within
+    * the last `minWavesBetween` waves (cooldown — retrain is an
+    * O(store) layout rewrite, and back-to-back drifted waves must not
+    * thrash it). `sample` is the retrain mixture size (the advisor's
+    * bounded 50/50 contract).
+    */
+  final case class AutoRetrainPolicy(
+      psiThreshold: Double = DriftPsiThreshold,
+      minWavesBetween: Int = 2,
+      sample: Int = graft.operators.Knn.IvfTrainSample)
+
+  /** The policy's act: build the bounded 50/50 post-append mixture —
+    * the lowest sample/2 ids of the PRE-WAVE corpus (store minus the
+    * tripping wave) plus the lowest sample/2 of the wave, wave ids
+    * remapped to follow the base ids (rank-based — exactly
+    * driftMixedSample's recipe, derived from the store and the batch
+    * instead of the evaluation fixtures) — and retrain under the
+    * maintenance lock. The store scan here is NOT a scale concern:
+    * retrain itself is an O(store) layout rewrite, the cooldown keeps
+    * it rare, and the TakeOrdered prefix is sample-bounded. One
+    * bid-keyed idempotent `.retrainlog` shard records (version, psi)
+    * per act, and is also what the cooldown reads.
+    */
+  private def maybeAutoRetrain(batch: DataFrame, storePath: String,
+                               bid: Long, waveP: Double,
+                               policy: AutoRetrainPolicy): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (waveP <= policy.psiThreshold) return
+    val logPath = s"$storePath.retrainlog"
+    val lastBid: Option[Long] =
+      if (graft.sources.StoreFs.exists(logPath))
+        Option(spark.read.parquet(logPath).agg(max(col("bid").cast("long")))
+          .head().get(0)).map(_.asInstanceOf[Long])
+      else None
+    if (lastBid.exists(b => bid - b < policy.minWavesBetween)) return
+    val half = policy.sample / 2
+    val store = spark.read.parquet(storePath).select("vec_id", "v", "nrm")
+    val base = store
+      .join(batch.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      .orderBy("vec_id").limit(half)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val wave = batch
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.VectorFns.norm2(col("v")))
+      .orderBy("vec_id").limit(half)
+      .withColumn("rn", row_number().over(w))
+      .select((col("rn") - 1 + half).cast("long").as("vec_id"),
+        col("v"), col("nrm"))
+    val train = base.union(wave).transform(graft.Materialize.forceCached)
+    val version = graft.sources.IvfIndexStore.retrain(spark, storePath, train)
+    Seq((version, waveP)).toDF("version", "psi")
+      .coalesce(1).write.mode("overwrite").parquet(s"$logPath/bid=$bid")
+  }
+
+  /** Streaming maintainer for the FLAT IVF tier (IvfIndexStore —
+    * runIvfPqIngest's uncompressed twin): first wave trains (or the
+    * store is pre-written with registry models), later waves append
+    * with the frozen coarse quantizer. With `driftMonitor` each
+    * post-training wave writes the PSI drift-log shard; with
+    * `autoRetrain` the maintainer additionally CLOSES the drift loop —
+    * a tripped wave retrains the store itself under the policy's
+    * threshold + cooldown (s_retrain_auto gates the lifecycle: a
+    * drifted ingest ends with appended-cohort recall restored with no
+    * manual retrain call, hash-matching v_ivf_retrain_store's
+    * oracle). `vecType` lets double-precision pipelines stream
+    * without the float32 quantization the default schema imposes.
+    */
+  def runIvfIngest(spark: SparkSession, srcDir: String, checkpoint: String,
+                   storePath: String,
+                   autoCompactMaxFiles: Option[Int] = None,
+                   maxFilesPerTrigger: Option[Int] = None,
+                   autoVacuumRetentionMs: Option[Long] = None,
+                   driftMonitor: Boolean = false,
+                   autoRetrain: Option[AutoRetrainPolicy] = None,
+                   vecType: org.apache.spark.sql.types.DataType =
+                     ArrayType(FloatType)): StreamingQuery = {
+    val store = graft.sources.IvfIndexStore
+    val stage = s"$storePath.trainstage"
+    def trained = graft.sources.StoreFs.exists(s"$storePath.centroids")
+    val monitor = driftMonitor || autoRetrain.isDefined
+    val q = runVecIngest(spark, srcDir, checkpoint, storePath,
+        autoCompactMaxFiles = None, recluster = None,
+        maxFilesPerTrigger = maxFilesPerTrigger,
+        vecType = vecType) { (batch, bid) =>
+      if (trained) {
+        store.append(batch, "vec_id", "embedding", storePath)
+        if (monitor) {
+          val p = logDriftWave(batch, storePath, bid)
+          autoRetrain.foreach(pol =>
+            maybeAutoRetrain(batch, storePath, bid, p, pol))
+        }
+      }
+      else batch.write.mode("overwrite").parquet(s"$stage/bid=$bid")
+    }
+    if (!trained && graft.sources.StoreFs.exists(stage)) {
+      store.write(spark.read.parquet(stage), "vec_id", "embedding", storePath)
+      if (monitor) writeDriftStats(spark.read.parquet(stage), storePath)
+      graft.sources.StoreMaintenance.rmTree(stage)
+    }
+    autoCompactMaxFiles.foreach { max =>
+      graft.sources.StoreMaintenance.compactIfNeeded(spark, storePath, max)
+    }
+    autoVacuum(storePath, autoVacuumRetentionMs)
+    q
+  }
+
   /** Incremental multi-index-hash maintenance — the streaming twin of
     * BqIndexStore.writeMih (the radius tier's online contract: new
     * fingerprint vectors must answer radius probes before the next
@@ -991,9 +1108,12 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        _: Long) =>
-        batch.toDF().groupBy("event_type")
-          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-          .write.mode("append").parquet(storePath)
+        // versioned shard append (r16): "before wave N" is replayable
+        graft.sources.StoreMaintenance.versionedAppend(storePath, Seq(".")) {
+          batch.toDF().groupBy("event_type")
+            .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+            .write.mode("append").parquet(storePath)
+        }
         ()
       }
       .start()
@@ -1029,9 +1149,14 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        _: Long) =>
-        graft.sources.KmvStore
-          .sketchRows(batch.toDF().select(col("event_type"), col("user_id")))
-          .write.mode("append").partitionBy("event_type").parquet(storePath)
+        // versioned shard append (r16); touched dirs unknown ahead of
+        // the agg (event_type partitions), and the sketch store is
+        // kilobytes — the full-tree diff is O(shards)
+        graft.sources.StoreMaintenance.versionedAppend(storePath) {
+          graft.sources.KmvStore
+            .sketchRows(batch.toDF().select(col("event_type"), col("user_id")))
+            .write.mode("append").partitionBy("event_type").parquet(storePath)
+        }
         ()
       }
       .start()
@@ -1141,9 +1266,12 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        _: Long) =>
-        graft.operators.Relational
-          .bitmapShards(batch.toDF().select(col("event_type"), col("user_id")))
-          .write.mode("append").parquet(storePath)
+        // versioned shard append (r16): "before wave N" is replayable
+        graft.sources.StoreMaintenance.versionedAppend(storePath, Seq(".")) {
+          graft.operators.Relational
+            .bitmapShards(batch.toDF().select(col("event_type"), col("user_id")))
+            .write.mode("append").parquet(storePath)
+        }
         ()
       }
       .start()
@@ -1217,8 +1345,11 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        _: Long) =>
-        graft.operators.Dedup.spanHashes(batch.toDF())
-          .write.mode("append").parquet(storePath)
+        // versioned shard append (r16): "before wave N" is replayable
+        graft.sources.StoreMaintenance.versionedAppend(storePath, Seq(".")) {
+          graft.operators.Dedup.spanHashes(batch.toDF())
+            .write.mode("append").parquet(storePath)
+        }
         ()
       }
       .start()
@@ -1302,10 +1433,10 @@ object EventStreams {
   def sIvfPqIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Knn
     val tag = gateTag(spark, dir)
-    val root = new java.io.File(s"target/sivfpq_store_$tag").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/sivfpq_store_$tag")
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
     val emb = Tables.embeddings(spark, dir)
-    if (!new java.io.File(s"$store.books").exists()) {
+    if (!graft.sources.StoreFs.exists(s"$store.books")) {
       graft.sources.IvfPqIndexStore.write(
         emb.filter(col("vec_id") < 0), "vec_id", "embedding", store,
         ivfModel = Some(Knn.ivfCentroids(spark, dir)),
@@ -1338,10 +1469,10 @@ object EventStreams {
   def sEmbedIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Knn
     import spark.implicits._
-    val root = new java.io.File(s"target/sembed_store_${gateTag(spark, dir)}").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/sembed_store_${gateTag(spark, dir)}")
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
     val emb = Tables.embeddings(spark, dir)
-    if (!new java.io.File(s"$store.codes").exists()) {
+    if (!graft.sources.StoreFs.exists(s"$store.codes")) {
       graft.sources.PqIndexStore.write(
         emb.filter(col("vec_id") < 0), "vec_id", "embedding", store,
         model = Some(Knn.pqBooksFor(spark, dir)))
@@ -1382,10 +1513,10 @@ object EventStreams {
   def sMihIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Knn
     val tag = gateTag(spark, dir)
-    val root = new java.io.File(s"target/smih_store_$tag").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/smih_store_$tag")
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
     val emb = Tables.embeddings(spark, dir)
-    if (!new java.io.File(store).exists()) {
+    if (!graft.sources.StoreFs.exists(store)) {
       emb.filter(col("vec_id") < 250).write.mode("overwrite").parquet(src)
       runMihIngest(spark, src, ckpt, store)
       emb.filter(col("vec_id") >= 250).write.mode("append").parquet(src)
@@ -1408,10 +1539,10 @@ object EventStreams {
   def sMaxsimIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Knn
     val tag = gateTag(spark, dir)
-    val root = new java.io.File(s"target/smaxsim_store_$tag").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/smaxsim_store_$tag")
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    if (!new java.io.File(store).exists()) {
+    if (!graft.sources.StoreFs.exists(store)) {
       docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
       runMaxsimIngest(spark, src, ckpt, store)
       docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
@@ -1429,10 +1560,10 @@ object EventStreams {
     */
   def sSpanIngest(spark: SparkSession, dir: String): DataFrame = {
     val tag = gateTag(spark, dir)
-    val root = new java.io.File(s"target/sspan_store_$tag").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/sspan_store_$tag")
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/spans")
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    if (!new java.io.File(store).exists()) {
+    if (!graft.sources.StoreFs.exists(store)) {
       docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
       runSpanIngest(spark, src, ckpt, store)
       docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
@@ -1483,10 +1614,10 @@ object EventStreams {
     */
   def sBm25Ingest(spark: SparkSession, dir: String): DataFrame = {
     val tag = gateTag(spark, dir)
-    val root = new java.io.File(s"target/sbm25_store_$tag").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/sbm25_store_$tag")
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    if (!new java.io.File(store).exists()) {
+    if (!graft.sources.StoreFs.exists(store)) {
       docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
       runBm25Ingest(spark, src, ckpt, store)
       docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
@@ -1515,10 +1646,10 @@ object EventStreams {
     */
   def sBm25Drift(spark: SparkSession, dir: String): DataFrame = {
     val tag = gateTag(spark, dir)
-    val root = new java.io.File(s"target/sbm25drift_store_$tag").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/sbm25drift_store_$tag")
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    if (!new java.io.File(store).exists()) {
+    if (!graft.sources.StoreFs.exists(store)) {
       docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
       runBm25Ingest(spark, src, ckpt, store, driftMonitor = true)
       docs.filter(col("doc_id") % 2 === 1)
@@ -1532,6 +1663,36 @@ object EventStreams {
         round(col("psi"), 6).as("psi"),
         col("drift_flagged").cast("long").as("drift_flagged"))
       .orderBy("bid")
+  }
+
+  /** s_drift_consumer: the NUMBER behind s_bm25_drift's warning. The
+    * lexical monitor's doc claims "the store stays exact, the
+    * distribution-calibrated CONSUMERS drift" — this gate proves it:
+    * for every document of the flagged wave (the vowel-remapped odd
+    * cohort), score the t_quality classifier on the ORIGINAL text and
+    * on the REMAPPED text the wave actually carried, and report the
+    * per-doc shift. The remap guts the stopword hits ("the" → "th1"),
+    * so quality collapses — a consumer calibrated on the old
+    * distribution now mis-scores the new wave, which is exactly what
+    * the monitor's flag means operationally. Every row carries the
+    * monitor's own verdict (drift_flagged, from the ACTUAL `.driftlog`
+    * of the shared s_bm25_drift store), and the oracle replays the
+    * PSI flag AND both quality computations end to end.
+    */
+  def sDriftConsumer(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val flag = sBm25Drift(spark, dir).filter(col("bid") === 1)
+      .select(col("drift_flagged"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        TextAnalysis.qualityOf(col("text")).as("q_orig"),
+        TextAnalysis.qualityOf(
+          translate(col("text"), "aeiou", "01234")).as("q_drift"))
+      .withColumn("delta", round(col("q_drift") - col("q_orig"), 6))
+      .crossJoin(broadcast(flag))
+      .select("doc_id", "q_orig", "q_drift", "delta", "drift_flagged")
+      .orderBy("doc_id")
   }
 
   /** s_drift_monitor: the per-wave drift monitor IN the driver gate —
@@ -1553,10 +1714,10 @@ object EventStreams {
   def sDriftMonitor(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Knn
     val tag = gateTag(spark, dir)
-    val root = new java.io.File(s"target/sdrift_store_$tag").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/sdrift_store_$tag")
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
     val emb = Tables.embeddings(spark, dir)
-    if (!new java.io.File(s"$store.books").exists()) {
+    if (!graft.sources.StoreFs.exists(s"$store.books")) {
       graft.sources.IvfPqIndexStore.write(
         emb.filter(col("vec_id") < 0), "vec_id", "embedding", store,
         ivfModel = Some(Knn.ivfCentroids(spark, dir)),
@@ -1575,6 +1736,51 @@ object EventStreams {
       .orderBy("bid")
   }
 
+  /** s_retrain_auto: the CLOSED drift loop IN the driver gate —
+    * s_drift_monitor flags, v_ivf_retrain_store remediates by hand;
+    * here the maintainer itself does both. The store starts on the
+    * inherit-models path (frozen isotropic quantizer = the oracle's
+    * deterministic Lloyd replay); wave 1 streams the isotropic corpus
+    * (monitor bootstraps its baseline: psi 0, no action), wave 2
+    * streams the drifted cohort — its PSI trips the policy and the
+    * maintainer retrains ON ITS OWN with the bounded 50/50 mixture it
+    * derives from the store + the tripping wave (≡ driftMixedSample by
+    * construction: ids are contiguous, so lowest-prefix + rank-remap
+    * reproduce the evaluation fixture exactly). The gate's output is
+    * the store's own post-ingest recall report, hash-matching
+    * v_ivf_retrain_store's oracle: recall on the appended cohort
+    * restored to 1.0 with NO manual retrain call. Streams doubles
+    * (vecType) — the drift-store lifecycle is double-precision end to
+    * end, so batch ≡ stream bit-for-bit.
+    */
+  def sRetrainAuto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Knn
+    val tag = gateTag(spark, dir)
+    val root = graft.sources.StoreFs.workPath(s"target/sretrain_store_$tag")
+    val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
+    if (!graft.sources.StoreFs.exists(s"$store.centroids")) {
+      graft.sources.IvfIndexStore.write(
+        Knn.corpus(spark, dir).filter(col("vec_id") < 0)
+          .select(col("vec_id"), col("v").as("embedding")),
+        "vec_id", "embedding", store,
+        model = Some(Knn.ivfCentroids(spark, dir)))
+      def ingest(): Unit = {
+        runIvfIngest(spark, src, ckpt, store,
+          autoRetrain = Some(AutoRetrainPolicy()),
+          vecType = ArrayType(DoubleType))
+        ()
+      }
+      Knn.corpus(spark, dir).select(col("vec_id"), col("v").as("embedding"))
+        .write.mode("overwrite").parquet(src)
+      ingest()
+      Knn.driftFrame(spark, dir)
+        .select(col("vec_id"), col("v").as("embedding"))
+        .write.mode("append").parquet(src)
+      ingest()
+    }
+    Knn.driftRecallReport(spark, dir, store)
+  }
+
   /** s_bitmap_ingest: the streaming exact-distinct maintainer IN the
     * driver gate — two OVERLAPPING event waves (split by event id, so
     * the same user lands in both) through runBitmapIngest, then the
@@ -1584,10 +1790,10 @@ object EventStreams {
     */
   def sBitmapIngest(spark: SparkSession, dir: String): DataFrame = {
     val tag = gateTag(spark, dir)
-    val root = new java.io.File(s"target/sbitmap_store_$tag").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/sbitmap_store_$tag")
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/shards")
     val ev = Tables.events(spark, dir)
-    if (!new java.io.File(store).exists()) {
+    if (!graft.sources.StoreFs.exists(store)) {
       ev.filter(col("event_id") % 2 === 0).write.mode("overwrite").parquet(src)
       runBitmapIngest(spark, src, ckpt, store)
       ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
@@ -1605,7 +1811,7 @@ object EventStreams {
                             splitCol: String)(
                             ingest: (String, String, String) => Unit): String = {
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/store")
-    if (!new java.io.File(store).exists()) {
+    if (!graft.sources.StoreFs.exists(store)) {
       val ev = Tables.events(spark, dir)
       ev.filter(col(splitCol) % 2 === 0).write.mode("overwrite").parquet(src)
       ingest(src, ckpt, store)
@@ -1660,9 +1866,9 @@ object EventStreams {
     */
   def sSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = new java.io.File(s"target/ssess_store_${gateTag(spark, dir)}").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/ssess_store_${gateTag(spark, dir)}")
     val (src, ckpt, out) = (s"$root/in", s"$root/ckpt", s"$root/out")
-    if (!new java.io.File(out).exists()) {
+    if (!graft.sources.StoreFs.exists(out)) {
       val mx = twoTimeWaves(spark, dir, src)(
         () => runSessionizeIngest(spark, src, ckpt, out))
       // flush wave: one sentinel event far past the corpus; its only
@@ -1690,9 +1896,9 @@ object EventStreams {
     * re-emits, which is why the serving read is a distinct.)
     */
   def sDedupStream(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/sdedup_store_${gateTag(spark, dir)}").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/sdedup_store_${gateTag(spark, dir)}")
     val (src, ckpt, out) = (s"$root/in", s"$root/ckpt", s"$root/out")
-    if (!new java.io.File(out).exists())
+    if (!graft.sources.StoreFs.exists(out))
       twoTimeWaves(spark, dir, src)(() => runDedupIngest(spark, src, ckpt, out))
     spark.read.parquet(out)
       .select("user_id", "event_type").distinct()
@@ -1708,7 +1914,7 @@ object EventStreams {
     * reproduce the batch table exactly. Idempotent across invocations.
     */
   def sUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/supsert_store_${gateTag(spark, dir)}").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/supsert_store_${gateTag(spark, dir)}")
     val store = twoEventWaves(spark, dir, root, "event_id")(
       runUpsertIncremental(spark, _, _, _))
     resolveUpserts(spark, store).orderBy("event_type")
@@ -1723,7 +1929,7 @@ object EventStreams {
     * the row level.
     */
   def sIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/sincr_store_${gateTag(spark, dir)}").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/sincr_store_${gateTag(spark, dir)}")
     val store = twoEventWaves(spark, dir, root, "event_id")(
       runIncremental(spark, _, _, _))
     spark.read.parquet(store)
@@ -1740,9 +1946,9 @@ object EventStreams {
     * The accumulated sink hash-matches s_interval_join's batch oracle.
     */
   def sStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/sjoin_store_${gateTag(spark, dir)}").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/sjoin_store_${gateTag(spark, dir)}")
     val (src, ckpt, out) = (s"$root/in", s"$root/ckpt", s"$root/out")
-    if (!new java.io.File(out).exists())
+    if (!graft.sources.StoreFs.exists(out))
       twoTimeWaves(spark, dir, src)(() => runStreamJoinIngest(spark, src, ckpt, out))
     spark.read.parquet(out)
       .select("purchase_id", "view_id", "user_id") // bid= shard key stays internal
@@ -1759,11 +1965,11 @@ object EventStreams {
     */
   def sKnnServe(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Knn
-    val root = new java.io.File(s"target/sknn_store_${gateTag(spark, dir)}").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/sknn_store_${gateTag(spark, dir)}")
     val (qsrc, ckpt, store, out) =
       (s"$root/q", s"$root/ckpt", s"$root/idx", s"$root/out")
     val emb = Tables.embeddings(spark, dir)
-    if (!new java.io.File(out).exists()) {
+    if (!graft.sources.StoreFs.exists(out)) {
       graft.sources.IndexStore.write(emb, "vec_id", "embedding", store, dim = 64)
       emb.filter(col("vec_id") < 5).select("vec_id", "embedding")
         .write.mode("overwrite").parquet(qsrc)
@@ -1790,14 +1996,14 @@ object EventStreams {
   def sPhashIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{ImageDecode, ImagePipeline}
     import spark.implicits._
-    val root = new java.io.File(s"target/sphash_store_${gateTag(spark, dir)}").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/sphash_store_${gateTag(spark, dir)}")
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/mih")
     val payloads = Tables.documents(spark, dir)
       .select(col("doc_id")).filter(col("doc_id") < 8)
       .as[Long]
       .map(id => (id, ImageDecode.syntheticPng(16, 16, seed = (31 * id + 5).toInt)))
       .toDF("doc_id", "payload")
-    if (!new java.io.File(store).exists()) {
+    if (!graft.sources.StoreFs.exists(store)) {
       payloads.filter(col("doc_id") < 4).write.mode("overwrite").parquet(src)
       runPhashIngest(spark, src, ckpt, store)
       payloads.filter(col("doc_id") >= 4).write.mode("append").parquet(src)
@@ -1821,10 +2027,30 @@ object EventStreams {
     * anomaly ranking from the store hash-matches q_anomaly's oracle.
     */
   def sRateIngest(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/srate_store_${gateTag(spark, dir)}").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/srate_store_${gateTag(spark, dir)}")
     val store = twoEventWaves(spark, dir, root, "event_id")(
       runRateIngest(spark, _, _, _))
     graft.sources.RateStore.report(spark, store)
+  }
+
+  /** q_snapshot_rate: TIME TRAVEL on the additive tier — the r15
+    * exclusion closed. The rate store builds in the usual two
+    * streamed event waves (each a VERSIONED bid-shard append since
+    * r16); the gate then serves the anomaly ranking as it stood
+    * BEFORE the second wave via RateStore.reportBefore (snapshot file
+    * set with partition columns re-attached — a pure append lineage
+    * keeps every file live). Hash-matches q_anomaly's oracle over the
+    * wave-1 events alone: the wave-2 counts provably vanish from the
+    * z-scores, not just from a row count.
+    */
+  def qSnapshotRate(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.StoreFs.workPath(
+      s"target/snaprate_store_${gateTag(spark, dir)}")
+    val store = twoEventWaves(spark, dir, root, "event_id")(
+      runRateIngest(spark, _, _, _))
+    val vs = graft.sources.StoreMaintenance.versions(store)
+    require(vs.nonEmpty, s"snapshot gate store $store has no versioned wave")
+    graft.sources.RateStore.reportBefore(spark, store, vs.max)
   }
 
   /** s_kmv_ingest: the streaming KMV maintainer IN the driver gate —
@@ -1834,7 +2060,7 @@ object EventStreams {
     * deterministic-estimate oracle.
     */
   def sKmvIngest(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/skmv_store_${gateTag(spark, dir)}").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/skmv_store_${gateTag(spark, dir)}")
     val store = twoEventWaves(spark, dir, root, "event_id")(
       runKmvIngest(spark, _, _, _))
     graft.sources.KmvStore.report(spark, store)
@@ -1847,7 +2073,7 @@ object EventStreams {
     * shape): sketch drift after a streamed merge breaks the hash.
     */
   def sHllIngest(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(s"target/shll_store_${gateTag(spark, dir)}").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/shll_store_${gateTag(spark, dir)}")
     val store = twoEventWaves(spark, dir, root, "event_id")(
       runHllIngest(spark, _, _, _))
     val est = hllDistinctReport(spark, store)
@@ -1870,12 +2096,12 @@ object EventStreams {
     */
   def sBloomIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
-    val root = new java.io.File(s"target/sbloom_store_${gateTag(spark, dir)}").getAbsolutePath
+    val root = graft.sources.StoreFs.workPath(s"target/sbloom_store_${gateTag(spark, dir)}")
     val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/store")
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val ins = docs.filter(col("doc_id") % 5 =!= 0)
     val mBits = Dedup.bloomMBits(ins.count())
-    if (!new java.io.File(store).exists()) {
+    if (!graft.sources.StoreFs.exists(store)) {
       ins.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
       runBloomIngest(spark, src, ckpt, store, mBits)
       ins.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)

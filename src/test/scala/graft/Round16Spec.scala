@@ -95,6 +95,58 @@ class Round16Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // additive-tier time travel + the drift consumer delta
+  // ---------------------------------------------------------------
+
+  test("rate-store time travel: reportBefore(v) equals the wave-1-only ranking") {
+    val base = tmpDir("snaprate")
+    val store = s"$base/store"
+    val ev = graft.Tables.events(spark, sf)
+    graft.sources.RateStore.appendBatch(
+      ev.filter(col("event_id") % 2 === 0), store, 0L)
+    val v = graft.sources.RateStore.appendBatch(
+      ev.filter(col("event_id") % 2 === 1), store, 1L)
+    assert(v > 0, "wave 2 must burn a version")
+    val before = graft.sources.RateStore.reportBefore(spark, store, v)
+      .collect().map(_.toString).sorted.toSeq
+    val w1only = s"$base/w1"
+    graft.sources.RateStore.appendBatch(
+      ev.filter(col("event_id") % 2 === 0), w1only, 0L)
+    val expect = graft.sources.RateStore.report(spark, w1only)
+      .collect().map(_.toString).sorted.toSeq
+    assert(before == expect,
+      "pre-wave-2 snapshot ranking must equal the wave-1-only ranking")
+    assert(graft.sources.RateStore.report(spark, store).count() > 0)
+  }
+
+  test("readBeforeWithPartitions fails loudly on a rewriting lineage") {
+    import spark.implicits._
+    val root = tmpDir("rbwp") + "/store"
+    (0 until 20).map(i => (i.toLong, i % 2)).toDF("id", "c")
+      .repartition(2).write.partitionBy("c").parquet(root)
+    SM.compact(spark, root, targetFiles = 1)
+    val v = SM.versions(root).max
+    val e = intercept[IllegalArgumentException] {
+      SM.readBeforeWithPartitions(spark, root, v).collect()
+    }
+    assert(e.getMessage.contains("pure append lineage"))
+    // the flat reader still serves the same lineage
+    assert(SM.readBefore(spark, root, v).count() == 20)
+  }
+
+  test("drift consumer: the flagged wave's quality scores measurably collapse") {
+    val rows = graft.streaming.EventStreams.sDriftConsumer(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(4) == 1L),
+      "the monitor's wave-2 flag must be set")
+    val deltas = rows.map(_.getDouble(3))
+    assert(deltas.count(_ < 0) > deltas.length / 2,
+      "most quality scores should DROP under the vocabulary remap")
+    val avg = deltas.map(math.abs).sum / deltas.length
+    assert(avg > 0.02, s"avg |delta| $avg too small to carry the doc's claim")
+  }
+
+  // ---------------------------------------------------------------
   // safetensors negative paths: the model-import trust boundary
   // ---------------------------------------------------------------
 
@@ -145,6 +197,97 @@ class Round16Spec extends SparkSpec {
       assert(e.getMessage != null && e.getMessage.contains(needle),
         s"$label: expected error containing '$needle', got: ${e.getMessage}")
     }
+  }
+
+  // ---------------------------------------------------------------
+  // tuned hybrid fusion: curve shape + persisted sidecar
+  // ---------------------------------------------------------------
+
+  test("v_hybrid_curve: exactly one chosen point, recall maximal and flat from it onward") {
+    import graft.operators.Knn
+    val rows = Knn.vHybridCurve(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.length == 1 + Knn.AlphaGrid.length)
+    val chosen = rows.filter(_._3 == 1L)
+    assert(chosen.length == 1, s"expected one chosen grid point, got $chosen")
+    val ca = chosen.head._1
+    assert(Knn.AlphaGrid.contains(ca))
+    // the tuner's guarantee: every grid point at or past the chosen α
+    // preserves the strong leg's full top-5, so recall there is the
+    // curve's maximum and flat
+    val maxR = rows.map(_._2).max
+    val past = rows.filter(_._1 >= ca)
+    assert(past.nonEmpty && past.forall(_._2 == maxR),
+      s"recall not maximal past the chosen α=$ca: ${past.mkString(", ")}")
+  }
+
+  test("hybrid store pair carries the tuned-α sidecar, derived by the preservation rule") {
+    import graft.operators.Knn
+    // force the build-once pair + sidecar, then read the artifact the
+    // serving op reads
+    Knn.vHybridWeightedStore(spark, sf).collect()
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_d" + Integer.toHexString(sf.hashCode)
+    val sidecar = graft.sources.StoreFs.workPath(s"target/hybrid_store_$tag/alpha")
+    assert(graft.sources.StoreFs.exists(sidecar), "alpha sidecar missing")
+    val r = spark.read.parquet(sidecar).head()
+    val (alpha, tmax) = (r.getDouble(0), r.getDouble(1))
+    // the derivation rule, re-checked from the persisted pair alone:
+    // smallest grid point at least one grid step above the measured
+    // max per-query preservation threshold
+    assert(alpha == Knn.AlphaGrid.find(_ >= tmax + 0.05)
+      .getOrElse(Knn.AlphaGrid.last),
+      s"sidecar alpha=$alpha does not follow the rule for tmax=$tmax")
+    assert(tmax > 0.0 && tmax < 1.0)
+  }
+
+  // ---------------------------------------------------------------
+  // autonomous drift remediation: the policy acts once, then cools down
+  // ---------------------------------------------------------------
+
+  test("auto-retrain: tripped wave retrains once; a later trip inside the cooldown is skipped") {
+    import graft.operators.Knn
+    import graft.streaming.EventStreams
+    val base = tmpDir("sretr")
+    val (src, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/idx")
+    graft.sources.IvfIndexStore.write(
+      Knn.corpus(spark, sf).filter(col("vec_id") < 0)
+        .select(col("vec_id"), col("v").as("embedding")),
+      "vec_id", "embedding", store,
+      model = Some(Knn.ivfCentroids(spark, sf)))
+    def ingest(): Unit = {
+      EventStreams.runIvfIngest(spark, src, ckpt, store,
+        autoRetrain = Some(EventStreams.AutoRetrainPolicy(minWavesBetween = 10)),
+        vecType = org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+      ()
+    }
+    val corpus = Knn.corpus(spark, sf).select(col("vec_id"), col("v").as("embedding"))
+    val drift = Knn.driftFrame(spark, sf).select(col("vec_id"), col("v").as("embedding"))
+    corpus.write.mode("overwrite").parquet(src)   // wave 0: baseline bootstrap
+    ingest()
+    drift.write.mode("append").parquet(src)       // wave 1: trips → retrain
+    ingest()
+    val log1 = spark.read.parquet(s"$store.retrainlog").collect()
+    assert(log1.length == 1, s"expected exactly one retrain act, got ${log1.length}")
+    assert(spark.read.parquet(s"$store.retrainlog")
+      .select(col("bid").cast("long")).head().getLong(0) == 1L)
+    // wave 2: the retrain dropped the drift baseline, so this wave
+    // re-bootstraps it (no trip by construction)
+    corpus.select(col("vec_id") + 5000000L as "vec_id", col("embedding"))
+      .write.mode("append").parquet(src)
+    ingest()
+    // wave 3: drifted again vs the wave-2 baseline — PSI trips, but
+    // bid 3 − last retrain bid 1 = 2 < minWavesBetween → SKIPPED
+    drift.select(col("vec_id") + 6000000L as "vec_id", col("embedding"))
+      .write.mode("append").parquet(src)
+    ingest()
+    val dlog = spark.read.parquet(s"$store.driftlog")
+      .select(col("bid").cast("long"), col("psi"), col("retrain_recommended"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(dlog(3L)._2, s"wave 3 should have tripped the monitor: $dlog")
+    assert(spark.read.parquet(s"$store.retrainlog").count() == 1,
+      "cooldown violated: a second retrain ran inside minWavesBetween")
   }
 
   test("safetensors serialize: JSON-unsafe tensor names are rejected") {
