@@ -5881,6 +5881,19 @@ object Oracles {
         "FROM (SELECT * FROM events WHERE event_id % 2 = 0)")
     },
 
+    // STREAMED-lexical time travel: searchBefore over the bid-sharded
+    // store at the wave-2 versions must serve exactly the one-shot
+    // BM25 over the wave-1 (even-doc) corpus — queries restricted to
+    // even docs < 3 so the oracle's own query derivation (bqt from the
+    // filtered corpus) matches the engine's
+    "q_snapshot_sbm25" -> {
+      val base = round12("t_bm25")
+      require(base.sliding("FROM documents".length)
+        .count(_ == "FROM documents") == 1, "t_bm25 oracle shape changed")
+      base.replace("FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 2 = 0)")
+    },
+
     // the drift monitor's consumer delta: the PSI flag (s_bm25_drift's
     // wave-2 pipeline) + the t_quality score of every flagged-wave doc
     // under its original AND remapped text, both replayed end to end —

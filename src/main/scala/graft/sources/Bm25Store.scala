@@ -277,11 +277,26 @@ object Bm25Store {
     // downgrade defensively (the wave/stream layouts are already
     // documented as mutually exclusive)
     dropDlBuckets(docs.sparkSession, path)
-    postingsRows(docs).write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$path/bid=$batchId")
+    // each component shard is a VERSIONED append (r16, the additive-
+    // tier recipe): [[searchBefore]] with per-root defaults then
+    // serves the pre-wave ranking of a STREAMED store too
+    // (q_snapshot_sbm25). Touched dir = the bid shard — O(1) listings
+    // (the scoped diff walks the nested tb= leaves). The corrective
+    // case is the same as RateStore's: a crash-REPLAYED batch's
+    // overwrite replaces its shard files, so "before the replay" is
+    // not reconstructible.
+    StoreMaintenance.versionedAppend(path, Seq(s"bid=$batchId")) {
+      postingsRows(docs).write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$path/bid=$batchId")
+    }
     val dl = dlRows(docs).transform(graft.Materialize.forceCached)
-    dl.write.mode("overwrite").parquet(s"$path.dl/bid=$batchId")
-    statsRows(dl).write.mode("overwrite").parquet(s"$path.stats/bid=$batchId")
+    StoreMaintenance.versionedAppend(s"$path.dl", Seq(s"bid=$batchId")) {
+      dl.write.mode("overwrite").parquet(s"$path.dl/bid=$batchId")
+    }
+    StoreMaintenance.versionedAppend(s"$path.stats", Seq(s"bid=$batchId")) {
+      statsRows(dl).write.mode("overwrite").parquet(s"$path.stats/bid=$batchId")
+    }
+    ()
   }
 
   /** Merge-compact: rewrite each tb dir's append debt to one file

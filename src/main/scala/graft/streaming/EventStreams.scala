@@ -1665,6 +1665,37 @@ object EventStreams {
       .orderBy("bid")
   }
 
+  /** q_snapshot_sbm25: TIME TRAVEL on the STREAMED lexical store —
+    * q_snapshot_bm25 covers the wave-appended layout; this covers the
+    * bid-sharded one the streaming maintainer writes. Both document
+    * waves land through runBm25Ingest (each component shard a
+    * VERSIONED append since r16), then Bm25Store.searchBefore with
+    * per-root defaults (each root's last version = wave 2's) serves
+    * the WAVE-1-ONLY ranking: postings, dl, and the stats re-sum all
+    * replay at the pre-wave state through the same rankBm25 tail as
+    * live search. Hash-matches t_bm25's oracle over the even-doc
+    * corpus alone (queries = even docs < 3, so oracle and engine
+    * agree on the query set drawn from the snapshot corpus).
+    */
+  def qSnapshotSBm25(spark: SparkSession, dir: String): DataFrame = {
+    val tag = gateTag(spark, dir)
+    val root = graft.sources.StoreFs.workPath(s"target/snapsbm25_store_$tag")
+    val (src, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/idx")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    if (!graft.sources.StoreFs.exists(store)) {
+      docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
+      runBm25Ingest(spark, src, ckpt, store)
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+      runBm25Ingest(spark, src, ckpt, store)
+    }
+    graft.sources.Bm25Store.searchBefore(spark, store,
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 3)
+          .select(col("doc_id").as("q_id"), col("text")),
+        k = 5)
+      .select(col("q_id").as("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** s_drift_consumer: the NUMBER behind s_bm25_drift's warning. The
     * lexical monitor's doc claims "the store stays exact, the
     * distribution-calibrated CONSUMERS drift" — this gate proves it:
