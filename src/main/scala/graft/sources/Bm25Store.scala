@@ -342,16 +342,36 @@ object Bm25Store {
     // score silently used overcounted corpus stats.
     val key = Integer.toHexString(
       java.util.Arrays.hashCode(docIds.sorted.toArray[Long]))
-    // Lands a correction frame as ONE atomically-moved file whose name
-    // keys the victim set: write to a sibling temp dir, then MOVE the
-    // single data file in under its deterministic name — a reader
-    // never sees a partial correction and a replayed purge sees either
-    // the finished file (skip) or nothing (rewrite).
-    def landCorrection(targetDir: org.apache.hadoop.fs.Path, frame: DataFrame): Unit = {
+    // Lands a correction frame as ONE moved file whose name keys the
+    // victim set: write to a per-target temp dir, then MOVE the single
+    // data file in under its deterministic name — a replayed purge
+    // sees either the finished file (skip) or nothing (rewrite). On an
+    // object store the move is copy+delete, so a crash MID-copy can
+    // leave a TORN file at the FINAL name (the r16 FaultFs matrix
+    // caught the old skip-if-exists replay trusting it forever —
+    // every later stats read failed loudly but permanently). The
+    // SURVIVING TEMP DIR is the tell: an atomic or completed move
+    // deletes it, so heal() drops both sides and the re-land rebuilds
+    // the correction from the still-intact dl. heal runs BEFORE the
+    // enclosing versionedAppend takes its before-listing, so the
+    // re-landed file is versioned like a first landing.
+    def corrTmp(tag: String) = StoreFs.qualified(s"$path.corr_tmp_$tag")
+    def heal(targetDir: org.apache.hadoop.fs.Path, tag: String): Unit = {
+      val fs = StoreFs.fsOf(targetDir)
+      val tmp = corrTmp(tag)
+      if (StoreFs.exists(fs, tmp)) {
+        val corr = new org.apache.hadoop.fs.Path(targetDir, s"purge_$key.parquet")
+        if (StoreFs.isFile(fs, corr)) StoreFs.delete(fs, corr)
+        StoreFs.delete(fs, tmp)
+        ()
+      }
+    }
+    def landCorrection(targetDir: org.apache.hadoop.fs.Path, tag: String,
+                       frame: DataFrame): Unit = {
       val fs = StoreFs.fsOf(targetDir)
       val corr = new org.apache.hadoop.fs.Path(targetDir, s"purge_$key.parquet")
       if (!StoreFs.isFile(fs, corr)) {
-        val tmp = StoreFs.qualified(s"$path.corr_tmp")
+        val tmp = corrTmp(tag)
         StoreFs.delete(fs, tmp)
         frame.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = StoreFs.list(fs, tmp)
@@ -360,6 +380,7 @@ object Bm25Store {
         StoreFs.mkdirs(fs, targetDir)
         StoreFs.moveReplace(fs, part.getPath, corr)
         StoreFs.delete(fs, tmp)
+        ()
       }
     }
     if (nV > 0) {
@@ -375,9 +396,10 @@ object Bm25Store {
       // snapshot read before the purge's stats version re-sums the
       // shards WITHOUT the negative delta — pre-purge corpus stats,
       // which is what makes [[searchBefore]] exact across a purge
+      heal(targetDir, "stats")
       StoreMaintenance.versionedAppend(path + ".stats",
           Seq(if (streamed) "bid=-1" else ".")) {
-        landCorrection(targetDir, Seq((-nV, -sV)).toDF("n_docs", "sum_dl"))
+        landCorrection(targetDir, "stats", Seq((-nV, -sV)).toDF("n_docs", "sum_dl"))
       }
       // the per-group twin: a meta-written store's pre-aggregated
       // group stats take the same negative shard, derived from the
@@ -387,8 +409,9 @@ object Bm25Store {
       if (StoreFs.isDir(StoreFs.fsOf(groot), groot)) {
         val meta = spark.read.parquet(path + ".dl").columns.toSeq
           .filterNot(Set("doc_id", "dl"))
+        heal(groot, "gstats")
         StoreMaintenance.versionedAppend(path + ".gstats", Seq(".")) {
-          landCorrection(groot,
+          landCorrection(groot, "gstats",
             spark.read.parquet(path + ".dl")
               .filter(col("doc_id").isin(docIds: _*))
               .groupBy(meta.head, meta.tail: _*)
